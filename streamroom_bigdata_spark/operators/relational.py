@@ -1,0 +1,477 @@
+"""Relational operators: projections/filters, joins, aggregations, set ops,
+sorts/top-k (SURVEY.md §2.2-2.4, §2.6-2.7).
+
+Every query here is a declarative DataFrame plan — Catalyst provides filter
+pushdown, column pruning, partial aggregation, broadcast-join selection and
+the TakeOrderedAndProject top-k rewrite; nothing is hand-scheduled. Dimension
+tables are explicitly broadcast so the fact-table scan never shuffles for a
+dim join at any scale factor.
+
+Reference anchors: groupBy-count usage (processing.scala:84-86), global max
+(processing.scala:88), left join + null fill (processing.scala:103-105),
+union of booking relations (processing.scala:57,126-129), orderBy+limit top-k
+(processing.scala:116-117), distinct (processing.scala:66), feasibility
+filter (processing.scala:79), when/otherwise scoring (processing.scala:106-115).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (A6): multi-aggregate groupBy with the
+    filter pushed to the parquet scan and map-side partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "usage_counts",
+    """
+    SELECT l_partkey,
+           count(*) AS usage_count,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def usage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key usage counts (A1) — the reference's room-usage aggregation
+    (processing.scala:84-86) generalized with a second aggregate."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("usage_count"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "global_stats",
+    """
+    SELECT max(l_quantity)                        AS max_qty,
+           min(l_quantity)                        AS min_qty,
+           round(avg(l_extendedprice), 4)         AS avg_price,
+           round(stddev_samp(l_extendedprice), 4) AS std_price,
+           round(sqrt(avg(power(l_discount - l_tax, 2))), 6) AS rms_disc_tax,
+           count(DISTINCT l_partkey)              AS distinct_parts,
+           count(*)                               AS n_rows
+    FROM lineitem
+    """,
+)
+def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregates (A2-A4) kept fully in-plan — the reference pulls
+    its global max and MSE to the driver (processing.scala:88,137); here the
+    scalar math (sqrt-of-avg-of-pow) stays inside the aggregate plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(
+            F.sqrt(F.avg(F.pow(F.col("l_discount") - F.col("l_tax"), 2))), 6
+        ).alias("rms_disc_tax"),
+        F.count_distinct("l_partkey").alias("distinct_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "distinct_booked",
+    "SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'",
+)
+def distinct_booked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct keys of a filtered relation (A5) — the booked-room id set the
+    reference collects into its Bloom filter (processing.scala:66)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_partkey")
+        .distinct()
+    )
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (A7): status -> priority -> grand total."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube (A7) over the two status dimensions."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "pivot_status",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list so the plan needs
+    no extra distinct-values job."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+@register(
+    "approx_distinct",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_custs,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group; the HLL-sketch variant
+    (``approx_count_distinct``) is exercised in tests (sketches aren't
+    oracle-hashable — A6 note in SURVEY.md §5)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("exact_custs"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "star_join_revenue",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (J3): fact ⋈ 4 dims. customer/nation/region are
+    broadcast (no shuffle of the fact table for those joins); only the
+    lineitem⋈orders join shuffles, on the shared orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence predicate as a left-semi join (J4) — the exact-semantics
+    replacement for the reference's Bloom-filter membership probe
+    (processing.scala:60-74)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_idle_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence predicate as a left-anti join (J4)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "left_join_order_counts",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           round(coalesce(o.total_spent, 0.0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spent
+      FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + null fill (J1/P6) — the reference's
+    rooms ⟕ usage-scores join with na.fill(0.0)
+    (processing.scala:103-105). Aggregate-before-join keeps the join input
+    small (one row per customer, not per order)."""
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spent"),
+        )
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .na.fill({"n_orders": 0, "total_spent": 0.0})
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_orders",
+            F.round("total_spent", 2).alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_order_classes",
+    """
+    SELECT 'high' AS order_class, o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice >= 300000
+    UNION ALL
+    SELECT 'urgent' AS order_class, o_orderkey, o_totalprice FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'open' AS order_class, o_orderkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def union_order_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-ary union via fold (U1/U2) — the reference's
+    ``.map(...).reduce(_ union _)`` pattern (processing.scala:126-129);
+    Catalyst's CombineUnions flattens it to one n-ary Union node."""
+    orders = load_table(spark, sf_dir, "orders")
+    parts = [
+        orders.filter(F.col("o_totalprice") >= 300000).withColumn(
+            "order_class", F.lit("high")
+        ),
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+            "order_class", F.lit("urgent")
+        ),
+        orders.filter(F.col("o_orderstatus") == "O").withColumn(
+            "order_class", F.lit("open")
+        ),
+    ]
+    unioned = reduce(DataFrame.unionByName, parts)
+    return unioned.select("order_class", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "intersect_part_keys",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def intersect_part_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (U3): parts appearing under both return flags."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.intersect(a)
+
+
+@register(
+    "except_part_keys",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 40
+    """,
+)
+def except_part_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (U3): returned parts minus high-quantity 'A' parts (the second
+    set is kept narrow so the difference is non-trivial at every SF)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(
+        (F.col("l_returnflag") == "A") & (F.col("l_quantity") >= 40)
+    ).select("l_partkey")
+    return r.subtract(a)  # subtract == SQL EXCEPT (set semantics)
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / conditional projection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy + limit (O1/O2) with a deterministic tiebreak; Catalyst
+    rewrites to TakeOrderedAndProject (per-partition heap + driver merge —
+    no global sort, scale-safe)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+@register(
+    "conditional_buckets",
+    """
+    SELECT CASE WHEN p_size >= 35 THEN 'large'
+                WHEN p_size >= 15 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           count(*) AS n_parts,
+           round(avg(p_retailprice * 0.9 + 5.0), 4) AS avg_discounted
+    FROM part
+    GROUP BY 1
+    """,
+)
+def conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise conditional + arithmetic expression (P5/P7) — the
+    reference's availability scoring shape (processing.scala:106-115)."""
+    part = load_table(spark, sf_dir, "part")
+    size_class = (
+        F.when(F.col("p_size") >= 35, "large")
+        .when(F.col("p_size") >= 15, "medium")
+        .otherwise("small")
+    )
+    return (
+        part.withColumn("size_class", size_class)
+        .groupBy("size_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg(F.col("p_retailprice") * 0.9 + 5.0), 4).alias(
+                "avg_discounted"
+            ),
+        )
+    )

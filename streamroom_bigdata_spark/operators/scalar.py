@@ -1,0 +1,249 @@
+"""Scalar function surface (SURVEY.md §2.8).
+
+Reference-observed functions (F1-F11: concat/trim/lower/split/contains/
+date-format/pow/sqrt/arithmetic/json/cast) plus the [EXT] surface mandated
+for the fixtures: date parts, math, string/regex, JSON extraction, null
+handling. All built-in ``pyspark.sql.functions`` — JVM-side, whole-stage
+codegen, no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "date_functions",
+    """
+    SELECT CAST(year(o_orderdate) AS INT)    AS order_year,
+           CAST(month(o_orderdate) AS INT)   AS order_month,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           count(*)                          AS n_orders,
+           round(sum(o_totalprice), 2)       AS total_price,
+           CAST(min(day(o_orderdate)) AS INT)   AS first_dom,
+           CAST(max(dayofyear(o_orderdate)) AS INT) AS last_doy
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + grouping (F6 [EXT]): year/month/quarter/day/
+    dayofyear on the order date."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.min(F.dayofmonth("o_orderdate")).alias("first_dom"),
+            F.max(F.dayofyear("o_orderdate")).alias("last_doy"),
+        )
+    )
+
+
+@register(
+    "date_trunc_buckets",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           count(*) AS n_shipments,
+           round(sum(l_quantity), 2) AS qty,
+           CAST(max(datediff('day', date_trunc('month', l_shipdate), l_shipdate))
+                AS INT) AS max_day_offset
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def date_trunc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc bucketing + datediff (F6 [EXT]) — calendar-month rollup of
+    shipments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    month = F.date_trunc("month", "l_shipdate")
+    return (
+        li.groupBy(month.alias("ship_month"))
+        .agg(
+            F.count("*").alias("n_shipments"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.max(
+                F.datediff(F.col("l_shipdate"), F.date_trunc("month", "l_shipdate"))
+            ).alias("max_day_offset"),
+        )
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT upper(p_brand) AS brand_upper,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           count(*) AS n,
+           CAST(max(length(p_name)) AS INT) AS max_name_len,
+           CAST(sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_widgets,
+           min(substring(p_name, 1, 3)) AS min_prefix
+    FROM part
+    GROUP BY 1, 2
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface (F2-F5 [EXT]): upper, regexp_extract, length, LIKE,
+    substring."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            F.upper("p_brand").alias("brand_upper"),
+            F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.length("p_name")).alias("max_name_len"),
+            F.sum(
+                F.when(F.col("p_name").like("%widget%"), 1).otherwise(0)
+            ).cast("bigint").alias("n_widgets"),
+            F.min(F.substring("p_name", 1, 3)).alias("min_prefix"),
+        )
+    )
+
+
+@register(
+    "split_concat",
+    """
+    SELECT string_split(p_name, ' ')[1] AS first_word,
+           concat(p_brand, ':', p_type) AS brand_type,
+           count(*) AS n
+    FROM part
+    GROUP BY 1, 2
+    """,
+)
+def split_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + element access + concat (F1/F5) — the reference's CSV
+    line.split(';') parse shape (producer.scala:82) as column expressions."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            F.split("p_name", " ").getItem(0).alias("first_word"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "json_extraction",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (F10 [EXT]) — the same
+    from_json/get_json_object primitive the reference's wire format relies on
+    (consumer.scala:53)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "math_functions",
+    """
+    SELECT l_linenumber,
+           round(avg(abs(l_discount - l_tax)), 6) AS avg_abs_diff,
+           round(sum(ln(l_extendedprice)), 4) AS sum_log_price,
+           round(max(power(l_quantity, 2)), 2) AS max_qty_sq,
+           CAST(min(ceil(l_extendedprice / 1000)) AS DOUBLE) AS min_price_k,
+           CAST(max(floor(l_extendedprice / 1000)) AS DOUBLE) AS max_price_k
+    FROM lineitem
+    GROUP BY l_linenumber
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface (F7-F9 [EXT]): abs/ln/pow/ceil/floor + arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linenumber").agg(
+        F.round(F.avg(F.abs(F.col("l_discount") - F.col("l_tax"))), 6).alias(
+            "avg_abs_diff"
+        ),
+        F.round(F.sum(F.log(F.col("l_extendedprice"))), 4).alias("sum_log_price"),
+        F.round(F.max(F.pow("l_quantity", F.lit(2))), 2).alias("max_qty_sq"),
+        F.min(F.ceil(F.col("l_extendedprice") / 1000)).cast("double").alias(
+            "min_price_k"
+        ),
+        F.max(F.floor(F.col("l_extendedprice") / 1000)).cast("double").alias(
+            "max_price_k"
+        ),
+    )
+
+
+@register(
+    "null_handling",
+    """
+    SELECT next_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN next_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null
+    FROM (
+      SELECT coalesce(lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ), 'END') AS next_type
+      FROM events
+    )
+    GROUP BY next_type
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / isNull handling (P6 [EXT]) over a window-produced null."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.coalesce(F.lead("event_type").over(w), F.lit("END")).alias(
+                "next_type"
+            )
+        )
+        .groupBy("next_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("next_type").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+        )
+    )
+
+
+@register(
+    "cast_projection",
+    """
+    SELECT CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+    FROM orders
+    WHERE o_totalprice > 450000
+    """,
+)
+def cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit casts in projection (P1/P2/F11) — the reference's
+    string→int Mongo-read casts (processing.scala:33-54)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_totalprice") > 450000).select(
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+    )

@@ -1,0 +1,209 @@
+"""Window functions (SURVEY.md §2.5, W1-W3).
+
+The reference imports Spark's Window but never uses it (processing.scala:6);
+its normalize-by-global-max (processing.scala:88-98) is a manual driver-side
+version of a window aggregate. These queries give the engine the full window
+surface: ranking, analytic lag/lead, frame-spec running aggregates, and the
+window-form global normalization that replaces the reference's ``first()``
+round-trip.
+
+Scale notes: every window here partitions by a real key (user, brand, group),
+so state is bounded per key and the shuffle is an ordinary hash exchange.
+``normalized_usage`` uses an empty-frame global window ONLY on an already
+aggregated (small) relation — never on the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "topk_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_name, p_retailprice,
+           CAST(rn AS INT) AS rn
+    FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             row_number() OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+             ) AS rn
+      FROM part
+    )
+    WHERE rn <= 3
+    """,
+)
+def topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (W1) — distributed top-k without a
+    global sort; only one hash shuffle on the partition key."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rn")
+    )
+
+
+@register(
+    "rank_functions",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk,
+           round(pct, 6) AS pct
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank()         OVER w AS rnk,
+             dense_rank()   OVER w AS drnk,
+             percent_rank() OVER w AS pct
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    )
+    WHERE rnk <= 2
+    """,
+)
+def rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank in one window pass (W1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+@register(
+    "event_lag_lead",
+    """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           epoch_ms(CAST(ts AS TIMESTAMP))
+             - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w AS ms_since_prev,
+           lead(event_type) OVER w AS next_event_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def event_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead session deltas per user (W2). Millisecond epoch arithmetic is
+    used on both sides (Spark unix_millis ≡ DuckDB epoch_ms) so no float
+    rounding is involved. Order includes event_id as a total-order tiebreak."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (ms - F.lag(ms).over(w)).alias("ms_since_prev"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+@register(
+    "running_totals",
+    """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS running_value,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS moving_avg_3
+    FROM events
+    """,
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec aggregates (W3): running sum + 3-row moving average per
+    user. The deterministic (ts, event_id) order makes float accumulation
+    identical across engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg_3"
+        ),
+    )
+
+
+@register(
+    "normalized_usage",
+    """
+    SELECT l_partkey, usage_count,
+           round(usage_count::DOUBLE / max(usage_count) OVER (), 6)
+             AS collab_score
+    FROM (
+      SELECT l_partkey, count(*) AS usage_count FROM lineitem GROUP BY 1
+    )
+    """,
+)
+def normalized_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's normalize-by-global-max (processing.scala:88-98) as a
+    window expression — no driver round-trip. The empty-frame window runs on
+    the post-aggregation relation (|distinct partkeys| rows), never the fact
+    table, so the single-partition exchange is bounded."""
+    usage = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("usage_count"))
+    )
+    w = Window.partitionBy()
+    return usage.select(
+        "l_partkey",
+        "usage_count",
+        F.round(
+            F.col("usage_count").cast("double") / F.max("usage_count").over(w), 6
+        ).alias("collab_score"),
+    )
+
+
+@register(
+    "ntile_quartiles",
+    """
+    SELECT quartile, count(*) AS n, round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT)
+               AS quartile
+      FROM customer
+    )
+    GROUP BY quartile
+    """,
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing + re-aggregation (W1 variant)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        customer.select(
+            "c_acctbal", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )

@@ -1,0 +1,118 @@
+"""Relational operator semantics (SURVEY.md §2.2-2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.operators import relational, scalar, windows
+from streamroom_bigdata_spark.sources import load_table
+
+
+def test_pricing_summary_totals(spark, sf_dir):
+    rows = relational.pricing_summary(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-09-02").cast("timestamp")
+    expected_total = li.filter(F.col("l_shipdate") <= cutoff).count()
+    assert sum(r.count_order for r in rows) == expected_total
+    assert all(r.avg_disc <= 1.0 for r in rows)
+
+
+def test_topk_matches_full_sort(spark, sf_dir):
+    # TakeOrderedAndProject must equal sort-then-head (O2 property)
+    topk = relational.topk_orders(spark, sf_dir).collect()
+    full = (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .collect()
+    )
+    assert [r.o_orderkey for r in topk] == [r.o_orderkey for r in full[:10]]
+
+
+def test_semi_anti_partition_customers(spark, sf_dir):
+    # semi ∪ anti == all customers, disjoint (J4)
+    semi = {r.c_custkey for r in relational.semi_join_active_customers(spark, sf_dir).collect()}
+    anti = {r.c_custkey for r in relational.anti_join_idle_customers(spark, sf_dir).collect()}
+    total = load_table(spark, sf_dir, "customer").count()
+    assert semi.isdisjoint(anti)
+    assert len(semi) + len(anti) == total
+
+
+def test_left_join_nullfill_never_null(spark, sf_dir):
+    df = relational.left_join_order_counts(spark, sf_dir)
+    assert df.filter(F.col("n_orders").isNull() | F.col("total_spent").isNull()).count() == 0
+    assert df.count() == load_table(spark, sf_dir, "customer").count()
+
+
+def test_union_flattening_plan(spark, sf_dir):
+    # CombineUnions: the 3-way fold should appear as a single Union node
+    df = relational.union_order_classes(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") == 1
+
+
+def test_rollup_grand_total(spark, sf_dir):
+    rows = relational.rollup_orders(spark, sf_dir).collect()
+    grand = [r for r in rows if r.o_orderstatus is None and r.o_orderpriority is None]
+    assert len(grand) == 1
+    assert grand[0].n_orders == load_table(spark, sf_dir, "orders").count()
+
+
+def test_cube_row_count(spark, sf_dir):
+    rows = relational.cube_lineitem(spark, sf_dir).collect()
+    flags = load_table(spark, sf_dir, "lineitem").select("l_returnflag").distinct().count()
+    statuses = load_table(spark, sf_dir, "lineitem").select("l_linestatus").distinct().count()
+    # (flags+1) * (statuses+1) groupings, minus combos that don't exist
+    assert len(rows) <= (flags + 1) * (statuses + 1)
+    assert any(r.l_returnflag is None and r.l_linestatus is None for r in rows)
+
+
+def test_intersect_except_disjoint(spark, sf_dir):
+    inter = {r.l_partkey for r in relational.intersect_part_keys(spark, sf_dir).collect()}
+    exc = {r.l_partkey for r in relational.except_part_keys(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    r_keys = {
+        r.l_partkey
+        for r in li.filter(F.col("l_returnflag") == "R").select("l_partkey").distinct().collect()
+    }
+    assert inter <= r_keys
+    assert exc <= r_keys
+
+
+def test_approx_count_distinct_close(spark, sf_dir):
+    # HLL sketch within 10% of exact (A6 sketch variant, not oracle-hashable)
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.count_distinct("o_custkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.10
+
+
+def test_window_running_monotone(spark, sf_dir):
+    rows = windows.running_totals(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for recs in by_user.values():
+        recs.sort(key=lambda r: (r.ts, r.event_id))
+        run = 0.0
+        for r in recs:
+            run += r.value
+            assert abs(r.running_value - run) < 1e-2
+
+
+def test_normalized_usage_bounds(spark, sf_dir):
+    rows = windows.normalized_usage(spark, sf_dir).collect()
+    assert all(0.0 < r.collab_score <= 1.0 for r in rows)
+    assert any(r.collab_score == 1.0 for r in rows)
+
+
+def test_json_extraction_values(spark, sf_dir):
+    rows = scalar.json_extraction(spark, sf_dir).collect()
+    assert rows and all(r.sum_k >= 0 for r in rows)
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = relational.star_join_revenue(spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical
