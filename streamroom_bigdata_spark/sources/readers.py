@@ -22,15 +22,16 @@ from ..schemas import FIXTURE_TABLES
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # The fixture events.ts is parquet TIMESTAMP(NANOS), which Spark's
         # reader rejects outright. Read nanos as int64 and convert to a
         # microsecond timestamp in-plan (floor division — matches DuckDB's
-        # ns→µs cast truncation, so oracle comparisons agree).
+        # ns→µs cast truncation, so oracle comparisons agree). Synthetic
+        # events tables written with µs timestamps pass through untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -62,7 +62,10 @@ def main() -> int:
     from streamroom_bigdata_spark.session import get_spark
     from streamroom_bigdata_spark import registry
 
-    spark = get_spark("check_oracle")
+    spark = get_spark(
+        "check_oracle",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
