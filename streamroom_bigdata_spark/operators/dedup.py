@@ -1,0 +1,364 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.11 L1-L2).
+
+Exact dedup is a hash-groupBy (one shuffle on the 256-bit content hash — at
+100 TB the hash shuffle moves 32-byte keys, not documents). Near-dup is
+hand-rolled MinHash + banded LSH composed entirely from DataFrame built-ins
+(shingle → per-seed min-hash → band keys → bucket self-join), so there is no
+n² compare anywhere: candidate generation shuffles on band keys and the
+exact-Jaccard verification only touches bucket-colliding pairs. The hash is
+the md5-prefix portable hash (functions/hashing.py) so every step is
+oracle-checkable in DuckDB — no randomness at query time.
+
+SimHash uses frequency-weighted per-bit majority votes over token hashes; the
+16-bit variant keeps the oracle SQL tractable while exercising the exact
+algorithm shape (explode → per-bit signed sums → bit reassembly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    HASH_MOD,
+    portable_hash_mod,
+    sql_hash_mod,
+)
+from ..registry import register
+from ..sources import load_table
+
+N_MINHASH = 8          # minhash functions
+N_BANDS = 4            # LSH bands (2 rows per band)
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SHINGLE_N = 3          # word n-gram size for minhash shingles
+JACCARD_THRESHOLD = 0.3
+
+# ---------------------------------------------------------------------------
+# Exact dedup (L1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT sha256(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) >= 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (L1): sha2-256 content hash groupBy; the representative
+    row is the minimum doc_id (deterministic keep policy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+@register(
+    "dedup_normalized",
+    """
+    SELECT norm_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+    FROM (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS norm_hash
+      FROM documents
+    )
+    GROUP BY norm_hash
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after text normalization (lowercase + whitespace collapse
+    + trim) — catches trivially-reformatted duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return (
+        docs.groupBy(F.sha2(norm, 256).alias("norm_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (L2)
+# ---------------------------------------------------------------------------
+
+
+def shingle_col(n: int = SHINGLE_N) -> F.Column:
+    """Distinct word n-gram shingles of ``text``; documents shorter than n
+    tokens use the whole text as their single shingle."""
+    toks = F.split("text", " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(ngrams)).otherwise(
+        F.array(F.col("text"))
+    )
+
+
+def sql_shingles(n: int = SHINGLE_N) -> str:
+    """DuckDB equivalent of :func:`shingle_col` (tokens are 1-indexed)."""
+    parts = " || ' ' || ".join(f"toks[i + {j + 1}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_distinct(list_transform(range(0, len(toks) - {n - 1}), "
+        f"i -> {parts})) ELSE [text] END"
+    )
+
+
+def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles, mh_0..mh_{k-1}) — per-seed min over shingle hashes,
+    computed as pure projections (no shuffle at all)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", shingle_col().alias("shingles")
+    )
+    cols = [
+        F.array_min(
+            F.transform(
+                "shingles",
+                lambda s: portable_hash_mod(F.concat(F.lit(f"{seed}:"), s)),
+            )
+        ).alias(f"mh_{seed}")
+        for seed in range(N_MINHASH)
+    ]
+    return docs.select("doc_id", "shingles", *cols)
+
+
+def _sql_minhash_cte(n_hash: int = N_MINHASH) -> str:
+    mh_exprs = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        + sql_hash_mod(f"concat('{seed}:', s)")
+        + f")) AS mh_{seed}"
+        for seed in range(n_hash)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), shingled AS (
+      SELECT doc_id, {sql_shingles()} AS shingles FROM toks
+    ), sigs AS (
+      SELECT doc_id, shingles, {mh_exprs} FROM shingled
+    )"""
+
+
+_SIG_COLS = ", ".join(f"mh_{s}" for s in range(N_MINHASH))
+
+minhash_signatures_oracle = f"""
+WITH {_sql_minhash_cte()}
+SELECT doc_id, {_SIG_COLS} FROM sigs
+"""
+
+
+@register("minhash_signatures", minhash_signatures_oracle)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (L2): k=8 portable-hash min-hashes per document."""
+    return minhash_signature_df(spark, sf_dir).drop("shingles")
+
+
+def _band_exprs() -> list[str]:
+    """band key = mh_{2b} * HASH_MOD + mh_{2b+1} (exact in int64)."""
+    return [
+        f"mh_{b * ROWS_PER_BAND} * {HASH_MOD} + mh_{b * ROWS_PER_BAND + 1}"
+        for b in range(N_BANDS)
+    ]
+
+
+near_dup_oracle = f"""
+WITH {_sql_minhash_cte()}, bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, {expr} AS band_key FROM sigs"
+      for b, expr in enumerate(_band_exprs())
+  )}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+           AS jaccard
+  FROM cand c
+  JOIN sigs sa ON c.doc_a = sa.doc_id
+  JOIN sigs sb ON c.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("near_dup_pairs", near_dup_oracle)
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (L2): band the signatures, self-join
+    on (band_id, band_key) buckets for candidates, verify candidates with
+    exact shingle Jaccard. Candidate generation is a hash shuffle on band
+    keys — no all-pairs compare; at 100 TB the bucket join dominates and
+    scales with collision count, not n²."""
+    sigs = minhash_signature_df(spark, sf_dir).cache()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(expr).alias("band_key"),
+                    )
+                    for b, expr in enumerate(_band_exprs())
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (L2 oracle-path variant)
+# ---------------------------------------------------------------------------
+
+NGRAM_EXACT_N = 5
+
+ngram_jaccard_oracle = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), shingled AS (
+  SELECT doc_id, {sql_shingles(NGRAM_EXACT_N)} AS shingles FROM toks
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM shingled
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM exploded a JOIN exploded b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common::DOUBLE
+             / (len(sa.shingles) + len(sb.shingles) - i.n_common), 6)
+         AS jaccard
+FROM inter i
+JOIN shingled sa ON i.doc_a = sa.doc_id
+JOIN shingled sb ON i.doc_b = sb.doc_id
+WHERE i.n_common::DOUBLE
+      / (len(sa.shingles) + len(sb.shingles) - i.n_common) >= 0.1
+"""
+
+
+@register("ngram_jaccard_pairs", ngram_jaccard_oracle)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup (L2 brute path): explode 5-gram
+    shingles, self-join on shingle for intersection counts (candidates =
+    docs sharing ≥1 shingle — the inverted-index trick, not n²), then
+    |A∩B| / (|A|+|B|-|A∩B|). Serves as the exact oracle for the MinHash
+    approximation in recall tests."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", shingle_col(NGRAM_EXACT_N).alias("shingles")
+    )
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (L2 fingerprint variant)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+_simhash_bit_sums = ", ".join(
+    f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+    for j in range(SIMHASH_BITS)
+)
+_simhash_assemble = " + ".join(
+    f"(CASE WHEN s_{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+simhash_oracle = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, {sql_hash_mod("tok", 1 << SIMHASH_BITS)} AS h FROM toks
+), bitsums AS (
+  SELECT doc_id, {_simhash_bit_sums} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_simhash_assemble} AS BIGINT) AS simhash
+FROM bitsums
+"""
+
+
+@register("simhash_fingerprints", simhash_oracle)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (L2): frequency-weighted per-bit majority vote over token
+    hashes, reassembled into a 16-bit fingerprint. Near-duplicate documents
+    land within small Hamming distance (property-tested); candidate pairing
+    at scale groups on the fingerprint or its bit-bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", portable_hash_mod(F.col("tok"), 1 << SIMHASH_BITS))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h div {1 << j}) % 2 = 1"), 1).otherwise(-1)
+            ).alias(f"s_{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bit_sums.select(
+        "doc_id", simhash.cast("bigint").alias("simhash")
+    )

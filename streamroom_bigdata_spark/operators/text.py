@@ -1,0 +1,253 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.11 L4, D5).
+
+Everything in the oracle-checked path is built-in column expressions (split/
+regexp/aggregate) — JVM-side, codegen'd, no Python per row. The language-ID
+heuristic is the one Pandas-UDF operator here (dictionary scoring doesn't
+compose from built-ins cleanly); it is Arrow-vectorized and rows-only checked
+plus property-tested.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import FP_MOD, portable_hash_mod, sql_hash_mod
+from ..registry import register
+from ..sources import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id, lang,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           round(length(replace(text, ' ', ''))::DOUBLE
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+             AS n_unique_tokens
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (L4): length, token count, mean
+    token length, vocabulary size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("int").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(unique_ratio, 6) AS unique_ratio,
+           CAST(n_tokens >= 20 AND stopword_ratio BETWEEN 0.05 AND 0.6
+                AND unique_ratio >= 0.2 AS BOOLEAN) AS is_quality
+    FROM (
+      SELECT doc_id,
+             len(list_filter(toks, t -> t IN ({_SW_LIST})))::DOUBLE
+               / len(toks) AS stopword_ratio,
+             len(list_distinct(toks))::DOUBLE / len(toks) AS unique_ratio,
+             len(toks) AS n_tokens
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (L4): stopword ratio + vocabulary diversity gates —
+    the Gopher-style heuristic filter shape, as pure column algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # multiset stopword count (array_intersect would dedup) -> filter
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    unique_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(unique_ratio, 6).alias("unique_ratio"),
+        (
+            (n_tokens >= 20)
+            & stopword_ratio.between(0.05, 0.6)
+            & (unique_ratio >= 0.2)
+        ).alias("is_quality"),
+    )
+
+
+@register(
+    "token_frequencies",
+    """
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies via explode (D5 — the UDTF-like one-row→many
+    expansion done with built-ins), deterministic top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "token_count_regex",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                AS INT) AS n_bpe_ish_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers
+    FROM documents
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (L4): alpha runs, digit runs, and standalone
+    punctuation as separate tokens — the regex pre-tokenizer shape used by
+    byte-pair encoders."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(
+            "n_bpe_ish_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias(
+            "n_numbers"
+        ),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split(text, ' '),
+                              x -> {sql_hash_mod("x")})),
+             (acc, h) -> (acc * 131 + h) % {FP_MOD}
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (L4): polynomial
+    accumulation over token hashes, exact int64 arithmetic (ANSI-safe via
+    mod-reduction) — identical in DuckDB, so oracle-hashable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(
+        F.split("text", " "), lambda x: portable_hash_mod(x)
+    )
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 131 + h) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "lang_source_profile",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus profile (L4 reporting shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (Pandas UDF path — rows-only + property tests)
+# ---------------------------------------------------------------------------
+
+#: tiny per-language character-bigram profiles (public-knowledge heuristic:
+#: score text bigrams against each profile, argmax wins; 'en' profile is the
+#: richest since the fixture corpus is English-ish)
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "de": ("en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "ge"),
+    "fr": ("es", "le", "de", "en", "re", "nt", "on", "er", "te", "ou"),
+    "es": ("de", "la", "os", "el", "en", "es", "ar", "ue", "ra", "as"),
+    "zh": (),  # non-latin scripts would be detected by codepoint range
+}
+
+
+@register("lang_id_heuristic")
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-ID heuristic (L4) as an Arrow-vectorized Pandas UDF:
+    character-bigram frequency scoring against small per-language profiles.
+    Deterministic; rows-only checked (profile scoring isn't ANSI SQL) and
+    property-tested for stability + agreement shape."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    profiles = {k: set(v) for k, v in _LANG_PROFILES.items() if v}
+
+    @F.pandas_udf("string")
+    def detect(texts: pd.Series) -> pd.Series:
+        def score(text: str) -> str:
+            if not text:
+                return "und"
+            bigrams: dict[str, int] = {}
+            lowered = text.lower()
+            for i in range(len(lowered) - 1):
+                bg = lowered[i : i + 2]
+                if bg.strip() == bg and len(bg) == 2:
+                    bigrams[bg] = bigrams.get(bg, 0) + 1
+            if not bigrams:
+                return "und"
+            best_lang, best = "und", -1.0
+            for lang in sorted(profiles):
+                hits = sum(n for bg, n in bigrams.items() if bg in profiles[lang])
+                frac = hits / sum(bigrams.values())
+                if frac > best:
+                    best_lang, best = lang, frac
+            return best_lang if best > 0.05 else "und"
+
+        return texts.map(score)
+
+    return docs.select(
+        "doc_id", "lang", detect(F.col("text")).alias("detected_lang")
+    )

@@ -1,0 +1,137 @@
+"""Dedup + text-analysis property tests (L1/L2/L4).
+
+The fixture corpus has no true duplicates, so near-dup behavior is proven on
+synthetic corpora with planted duplicates: exact copies, lightly-mutated
+copies, and unrelated documents.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.operators import dedup, text
+from streamroom_bigdata_spark.sources import load_table
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm window sill and the birds sing in the garden all day"
+)
+MUTATED = BASE.replace("warm window", "cold window")  # 2-token change
+UNRELATED = (
+    "spark executes distributed query plans with catalyst optimizing "
+    "predicate pushdown column pruning and adaptive shuffle partitioning"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("planted")
+    rows = [
+        (0, BASE, "en", "srcA", len(BASE)),
+        (1, BASE, "en", "srcB", len(BASE)),          # exact dup of 0
+        (2, MUTATED, "en", "srcC", len(MUTATED)),    # near dup of 0
+        (3, UNRELATED, "en", "srcD", len(UNRELATED)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_exact_dedup_groups_copies(spark, planted_docs):
+    rows = dedup.dedup_exact(spark, planted_docs).collect()
+    by_count = sorted(r.n_copies for r in rows)
+    assert by_count == [1, 1, 2]
+    dup_group = [r for r in rows if r.n_copies == 2][0]
+    assert dup_group.keep_doc_id == 0
+
+
+def test_minhash_identical_docs_identical_sigs(spark, planted_docs):
+    sigs = {r.doc_id: tuple(r[i] for i in range(1, 9))
+            for r in dedup.minhash_signatures(spark, planted_docs).collect()}
+    assert sigs[0] == sigs[1]
+    # near-dup shares most minhashes; unrelated shares none
+    shared_near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    shared_far = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert shared_near >= 4
+    assert shared_far == 0
+
+
+def test_lsh_finds_planted_pairs(spark, planted_docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.near_dup_pairs(spark, planted_docs).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """On the real corpus, LSH candidates must recover a decent fraction of
+    the exact high-Jaccard pairs (recall property for the approximate op)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+        if r.jaccard >= dedup.JACCARD_THRESHOLD
+    }
+    if not exact:
+        pytest.skip("no high-jaccard pairs in fixture corpus")
+    found = {
+        (r.doc_a, r.doc_b) for r in dedup.near_dup_pairs(spark, sf_dir).collect()
+    }
+    assert len(found & exact) / len(exact) >= 0.5
+
+
+def test_simhash_hamming_property(spark, planted_docs):
+    fps = {r.doc_id: r.simhash
+           for r in dedup.simhash_fingerprints(spark, planted_docs).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    assert fps[0] == fps[1]                       # identical docs
+    assert hamming(fps[0], fps[2]) <= 4           # near dup: few bits differ
+    assert hamming(fps[0], fps[3]) >= hamming(fps[0], fps[2])
+
+
+def test_text_stats_consistency(spark, sf_dir):
+    joined = (
+        text.text_stats(spark, sf_dir)
+        .join(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+        .collect()
+    )
+    for r in joined[:50]:
+        assert r.n_tokens == len(r.text.split(" "))
+        assert r.n_chars == len(r.text)
+        assert r.n_unique_tokens <= r.n_tokens
+
+
+def test_quality_flags_are_sane(spark, sf_dir):
+    rows = text.text_quality(spark, sf_dir).collect()
+    assert all(0.0 <= r.stopword_ratio <= 1.0 for r in rows)
+    assert all(0.0 < r.unique_ratio <= 1.0 for r in rows)
+    assert any(r.is_quality for r in rows)
+
+
+def test_lang_id_deterministic(spark, sf_dir):
+    a = {r.doc_id: r.detected_lang
+         for r in text.lang_id_heuristic(spark, sf_dir).collect()}
+    b = {r.doc_id: r.detected_lang
+         for r in text.lang_id_heuristic(spark, sf_dir).collect()}
+    assert a == b
+    assert set(a.values()) <= {"en", "de", "fr", "es", "und"}
+
+
+def test_fingerprint_order_sensitivity(spark, tmp_path):
+    rows = [(0, "alpha beta gamma", "en", "s", 16),
+            (1, "gamma beta alpha", "en", "s", 16),
+            (2, "alpha beta gamma", "en", "s", 16)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    fps = {r.doc_id: r.fingerprint
+           for r in text.doc_fingerprints(spark, str(tmp_path)).collect()}
+    assert fps[0] == fps[2]       # same order, same fingerprint
+    assert fps[0] != fps[1]       # permuted tokens change it
