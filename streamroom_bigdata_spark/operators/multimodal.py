@@ -1,0 +1,107 @@
+"""Multimodal column plumbing (SURVEY.md §2.11 L5).
+
+Images/audio/video are carried as opaque ``binary`` columns with a typed
+metadata struct alongside. The Spark-side machinery — schema, Arrow batch
+shape, ``mapInPandas`` signature, partitioning — is real and tested; the
+actual byte decode is STUBBED (no image/audio libraries in this container):
+``decode_features`` computes deterministic byte-level statistics where a real
+pipeline would call the decoder, and ``decode_image`` raises
+``NotImplementedError`` with the integration point documented.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical multimodal layout: (asset_id, payload binary, meta
+    struct<lang,source,n_chars>, embedding-ready text). Built here from the
+    documents fixture (text bytes stand in for media bytes); a real ingest
+    would read the bytes from object storage with the same schema."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct("lang", "source", "n_chars").alias("meta"),
+    )
+
+
+@register(
+    "multimodal_manifest",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS content_hash,
+           lang AS meta_lang,
+           source AS meta_source
+    FROM documents
+    """,
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest over binary payloads (L5): byte size, content hash, flattened
+    metadata — the asset-catalog query every multimodal pipeline starts from."""
+    assets = multimodal_table(spark, sf_dir)
+    return assets.select(
+        "asset_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2(F.col("payload").cast("string"), 256).alias("content_hash"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.source").alias("meta_source"),
+    )
+
+
+DECODE_SCHEMA = (
+    "asset_id long, n_bytes int, mean_byte double, first_byte int, "
+    "last_byte int, byte_checksum long"
+)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real decoder integration point — wire Pillow/torchvision/ffmpeg here
+    when the runtime has them. Deliberately unimplemented in this container."""
+    raise NotImplementedError(
+        "image/audio decode requires media libraries not present in this "
+        "environment; decode_features() provides the deterministic stub"
+    )
+
+
+@register("multimodal_decode_features")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas`` (L5): the
+    per-batch Arrow plumbing is exactly what a real decode uses — iterate
+    record batches, run a vectorized kernel per batch, emit a typed frame.
+    The kernel here is a deterministic byte-statistics stub standing in for
+    decode (see :func:`decode_image`)."""
+    assets = multimodal_table(spark, sf_dir).select("asset_id", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "mean_byte": payloads.map(
+                        lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
+                    ),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    "last_byte": payloads.map(
+                        lambda b: b[-1] if len(b) else -1
+                    ).astype("int32"),
+                    "byte_checksum": payloads.map(
+                        lambda b: sum(b) % 1_000_000_007
+                    ).astype("int64"),
+                }
+            )
+
+    return assets.mapInPandas(extract, DECODE_SCHEMA)

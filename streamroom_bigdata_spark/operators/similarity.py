@@ -1,0 +1,238 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 L3, D2-D4).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query set
+  against the corpus, score with zip_with/aggregate column algebra, rank per
+  query with a window. One scan of the corpus, no self-shuffle; at 100 TB
+  the corpus stays partition-parallel and only k rows per query per
+  partition survive the window's partial top-k.
+- ``ann_lsh_cosine``: the scale path — deterministic sign-LSH (random
+  hyperplanes derived from the portable hash, so reproducible across runs
+  and engines), bucket equi-join, exact re-rank inside buckets. Recall is
+  property-tested against the brute-force oracle.
+- ``embedding_centroids``: per-label centroid via posexplode + per-dimension
+  avg (pure built-ins, SQL-checkable); ``embedding_centroid_udaf`` computes
+  the same thing with a grouped-agg Pandas UDAF (D4) and is tested for
+  agreement.
+- ``vector_norms``: D2 scalar surface (norms + cosine-to-anchor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, cosine, dot, l2_norm
+from ..registry import register
+from ..sources import load_table
+
+QUERY_IDS = (0, 1, 2, 3, 4)
+TOP_K = 10
+# 2^N buckets; 4 planes → 16 buckets suits the fixture corpus (10^2..10^4
+# vectors). At real scale raise planes with corpus size (or multi-probe) so
+# bucket occupancy stays ~constant.
+N_HYPERPLANES = 4
+DIM = 64
+
+_COSINE_SQL = """
+  list_dot_product(q.emb, c.emb)
+    / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb)))
+"""
+
+cosine_topk_oracle = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb FROM corpus
+  WHERE vec_id IN {QUERY_IDS}
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_COSINE_SQL}, 6) AS cosine
+  FROM q JOIN corpus c ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TOP_K}
+"""
+
+
+@register("cosine_topk", cosine_topk_oracle)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (L3 baseline): exact nearest neighbors for a
+    fixed query set."""
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    queries = corpus.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _hyperplanes(n: int = N_HYPERPLANES, dim: int = DIM) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: seeded by plane/dim index —
+    reproducible everywhere, no RNG state."""
+    rng = np.random.default_rng(12345)
+    return rng.standard_normal((n, dim))
+
+
+def lsh_bucket_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb, bucket): sign-LSH bucket id from N_HYPERPLANES dot-sign
+    bits, computed by one Arrow-vectorized pandas UDF (matrix multiply per
+    batch — the Python cost is one BLAS call per Arrow batch, not per row)."""
+    planes = _hyperplanes()
+    bplanes = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("int")
+    def bucket(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())            # (batch, dim)
+        signs = (mat @ bplanes.value.T) >= 0       # (batch, n_planes)
+        weights = 1 << np.arange(signs.shape[1])
+        return pd.Series((signs * weights).sum(axis=1).astype("int32"))
+
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    return corpus.withColumn("bucket", bucket("emb"))
+
+
+@register("ann_lsh_cosine")
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN (L3 scale path): sign-LSH bucketing, candidates share
+    the query's bucket, exact cosine re-rank inside the bucket. The
+    candidate join is an equi-join on bucket — shuffle keyed on ~2^N buckets
+    instead of an all-pairs compare. Rows-only checked (the bucket step is
+    not ANSI SQL); recall vs brute force is property-tested."""
+    bucketed = lsh_bucket_df(spark, sf_dir).cache()
+    # multi-probe: each query probes its own bucket plus every bucket at
+    # Hamming distance 1 (flip one hyperplane bit) — recall recovers most of
+    # what single-bucket LSH loses, while candidates stay an equi-join
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << j))
+            for j in range(N_HYPERPLANES)
+        ],
+    )
+    queries = (
+        bucketed.filter(F.col("vec_id").isin(*QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.explode(probes).alias("q_bucket"),
+        )
+    )
+    cand = bucketed.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+embedding_centroids_oracle = f"""
+SELECT label, CAST(i AS INT) AS dim,
+       round(avg(embedding[i + 1]::DOUBLE), 6) AS centroid_val,
+       count(*) AS n_vectors
+FROM embeddings, unnest(range(0, {DIM})) AS u(i)
+GROUP BY label, i
+"""
+
+
+@register("embedding_centroids", embedding_centroids_oracle)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (D4 built-in path): posexplode the vector, average
+    per (label, dimension). SQL-checkable; the UDAF variant below must agree."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(as_double("embedding")).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+def embedding_centroid_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid as a grouped-map Pandas op (D4 UDAF pattern):
+    one numpy mean per label group, returning the whole centroid vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "centroid": [mat.mean(axis=0).tolist()],
+                "n_vectors": [len(pdf)],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        centroid, "label int, centroid array<double>, n_vectors long"
+    )
+
+
+@register(
+    "vector_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+             AS l2_norm,
+           round(list_dot_product(embedding::DOUBLE[],
+                                  (SELECT embedding::DOUBLE[] FROM embeddings
+                                   WHERE vec_id = 0)), 6) AS dot_to_anchor
+    FROM embeddings
+    """,
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector scalar surface (D2): L2 norms + dot product against an anchor
+    vector (vec_id=0), computed with zip_with/aggregate built-ins."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    anchor = emb.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("anchor_emb")
+    )
+    return (
+        emb.join(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2_norm(F.col("emb")), 6).alias("l2_norm"),
+            F.round(dot(F.col("emb"), F.col("anchor_emb")), 6).alias(
+                "dot_to_anchor"
+            ),
+        )
+    )
