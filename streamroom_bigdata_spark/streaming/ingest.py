@@ -1,0 +1,72 @@
+"""CSV → tagged JSON wire records (SURVEY.md §2.1 S2-S3, §2.9 T6).
+
+The reference's producer parses six entity CSVs on the driver, one line at a
+time, assembling JSON by string interpolation and sleeping 200 ms per record
+(reference: producer.scala:22-61,63-186). Here the same transform is a
+distributed DataFrame plan: schema'd CSV scan → ``to_json(struct(*))`` with
+the ``source_type`` discriminator and ingest stamps — executor-parallel, no
+driver loop, no rate cap. The output is the wire format the streaming
+consumer parses back with ``from_json`` (S5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import ENTITIES, WIRE_SCHEMA
+from ..sources.readers import read_entity_csv
+
+
+def tag_entity(df: DataFrame, source_type: str) -> DataFrame:
+    """Attach the discriminator + ingest stamps (reference: producer.scala:87,
+    95-96 — ``source_type``, ``ingestion_timestamp``, ``ingestion_date``).
+    Stamps are real timestamps formatted to the reference's wire format
+    (strings, ``yyyy-MM-dd HH:mm:ss``) for parity."""
+    now = F.current_timestamp()
+    return df.withColumns(
+        {
+            "source_type": F.lit(source_type),
+            "ingestion_timestamp": F.date_format(now, "yyyy-MM-dd HH:mm:ss"),
+            "ingestion_date": F.date_format(now, "yyyy-MM-dd"),
+        }
+    )
+
+
+def to_wire_json(df: DataFrame) -> DataFrame:
+    """One JSON string per record — the Kafka message value (S2). ``value`` is
+    the exact shape ``parse_wire`` (and the reference's consumer,
+    consumer.scala:51-54) expects."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def entity_dir_to_wire(spark: SparkSession, data_dir: str) -> DataFrame:
+    """The whole producer pipeline: read every entity CSV under ``data_dir``
+    (files named ``<entity>*.csv``, dispatch-by-filename like
+    producer.scala:63-72), tag, and union to one wire-format DataFrame."""
+    parts = []
+    for name, (schema, _key) in ENTITIES.items():
+        path = os.path.join(data_dir, f"{name}.csv")
+        if not os.path.exists(path):
+            continue
+        parts.append(to_wire_json(tag_entity(read_entity_csv(spark, path, schema), name)))
+    if not parts:
+        raise FileNotFoundError(f"no entity CSVs under {data_dir}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def parse_wire(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Wire → typed rows (S5): cast to string, ``from_json`` against the
+    21-field union schema, flatten (reference: consumer.scala:51-54). Fields
+    absent for a given ``source_type`` come back null — standard ``from_json``
+    semantics, same as the reference."""
+    return (
+        raw.select(F.col(value_col).cast("string").alias("json"))
+        .select(F.from_json("json", WIRE_SCHEMA).alias("data"))
+        .select("data.*")
+    )

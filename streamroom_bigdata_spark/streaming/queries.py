@@ -1,0 +1,143 @@
+"""Event-time windowed aggregations (SURVEY.md §2.9 T7-T9).
+
+The reference does no event-time processing at all — its time fields are
+strings and all reasoning is lexicographic (consumer.scala:28-30). These
+operators add the real thing: tumbling / sliding / session windows over the
+``events`` fixture's ``ts`` column.
+
+Each core transform takes a DataFrame and works identically on a batch frame
+(registered below with a DuckDB oracle — window assignment is pure algebra,
+so the batch result IS the converged streaming result) and on a streaming
+frame (tests drive the same transforms through ``readStream`` with a
+watermark and assert agreement with the batch answer; see
+tests/test_streaming.py). ``with_watermark`` is the only streaming-specific
+step (T7): late rows beyond the bound are dropped and window state is purged
+— bounded state at any volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+TUMBLE = "1 hour"
+SLIDE_DURATION = "1 hour"
+SLIDE_STEP = "30 minutes"
+SESSION_GAP = "10 minutes"
+
+
+def with_watermark(events: DataFrame, delay: str = "15 minutes") -> DataFrame:
+    """T7: bound event-time state — rows later than ``delay`` behind the max
+    seen ``ts`` are dropped; closed windows are emitted and purged."""
+    return events.withWatermark("ts", delay)
+
+
+def _flatten_window(df: DataFrame, window_col: str = "window") -> DataFrame:
+    return df.select(
+        F.col(f"{window_col}.start").alias("window_start"),
+        F.col(f"{window_col}.end").alias("window_end"),
+        *[c for c in df.columns if c != window_col],
+    )
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """T8 tumbling: non-overlapping 1-hour buckets × event_type."""
+    out = events.groupBy(F.window("ts", TUMBLE), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    return _flatten_window(out)
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """T8 sliding: 1-hour windows every 30 minutes — each event lands in two
+    windows; Spark materializes the assignment as an internal explode, cost
+    is duration/step copies per row."""
+    out = events.groupBy(F.window("ts", SLIDE_DURATION, SLIDE_STEP)).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    return _flatten_window(out)
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """T9 sessions: per-user windows that merge while consecutive events are
+    within SESSION_GAP; window end = last event + gap."""
+    out = events.groupBy(
+        F.session_window("ts", SESSION_GAP), "user_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    return _flatten_window(out, "session_window")
+
+
+@register(
+    "tumbling_window_events",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sliding_window_events",
+    """
+    WITH assigned AS (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+               AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "session_window_events",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS UNBOUNDED PRECEDING
+      ) AS session_no
+      FROM flagged
+    )
+    SELECT min(ts) AS window_start,
+           max(ts) + INTERVAL {SESSION_GAP} AS window_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(load_table(spark, sf_dir, "events"))

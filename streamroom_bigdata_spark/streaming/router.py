@@ -1,0 +1,96 @@
+"""Streaming bronze router (SURVEY.md §2.9 T1-T5, §2.1 S7).
+
+The reference's consumer routes each micro-batch into six MongoDB collections
+with six independent filter→dedup→write jobs, re-scanning the uncached batch
+each time, with no checkpoint (reference: consumer.scala:57-97). This router
+keeps the capability and fixes the anti-patterns (SURVEY.md §4.3):
+
+- ``route_batch`` persists the batch once, then either writes per-entity
+  parquet dirs (parity layout) or does a single-pass
+  ``partitionBy("source_type")`` write — one job instead of six.
+- ``start_router`` wires it under ``writeStream.foreachBatch`` WITH a
+  checkpoint location, so restarts resume from offsets instead of replaying.
+- Within-batch dedup keeps the reference's per-entity keys
+  (consumer.scala:61-91); ``dedup_stream`` upgrades to cross-batch streaming
+  dedup with watermark-bounded state (T2 upgrade) — the state store holds
+  only keys newer than the watermark, so state is bounded at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schemas import ENTITIES
+
+
+def route_batch(
+    batch_df: DataFrame,
+    base_dir: str,
+    dedup_within_batch: bool = True,
+    single_pass: bool = False,
+) -> None:
+    """Route one micro-batch into the per-entity bronze store.
+
+    ``single_pass=True`` writes once, hive-partitioned by ``source_type``
+    (one shuffle-free job; readers prune partitions). ``single_pass=False``
+    writes one parquet dir per entity with that entity's columns only —
+    the reference's per-collection layout (consumer.scala:60-94) — off a
+    persisted batch so the source is scanned once, not six times."""
+    if single_pass:
+        batch_df.write.mode("append").partitionBy("source_type").parquet(
+            os.path.join(base_dir, "bronze")
+        )
+        return
+    batch_df.persist()
+    try:
+        for name, (schema, key) in ENTITIES.items():
+            entity = batch_df.filter(F.col("source_type") == name).select(
+                *[f.name for f in schema.fields],
+                "ingestion_timestamp",
+                "ingestion_date",
+            )
+            if dedup_within_batch:
+                entity = entity.dropDuplicates([key])
+            entity.write.mode("append").parquet(os.path.join(base_dir, name))
+    finally:
+        batch_df.unpersist()
+
+
+def start_router(
+    wire_stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    single_pass: bool = False,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """The consumer entry point: parsed wire stream → bronze store under
+    ``foreachBatch``, checkpointed (the reference has no checkpoint —
+    consumer.scala:57-97; ours restarts exactly-once-ish)."""
+    writer = (
+        wire_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, _id: route_batch(df, base_dir, single_pass=single_pass)
+        )
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dedup_stream(
+    parsed: DataFrame,
+    key: str,
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Cross-batch streaming dedup (T2 upgrade): duplicates are dropped across
+    micro-batches, with state bounded by the watermark — keys older than
+    ``watermark`` age out of the state store, so this runs forever at any
+    volume (the reference dedups only within a micro-batch,
+    consumer.scala:61-91)."""
+    return parsed.withWatermark(ts_col, watermark).dropDuplicates([key, ts_col])

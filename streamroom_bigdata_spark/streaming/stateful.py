@@ -1,0 +1,66 @@
+"""Custom stateful streaming (SURVEY.md §2.9 T10).
+
+The reference recomputes per-room booking counts in a separate batch job
+(processing.scala:84-86). Here the count is maintained incrementally as the
+stream runs:
+
+- ``running_counts``: the built-in path — streaming ``groupBy().agg()`` in
+  update mode. Spark keeps per-key partial aggregates in the state store;
+  each micro-batch emits only changed keys. Right answer for pure
+  aggregates at any scale.
+- ``running_stats_stateful``: the arbitrary-state path —
+  ``applyInPandasWithState`` with an explicit per-key (count, sum) state
+  tuple and a processing-time timeout that expires idle keys, so state
+  can't grow without bound on a high-cardinality key space. Use this shape
+  when the per-key logic is genuinely not an aggregate (sessionization with
+  side effects, model state, alert latches).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATS_SCHEMA = "user_id long, n_events long, sum_value double"
+STATE_SCHEMA = "n long, s double"
+
+
+def running_counts(events: DataFrame) -> DataFrame:
+    """Built-in incremental aggregate: per-key running (count, sum)."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def _update_stats(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (n, s) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    # idle keys expire after an hour of no traffic — bounded state
+    state.setTimeoutDuration(3600 * 1000)
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+    )
+
+
+def running_stats_stateful(events: DataFrame) -> DataFrame:
+    """Arbitrary-state per-key running stats via ``applyInPandasWithState``.
+    Emits the updated (count, sum) for every key seen in the micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_stats,
+        outputStructType=STATS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,305 @@
+"""Streaming pipeline tests (SURVEY.md §2.9 T1-T10, §5.3).
+
+Deterministic micro-batch tests: file sources (one file per micro-batch with
+``maxFilesPerTrigger=1``) and memory sinks instead of Kafka — same micro-batch
+engine, reproducible batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.schemas import ENTITIES, WIRE_SCHEMA
+from streamroom_bigdata_spark.sources.readers import (
+    kafka_source_options,
+    stream_file_source,
+)
+from streamroom_bigdata_spark.streaming import queries as sq
+from streamroom_bigdata_spark.streaming import stateful
+from streamroom_bigdata_spark.streaming.ingest import (
+    entity_dir_to_wire,
+    parse_wire,
+    tag_entity,
+    to_wire_json,
+)
+from streamroom_bigdata_spark.streaming.router import (
+    dedup_stream,
+    route_batch,
+    start_router,
+)
+
+EVENTS_DDL = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _write_entity_csvs(tmp_path):
+    (tmp_path / "fixed_booking.csv").write_text(
+        "booking_id;section_id;classroom_id;date;start_time;end_time;students\n"
+        "B1;S1;C1;2024-01-01;08:00:00;10:00:00;30\n"
+        "B2;S2;C2;2024-01-01;10:00:00;12:00:00;45\n"
+        "B2;S2;C2;2024-01-01;10:00:00;12:00:00;45\n"  # dup key
+        "BAD;ROW\n"  # short row -> dropped (DROPMALFORMED)
+    )
+    (tmp_path / "classroom.csv").write_text(
+        "classroom_id;college_id;room_number;capacity\n"
+        "C1;COL1;101;40\nC2;COL1;102;60\n"
+    )
+
+
+def test_csv_to_wire_roundtrip(spark, tmp_path):
+    """S2/S5: csv -> tagged JSON -> from_json recovers typed fields; short
+    rows drop; absent fields are null."""
+    _write_entity_csvs(tmp_path)
+    wire = entity_dir_to_wire(spark, str(tmp_path))
+    parsed = parse_wire(wire)
+    rows = {
+        (r.source_type, r.booking_id or r.classroom_id): r
+        for r in parsed.collect()
+    }
+    assert ("fixed_booking", "B1") in rows
+    b1 = rows[("fixed_booking", "B1")]
+    assert b1.students == 30 and b1.capacity is None
+    c2 = rows[("classroom", "C2")]
+    assert c2.capacity == 60 and c2.booking_id is None
+    # short row dropped, dup retained at wire level (dedup is the router's job)
+    assert parsed.filter(F.col("source_type") == "fixed_booking").count() == 3
+
+
+def test_router_batch_demux_and_dedup(spark, tmp_path):
+    """T1/T2 within-batch: six-way demux off one persisted scan, per-entity
+    dedup keys, per-entity column subsets."""
+    _write_entity_csvs(tmp_path)
+    parsed = parse_wire(entity_dir_to_wire(spark, str(tmp_path)))
+    bronze = tmp_path / "bronze_sep"
+    route_batch(parsed, str(bronze))
+    fixed = spark.read.parquet(str(bronze / "fixed_booking"))
+    assert fixed.count() == 2  # B2 dup dropped
+    assert "capacity" not in fixed.columns  # entity-specific projection
+    rooms = spark.read.parquet(str(bronze / "classroom"))
+    assert rooms.count() == 2
+    # absent entities write at most an empty dir
+    if (bronze / "courses").exists():
+        assert spark.read.parquet(str(bronze / "courses")).count() == 0
+
+
+def test_router_single_pass_partitioned(spark, tmp_path):
+    """T1 single-pass variant: one partitionBy(source_type) write; partition
+    pruning serves the per-entity reads."""
+    _write_entity_csvs(tmp_path)
+    parsed = parse_wire(entity_dir_to_wire(spark, str(tmp_path)))
+    route_batch(parsed, str(tmp_path / "out"), single_pass=True)
+    bronze = spark.read.parquet(str(tmp_path / "out" / "bronze"))
+    got = {
+        r.source_type: r.cnt
+        for r in bronze.groupBy("source_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == {"fixed_booking": 3, "classroom": 2}
+
+
+def test_streaming_router_end_to_end(spark, tmp_path):
+    """T1-T5: wire JSON files -> readStream -> foreachBatch router -> bronze
+    parquet, checkpointed, availableNow trigger."""
+    _write_entity_csvs(tmp_path)
+    wire_dir = tmp_path / "wire"
+    entity_dir_to_wire(spark, str(tmp_path)).write.mode("overwrite").json(str(wire_dir))
+    stream = stream_file_source(
+        spark, str(wire_dir), "value string", fmt="json", maxFilesPerTrigger=1
+    )
+    q = start_router(
+        parse_wire(stream),
+        str(tmp_path / "bronze"),
+        str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    fixed = spark.read.parquet(str(tmp_path / "bronze" / "fixed_booking"))
+    assert {r.booking_id for r in fixed.collect()} == {"B1", "B2"}
+    # restart with same checkpoint: no new data -> no duplicate appends
+    q2 = start_router(
+        parse_wire(
+            stream_file_source(
+                spark, str(wire_dir), "value string", fmt="json", maxFilesPerTrigger=1
+            )
+        ),
+        str(tmp_path / "bronze"),
+        str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "bronze" / "fixed_booking")).count() == 2
+
+
+def _stream_events(spark, tmp_path, batches):
+    """One JSON file per micro-batch; maxFilesPerTrigger=1 keeps batch
+    boundaries deterministic."""
+    src = tmp_path / "events_src"
+    src.mkdir(exist_ok=True)
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        path = src / f"batch_{i}.json"
+        pd.DataFrame(rows).to_json(
+            path, orient="records", lines=True, date_format="iso"
+        )
+        # file source orders batches by mtime; force a strict, stable order
+        os.utime(path, (base + i, base + i))
+    return stream_file_source(
+        spark, str(src), EVENTS_DDL, fmt="json", maxFilesPerTrigger=1
+    )
+
+
+def _run_to_memory(df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_cross_batch_dedup(spark, tmp_path):
+    """T2 upgrade: the same (key, ts) arriving in a LATER micro-batch is
+    dropped — the reference's within-batch dedup misses exactly this."""
+    e = {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0}
+    e2 = {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 2, "value": 2.0}
+    stream = _stream_events(spark, tmp_path, [[e, e], [e, e2]])
+    deduped = dedup_stream(stream, "event_id", ts_col="ts")
+    _run_to_memory(deduped, "dedup_sink", "append")
+    rows = spark.sql("select * from dedup_sink").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    """T7/T8: watermarked streaming tumbling agg over deterministic batches
+    converges to the batch answer on the same rows."""
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2024-01-01T{i % 3:02d}:{(7 * i) % 60:02d}:00",
+            "user_id": i % 4,
+            "value": float(i),
+        }
+        for i in range(40)
+    ]
+    rows_df = spark.createDataFrame(
+        pd.DataFrame(rows).assign(ts=lambda d: pd.to_datetime(d.ts)), EVENTS_DDL
+    ).withColumn("event_type", F.lit("x"))
+    stream = _stream_events(spark, tmp_path, [rows[:20], rows[20:]]).withColumn(
+        "event_type", F.lit("x")
+    )
+    streamed = sq.tumbling_agg(sq.with_watermark(stream))
+    _run_to_memory(streamed, "tumble_sink", "append")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("select * from tumble_sink").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in sq.tumbling_agg(rows_df).collect()
+    }
+    # append mode emits only windows closed by the final watermark; every
+    # emitted window must carry the full batch-equivalent counts
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T7: a row arriving far behind the watermark is excluded from its
+    (already closed) window."""
+    on_time = [
+        {"event_id": i, "ts": f"2024-01-01T00:0{i}:00", "user_id": 1, "value": 1.0}
+        for i in range(5)
+    ]
+    advance = [  # pushes watermark past hour 0 (15-min delay)
+        {"event_id": 100, "ts": "2024-01-01T03:00:00", "user_id": 1, "value": 1.0}
+    ]
+    advance2 = [  # watermark computed from a batch applies one batch later
+        {"event_id": 102, "ts": "2024-01-01T03:10:00", "user_id": 1, "value": 1.0}
+    ]
+    late = [  # hour-0 row after the watermark passed hour 0 end
+        {"event_id": 101, "ts": "2024-01-01T00:30:00", "user_id": 1, "value": 99.0}
+    ]
+    stream = _stream_events(
+        spark, tmp_path, [on_time, advance, advance2, late]
+    ).withColumn("event_type", F.lit("x"))
+    streamed = sq.tumbling_agg(sq.with_watermark(stream))
+    _run_to_memory(streamed, "late_sink", "append")
+    hour0 = [
+        r
+        for r in spark.sql("select * from late_sink").collect()
+        if r.window_start.hour == 0
+    ]
+    assert len(hour0) == 1
+    assert hour0[0].n_events == 5  # late row NOT counted
+    assert hour0[0].sum_value == 5.0
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """T10: built-in streaming groupBy in update mode accumulates across
+    micro-batches; last emission per key is the running total."""
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 1, "value": 2.0},
+    ]
+    b2 = [
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 1, "value": 3.0},
+        {"event_id": 4, "ts": "2024-01-01T00:03:00", "user_id": 2, "value": 4.0},
+    ]
+    stream = _stream_events(spark, tmp_path, [b1, b2])
+    _run_to_memory(stateful.running_counts(stream), "counts_sink", "complete")
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.sql("select * from counts_sink").collect()
+    }
+    assert got == {1: (3, 6.0), 2: (1, 4.0)}
+
+
+def test_apply_in_pandas_with_state(spark, tmp_path):
+    """T10 arbitrary state: per-key (count, sum) state survives across
+    micro-batches and every update emission reflects the running value."""
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7, "value": 10.0}
+    ]
+    b2 = [
+        {"event_id": 2, "ts": "2024-01-01T00:05:00", "user_id": 7, "value": 5.0},
+        {"event_id": 3, "ts": "2024-01-01T00:06:00", "user_id": 8, "value": 1.0},
+    ]
+    stream = _stream_events(spark, tmp_path, [b1, b2])
+    _run_to_memory(stateful.running_stats_stateful(stream), "state_sink", "update")
+    rows = spark.sql("select * from state_sink").collect()
+    final = {}
+    for r in rows:  # update mode appends one row per key per batch; keep last
+        final[r.user_id] = (r.n_events, r.sum_value)
+    assert final == {7: (2, 15.0), 8: (1, 1.0)}
+
+
+def test_kafka_option_builder():
+    """S4: Kafka read options carry backpressure via maxOffsetsPerTrigger
+    (replacing the reference producer's 200 ms/record sleep)."""
+    opts = kafka_source_options(
+        "broker:9092", "room_requests", "earliest", max_offsets_per_trigger=50_000
+    )
+    assert opts["subscribe"] == "room_requests"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+
+
+def test_wire_schema_covers_all_entities():
+    wire_names = {f.name for f in WIRE_SCHEMA.fields}
+    for name, (schema, key) in ENTITIES.items():
+        assert {f.name for f in schema.fields} <= wire_names
+        assert key in {f.name for f in schema.fields}
+
+
+def test_tag_entity_stamps(spark):
+    df = spark.createDataFrame([("C9", "COL1", "900", 25)], ENTITIES["classroom"][0])
+    tagged = tag_entity(df, "classroom")
+    r = tagged.collect()[0]
+    assert r.source_type == "classroom"
+    assert len(r.ingestion_timestamp) == 19  # yyyy-MM-dd HH:mm:ss
+    wire = to_wire_json(tagged).collect()[0]
+    assert '"classroom_id":"C9"' in wire.value
