@@ -1,0 +1,147 @@
+"""Bloom-filter availability probe (SURVEY.md §2.3 J2, §2.10 D1).
+
+The reference builds a Guava Bloom filter on the driver from
+``distinct().collect()`` of booked room ids and probes it in a row-at-a-time
+UDF (reference: processing.scala:60-74). That collect is unbounded driver
+memory — the anti-pattern SURVEY.md §4.3.1 forbids. PySpark exposes neither
+``df.stat.bloomFilter`` nor the ``bloom_filter_agg``/``might_contain``
+expressions (Scala/JVM-only), so this module builds the same sketch
+scale-safely with public APIs only:
+
+- **build**: each partition folds its keys into one m-bit numpy bitmap
+  (``mapInPandas``, vectorized double hashing); the driver ORs one bitmap
+  per partition — driver memory is O(sketch bytes × partitions-in-flight),
+  never O(rows).
+- **probe**: the finished bitmap broadcasts to executors; a vectorized
+  Pandas UDF checks all k bit positions per Arrow batch.
+
+Guarantees (property-tested): zero false negatives; false-positive rate ≈
+the configured target. The exact alternative (broadcast semi-join) is what
+``plans/recommend.py`` uses; this is the sketch variant for when the booked
+side is too big to broadcast but fits a few MiB of bits.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit finalizer (splitmix64) — same avalanche quality
+    as xxhash for integer keys, pure numpy uint64 ops."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64)
+        x ^= x >> np.uint64(33)
+        x *= _MIX1
+        x ^= x >> np.uint64(33)
+        x *= _MIX2
+        x ^= x >> np.uint64(33)
+    return x
+
+
+def _positions(keys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(len(keys), n_hashes) bit positions via double hashing:
+    pos_i = (h1 + i*h2) mod m."""
+    h1 = _splitmix64(keys)
+    h2 = _splitmix64(keys ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(
+            np.int64
+        )
+
+
+class BloomSketch:
+    """An m-bit Bloom filter with k hash functions over int64 keys."""
+
+    def __init__(self, expected_items: int, fpp: float = 0.01):
+        n_bits = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+        self.n_bits = ((n_bits + 63) // 64) * 64
+        self.n_hashes = max(1, round(self.n_bits / expected_items * math.log(2)))
+        self.bits = np.zeros(self.n_bits // 8, dtype=np.uint8)
+
+    def _set(self, keys: np.ndarray) -> None:
+        pos = _positions(keys, self.n_bits, self.n_hashes).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        pos = _positions(keys.astype(np.uint64), self.n_bits, self.n_hashes)
+        bit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return bit.all(axis=1)
+
+
+def build_bloom(
+    df: DataFrame, key_col: str, expected_items: int, fpp: float = 0.01
+) -> BloomSketch:
+    """Distributed build: one partial bitmap per partition, OR-merged on the
+    driver. The collect moves (partitions × sketch) bytes, independent of
+    row count — the 100 TB-safe replacement for the reference's
+    ``distinct().collect()``."""
+    proto = BloomSketch(expected_items, fpp)
+    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+
+    def partial(batches):
+        sketch = BloomSketch(expected_items, fpp)
+        saw = False
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy(dtype=np.int64).astype(np.uint64)
+            if len(keys):
+                sketch._set(keys)
+                saw = True
+        if saw:
+            yield pd.DataFrame({"bits": [sketch.bits.tobytes()]})
+
+    parts = df.select(key_col).mapInPandas(partial, "bits binary").collect()
+    for row in parts:
+        proto.bits |= np.frombuffer(row.bits, dtype=np.uint8)
+    assert proto.n_bits == n_bits and proto.n_hashes == n_hashes
+    return proto
+
+
+def might_contain(spark: SparkSession, sketch: BloomSketch, key: Column) -> Column:
+    """Vectorized probe column (D1): broadcast the sketch once, test every
+    Arrow batch with one numpy gather — no per-row Python."""
+    b = spark.sparkContext.broadcast((sketch.bits, sketch.n_bits, sketch.n_hashes))
+
+    @F.pandas_udf("boolean")
+    def probe(keys: pd.Series) -> pd.Series:
+        bits, n_bits, n_hashes = b.value
+        sk = object.__new__(BloomSketch)
+        sk.bits, sk.n_bits, sk.n_hashes = (
+            np.frombuffer(bits, dtype=np.uint8),
+            n_bits,
+            n_hashes,
+        )
+        return pd.Series(sk.contains(keys.to_numpy(dtype=np.int64)))
+
+    return probe(key)
+
+
+@register("bloom_availability")
+def bloom_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's availability check (processing.scala:106-109) with the
+    sketch built and probed at scale: parts whose key *might* be in the
+    booked set score 0.5, definitely-free parts score 1.0. Approximate by
+    construction (false positives only) → rows-only check; the no-false-
+    negative and FPP properties are asserted in tests/test_bloom.py."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    booked = lineitem.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    sketch = build_bloom(booked, "l_partkey", expected_items=100_000, fpp=0.01)
+    return part.select(
+        "p_partkey",
+        F.when(might_contain(spark, sketch, F.col("p_partkey")), 0.5)
+        .otherwise(1.0)
+        .alias("availability_score"),
+    )

@@ -160,6 +160,63 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_COSINE = 0.4
+
+embedding_near_dup_oracle = f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb)
+        / (sqrt(list_dot_product(a.emb, a.emb))
+           * sqrt(list_dot_product(b.emb, b.emb))) >= {NEAR_DUP_COSINE}
+"""
+
+
+@register("embedding_near_dup", embedding_near_dup_oracle)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact (L2 oracle baseline): all pairs above
+    NEAR_DUP_COSINE. The `<` theta-join broadcasts one side (vectors are
+    small); O(n²) compare — correct reference for the LSH variant below,
+    which is the one to run at corpus scale."""
+    c = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    b = c.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (
+        c.join(F.broadcast(b), F.col("vec_id") < F.col("vec_b"))
+        .withColumn("cosine", cosine(F.col("emb"), F.col("emb_b")))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+@register("embedding_near_dup_lsh")
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup at scale (L2): candidate pairs share a
+    sign-LSH bucket — the self-join shuffles on bucket id, so compares are
+    n²/buckets, not n². Approximate (misses cross-bucket pairs) → rows-only;
+    recall vs the exact variant is property-tested."""
+    bucketed = lsh_bucket_df(spark, sf_dir)
+    a = bucketed.select("bucket", F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    b = bucketed.select("bucket", F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 embedding_centroids_oracle = f"""
 SELECT label, CAST(i AS INT) AS dim,
        round(avg(embedding[i + 1]::DOUBLE), 6) AS centroid_val,

@@ -207,3 +207,38 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         )
     )
+
+
+@register(
+    "event_zscore_grouped",
+    """
+    SELECT event_type, event_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                   / stddev_pop(value) OVER (PARTITION BY event_type), 6)
+             AS zscore
+    FROM events
+    """,
+)
+def event_zscore_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via grouped-map Pandas UDF (D3) — the
+    reference's normalize-by-global-max (processing.scala:88-98) generalized
+    to z-scores per event_type. Shape matters more than the math: one
+    applyInPandas shuffle on the group key, vectorized numpy inside, typed
+    frame out. The window-function equivalent is the oracle."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "event_id": pdf["event_id"],
+                "zscore": ((v - v.mean()) / v.std(ddof=0)).round(6),
+            }
+        )
+
+    return events.select("event_type", "event_id", "value").groupBy(
+        "event_type"
+    ).applyInPandas(zscore, "event_type string, event_id long, zscore double")

@@ -1,0 +1,75 @@
+"""Bloom sketch properties (J2/D1): no false negatives, FPP near target,
+agreement with the exact semi-join on the availability query."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.operators.bloom import (
+    BloomSketch,
+    bloom_availability,
+    build_bloom,
+    might_contain,
+)
+from streamroom_bigdata_spark.sources import load_table
+
+
+def test_no_false_negatives_numpy():
+    sk = BloomSketch(expected_items=10_000, fpp=0.01)
+    members = np.arange(0, 10_000, dtype=np.uint64) * np.uint64(7919)
+    sk._set(members)
+    assert sk.contains(members.astype(np.int64)).all()
+
+
+def test_fpp_near_target_numpy():
+    sk = BloomSketch(expected_items=10_000, fpp=0.01)
+    members = np.arange(10_000, dtype=np.uint64)
+    sk._set(members)
+    non_members = np.arange(1_000_000, 1_100_000, dtype=np.int64)
+    fp_rate = sk.contains(non_members).mean()
+    assert fp_rate < 0.03  # target 0.01, generous bound for hash variance
+
+
+def test_distributed_build_matches_local(spark):
+    df = spark.range(0, 5_000).select(F.col("id").alias("k")).repartition(8)
+    sketch = build_bloom(df, "k", expected_items=5_000, fpp=0.01)
+    local = BloomSketch(expected_items=5_000, fpp=0.01)
+    local._set(np.arange(5_000, dtype=np.uint64))
+    assert np.array_equal(sketch.bits, local.bits)
+
+
+def test_probe_column_no_false_negatives(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    booked = lineitem.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    sketch = build_bloom(booked, "l_partkey", expected_items=100_000, fpp=0.01)
+    flagged = booked.distinct().withColumn(
+        "hit", might_contain(spark, sketch, F.col("l_partkey"))
+    )
+    assert flagged.filter(~F.col("hit")).count() == 0
+
+
+def test_bloom_availability_vs_exact(spark, sf_dir):
+    """Every part the exact semi-join calls booked must score 0.5 under the
+    sketch; sketch-only 0.5s are false positives, bounded by FPP."""
+    got = {
+        r.p_partkey: r.availability_score
+        for r in bloom_availability(spark, sf_dir).collect()
+    }
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    truly_booked = {
+        r.l_partkey
+        for r in lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_partkey")
+        .distinct()
+        .collect()
+    }
+    n_parts = part.count()
+    false_pos = 0
+    for pk, score in got.items():
+        if pk in truly_booked:
+            assert score == 0.5  # no false negatives, ever
+        elif score == 0.5:
+            false_pos += 1
+    assert false_pos / max(1, n_parts - len(truly_booked)) < 0.05

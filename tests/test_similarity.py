@@ -49,6 +49,21 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
         assert q not in ns
 
 
+def test_near_dup_lsh_subset_of_exact(spark, sf_dir):
+    """Every LSH-candidate pair is a true near-dup (no false positives after
+    the exact re-filter) and recall is above the sign-LSH theoretical floor
+    ((1 - theta/pi)^n_planes ~ 0.16 at cosine 0.4 with 4 planes)."""
+    exact = {
+        (r.vec_a, r.vec_b) for r in similarity.embedding_near_dup(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_dup_lsh(spark, sf_dir).collect()
+    }
+    assert approx <= exact
+    assert len(approx) / len(exact) >= 0.1
+
+
 def test_centroid_udaf_matches_builtin(spark, sf_dir):
     builtin = {
         (r.label, r.dim): r.centroid_val
