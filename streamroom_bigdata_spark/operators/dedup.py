@@ -19,11 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import (
-    HASH_MOD,
-    portable_hash_mod,
-    sql_hash_mod,
-)
+from ..functions.hashing import portable_hash_mod, sql_hash_mod
 from ..registry import register
 from ..sources import load_table
 
@@ -114,38 +110,81 @@ def sql_shingles(n: int = SHINGLE_N) -> str:
     )
 
 
-def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles, mh_0..mh_{k-1}) — per-seed min over shingle hashes,
-    computed as pure projections (no shuffle at all)."""
+# One md5 per shingle, then k affine transforms (A_i*h + B_i) mod P — the
+# classic k-permutation MinHash. P^2 < 2^63 keeps the product exact in int64
+# under ANSI mode, in both Spark and DuckDB.
+MH_P = 1_000_000_007
+MH_A = [pow(31, i + 1, MH_P) for i in range(N_MINHASH)]
+MH_B = [pow(17, i + 1, MH_P) for i in range(N_MINHASH)]
+
+
+def exploded_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) — one row per (document, distinct hashed shingle). The
+    flat, explode-first formulation everything downstream derives from:
+    signatures are a groupBy-min, set sizes a groupBy-count, and pair
+    intersections a join-count — no nested-array operations past this point.
+
+    Explode-THEN-hash matters: lambdas inside higher-order functions
+    (``F.transform``) are evaluated interpreted, per element — an md5 chain
+    there runs ~5x slower than the same md5 as a flat projection inside
+    whole-stage codegen. Jaccard over hashed shingles equals Jaccard over
+    the shingles up to 60-bit collisions (~1e-9)."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", shingle_col().alias("shingles")
+        "doc_id", "text", F.split("text", " ").alias("toks")
     )
-    cols = [
-        F.array_min(
-            F.transform(
-                "shingles",
-                lambda s: portable_hash_mod(F.concat(F.lit(f"{seed}:"), s)),
+    n = SHINGLE_N
+    long = docs.filter(F.size("toks") >= n).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)]
+        ).alias("s"),
+    )
+    short = docs.filter(F.size("toks") < n).select("doc_id", F.col("text").alias("s"))
+    return (
+        long.unionByName(short)
+        .select("doc_id", portable_hash_mod(F.col("s"), MH_P).alias("h"))
+        .distinct()
+    )
+
+
+def minhash_signature_df(
+    spark: SparkSession, sf_dir: str, exploded: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) — min over affine-transformed shingle
+    hashes; one md5 per shingle, k integer transforms, one partial+final
+    min-agg shuffle on doc_id. Flat output → fast columnar-cache path."""
+    ex = exploded if exploded is not None else exploded_shingle_df(spark, sf_dir)
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(
+                f"mh_{i}"
             )
-        ).alias(f"mh_{seed}")
-        for seed in range(N_MINHASH)
-    ]
-    return docs.select("doc_id", "shingles", *cols)
+            for i in range(N_MINHASH)
+        ]
+    )
 
 
 def _sql_minhash_cte(n_hash: int = N_MINHASH) -> str:
     mh_exprs = ", ".join(
-        "list_min(list_transform(shingles, s -> "
-        + sql_hash_mod(f"concat('{seed}:', s)")
-        + f")) AS mh_{seed}"
-        for seed in range(n_hash)
+        f"list_min(list_transform(hs, h -> ({MH_A[i]} * h + {MH_B[i]}) % {MH_P}))"
+        f" AS mh_{i}"
+        for i in range(n_hash)
     )
     return f"""
     toks AS (
       SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
     ), shingled AS (
       SELECT doc_id, {sql_shingles()} AS shingles FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {sql_hash_mod('s', MH_P)}) AS hs
+      FROM shingled
     ), sigs AS (
-      SELECT doc_id, shingles, {mh_exprs} FROM shingled
+      SELECT doc_id, hs, {mh_exprs} FROM hashed
     )"""
 
 
@@ -160,13 +199,13 @@ SELECT doc_id, {_SIG_COLS} FROM sigs
 @register("minhash_signatures", minhash_signatures_oracle)
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (L2): k=8 portable-hash min-hashes per document."""
-    return minhash_signature_df(spark, sf_dir).drop("shingles")
+    return minhash_signature_df(spark, sf_dir)
 
 
 def _band_exprs() -> list[str]:
-    """band key = mh_{2b} * HASH_MOD + mh_{2b+1} (exact in int64)."""
+    """band key = mh_{2b} * MH_P + mh_{2b+1} (injective; exact in int64)."""
     return [
-        f"mh_{b * ROWS_PER_BAND} * {HASH_MOD} + mh_{b * ROWS_PER_BAND + 1}"
+        f"mh_{b * ROWS_PER_BAND} * {MH_P} + mh_{b * ROWS_PER_BAND + 1}"
         for b in range(N_BANDS)
     ]
 
@@ -184,8 +223,8 @@ WITH {_sql_minhash_cte()}, bands AS (
    AND a.doc_id < b.doc_id
 ), pairs AS (
   SELECT c.doc_a, c.doc_b,
-         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-           / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+         len(list_intersect(sa.hs, sb.hs))::DOUBLE
+           / len(list_distinct(list_concat(sa.hs, sb.hs)))
            AS jaccard
   FROM cand c
   JOIN sigs sa ON c.doc_a = sa.doc_id
@@ -200,10 +239,15 @@ FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (L2): band the signatures, self-join
     on (band_id, band_key) buckets for candidates, verify candidates with
-    exact shingle Jaccard. Candidate generation is a hash shuffle on band
-    keys — no all-pairs compare; at 100 TB the bucket join dominates and
-    scales with collision count, not n²."""
-    sigs = minhash_signature_df(spark, sf_dir).cache()
+    exact shingle Jaccard. Everything flows from ONE cached flat
+    (doc_id, shingle-hash) table: signatures are a min-agg, candidate
+    generation a hash shuffle on band keys, and the exact verification a
+    join-count intersection (|A∩B| via equi-join on hash; |A∪B| =
+    nA + nB − |A∩B|) — no n² compare and no nested-array ops anywhere, so
+    every stage is a plain shuffle that scales linearly."""
+    ex = exploded_shingle_df(spark, sf_dir).cache()
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sigs = minhash_signature_df(spark, sf_dir, exploded=ex)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -232,14 +276,22 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
+    ex_a = ex.select(F.col("doc_id").alias("doc_a"), "h")
+    ex_b = ex.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(ex_a, "doc_a")
+        .join(ex_b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .withColumn("jaccard", F.round(jaccard, 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")

@@ -99,22 +99,19 @@ def _hyperplanes(n: int = N_HYPERPLANES, dim: int = DIM) -> np.ndarray:
 
 def lsh_bucket_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, emb, bucket): sign-LSH bucket id from N_HYPERPLANES dot-sign
-    bits, computed by one Arrow-vectorized pandas UDF (matrix multiply per
-    batch — the Python cost is one BLAS call per Arrow batch, not per row)."""
+    bits. The bucket id is computed with pure column algebra (one aggregate
+    per hyperplane over zip_with products) — JVM-side, no Python workers,
+    and the flat (vec_id, bucket) projection caches on the fast path."""
     planes = _hyperplanes()
-    bplanes = spark.sparkContext.broadcast(planes)
-
-    @F.pandas_udf("int")
-    def bucket(emb: pd.Series) -> pd.Series:
-        mat = np.vstack(emb.to_numpy())            # (batch, dim)
-        signs = (mat @ bplanes.value.T) >= 0       # (batch, n_planes)
-        weights = 1 << np.arange(signs.shape[1])
-        return pd.Series((signs * weights).sum(axis=1).astype("int32"))
-
     corpus = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    return corpus.withColumn("bucket", bucket("emb"))
+    bucket = None
+    for j, plane in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(F.col("emb"), pl) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return corpus.withColumn("bucket", bucket.cast("int"))
 
 
 @register("ann_lsh_cosine")
@@ -124,7 +121,9 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is an equi-join on bucket — shuffle keyed on ~2^N buckets
     instead of an all-pairs compare. Rows-only checked (the bucket step is
     not ANSI SQL); recall vs brute force is property-tested."""
-    bucketed = lsh_bucket_df(spark, sf_dir).cache()
+    # not cached: caching array<double> columns hits Spark's slow nested-type
+    # columnar cache path — recomputing the projection is cheaper
+    bucketed = lsh_bucket_df(spark, sf_dir)
     # multi-probe: each query probes its own bucket plus every bucket at
     # Hamming distance 1 (flip one hyperplane bit) — recall recovers most of
     # what single-bucket LSH loses, while candidates stay an equi-join
