@@ -159,6 +159,74 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 3  # IVF: how many nearest inverted lists a query scans
+
+
+@register("ann_ivf_cosine")
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN, IVF flavor (L3 scale path #2): a coarse quantizer
+    (per-label centroids) partitions the corpus into inverted lists; each
+    vector joins the list of its NEAREST centroid; a query scans only its
+    N_PROBE nearest lists and re-ranks exactly inside them.
+
+    Scale shape: centroids are tiny (k rows) and broadcast; assignment is a
+    broadcast join + per-vector argmin (one corpus scan, no shuffle);
+    candidate generation is an equi-join on list id. Compare cost drops from
+    n² to n·(N_PROBE/k). Rows-only checked (quantizer choice isn't ANSI
+    SQL); recall vs brute force is property-tested."""
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    centroids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode(as_double("embedding")).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("pairs"))
+        .select(
+            F.col("label").alias("list_id"),
+            F.transform("pairs", lambda p: p.cv).alias("c_emb"),
+        )
+    )
+
+    def nearest_lists(df, id_col, emb_col, keep):
+        """id → the `keep` nearest list ids by cosine-to-centroid."""
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("c_cos"), F.asc("list_id")
+        )
+        return (
+            df.join(F.broadcast(centroids))
+            .withColumn("c_cos", cosine(F.col(emb_col), F.col("c_emb")))
+            .withColumn("c_rnk", F.row_number().over(w))
+            .filter(F.col("c_rnk") <= keep)
+            .select(id_col, emb_col, "list_id")
+        )
+
+    assigned = nearest_lists(corpus, "vec_id", "emb", keep=1)
+    queries = nearest_lists(
+        corpus.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        ),
+        "query_id",
+        "q_emb",
+        keep=N_PROBE,
+    )
+    cand = assigned.join(
+        F.broadcast(queries), ["list_id"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 NEAR_DUP_COSINE = 0.4
 
 embedding_near_dup_oracle = f"""

@@ -1,0 +1,84 @@
+"""Property-based tests (SURVEY.md §5.4): hypothesis-generated inputs for
+the invariants that matter independent of fixture data. Spark-backed
+properties keep example counts small (each example runs real jobs); the
+numpy-level Bloom properties run at full example counts."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.operators.bloom import BloomSketch
+from streamroom_bigdata_spark.streaming.ingest import parse_wire, tag_entity, to_wire_json
+from streamroom_bigdata_spark.schemas import ENTITIES
+
+SPARK_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=500)
+)
+@settings(max_examples=50, deadline=None)
+def test_bloom_never_false_negative(keys):
+    sk = BloomSketch(expected_items=max(len(keys), 16), fpp=0.01)
+    arr = np.array(keys, dtype=np.int64)
+    sk._set(arr.astype(np.uint64))
+    assert sk.contains(arr).all()
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    k=st.integers(min_value=1, max_value=10),
+)
+@SPARK_SETTINGS
+def test_topk_equals_sort_then_head(spark, values, k):
+    """orderBy(desc).limit(k) (TakeOrderedAndProject) must equal the naive
+    sorted()[:k] — the distributed top-k rewrite may not change results."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "id int, v int")
+    got = [r.v for r in df.orderBy(F.desc("v"), F.asc("id")).limit(k).collect()]
+    expected = [v for v, _ in sorted(((v, i) for i, v in enumerate(values)), key=lambda t: (-t[0], t[1]))[:k]]
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-5, 5)), min_size=1, max_size=50
+    )
+)
+@SPARK_SETTINGS
+def test_dedup_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v int")
+    once = df.dropDuplicates(["k"])
+    twice = once.dropDuplicates(["k"])
+    assert once.count() == twice.count() == df.select("k").distinct().count()
+
+
+@given(
+    booking_id=st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N"), max_codepoint=0x024F),
+        min_size=1,
+        max_size=20,
+    ),
+    students=st.integers(min_value=0, max_value=10_000),
+)
+@SPARK_SETTINGS
+def test_wire_roundtrip_preserves_fields(spark, booking_id, students):
+    """S2/S5 round-trip: any unicode-ish id and any int survive
+    csv→json→from_json unchanged, and absent entity fields stay null."""
+    schema, _key = ENTITIES["fixed_booking"]
+    df = spark.createDataFrame(
+        [(booking_id, "S1", "C1", "2024-01-01", "08:00", "10:00", students)], schema
+    )
+    parsed = parse_wire(to_wire_json(tag_entity(df, "fixed_booking"))).collect()[0]
+    assert parsed.booking_id == booking_id
+    assert parsed.students == students
+    assert parsed.source_type == "fixed_booking"
+    assert parsed.capacity is None

@@ -49,6 +49,24 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
         assert q not in ns
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=3 of 10 inverted lists must recover a substantial
+    fraction of the exact top-k (no guarantees on near-orthogonal fixture
+    vectors, but well above the 30% nprobe/k floor in practice)."""
+    exact = {}
+    for r in similarity.cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in similarity.ann_ivf_cosine(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(approx.get(q, set()) & ns) / len(ns) for q, ns in exact.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.25
+    for q, ns in approx.items():
+        assert q not in ns and len(ns) <= similarity.TOP_K
+
+
 def test_near_dup_lsh_subset_of_exact(spark, sf_dir):
     """Every LSH-candidate pair is a true near-dup (no false positives after
     the exact re-filter) and recall is above the sign-LSH theoretical floor
