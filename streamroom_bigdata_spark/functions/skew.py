@@ -1,0 +1,57 @@
+"""Skew-mitigation helpers (SURVEY.md 100 TB design notes).
+
+AQE's skew-join splitting handles most skew at runtime
+(``spark.sql.adaptive.skewJoin.enabled`` is on in session.py); these helpers
+cover the cases AQE can't re-plan:
+
+- ``salted_count``: two-phase aggregation for a groupBy whose key
+  distribution is pathological (one key ≫ everything else). Phase 1
+  aggregates on (key, salt) — the hot key's rows spread over ``n_salts``
+  reducers; phase 2 merges the per-salt partials. Exact same result as a
+  plain groupBy, guaranteed by construction and tested.
+- ``salted_join_left``: replicate-broadcast salting for a skewed equi-join
+  when the small side is too big to broadcast whole but its hot-key rows
+  can be replicated: the big side gets a random salt in [0, n), the small
+  side is exploded n ways, and the join key becomes (key, salt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
+    """Deterministic pseudo-random salt in [0, n_salts) derived from the full
+    row via monotonically_increasing_id — stable within a job, uniform
+    enough to spread a hot key."""
+    return df.withColumn(
+        col_name, (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
+
+
+def salted_count(
+    df: DataFrame, key, n_salts: int = 16, count_col: str = "cnt"
+) -> DataFrame:
+    """groupBy(key).count() resistant to a hot key: pre-aggregate on
+    (key, salt), then merge. Two small shuffles instead of one skewed one."""
+    keys = [key] if isinstance(key, (str, Column)) else list(key)
+    partial = (
+        with_salt(df, n_salts)
+        .groupBy(*keys, "_salt")
+        .agg(F.count("*").alias("_partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias(count_col))
+
+
+def salted_join_left(
+    big: DataFrame, small: DataFrame, key: str, n_salts: int = 8
+) -> DataFrame:
+    """Skewed inner equi-join: salt the big side, explode the small side
+    n_salts ways, join on (key, salt). Every output row appears exactly once
+    (each big row carries one salt; the small side covers all salts)."""
+    big_s = with_salt(big, n_salts)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")

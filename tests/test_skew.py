@@ -1,0 +1,40 @@
+"""Salting helpers must be result-identical to their unsalted forms."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.functions.skew import salted_count, salted_join_left
+from streamroom_bigdata_spark.sources import load_table
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_partkey: r.cnt
+        for r in li.groupBy("l_partkey").agg(F.count("*").alias("cnt")).collect()
+    }
+    salted = {r.l_partkey: r.cnt for r in salted_count(li, "l_partkey").collect()}
+    assert salted == plain
+
+
+def test_salted_count_hot_key(spark):
+    # one key holds 90% of rows — the pathological case salting exists for
+    rows = [(0, i) for i in range(9000)] + [(k, 0) for k in range(1, 1001)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {r.k: r.cnt for r in salted_count(df, "k", n_salts=32).collect()}
+    assert got[0] == 9000
+    assert all(got[k] == 1 for k in range(1, 1001))
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    small = customer.withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(small, "o_custkey")
+    salted = salted_join_left(orders, small, "o_custkey")
+    assert salted.count() == plain.count()
+    assert (
+        salted.select(F.sum(F.hash("o_orderkey", "c_name")).alias("h")).collect()[0].h
+        == plain.select(F.sum(F.hash("o_orderkey", "c_name")).alias("h")).collect()[0].h
+    )
