@@ -1,0 +1,44 @@
+"""Bucketed tables for shuffle-free co-located joins (SURVEY.md 100 TB
+design notes: "co-locate joins via bucketing").
+
+A fact table that is repeatedly joined on the same key (orders ⋈ lineitem on
+orderkey, every TPC-H-style query) should be written bucketed on that key:
+both sides hash-partition into the same N buckets at WRITE time, so every
+subsequent join reads matching buckets side by side — no Exchange in the
+plan, ever. At 100 TB this converts the dominant shuffle of every fact-fact
+join into a one-time write cost.
+
+Spark only reads bucket metadata through the catalog, so bucketed data goes
+through ``saveAsTable`` into the session warehouse (``spark.sql.warehouse.dir``,
+kept outside the repo tree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sorted) managed table.
+    Sorting within buckets additionally enables merge-join without a sort
+    step."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def cobucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two tables bucketed on ``key`` with the same bucket count. With
+    matching bucketing, the planner emits SortMergeJoin with NO Exchange on
+    either side (assert via ``'Exchange' not in df._jdf.queryExecution()
+    .executedPlan().toString()``)."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

@@ -19,6 +19,7 @@ keeps the capability and fixes the anti-patterns (SURVEY.md §4.3):
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,7 +48,9 @@ def route_batch(
         return
     batch_df.persist()
     try:
-        for name, (schema, key) in ENTITIES.items():
+
+        def write_entity(item):
+            name, (schema, key) = item
             entity = batch_df.filter(F.col("source_type") == name).select(
                 *[f.name for f in schema.fields],
                 "ingestion_timestamp",
@@ -56,6 +59,13 @@ def route_batch(
             if dedup_within_batch:
                 entity = entity.dropDuplicates([key])
             entity.write.mode("append").parquet(os.path.join(base_dir, name))
+
+        # the six writes are independent jobs over the persisted batch —
+        # submit them concurrently so executor slots stay busy (the
+        # reference runs them serially AND rescans the source each time)
+        with ThreadPoolExecutor(max_workers=len(ENTITIES)) as pool:
+            for fut in [pool.submit(write_entity, it) for it in ENTITIES.items()]:
+                fut.result()
     finally:
         batch_df.unpersist()
 
