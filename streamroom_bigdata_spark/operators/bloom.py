@@ -9,9 +9,10 @@ expressions (Scala/JVM-only), so this module builds the same sketch
 scale-safely with public APIs only:
 
 - **build**: each partition folds its keys into one m-bit numpy bitmap
-  (``mapInPandas``, vectorized double hashing); the driver ORs one bitmap
-  per partition — driver memory is O(sketch bytes × partitions-in-flight),
-  never O(rows).
+  (``mapInPandas``, vectorized double hashing); partial bitmaps are then
+  OR-merged in a tree of shuffle stages (fan-in 16 per stage), so the
+  driver collects at most ``fan-in`` bitmaps — O(sketch bytes) driver
+  traffic regardless of input partition count, never O(partitions).
 - **probe**: the finished bitmap broadcasts to executors; a vectorized
   Pandas UDF checks all k bit positions per Arrow batch.
 
@@ -81,15 +82,30 @@ class BloomSketch:
         return bit.all(axis=1)
 
 
-def build_bloom(
+_MERGE_FANIN = 16
+
+
+def _or_merge(batches):
+    """OR every bitmap in this partition into one — the tree-merge kernel."""
+    acc = None
+    for pdf in batches:
+        for buf in pdf["bits"]:
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            acc = arr.copy() if acc is None else acc | arr
+    if acc is not None:
+        yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+
+def staged_partials(
     df: DataFrame, key_col: str, expected_items: int, fpp: float = 0.01
-) -> BloomSketch:
-    """Distributed build: one partial bitmap per partition, OR-merged on the
-    driver. The collect moves (partitions × sketch) bytes, independent of
-    row count — the 100 TB-safe replacement for the reference's
-    ``distinct().collect()``."""
-    proto = BloomSketch(expected_items, fpp)
-    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+) -> DataFrame:
+    """Lazy plan producing ≤ ``_MERGE_FANIN`` partial bitmaps: one bitmap per
+    input partition, then tree-OR-merged through ``repartition`` stages of
+    fan-in ``_MERGE_FANIN`` until at most one stage of bitmaps remains. The
+    whole tree runs executor-side in one job; the driver only ever collects
+    the final ≤ fan-in rows — O(sketch bytes), independent of partition
+    count (the reference collects ALL keys to the driver,
+    processing.scala:66-70)."""
 
     def partial(batches):
         sketch = BloomSketch(expected_items, fpp)
@@ -102,8 +118,26 @@ def build_bloom(
         if saw:
             yield pd.DataFrame({"bits": [sketch.bits.tobytes()]})
 
-    parts = df.select(key_col).mapInPandas(partial, "bits binary").collect()
-    for row in parts:
+    partials = df.select(key_col).mapInPandas(partial, "bits binary")
+    n_parts = df.rdd.getNumPartitions()
+    while n_parts > _MERGE_FANIN:
+        n_parts = max(1, math.ceil(n_parts / _MERGE_FANIN))
+        partials = partials.repartition(n_parts).mapInPandas(_or_merge, "bits binary")
+    return partials
+
+
+def build_bloom(
+    df: DataFrame, key_col: str, expected_items: int, fpp: float = 0.01
+) -> BloomSketch:
+    """Distributed tree-merged build: the driver receives at most
+    ``_MERGE_FANIN`` bitmaps no matter how many input partitions exist —
+    O(sketch bytes) through the driver, the 100 TB-safe replacement for the
+    reference's ``distinct().collect()``."""
+    proto = BloomSketch(expected_items, fpp)
+    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+    rows = staged_partials(df, key_col, expected_items, fpp).collect()
+    assert len(rows) <= _MERGE_FANIN
+    for row in rows:
         proto.bits |= np.frombuffer(row.bits, dtype=np.uint8)
     assert proto.n_bits == n_bits and proto.n_hashes == n_hashes
     return proto
@@ -138,7 +172,14 @@ def bloom_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     lineitem = load_table(spark, sf_dir, "lineitem")
     booked = lineitem.filter(F.col("l_returnflag") == "R").select("l_partkey")
-    sketch = build_bloom(booked, "l_partkey", expected_items=100_000, fpp=0.01)
+    # size the sketch from the data, not a constant: an undersized sketch
+    # silently blows past the FPP target at larger scale factors. The
+    # pre-pass is a partial-aggregated approx_count_distinct — one cheap job
+    # that moves a single HLL sketch to the driver.
+    approx_n = booked.agg(F.approx_count_distinct("l_partkey").alias("n")).first().n
+    sketch = build_bloom(
+        booked, "l_partkey", expected_items=max(1024, int(approx_n * 1.2)), fpp=0.01
+    )
     return part.select(
         "p_partkey",
         F.when(might_contain(spark, sketch, F.col("p_partkey")), 0.5)

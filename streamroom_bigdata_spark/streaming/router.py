@@ -102,5 +102,12 @@ def dedup_stream(
     micro-batches, with state bounded by the watermark — keys older than
     ``watermark`` age out of the state store, so this runs forever at any
     volume (the reference dedups only within a micro-batch,
-    consumer.scala:61-91)."""
-    return parsed.withWatermark(ts_col, watermark).dropDuplicates([key, ts_col])
+    consumer.scala:61-91).
+
+    Dedup is KEY-ONLY, matching the reference's
+    ``dropDuplicates("booking_id")`` semantics (consumer.scala:61): the same
+    business key arriving later with a *different* timestamp is still a
+    duplicate. ``dropDuplicatesWithinWatermark`` gives exactly that — state
+    keyed on ``key`` alone, expired once the key's first-seen event time
+    falls behind the watermark."""
+    return parsed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])

