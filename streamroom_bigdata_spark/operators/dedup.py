@@ -16,8 +16,12 @@ algorithm shape (explode → per-bit signed sums → bit reassembly).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from ..functions.hashing import portable_hash_mod, sql_hash_mod
 from ..registry import register
@@ -235,6 +239,64 @@ FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+# Hot-bucket cap (VERDICT r1 #5): a stop-phrase shingle shared by millions of
+# documents puts them all in one band bucket, making the bucket self-join
+# quadratic. Band keys whose document frequency exceeds this cap are dropped
+# from candidate generation — candidates per bucket are then ≤ cap²/2, and a
+# pair sharing a hot band is still found through any of its non-hot bands.
+NEAR_DUP_MAX_BUCKET = 1_000
+
+
+def hot_bucket_report(bands: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(band_id, band_key, bucket_n) for buckets above the cap — run this to
+    see (and log) what candidate generation will skip."""
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    max_bucket_size: int | None = NEAR_DUP_MAX_BUCKET,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """Distinct candidate (doc_a < doc_b) pairs from band-bucket collisions,
+    with hot buckets (> ``max_bucket_size`` docs) excluded before the
+    self-join so no bucket can go quadratic. ``log_dropped=True`` runs one
+    extra count job to report the skipped buckets."""
+    if max_bucket_size is not None:
+        hot = hot_bucket_report(bands, max_bucket_size)
+        if log_dropped:
+            skipped = hot.collect()
+            if skipped:
+                logger.warning(
+                    "near-dup LSH: skipping %d hot band bucket(s) over cap %d: %s",
+                    len(skipped),
+                    max_bucket_size,
+                    [(r.band_id, r.band_key, r.bucket_n) for r in skipped[:20]],
+                )
+        # hot buckets are few by construction — broadcast anti-join
+        bands = bands.join(
+            F.broadcast(hot.select("band_id", "band_key")),
+            ["band_id", "band_key"],
+            "left_anti",
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register("near_dup_pairs", near_dup_oracle)
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (L2): band the signatures, self-join
@@ -244,7 +306,9 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation a hash shuffle on band keys, and the exact verification a
     join-count intersection (|A∩B| via equi-join on hash; |A∪B| =
     nA + nB − |A∩B|) — no n² compare and no nested-array ops anywhere, so
-    every stage is a plain shuffle that scales linearly."""
+    every stage is a plain shuffle that scales linearly. Band buckets larger
+    than ``NEAR_DUP_MAX_BUCKET`` are dropped before the self-join (hot-key
+    guard) so no single stop-phrase bucket can go quadratic."""
     ex = exploded_shingle_df(spark, sf_dir).cache()
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sigs = minhash_signature_df(spark, sf_dir, exploded=ex)
@@ -263,18 +327,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(bands)
 
     ex_a = ex.select(F.col("doc_id").alias("doc_a"), "h")
     ex_b = ex.select(F.col("doc_id").alias("doc_b"), "h")

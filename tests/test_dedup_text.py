@@ -135,3 +135,23 @@ def test_fingerprint_order_sensitivity(spark, tmp_path):
            for r in text.doc_fingerprints(spark, str(tmp_path)).collect()}
     assert fps[0] == fps[2]       # same order, same fingerprint
     assert fps[0] != fps[1]       # permuted tokens change it
+
+
+def test_hot_bucket_cap_bounds_candidates(spark, caplog):
+    """A band key shared by many docs (stop-phrase bucket) must be skipped
+    above the cap, keeping candidate counts bounded; pairs in non-hot
+    buckets are unaffected (VERDICT r1 #5)."""
+    hot = [(i, 0, 777) for i in range(50)]         # 50 docs, one hot bucket
+    cool = [(100, 1, 42), (101, 1, 42)]            # a genuine near-dup pair
+    bands = spark.createDataFrame(
+        hot + cool, "doc_id long, band_id int, band_key long"
+    )
+    uncapped = dedup.lsh_candidate_pairs(bands, max_bucket_size=None)
+    assert uncapped.count() == 50 * 49 // 2 + 1
+    with caplog.at_level("WARNING", logger="streamroom_bigdata_spark.operators.dedup"):
+        capped = dedup.lsh_candidate_pairs(bands, max_bucket_size=10, log_dropped=True)
+        rows = capped.collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(100, 101)]
+    assert any("hot band bucket" in m for m in caplog.messages)
+    report = dedup.hot_bucket_report(bands, 10).collect()
+    assert [(r.band_id, r.band_key, r.bucket_n) for r in report] == [(0, 777, 50)]

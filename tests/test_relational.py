@@ -116,3 +116,19 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     df = relational.star_join_revenue(spark, sf_dir)
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in physical
+
+
+def test_quartiles_distributed_matches_ntile(spark, sf_dir):
+    """The distributed-rank form must be bit-identical to the ntile oracle
+    form, with no single-partition exchange over the input relation."""
+    got = {
+        r.quartile: (r.n, r.min_bal, r.max_bal)
+        for r in windows.quartiles_distributed(spark, sf_dir).collect()
+    }
+    want = {
+        r.quartile: (r.n, r.min_bal, r.max_bal)
+        for r in windows.ntile_quartiles(spark, sf_dir).collect()
+    }
+    assert got == want
+    plan = windows.quartiles_distributed(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
