@@ -56,9 +56,20 @@ def main() -> int:
     )
     qs = registry.queries()
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup.
-    qs["pricing_summary"](spark, sf_dir).count()
+    # Warm the JVM + parquet footers + Arrow/Python worker pool once so
+    # per-query numbers measure the query, not session startup. Neither
+    # warm-up query is in the headline set, so every headline number below is
+    # an equally cold first run (on warm workers, as on a long-lived cluster).
+    qs["global_stats"](spark, sf_dir).count()
+
+    # one trivial pandas-UDF pass over every core, so the per-core Python
+    # worker fork cost lands here instead of in the first pandas query
+    from pyspark.sql import functions as F
+
+    n_part = spark.sparkContext.defaultParallelism
+    spark.range(0, n_part * 10, 1, n_part).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -21,12 +21,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
-    """Deterministic pseudo-random salt in [0, n_salts) derived from the full
-    row via monotonically_increasing_id — stable within a job, uniform
-    enough to spread a hot key."""
+def with_salt(
+    df: DataFrame, n_salts: int, col_name: str = "_salt", cols=None
+) -> DataFrame:
+    """Deterministic salt in [0, n_salts): xxhash64 over the row's columns.
+    Content-derived, so it is stable across task retries/recomputation —
+    monotonically_increasing_id is NOT (a partial stage retry can renumber
+    rows and duplicate/lose them through a salted join, SPARK-23207 class).
+    Identical rows share a salt; that only narrows spreading for exact
+    duplicates, which the two-phase aggregate handles anyway."""
+    cols = [F.col(c) for c in (cols or df.columns)]
     return df.withColumn(
-        col_name, (F.monotonically_increasing_id() % n_salts).cast("int")
+        col_name, F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
     )
 
 

@@ -7,14 +7,24 @@ Two implementations of the same float64 math:
   lambdas inside higher-order functions are evaluated INTERPRETED per
   element — fine for one-off scoring, a measurable tax in hot loops.
 - **Arrow-batched numpy** (``cosine_pandas``/``dot_pandas``): a vectorized
-  Pandas UDF doing one matmul-shaped einsum per Arrow batch (D2). ~2×
-  faster than the HOF path on 64-dim corpora (measured in BASELINE.md);
-  the gap widens with dimension. Sum order is sequential per row in both
-  paths' float64, so results agree with the DuckDB oracle at 6-decimal
-  rounding.
+  Pandas UDF doing one matmul-shaped einsum per Arrow batch (D2). Results
+  agree with the DuckDB oracle at 6-decimal rounding.
 
-Hot-path scorers (cosine_topk, ann_lsh_cosine, near-dup re-rank) use the
-pandas variants; single-shot expressions keep the column form.
+Measured split (BASELINE.md "vector scorer", warm, sf0.1, dim=64):
+
+- **pair-shaped** scoring — both vectors already sit in the row (bucket
+  self-joins, broadcast-join candidates) — the HOF column form WINS
+  (0.85 s vs 1.12 s on ann_lsh_cosine): Arrow would ship 2×dim doubles per
+  candidate, which costs more than interpreted lambdas save.
+- **scan-shaped** scoring against a small constant matrix (query set,
+  centroids) — a mapInPandas matmul WINS (0.55 s vs 0.75 s on
+  cosine_topk): each corpus vector crosses Arrow once and the compare
+  itself is one BLAS call (see ``operators/similarity.cosine_topk``).
+
+So: pair shapes keep ``cosine``/``dot``; scan shapes go through
+mapInPandas; ``cosine_pandas``/``dot_pandas`` remain the D2 scalar surface
+for callers whose rows already carry both vectors and who want numpy
+semantics.
 """
 
 from __future__ import annotations

@@ -1,10 +1,10 @@
 """Similarity search over embedding columns (SURVEY.md §2.11 L3, D2-D4).
 
-- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query set
-  against the corpus, score with zip_with/aggregate column algebra, rank per
-  query with a window. One scan of the corpus, no self-shuffle; at 100 TB
-  the corpus stays partition-parallel and only k rows per query per
-  partition survive the window's partial top-k.
+- ``cosine_topk``: brute-force exact top-k — the query set becomes a matmul
+  constant and the corpus is scored in one mapInPandas scan (one normalized
+  matmul per Arrow batch), ranked per query with a window. One scan of the
+  corpus, no self-shuffle; at 100 TB the corpus stays partition-parallel and
+  only k rows per query per partition survive the window's partial top-k.
 - ``ann_lsh_cosine``: the scale path — deterministic sign-LSH (random
   hyperplanes derived from the portable hash, so reproducible across runs
   and engines), bucket equi-join, exact re-rank inside buckets. Recall is
@@ -65,19 +65,47 @@ WHERE rnk <= {TOP_K}
 @register("cosine_topk", cosine_topk_oracle)
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (L3 baseline): exact nearest neighbors for a
-    fixed query set."""
+    fixed query set.
+
+    Shape: ONE corpus scan through mapInPandas; the (tiny, bounded) query set
+    is collected once and becomes a matmul constant, so every Arrow batch is
+    scored against ALL queries with a single normalized (batch × dim) @
+    (dim × n_queries) product. Each corpus vector crosses the Arrow boundary
+    exactly once — the broadcast-join pair shape ships it once PER QUERY,
+    which measured slower at every batch size (BASELINE.md "vector scorer").
+    At 100 TB this stays a single partition-parallel scan with k·|Q| rows
+    surviving per partition after the window's partial top-k."""
     corpus = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    queries = corpus.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
-    )
+    # bounded driver fetch: |QUERY_IDS| rows, the ANN equivalent of
+    # broadcasting a small dimension table
+    qrows = corpus.filter(F.col("vec_id").isin(*QUERY_IDS)).collect()
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.vstack([np.asarray(r.emb, dtype=np.float64) for r in qrows])
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ qnorm.T  # (batch, n_queries)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), len(qids)),
+                    "cosine_raw": sims.ravel(),
+                }
+            )
+
     scored = (
-        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        corpus.mapInPandas(score, "query_id long, neighbor_id long, cosine_raw double")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine"),
+            "neighbor_id",
+            F.round("cosine_raw", 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -152,6 +180,9 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
+            # pair shape: HOF column algebra beats the pandas scorer here —
+            # Arrow would ship BOTH vectors per candidate (BASELINE.md
+            # "vector scorer": 0.85 s vs 1.12 s warm)
             F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine"),
         )
         .withColumn("rnk", F.row_number().over(w))

@@ -105,6 +105,97 @@ def kafka_source_options(
     return opts
 
 
+def stream_socket_source(
+    spark: SparkSession, host: str = "localhost", port: int = 9999
+) -> DataFrame:
+    """Socket text source (S4): one ``value`` string column per received line.
+    Spark connects to ``host:port`` as a client; lines are not replayable, so
+    this is a dev/debug source — exactly the niche the reference's
+    console-oriented tooling fills. Exercised against a real local socket in
+    tests/test_streaming.py."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+
+
+def kafka_sink_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+    """Options for a Kafka write (reference: producer.scala:19-20,46-51
+    produces to ``room_requests`` one record at a time on the driver; the
+    Spark writer is executor-parallel)."""
+    return {"kafka.bootstrap.servers": bootstrap_servers, "topic": topic}
+
+
+def to_kafka_records(
+    df: DataFrame, value_col: str = "value", key_col: str | None = None
+) -> DataFrame:
+    """Project to the (key, value) string columns the Kafka writer contract
+    requires — the pure-plan half of the sink, unit-testable without a
+    broker."""
+    cols = [F.col(value_col).cast("string").alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
+def write_kafka_batch(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    value_col: str = "value",
+    key_col: str | None = None,
+) -> None:
+    """Batch Kafka sink (S3): every partition produces in parallel from the
+    executors — no driver loop, no per-record sleep (contrast
+    producer.scala:51's 200 ms/record cap). Guarded like the source: no
+    connector jar / broker in the test container."""
+    writer = to_kafka_records(df, value_col, key_col).write.format("kafka")
+    for k, v in kafka_sink_options(bootstrap_servers, topic).items():
+        writer = writer.option(k, v)
+    try:
+        writer.save()
+    except Exception as exc:  # pragma: no cover - no broker in test env
+        raise RuntimeError(
+            "Kafka sink unavailable (connector jar or broker missing); "
+            "use a file/memory sink for local testing"
+        ) from exc
+
+
+def stream_kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    key_col: str | None = None,
+):
+    """Streaming Kafka sink (S3): returns the configured ``DataStreamWriter``
+    (caller ``.start()``s it) — checkpointed, so output is at-least-once with
+    idempotent-producer semantics left to the broker config."""
+    writer = (
+        to_kafka_records(df, value_col, key_col)
+        .writeStream.format("kafka")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    for k, v in kafka_sink_options(bootstrap_servers, topic).items():
+        writer = writer.option(k, v)
+    return writer
+
+
+def console_sink(df: DataFrame, mode: str = "append", num_rows: int = 20, truncate: bool = False):
+    """Console sink wrapper (S8) — the reference's consumer prints every
+    micro-batch (consumer.scala format("console")). Returns the configured
+    writer; caller ``.start()``s it."""
+    return (
+        df.writeStream.format("console")
+        .outputMode(mode)
+        .option("numRows", str(num_rows))
+        .option("truncate", str(truncate).lower())
+    )
+
+
 def stream_kafka_source(spark: SparkSession, **kwargs) -> DataFrame:
     """Kafka streaming source. Requires the spark-sql-kafka connector on the
     classpath and a reachable broker; guarded so environments without Kafka

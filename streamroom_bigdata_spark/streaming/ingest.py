@@ -42,16 +42,44 @@ def to_wire_json(df: DataFrame) -> DataFrame:
     return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
 
 
+def dispatch_entity(filename: str) -> str | None:
+    """Entity type for a CSV filename, by substring — the reference's
+    dispatch rules verbatim (producer.scala:63-72: ``bookings`` &&
+    !``onetime`` → fixed, ``onetime`` → one-time, then courses / sections /
+    professors / classroom), extended so exact ``<entity>.csv`` names also
+    dispatch. Returns None for unrecognized files (the reference returns a
+    null parser and skips)."""
+    name = os.path.basename(filename).lower()
+    if "bookings" in name and "onetime" not in name:
+        return "fixed_booking"
+    if "onetime" in name:
+        return "one_time_booking"
+    for ent in ("courses", "sections", "professors", "classroom"):
+        if ent in name:
+            return ent
+    for ent in sorted(ENTITIES, key=len, reverse=True):
+        if ent in name:
+            return ent
+    return None
+
+
 def entity_dir_to_wire(spark: SparkSession, data_dir: str) -> DataFrame:
-    """The whole producer pipeline: read every entity CSV under ``data_dir``
-    (files named ``<entity>*.csv``, dispatch-by-filename like
-    producer.scala:63-72), tag, and union to one wire-format DataFrame."""
-    parts = []
-    for name, (schema, _key) in ENTITIES.items():
-        path = os.path.join(data_dir, f"{name}.csv")
-        if not os.path.exists(path):
+    """The whole producer pipeline: scan ``data_dir`` for CSVs, dispatch each
+    by filename substring (producer.scala:63-72), read every file of an
+    entity as ONE distributed scan, tag, and union to one wire-format
+    DataFrame. Unrecognized files are skipped, like the reference's null
+    parser."""
+    by_entity: dict[str, list[str]] = {}
+    for fname in sorted(os.listdir(data_dir)):
+        if not fname.lower().endswith(".csv"):
             continue
-        parts.append(to_wire_json(tag_entity(read_entity_csv(spark, path, schema), name)))
+        ent = dispatch_entity(fname)
+        if ent is not None:
+            by_entity.setdefault(ent, []).append(os.path.join(data_dir, fname))
+    parts = [
+        to_wire_json(tag_entity(read_entity_csv(spark, paths, ENTITIES[ent][0]), ent))
+        for ent, paths in by_entity.items()
+    ]
     if not parts:
         raise FileNotFoundError(f"no entity CSVs under {data_dir}")
     out = parts[0]

@@ -127,3 +127,33 @@ def test_decode_image_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_pandas_scorers_agree_with_hof(spark):
+    """D2: the Arrow-batched numpy scorers and the HOF column algebra are the
+    same float64 math — agreement to 1e-9 on deterministic vectors."""
+    from streamroom_bigdata_spark.functions.vector import (
+        cosine,
+        cosine_pandas,
+        dot,
+        dot_pandas,
+    )
+
+    rows = [
+        (
+            i,
+            [float((i * 7 + j) % 13) - 6.0 for j in range(8)],
+            [float((i * 5 + j) % 11) - 5.0 for j in range(8)],
+        )
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "id int, a array<double>, b array<double>")
+    got = df.select(
+        cosine(F.col("a"), F.col("b")).alias("ch"),
+        cosine_pandas("a", "b").alias("cp"),
+        dot(F.col("a"), F.col("b")).alias("dh"),
+        dot_pandas("a", "b").alias("dp"),
+    ).collect()
+    for r in got:
+        assert abs(r.ch - r.cp) < 1e-9
+        assert abs(r.dh - r.dp) < 1e-9

@@ -38,3 +38,16 @@ def test_salted_join_matches_plain(spark, sf_dir):
         salted.select(F.sum(F.hash("o_orderkey", "c_name")).alias("h")).collect()[0].h
         == plain.select(F.sum(F.hash("o_orderkey", "c_name")).alias("h")).collect()[0].h
     )
+
+
+def test_salt_deterministic_and_bounded(spark):
+    """The salt must be content-derived: identical across recomputation
+    (task-retry safety, SPARK-23207 class) and always in [0, n_salts)."""
+    from streamroom_bigdata_spark.functions.skew import with_salt
+
+    df = spark.range(0, 1000).withColumn("v", F.col("id") % 7)
+    s1 = {r.id: r._salt for r in with_salt(df, 16).collect()}
+    s2 = {r.id: r._salt for r in with_salt(df, 16).collect()}
+    assert s1 == s2
+    assert all(0 <= s < 16 for s in s1.values())
+    assert len(set(s1.values())) > 4  # actually spreads

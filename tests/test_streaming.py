@@ -358,3 +358,121 @@ def test_tag_entity_stamps(spark):
     assert len(r.ingestion_timestamp) == 19  # yyyy-MM-dd HH:mm:ss
     wire = to_wire_json(tagged).collect()[0]
     assert '"classroom_id":"C9"' in wire.value
+
+
+def test_dispatch_entity_substring_rules():
+    """Filename dispatch mirrors the reference's contains-rules
+    (producer.scala:63-72) and also accepts exact entity names."""
+    from streamroom_bigdata_spark.streaming.ingest import dispatch_entity
+
+    assert dispatch_entity("STUDENT_BOOKINGS_2024.csv") == "fixed_booking"
+    assert dispatch_entity("bookings_onetime_v2.csv") == "one_time_booking"
+    assert dispatch_entity("Classrooms_export.csv") == "classroom"
+    assert dispatch_entity("all_professors.csv") == "professors"
+    assert dispatch_entity("fixed_booking.csv") == "fixed_booking"
+    assert dispatch_entity("one_time_booking.csv") == "one_time_booking"
+    assert dispatch_entity("telemetry.csv") is None
+
+
+def test_entity_dir_reference_style_names(spark, tmp_path):
+    """entity_dir_to_wire dispatches reference-style filenames (substring,
+    not exact) and unions multiple files of one entity into one scan."""
+    (tmp_path / "bookings_spring.csv").write_text(
+        "booking_id;section_id;classroom_id;date;start_time;end_time;students\n"
+        "B1;S1;C1;2024-01-01;08:00:00;10:00:00;30\n"
+    )
+    (tmp_path / "bookings_fall.csv").write_text(
+        "booking_id;section_id;classroom_id;date;start_time;end_time;students\n"
+        "B2;S1;C1;2024-09-01;08:00:00;10:00:00;25\n"
+    )
+    (tmp_path / "notes.txt").write_text("ignored")
+    parsed = parse_wire(entity_dir_to_wire(spark, str(tmp_path)))
+    got = {r.booking_id for r in parsed.collect()}
+    assert got == {"B1", "B2"}
+
+
+def test_socket_source_receives_lines(spark):
+    """S4: socket text source exercised against a real local TCP server."""
+    import socket
+    import threading
+    import time
+
+    from streamroom_bigdata_spark.sources.readers import stream_socket_source
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+    done = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        conn.sendall(b"alpha\nbeta\ngamma\n")
+        done.wait(30)  # keep the connection open until the query stops
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    q = (
+        stream_socket_source(spark, "127.0.0.1", port)
+        .writeStream.format("memory")
+        .queryName("socket_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM socket_sink").count() >= 3:
+                break
+            time.sleep(0.25)
+        vals = {r.value for r in spark.sql("SELECT * FROM socket_sink").collect()}
+        assert {"alpha", "beta", "gamma"} <= vals
+    finally:
+        q.stop()
+        done.set()
+        server.close()
+
+
+def test_kafka_sink_record_projection(spark):
+    """S3 (pure-plan half): the sink projects (key, value) strings the Kafka
+    writer contract requires; executor-parallel, no driver loop."""
+    from streamroom_bigdata_spark.sources.readers import (
+        kafka_sink_options,
+        to_kafka_records,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, payload string")
+    rec = to_kafka_records(df, value_col="payload", key_col="k")
+    assert rec.columns == ["key", "value"]
+    assert dict((r.key, r.value) for r in rec.collect()) == {"1": "a", "2": "b"}
+    opts = kafka_sink_options("broker:9092", "room_requests")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "topic": "room_requests",
+    }
+
+
+def test_kafka_batch_sink_fails_cleanly_without_broker(spark):
+    from streamroom_bigdata_spark.sources.readers import write_kafka_batch
+
+    df = spark.createDataFrame([("x",)], "value string")
+    with pytest.raises(RuntimeError, match="Kafka sink unavailable"):
+        write_kafka_batch(df, "localhost:1", "t")
+
+
+def test_console_sink_runs_one_batch(spark, tmp_path):
+    """S8: console sink wrapper drives a real micro-batch to completion."""
+    from streamroom_bigdata_spark.sources.readers import (
+        console_sink,
+        stream_file_source,
+    )
+
+    src = tmp_path / "console_src"
+    src.mkdir()
+    spark.createDataFrame([(1,)], "id int").write.parquet(str(src / "p"))
+    stream = stream_file_source(spark, str(src / "p"), spark.read.parquet(str(src / "p")).schema)
+    q = console_sink(stream, num_rows=5).trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    assert q.lastProgress is not None
