@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
@@ -264,12 +264,15 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate (doc_a < doc_b) pairs from band-bucket collisions,
     with hot buckets (> ``max_bucket_size`` docs) excluded before the
-    self-join so no bucket can go quadratic. ``log_dropped=True`` runs one
-    extra count job to report the skipped buckets."""
+    self-join so no bucket can go quadratic. The cap is a window count over
+    (band_id, band_key) — it shuffles on EXACTLY the key the self-join needs,
+    so the exchange is reused rather than recomputing the signature pipeline
+    for a separate hot-bucket aggregate, and nothing is collected or
+    broadcast. ``log_dropped=True`` runs one extra count job to report the
+    skipped buckets."""
     if max_bucket_size is not None:
-        hot = hot_bucket_report(bands, max_bucket_size)
         if log_dropped:
-            skipped = hot.collect()
+            skipped = hot_bucket_report(bands, max_bucket_size).collect()
             if skipped:
                 logger.warning(
                     "near-dup LSH: skipping %d hot band bucket(s) over cap %d: %s",
@@ -277,11 +280,11 @@ def lsh_candidate_pairs(
                     max_bucket_size,
                     [(r.band_id, r.band_key, r.bucket_n) for r in skipped[:20]],
                 )
-        # hot buckets are few by construction — broadcast anti-join
-        bands = bands.join(
-            F.broadcast(hot.select("band_id", "band_key")),
-            ["band_id", "band_key"],
-            "left_anti",
+        w = Window.partitionBy("band_id", "band_key")
+        bands = (
+            bands.withColumn("_bucket_n", F.count("*").over(w))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
         )
     a = bands.alias("a")
     b = bands.alias("b")
