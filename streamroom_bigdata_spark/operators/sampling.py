@@ -1,0 +1,110 @@
+"""Deterministic sampling operators for LLM-data pipelines (SURVEY.md §2.11).
+
+Training-data curation needs REPRODUCIBLE samples: the same corpus must yield
+the same subset on every run, engine, and cluster size — `rand()` sampling
+can't promise that. Both operators key on the portable md5-prefix hash
+(functions/hashing.py), so they are oracle-checkable in DuckDB and stable
+under repartitioning, task retries, and engine swaps.
+
+- ``bernoulli_sample``: keep a row iff hash(key) mod 100 < pct. One scan, no
+  shuffle, no state — at 100 TB this is a pushed-down filter over the scan.
+- ``stratified_sample``: exactly min(n, |stratum|) rows per stratum — the
+  hash orders each stratum and a per-stratum window rank keeps the first n.
+  One shuffle on the stratum key; the window's partial top-k keeps only n
+  rows per partition before the final rank, so a giant stratum never
+  materializes.
+- ``sample_topk_hash``: exactly k rows global — ``orderBy(h).limit(k)``,
+  which Catalyst rewrites to TakeOrderedAndProject (per-partition top-k +
+  driver merge of k·P rows, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash_mod, sql_hash_mod
+from ..registry import register
+from ..sources import load_table
+
+SAMPLE_PCT = 10          # bernoulli: keep ~10% of documents
+STRATUM_N = 25           # stratified: rows kept per (lang, source) stratum
+GLOBAL_K = 100           # top-k-hash: exact global sample size
+
+_KEY = "CAST(doc_id AS VARCHAR)"
+
+
+bernoulli_sample_oracle = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {sql_hash_mod(_KEY, 100)} < {SAMPLE_PCT}
+"""
+
+
+@register("bernoulli_sample", bernoulli_sample_oracle)
+def bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~SAMPLE_PCT% Bernoulli sample keyed on doc_id — a pure
+    filter (no shuffle); reproducible across runs/engines/cluster sizes,
+    unlike ``df.sample()``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        portable_hash_mod(F.col("doc_id").cast("string"), 100) < SAMPLE_PCT
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+stratified_sample_oracle = f"""
+SELECT lang, source, doc_id
+FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY {sql_hash_mod(_KEY)}, doc_id
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= {STRATUM_N}
+"""
+
+
+@register("stratified_sample", stratified_sample_oracle)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(STRATUM_N, |stratum|) docs per (lang, source) stratum:
+    hash-ordered window rank within each stratum. One shuffle on the stratum
+    key; the rank's partial top-k bounds per-partition state to STRATUM_N
+    rows per stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        portable_hash_mod(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= STRATUM_N)
+        .select("lang", "source", "doc_id")
+    )
+
+
+sample_topk_hash_oracle = f"""
+SELECT doc_id, lang, source
+FROM documents
+ORDER BY {sql_hash_mod(_KEY)}, doc_id
+LIMIT {GLOBAL_K}
+"""
+
+
+@register("sample_topk_hash", sample_topk_hash_oracle)
+def sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size global deterministic sample: the GLOBAL_K smallest hashes.
+    orderBy+limit → TakeOrderedAndProject: each partition keeps k rows, the
+    driver merges k·P — no global sort, no single-partition exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            portable_hash_mod(F.col("doc_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "doc_id")
+        .limit(GLOBAL_K)
+        .select("doc_id", "lang", "source")
+    )

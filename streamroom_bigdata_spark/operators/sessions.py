@@ -1,0 +1,92 @@
+"""Sessionization (gaps-and-islands) over the events table (SURVEY.md §2.5
+W1-W3 composition; the batch complement of streaming session windows, T9).
+
+The classic two-window plan: flag rows whose gap from the previous event
+exceeds the threshold, running-sum the flags into a session index, then
+aggregate per (user, session). Both windows partition by user_id — one hash
+shuffle on user_id total; the second window and the final aggregation reuse
+the first exchange's partitioning. No global sort, no driver state: at
+100 TB this scales with the number of users, and AQE's skew handling covers
+a pathologically hot user.
+
+Millisecond epoch arithmetic on both sides (Spark ``unix_millis`` ≡ DuckDB
+``epoch_ms``) keeps the gap comparison integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+SESSION_GAP_MIN = 30
+_GAP_MS = SESSION_GAP_MIN * 60 * 1000
+
+sessionize_oracle = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+         lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ) AS prev_ms
+  FROM events
+), flagged AS (
+  SELECT *,
+         CASE WHEN prev_ms IS NULL OR ms - prev_ms > {_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT *,
+         CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS INT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+@register("sessionize_events", sessionize_oracle)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: events more than SESSION_GAP_MIN apart start a
+    new session; one row per (user, session) with bounds and totals."""
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def sessionize(events: DataFrame, gap_ms: int = _GAP_MS) -> DataFrame:
+    """Gaps-and-islands sessionization of any (user_id, event_id, ts, value)
+    frame — the composable core behind :func:`sessionize_events`."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            F.lag(ms).over(w).isNull() | (ms - F.lag(ms).over(w) > gap_ms),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

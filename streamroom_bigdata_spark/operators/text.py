@@ -251,3 +251,67 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", detect(F.col("text")).alias("detected_lang")
     )
+
+
+TFIDF_TOP_K = 3
+
+tf_idf_oracle = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, tfidf, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, tok
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+@register("tf_idf", tf_idf_oracle)
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOP_K most characteristic terms per document (L4).
+
+    Plan shape: one token explode feeds both the term-frequency aggregate
+    (shuffle on (doc_id, tok)) and the document-frequency aggregate (two-
+    phase distinct on tok); the corpus size is a broadcast 1-row aggregate,
+    never a driver round-trip. The tf⋈df join shuffles on tok — at 100 TB
+    the token key is Zipf-skewed, which AQE's skew-join split handles; the
+    final per-document rank reuses a window partial top-k. Scoring stays
+    integer/double column algebra inside whole-stage codegen."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "tok", "tf", "tfidf", "rnk")
+    )

@@ -32,6 +32,8 @@ _QUERY_MODULES = (
     "streamroom_bigdata_spark.operators.dedup",
     "streamroom_bigdata_spark.operators.text",
     "streamroom_bigdata_spark.operators.similarity",
+    "streamroom_bigdata_spark.operators.sampling",
+    "streamroom_bigdata_spark.operators.sessions",
     "streamroom_bigdata_spark.operators.multimodal",
     "streamroom_bigdata_spark.operators.bloom",
     "streamroom_bigdata_spark.streaming.queries",

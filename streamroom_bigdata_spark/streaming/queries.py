@@ -141,3 +141,64 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(load_table(spark, sf_dir, "events"))
+
+
+JOIN_BOUND = "10 minutes"
+
+
+def click_error_join_frames(clicks: DataFrame, errors: DataFrame) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join core: clicks matched to
+    errors by the same user within [click_ts, click_ts + JOIN_BOUND].
+
+    The equi-key (user_id) makes this a hash join with a range residual —
+    one shuffle on user_id, never a cross product. On streaming inputs both
+    sides must be watermarked (see :func:`stream_click_error_join`): the
+    two-sided time bound lets Spark compute how long each side's state can
+    matter and purge it — bounded state at any volume."""
+    l = clicks.alias("l")
+    r = errors.alias("r")
+    return l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {JOIN_BOUND}")),
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.ts").alias("error_ts"),
+    )
+
+
+def stream_click_error_join(
+    clicks: DataFrame, errors: DataFrame, delay: str = "15 minutes"
+) -> DataFrame:
+    """T-EXT stream-stream join: watermark both sides, then the interval
+    join above. Append-mode output; state on each side is dropped once the
+    other side's watermark passes the join bound."""
+    return click_error_join_frames(
+        with_watermark(clicks, delay), with_watermark(errors, delay)
+    )
+
+
+@register(
+    "click_error_join",
+    """
+    SELECT l.event_id AS click_id, r.event_id AS error_id, l.user_id,
+           CAST(l.ts AS TIMESTAMP) AS click_ts,
+           CAST(r.ts AS TIMESTAMP) AS error_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'error'
+     AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+     AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+    """,
+)
+def click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the interval join (the converged streaming answer)."""
+    ev = load_table(spark, sf_dir, "events")
+    return click_error_join_frames(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+    )

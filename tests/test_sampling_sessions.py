@@ -1,0 +1,78 @@
+"""Sampling determinism/shape and sessionization semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.operators.sampling import (
+    GLOBAL_K,
+    STRATUM_N,
+    bernoulli_sample,
+    sample_topk_hash,
+    stratified_sample,
+)
+from streamroom_bigdata_spark.operators.sessions import sessionize
+
+
+def test_bernoulli_sample_deterministic_and_filter_only(spark, sf_dir):
+    a = {r.doc_id for r in bernoulli_sample(spark, sf_dir).collect()}
+    b = {r.doc_id for r in bernoulli_sample(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+    # pure filter over the scan — no exchange anywhere in the plan
+    plan = bernoulli_sample(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_caps_every_stratum(spark, sf_dir):
+    out = stratified_sample(spark, sf_dir)
+    per = out.groupBy("lang", "source").count().collect()
+    assert all(r["count"] <= STRATUM_N for r in per)
+    # deterministic
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, stratified_sample(spark, sf_dir).collect())
+    )
+
+
+def test_sample_topk_hash_exact_size_no_global_sort(spark, sf_dir):
+    out = sample_topk_hash(spark, sf_dir)
+    assert out.count() == GLOBAL_K
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no full sort
+
+
+def test_sessionize_splits_on_gap(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: events at 0, 10, 20 min (one session), then 60, 65 (second)
+        (1, 1, ts(0), 1.0),
+        (1, 2, ts(10), 2.0),
+        (1, 3, ts(20), 3.0),
+        (1, 4, ts(60), 4.0),
+        (1, 5, ts(65), 5.0),
+        # user 2: single event
+        (2, 6, ts(0), 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.total_value)
+        for r in sessionize(df).collect()
+    }
+    assert got == {(1, 1): (3, 6.0), (1, 2): (2, 9.0), (2, 1): (1, 10.0)}
+
+
+def test_sessionize_boundary_gap_is_same_session(spark):
+    # a gap of exactly the threshold does NOT split (strict > comparison)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, 1, t0, 1.0), (1, 2, t0 + dt.timedelta(minutes=30), 1.0)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    assert sessionize(df).count() == 1

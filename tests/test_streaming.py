@@ -476,3 +476,46 @@ def test_console_sink_runs_one_batch(spark, tmp_path):
     q = console_sink(stream, num_rows=5).trigger(availableNow=True).start()
     q.awaitTermination(60)
     assert q.lastProgress is not None
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """T-EXT stream-stream join: two watermarked file streams joined on
+    user_id within a time bound agree with the batch interval join on the
+    same rows."""
+    clicks = [
+        {"event_id": i, "ts": f"2024-01-01T00:{i:02d}:00", "user_id": i % 2, "value": 1.0}
+        for i in range(0, 30, 3)
+    ]
+    errors = [
+        {"event_id": 100 + i, "ts": f"2024-01-01T00:{i:02d}:30", "user_id": i % 2, "value": 2.0}
+        for i in range(0, 30, 2)
+    ]
+    c_df = spark.createDataFrame(
+        pd.DataFrame(clicks).assign(ts=lambda d: pd.to_datetime(d.ts)), EVENTS_DDL
+    )
+    e_df = spark.createDataFrame(
+        pd.DataFrame(errors).assign(ts=lambda d: pd.to_datetime(d.ts)), EVENTS_DDL
+    )
+    expected = {
+        (r.click_id, r.error_id)
+        for r in sq.click_error_join_frames(c_df, e_df).collect()
+    }
+    assert expected  # fixture actually produces matches
+
+    c_src = tmp_path / "clicks"
+    e_src = tmp_path / "errors"
+    for src, rows in ((c_src, clicks), (e_src, errors)):
+        src.mkdir()
+        pd.DataFrame(rows).to_json(
+            src / "b0.json", orient="records", lines=True, date_format="iso"
+        )
+    joined = sq.stream_click_error_join(
+        stream_file_source(spark, str(c_src), EVENTS_DDL, fmt="json"),
+        stream_file_source(spark, str(e_src), EVENTS_DDL, fmt="json"),
+    )
+    _run_to_memory(joined, "ssjoin_sink", "append")
+    got = {
+        (r.click_id, r.error_id)
+        for r in spark.sql("select * from ssjoin_sink").collect()
+    }
+    assert got == expected
