@@ -296,7 +296,9 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    # tf has exactly one row per (doc, tok), so document frequency is a plain
+    # row count of tf per token — no separate count_distinct pipeline
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "tok")

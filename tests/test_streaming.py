@@ -519,3 +519,40 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from ssjoin_sink").collect()
     }
     assert got == expected
+
+
+def test_full_pipeline_csv_to_recommendation(spark, tmp_path):
+    """The complete reference pipeline on the reference's own entities:
+    CSV dir -> wire JSON -> streaming router -> bronze parquet -> domain
+    recommendation query (processing.scala:101-129 analog) over the bronze
+    store."""
+    from streamroom_bigdata_spark.plans.domain import recommend_classrooms
+
+    _write_entity_csvs(tmp_path)
+    wire_dir = tmp_path / "wire_full"
+    entity_dir_to_wire(spark, str(tmp_path)).write.mode("overwrite").json(
+        str(wire_dir)
+    )
+    q = start_router(
+        parse_wire(
+            stream_file_source(spark, str(wire_dir), "value string", fmt="json")
+        ),
+        str(tmp_path / "bronze_full"),
+        str(tmp_path / "ckpt_full"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    recs = recommend_classrooms(
+        spark, str(tmp_path / "bronze_full"), request_sizes=(30, 50)
+    ).collect()
+    by_req = {}
+    for r in recs:
+        by_req.setdefault(r.request_students, []).append(r)
+    # fixture: C1 cap 40 (booked, 1 booking B1), C2 cap 60 (booked, 1 booking B2)
+    assert {r.classroom_id for r in by_req[30]} == {"C1", "C2"}
+    assert {r.classroom_id for r in by_req[50]} == {"C2"}  # only C2 fits 50
+    for r in recs:
+        # both rooms booked once, equal usage -> collab = 1.0, avail = 0.5
+        assert abs(r.final_score - (0.5 + 0.3 * 1.0 + 0.2 * 0.5)) < 1e-9
+        assert r.rnk <= 3
