@@ -317,3 +317,100 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "tok", "tf", "tfidf", "rnk")
     )
+
+
+gopher_signals_oracle = """
+SELECT doc_id,
+       round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+             / len(string_split(text, ' ')), 6) AS mean_word_len,
+       round(len(list_filter(string_split(text, ' '),
+                             t -> regexp_full_match(t, '[A-Za-z]+')))::DOUBLE
+             / len(string_split(text, ' ')), 6) AS alpha_word_ratio,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             / length(text), 6) AS digit_char_ratio
+FROM documents
+WHERE length(text) > 0
+"""
+
+
+@register("gopher_signals", gopher_signals_oracle)
+def gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality signals (L4): mean word length, purely
+    alphabetic word fraction, digit character fraction. Mean word length is
+    computed as (chars − separators) / words — plain string algebra, no
+    per-token loop; the alpha-word test is the one per-element predicate
+    (cheap single regex per token)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    mean_word_len = (
+        (F.length("text") - (n_toks - F.lit(1))).cast("double") / n_toks
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))).cast("double")
+        / n_toks
+    )
+    digit_ratio = (
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).cast("double")
+        / F.length("text")
+    )
+    return docs.select(
+        "doc_id",
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        F.round(digit_ratio, 6).alias("digit_char_ratio"),
+    )
+
+
+# PII patterns kept to syntax Java regex and RE2 share (no backrefs or
+# lookaround): emails, NNN-NNN-NNNN phones, and 9+-digit runs.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_LONG_DIGITS = "[0-9]{9,}"
+
+pii_redact_oracle = f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g'),
+         '{PII_LONG_DIGITS}', '<ID>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS INT) AS n_phones
+FROM documents
+"""
+
+
+@register("pii_redact", pii_redact_oracle)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (L4): replace emails / phones / long digit runs with
+    typed placeholders and count what was found — one pass of chained
+    regexp_replace, fully inside whole-stage codegen. (The fixture corpus
+    contains no PII, so fixture counts are zero; semantics are unit-tested
+    on synthetic rows in tests/test_dedup_text.py.)"""
+    return redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_LONG_DIGITS,
+        "<ID>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_PHONE), 0)).alias(
+            "n_phones"
+        ),
+    )

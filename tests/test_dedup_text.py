@@ -155,3 +155,20 @@ def test_hot_bucket_cap_bounds_candidates(spark, caplog):
     assert any("hot band bucket" in m for m in caplog.messages)
     report = dedup.hot_bucket_report(bands, 10).collect()
     assert [(r.band_id, r.band_key, r.bucket_n) for r in report] == [(0, 777, 50)]
+
+
+def test_pii_redaction_semantics(spark):
+    from streamroom_bigdata_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.co.uk or 555-867-5309 today"),
+        (2, "ssn-ish 123456789 and card 4111111111111111 end"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in got[1].redacted and "<PHONE>" in got[1].redacted
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert got[2].redacted == "ssn-ish <ID> and card <ID> end"
+    assert got[3].redacted == rows[2][1]
+    assert got[3].n_emails == 0 and got[3].n_phones == 0
