@@ -475,3 +475,50 @@ def conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_GS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("grouping_sets_orders", _GS_SQL)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A7, SQL-API surface): per-status totals,
+    per-priority totals, and the grand total in one pass — the shape rollup
+    and cube can't express (no (status, priority) cell). Uses the SQL door
+    into the same Catalyst Expand-based plan as rollup/cube."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GS_SQL)
+
+
+@register("quantile_summary")
+def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (A6 sketch surface): percentile_approx over
+    o_totalprice per order status. One pass, fixed-size QuantileSummaries
+    state per group — the 100 TB path where an exact percentile would need a
+    per-group sort. Rows-only checked (sketch results aren't portable across
+    engines); the error bound vs exact percentiles is property-tested in
+    tests/test_relational.py."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10_000
+            ).alias("price_quantiles"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round(F.col("price_quantiles")[0], 2).alias("p25"),
+            F.round(F.col("price_quantiles")[1], 2).alias("p50"),
+            F.round(F.col("price_quantiles")[2], 2).alias("p75"),
+            F.round(F.col("price_quantiles")[3], 2).alias("p95"),
+            "n_orders",
+        )
+    )

@@ -132,3 +132,30 @@ def test_quartiles_distributed_matches_ntile(spark, sf_dir):
     assert got == want
     plan = windows.quartiles_distributed(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_quantile_summary_error_bound(spark, sf_dir):
+    """percentile_approx(accuracy=10k) must land within rank-error 1/10k of
+    the exact per-group percentile (here: exact match is typical at fixture
+    cardinality, so assert a tight value tolerance against F.percentile)."""
+    from streamroom_bigdata_spark.operators.relational import quantile_summary
+
+    approx = {r.o_orderstatus: r for r in quantile_summary(spark, sf_dir).collect()}
+    exact = {
+        r.o_orderstatus: r
+        for r in (
+            load_table(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+                F.min("o_totalprice").alias("lo"),
+                F.max("o_totalprice").alias("hi"),
+            )
+            .collect()
+        )
+    }
+    for status, a in approx.items():
+        e = exact[status]
+        spread = e.hi - e.lo
+        assert abs(a.p50 - e.p50) <= 0.01 * spread + 1e-6
+        assert e.lo <= a.p25 <= a.p50 <= a.p75 <= a.p95 <= e.hi
