@@ -1,0 +1,108 @@
+"""Table-maintenance operators: compaction and keyed upsert.
+
+A streaming bronze store (streaming/router.py) appends one file batch per
+micro-batch per entity — at production trigger rates that is thousands of
+small files per day, and 100 TB scans die on file-listing and per-file open
+overhead long before they die on bytes. These are the two maintenance
+primitives such a store needs:
+
+- ``compact_parquet_dir``: rewrite a directory to ~target-sized files
+  (repartition to ceil(bytes/target) partitions, optionally sorted within
+  partitions so downstream range predicates get row-group pruning).
+- ``upsert_parquet``: key-based merge of an updates frame into a stored
+  table — anti-join out the replaced rows, union the updates, atomic swap.
+  This is the no-dependency emulation of what Delta/Iceberg ``MERGE`` does
+  with transaction-log atomicity; the write-to-temp + rename here is atomic
+  only per-directory on a local/HDFS-like filesystem (documented trade; on
+  a real deployment you'd put Delta under the same call signature).
+
+Both are pure DataFrame plans — the shuffle moves data once, nothing flows
+through the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API (works for
+    any supported scheme, not just file://)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    return fs.getContentSummary(p).getLength()
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite ``src_dir`` into ``dst_dir`` as ceil(bytes/target) files.
+    Returns the file count written. ``sort_cols`` sorts within partitions
+    (no global sort) so parquet row-group min/max stats serve range
+    predicates afterward."""
+    df = spark.read.parquet(src_dir)
+    n_files = max(1, math.ceil(_dir_bytes(spark, src_dir) / target_file_bytes))
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return n_files
+
+
+def upsert_parquet(
+    spark: SparkSession, table_dir: str, updates: DataFrame, key: str
+) -> None:
+    """Merge ``updates`` into the parquet table at ``table_dir`` by ``key``:
+    rows whose key appears in ``updates`` are replaced, new keys appended.
+    The merged result is written to a sibling temp dir and swapped in via
+    rename, so a reader never sees a half-written table; the swap is atomic
+    per-directory on local/HDFS filesystems (use Delta/Iceberg for
+    object-store deployments)."""
+    current = spark.read.parquet(table_dir)
+    merged = current.join(
+        updates.select(key).distinct(), key, "left_anti"
+    ).unionByName(updates.select(*current.columns))
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = path.getFileSystem(hconf)
+    tmp = jvm.org.apache.hadoop.fs.Path(table_dir + "__upsert_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(table_dir + "__upsert_old")
+
+    merged.write.mode("overwrite").parquet(tmp.toString())
+    if not fs.rename(path, old):
+        raise IOError(f"upsert swap failed: could not move {table_dir} aside")
+    if not fs.rename(tmp, path):
+        fs.rename(old, path)  # roll back
+        raise IOError(f"upsert swap failed: could not move new data into place")
+    fs.delete(old, True)
+
+
+def streaming_upsert_sink(table_dir: str, key: str):
+    """foreachBatch function applying each micro-batch as an upsert — the
+    CDC-consumer pattern (latest record per key wins within the batch via
+    dropDuplicates before the merge)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        deduped = batch_df.dropDuplicates([key])
+        try:
+            upsert_parquet(spark, table_dir, deduped, key)
+        except Exception as exc:
+            # first batch: table does not exist yet -> plain write
+            if "Path does not exist" in str(exc) or "PATH_NOT_FOUND" in str(exc):
+                deduped.write.mode("overwrite").parquet(table_dir)
+            else:
+                raise
+
+    return apply

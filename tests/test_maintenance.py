@@ -1,0 +1,73 @@
+"""Compaction and upsert maintenance operators."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.sources.maintenance import (
+    compact_parquet_dir,
+    streaming_upsert_sink,
+    upsert_parquet,
+)
+
+
+def _parquet_files(path):
+    return [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    src = str(tmp_path / "many")
+    # 40 tiny files (one per partition)
+    spark.range(0, 4000, 1, 40).withColumn("v", F.col("id") * 2).write.parquet(src)
+    assert len(_parquet_files(src)) == 40
+
+    dst = str(tmp_path / "compact")
+    compact_parquet_dir(spark, src, dst, target_file_bytes=10**9)
+    assert len(_parquet_files(dst)) == 1
+    # content preserved exactly
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == 4000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compaction_sort_within_partitions_gives_rowgroup_stats(spark, tmp_path):
+    src = str(tmp_path / "unsorted")
+    spark.range(0, 1000, 1, 10).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("v")
+    ).write.parquet(src)
+    dst = str(tmp_path / "sorted")
+    compact_parquet_dir(spark, src, dst, target_file_bytes=10**9, sort_cols=["k"])
+    got = [r.k for r in spark.read.parquet(dst).collect()]
+    # single output partition sorted by k
+    assert got == sorted(got)
+
+
+def test_upsert_replaces_and_appends(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    ).write.parquet(table)
+    updates = spark.createDataFrame([(2, "B2"), (4, "d")], "k int, v string")
+    upsert_parquet(spark, table, updates, "k")
+    got = dict((r.k, r.v) for r in spark.read.parquet(table).collect())
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_streaming_upsert_sink_cdc(spark, tmp_path):
+    """CDC pattern: each micro-batch upserts; last state per key wins."""
+    table = str(tmp_path / "cdc_tbl")
+    sink = streaming_upsert_sink(table, "k")
+    b0 = spark.createDataFrame([(1, "a0"), (2, "b0")], "k int, v string")
+    b1 = spark.createDataFrame([(2, "b1"), (3, "c1")], "k int, v string")
+    sink(b0, 0)
+    sink(b1, 1)
+    got = dict((r.k, r.v) for r in spark.read.parquet(table).collect())
+    assert got == {1: "a0", 2: "b1", 3: "c1"}
