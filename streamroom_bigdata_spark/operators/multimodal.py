@@ -105,3 +105,57 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return assets.mapInPandas(extract, DECODE_SCHEMA)
+
+
+FRAME_SIZE = 32     # bytes per "frame" of the payload
+SAMPLE_EVERY = 4    # keep every 4th frame
+
+frame_sample_oracle = f"""
+WITH f AS (
+  SELECT doc_id AS asset_id, text,
+         unnest(range(0, CAST(floor(length(text) / {FRAME_SIZE}) AS BIGINT),
+                      {SAMPLE_EVERY})) AS frame_idx
+  FROM documents
+  WHERE length(text) >= {FRAME_SIZE}
+)
+SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+       sha256(substr(text, CAST(frame_idx * {FRAME_SIZE} + 1 AS BIGINT),
+                     {FRAME_SIZE})) AS frame_hash
+FROM f
+"""
+
+
+@register("multimodal_frame_sample", frame_sample_oracle)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over binary payloads (L5): treat the payload
+    as FRAME_SIZE-byte frames and keep every SAMPLE_EVERY-th — the
+    video-keyframe access pattern, as a pure-plan explode + binary substring
+    (one row → many frames, no Python). The oracle slices the text and
+    encodes it, which is byte-identical for the ASCII fixture; real media
+    bytes would keep the Spark side unchanged."""
+    assets = multimodal_table(spark, sf_dir).select("asset_id", "payload")
+    n_frames = F.floor(F.octet_length("payload") / FRAME_SIZE)
+    return (
+        assets.filter(F.octet_length("payload") >= FRAME_SIZE)
+        .select(
+            "asset_id",
+            "payload",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    (n_frames - 1).cast("bigint"),
+                    F.lit(SAMPLE_EVERY).cast("bigint"),
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "asset_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.sha2(
+                F.expr(
+                    f"substring(payload, frame_idx * {FRAME_SIZE} + 1, {FRAME_SIZE})"
+                ),
+                256,
+            ).alias("frame_hash"),
+        )
+    )
