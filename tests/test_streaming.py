@@ -556,3 +556,48 @@ def test_full_pipeline_csv_to_recommendation(spark, tmp_path):
         # both rooms booked once, equal usage -> collab = 1.0, avail = 0.5
         assert abs(r.final_score - (0.5 + 0.3 * 1.0 + 0.2 * 0.5)) < 1e-9
         assert r.rnk <= 3
+
+
+def test_silver_rollup_incremental_upsert(spark, tmp_path):
+    """Medallion silver layer: streaming tumbling agg upserted per batch —
+    after both micro-batches the silver table equals the batch recompute
+    over all rows (including a window UPDATED by the second batch)."""
+    from streamroom_bigdata_spark.streaming import silver as sv
+
+    rows_b0 = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00", "user_id": 1, "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:20:00", "user_id": 2, "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T01:10:00", "user_id": 1, "value": 3.0},
+    ]
+    # second batch adds to the 00:00 window (updates it) and opens 02:00
+    rows_b1 = [
+        {"event_id": 4, "ts": "2024-01-01T00:40:00", "user_id": 3, "value": 4.0},
+        {"event_id": 5, "ts": "2024-01-01T02:05:00", "user_id": 1, "value": 5.0},
+    ]
+    stream = _stream_events(spark, tmp_path, [rows_b0, rows_b1]).withColumn(
+        "event_type", F.lit("x")
+    )
+    q = sv.start_silver_rollup(
+        stream,
+        str(tmp_path / "silver"),
+        str(tmp_path / "silver_ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        pd.DataFrame(rows_b0 + rows_b1).assign(ts=lambda d: pd.to_datetime(d.ts)),
+        EVENTS_DDL,
+    ).withColumn("event_type", F.lit("x"))
+    expected = {
+        r.wkey: (r.n_events, r.sum_value)
+        for r in sv.silver_rollup_frame(all_rows).collect()
+    }
+    got = {
+        r.wkey: (r.n_events, r.sum_value)
+        for r in spark.read.parquet(str(tmp_path / "silver")).collect()
+    }
+    assert got == expected
+    # the 00:00 window was genuinely updated across batches (3 events total)
+    updated = [v for k, v in got.items() if k.startswith("2024-01-01 00:00")]
+    assert updated == [(3, 7.0)]
