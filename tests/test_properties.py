@@ -82,3 +82,61 @@ def test_wire_roundtrip_preserves_fields(spark, booking_id, students):
     assert parsed.students == students
     assert parsed.source_type == "fixed_booking"
     assert parsed.capacity is None
+
+
+@given(
+    n_events=st.integers(min_value=1, max_value=60),
+    n_users=st.integers(min_value=1, max_value=5),
+    gap_min=st.integers(min_value=1, max_value=120),
+)
+@SPARK_SETTINGS
+def test_sessionize_invariants(spark, n_events, n_users, gap_min):
+    """Sessions PARTITION the events: counts sum to N; per user, session
+    intervals are disjoint and consecutive sessions are > gap apart."""
+    import datetime as dt
+
+    from streamroom_bigdata_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i % n_users,
+            i,
+            t0 + dt.timedelta(minutes=(i * 17) % (gap_min * 4 * n_events)),
+            float(i),
+        )
+        for i in range(n_events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    sessions = sessionize(df, gap_ms=gap_min * 60_000).collect()
+    assert sum(s.n_events for s in sessions) == n_events
+    by_user = {}
+    for s in sessions:
+        assert s.session_start <= s.session_end
+        by_user.setdefault(s.user_id, []).append(s)
+    for sess in by_user.values():
+        sess.sort(key=lambda s: s.session_start)
+        for a, b in zip(sess, sess[1:]):
+            gap = (b.session_start - a.session_end).total_seconds() / 60
+            assert gap > gap_min  # strictly more than the threshold apart
+
+
+@given(n_parts=st.integers(min_value=1, max_value=9))
+@SPARK_SETTINGS
+def test_bernoulli_sample_stable_under_partitioning(spark, n_parts):
+    """The hash sample must select the SAME rows regardless of physical
+    partitioning — the retry/cluster-size-independence guarantee rand()
+    sampling cannot give."""
+    from streamroom_bigdata_spark.functions.hashing import portable_hash_mod
+
+    base = spark.range(0, 500).withColumn(
+        "keep", portable_hash_mod(F.col("id").cast("string"), 100) < 10
+    )
+    expected = {r.id for r in base.filter("keep").collect()}
+    got = {
+        r.id
+        for r in base.repartition(n_parts).filter("keep").collect()
+    }
+    assert got == expected
