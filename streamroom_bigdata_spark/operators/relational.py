@@ -522,3 +522,69 @@ def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "latest_per_key",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+      ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key (the CDC / snapshot-compaction query): one
+    window rank per user, partial top-k per partition before the final
+    rank — never a global sort."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "full_outer_usage",
+    """
+    SELECT coalesce(p.p_partkey, l.l_partkey) AS part_key,
+           p.p_brand,
+           l.cnt,
+           p.p_partkey IS NOT NULL AS in_catalog,
+           l.l_partkey IS NOT NULL AS has_usage
+    FROM part p
+    FULL OUTER JOIN (
+      SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ) l ON p.p_partkey = l.l_partkey
+    """,
+)
+def full_outer_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (set-reconciliation shape): catalog vs usage, keeping
+    unmatched rows from BOTH sides with side-membership flags."""
+    part = load_table(spark, sf_dir, "part")
+    usage = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        part.join(usage, part.p_partkey == usage.l_partkey, "full_outer")
+        .select(
+            F.coalesce("p_partkey", "l_partkey").alias("part_key"),
+            "p_brand",
+            "cnt",
+            F.col("p_partkey").isNotNull().alias("in_catalog"),
+            F.col("l_partkey").isNotNull().alias("has_usage"),
+        )
+    )
