@@ -21,7 +21,12 @@ Usage::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..schemas import ENTITIES
 
@@ -68,6 +73,34 @@ class SmartRoomSyntheticDataSource(DataSource):
 
     def reader(self, schema) -> "_SyntheticReader":
         return _SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "_SyntheticStreamReader":
+        return _SyntheticStreamReader(self.options)
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: each micro-batch emits the next ``rows_per_batch``
+    rows; the offset is the global row index, so recovery replays are exact
+    (``readBetweenOffsets`` regenerates any committed range — rows are a
+    pure function of the index, the retry-safety contract this API asks
+    for)."""
+
+    def __init__(self, options):
+        self.entity = options.get("entity", "fixed_booking")
+        self.rows_per_batch = int(options.get("rows_per_batch", 10))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def read(self, start):
+        gen = _GEN_COLUMNS[self.entity]
+        s = start["index"]
+        end = {"index": s + self.rows_per_batch}
+        return iter([gen(i) for i in range(s, s + self.rows_per_batch)]), end
+
+    def readBetweenOffsets(self, start, end):
+        gen = _GEN_COLUMNS[self.entity]
+        return iter([gen(i) for i in range(start["index"], end["index"])])
 
 
 class _SyntheticReader(DataSourceReader):

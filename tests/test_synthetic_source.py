@@ -51,3 +51,33 @@ def test_synthetic_source_feeds_wire_pipeline(registered):
     rows = parsed.collect()
     assert len(rows) == 20
     assert all(r.source_type == "professors" for r in rows)
+
+
+def test_synthetic_stream_reader_emits_sequential_batches(registered, tmp_path):
+    """Streaming DataSource: offset-based micro-batches with exact replay."""
+    import time
+
+    q = (
+        registered.readStream.format("smartroom_synthetic")
+        .option("entity", "classroom")
+        .option("rows_per_batch", 5)
+        .load()
+        .writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "synth_ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if registered.sql("SELECT * FROM synth_stream").count() >= 10:
+                break
+            time.sleep(0.25)
+        rows = registered.sql("SELECT * FROM synth_stream").collect()
+        ids = sorted(int(r.classroom_id[1:]) for r in rows)
+        # sequential from 0, no gaps, no duplicates
+        assert ids[:10] == list(range(10))
+    finally:
+        q.stop()
