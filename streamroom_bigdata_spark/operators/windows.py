@@ -159,22 +159,26 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def normalized_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's normalize-by-global-max (processing.scala:88-98) as a
-    window expression — no driver round-trip. The empty-frame window runs on
-    the post-aggregation relation (|distinct partkeys| rows), never the fact
-    table, so the single-partition exchange is bounded."""
+    """The reference's normalize-by-global-max (processing.scala:88-98) with
+    no driver round-trip AND no data-sized single-partition funnel: the max
+    is a 1-row aggregate (partial per partition, then a 1-row final) joined
+    back by broadcast. An empty-frame window would funnel all |distinct
+    partkeys| rows through one partition — unbounded at 100 TB."""
     usage = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(F.count("*").alias("usage_count"))
     )
-    w = Window.partitionBy()
-    return usage.select(
-        "l_partkey",
-        "usage_count",
-        F.round(
-            F.col("usage_count").cast("double") / F.max("usage_count").over(w), 6
-        ).alias("collab_score"),
+    mx = usage.agg(F.max("usage_count").alias("_max_usage"))
+    return (
+        usage.join(F.broadcast(mx))
+        .select(
+            "l_partkey",
+            "usage_count",
+            F.round(
+                F.col("usage_count").cast("double") / F.col("_max_usage"), 6
+            ).alias("collab_score"),
+        )
     )
 
 
