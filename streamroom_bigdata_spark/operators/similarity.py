@@ -391,3 +391,40 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cosine_to_anchor_pandas",
+    """
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[],
+                                  (SELECT embedding::DOUBLE[] FROM embeddings
+                                   WHERE vec_id = 0))
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(
+                        (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0),
+                        (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)))),
+                 6) AS cosine_to_anchor
+    FROM embeddings
+    """,
+)
+def cosine_to_anchor_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 oracle surface for the Arrow-batched numpy scorer
+    (functions/vector.cosine_pandas): cosine of every vector against the
+    anchor (vec_id=0), scored by one einsum per Arrow batch. Hash-matches
+    the DuckDB float64 oracle at 6-decimal rounding — the pandas scorer's
+    correctness gate (its perf trade vs the HOF form is in BASELINE.md)."""
+    from ..functions.vector import cosine_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    anchor = emb.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("anchor_emb")
+    )
+    return emb.join(F.broadcast(anchor)).select(
+        "vec_id",
+        F.round(cosine_pandas(F.col("emb"), F.col("anchor_emb")), 6).alias(
+            "cosine_to_anchor"
+        ),
+    )
