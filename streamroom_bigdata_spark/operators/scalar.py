@@ -247,3 +247,56 @@ def cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
     )
+
+
+@register(
+    "array_functions",
+    """
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_toks,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           list_sort(list_distinct(string_split(text, ' ')))[
+             len(list_distinct(string_split(text, ' ')))] AS max_tok
+    FROM documents
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/list scalar surface (F-EXT): distinct, sort, slice, contains,
+    element_at — all built-in array expressions over tokenized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    uniq_sorted = F.array_sort(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.slice(uniq_sorted, 1, 5).alias("first_toks"),
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.element_at(uniq_sorted, F.size(uniq_sorted)).alias("max_tok"),
+    )
+
+
+@register(
+    "try_cast_surface",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           TRY_CAST(event_type AS INT) AS type_as_int,
+           coalesce(TRY_CAST(json_extract_string(props, '$.k') AS INT), -1)
+             AS k_or_default
+    FROM events
+    """,
+)
+def try_cast_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe casting surface (F11-EXT): Spark 4 runs ANSI mode, where a
+    bad cast RAISES — try_cast is the null-on-failure escape hatch, here
+    over JSON-extracted fields (numeric payload parses; the event_type
+    string never does)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return events.select(
+        "event_id",
+        k.alias("k_int"),
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        F.coalesce(k, F.lit(-1)).alias("k_or_default"),
+    )
