@@ -159,3 +159,27 @@ def test_quantile_summary_error_bound(spark, sf_dir):
         spread = e.hi - e.lo
         assert abs(a.p50 - e.p50) <= 0.01 * spread + 1e-6
         assert e.lo <= a.p25 <= a.p50 <= a.p75 <= a.p95 <= e.hi
+
+
+def test_profile_columns_with_nulls(spark):
+    from streamroom_bigdata_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a"), (None, "a")], "x int, y string"
+    )
+    got = {r.col_name: r for r in profile_columns(df, ["x", "y"]).collect()}
+    assert got["x"].n_rows == 3 and got["x"].n_nulls == 1
+    assert got["x"].n_distinct == 2 and got["x"].min_val == "1"
+    assert got["y"].n_nulls == 1 and got["y"].n_distinct == 1
+    # the unpivot itself is a zero-exchange row explosion; count_distinct
+    # adds its two-phase expand, so exactly 2 hash exchanges total
+    plan = (
+        profile_columns(df, ["x", "y"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "Exchange SinglePartition" not in plan
