@@ -63,10 +63,16 @@ def main() -> int:
     # an equally cold first run (on warm workers, as on a long-lived cluster).
     qs["global_stats"](spark, sf_dir).count()
 
+    # touch every fixture table once (parquet footers + page cache) so no
+    # headline query pays first-read IO that its peers don't
+    from streamroom_bigdata_spark.schemas import FIXTURE_TABLES
+    from streamroom_bigdata_spark.sources import load_table
+
+    for t in FIXTURE_TABLES:
+        load_table(spark, sf_dir, t).count()
+
     # one trivial pandas-UDF pass over every core, so the per-core Python
     # worker fork cost lands here instead of in the first pandas query
-    from pyspark.sql import functions as F
-
     n_part = spark.sparkContext.defaultParallelism
     spark.range(0, n_part * 10, 1, n_part).mapInPandas(
         lambda it: it, "id long"

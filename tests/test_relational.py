@@ -183,3 +183,14 @@ def test_profile_columns_with_nulls(spark):
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert "Exchange SinglePartition" not in plan
+
+
+def test_registry_driver_contract():
+    """Driver contract invariants: every oracle belongs to a registered
+    query, names are unique by construction, all entries callable."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert len(qs) >= 80
