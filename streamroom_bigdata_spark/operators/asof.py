@@ -235,3 +235,36 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_ms"),
         )
     )
+
+
+ASOF_TOLERANCE_MIN = 60
+
+_ASOF_TOLERANCE_ORACLE = f"""
+SELECT purchase_id, user_id, purchase_ts, purchase_value,
+       CASE WHEN last_view_ts >= purchase_ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+            THEN last_view_value END AS last_view_value,
+       CASE WHEN last_view_ts >= purchase_ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+            THEN last_view_ts END AS last_view_ts
+FROM ({_ASOF_ORACLE})
+"""
+
+
+@register("asof_join_tolerance", _ASOF_TOLERANCE_ORACLE)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (J6, pandas merge_asof's
+    ``tolerance=``): a view older than ASOF_TOLERANCE_MIN before the
+    purchase doesn't attribute. Same single-shuffle window plan as
+    ``asof_join`` with a post-projection — stale matches null out, no extra
+    exchange."""
+    base = asof_join(spark, sf_dir)
+    fresh = F.col("last_view_ts") >= F.col("purchase_ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_MIN} MINUTES"
+    )
+    return base.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "purchase_value",
+        F.when(fresh, F.col("last_view_value")).alias("last_view_value"),
+        F.when(fresh, F.col("last_view_ts")).alias("last_view_ts"),
+    )
