@@ -70,3 +70,86 @@ def running_stats_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful sessionizer (T10): arbitrary per-key session state with
+# event-time timeout — the streaming complement of the batch gaps-and-islands
+# sessionize (operators/sessions.py) and the built-in session_window (T9).
+# Use this shape when a closing session must trigger custom logic the
+# built-in window can't express.
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long, s double"
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _session_row(key, start_ms, last_ms, n, s):
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "session_start": [pd.Timestamp(start_ms, unit="ms")],
+            "session_end": [pd.Timestamp(last_ms, unit="ms")],
+            "n_events": [n],
+            "sum_value": [round(s, 6)],
+        }
+    )
+
+
+def _update_session(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # watermark passed last_event + gap: the open session is final
+        (start_ms, last_ms, n, s) = state.get
+        state.remove()
+        yield _session_row(key, start_ms, last_ms, n, s)
+        return
+
+    rows = []
+    for pdf in pdfs:
+        ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        rows.extend(zip(ms, pdf["value"].tolist()))
+    rows.sort()
+
+    cur = list(state.get) if state.exists else None
+    out = []
+    for ts_ms, v in rows:
+        if cur is None:
+            cur = [ts_ms, ts_ms, 0, 0.0]
+        elif ts_ms - cur[1] > SESSION_GAP_MS:
+            out.append(tuple(cur))
+            cur = [ts_ms, ts_ms, 0, 0.0]
+        cur[1] = max(cur[1], ts_ms)
+        cur[2] += 1
+        cur[3] += float(v)
+    state.update(tuple(cur))
+    # the open session finalizes when the WATERMARK (not wall clock) passes
+    # its gap horizon — late events within the watermark still extend it
+    state.setTimeoutTimestamp(cur[1] + SESSION_GAP_MS)
+    for start_ms, last_ms, n, s in out:
+        yield _session_row(key, start_ms, last_ms, n, s)
+
+
+def sessionize_stateful(events: DataFrame, watermark: str = "15 minutes") -> DataFrame:
+    """Streaming sessionization with explicit state: sessions closed by an
+    in-batch gap emit immediately; the open session emits when the event-time
+    watermark passes its gap horizon. State per key is one 4-tuple — bounded
+    regardless of traffic."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_session,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -71,3 +71,16 @@ def test_streaming_upsert_sink_cdc(spark, tmp_path):
     sink(b1, 1)
     got = dict((r.k, r.v) for r in spark.read.parquet(table).collect())
     assert got == {1: "a0", 2: "b1", 3: "c1"}
+
+
+def test_streaming_upsert_sink_idempotent_on_batch_replay(spark, tmp_path):
+    """foreachBatch redelivery (failure/restart) must not corrupt the table:
+    applying the same batch twice is a no-op — keyed upsert is idempotent."""
+    table = str(tmp_path / "replay_tbl")
+    sink = streaming_upsert_sink(table, "k")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    sink(b0, 0)
+    once = sorted(map(tuple, spark.read.parquet(table).collect()))
+    sink(b0, 0)  # redelivery of the same batch
+    twice = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert once == twice == [(1, "a"), (2, "b")]

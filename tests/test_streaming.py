@@ -601,3 +601,66 @@ def test_silver_rollup_incremental_upsert(spark, tmp_path):
     # the 00:00 window was genuinely updated across batches (3 events total)
     updated = [v for k, v in got.items() if k.startswith("2024-01-01 00:00")]
     assert updated == [(3, 7.0)]
+
+
+def test_stateful_sessionizer_unit():
+    """_update_session: in-batch gap closes a session immediately; open
+    session persists in state with an event-time timeout at last+gap;
+    timeout invocation emits the final session and clears state."""
+    _FakeGroupState.setTimeoutTimestamp = lambda self, ts: setattr(
+        self, "timeout_ts", ts
+    )
+    gap = stateful.SESSION_GAP_MS
+    t0 = pd.Timestamp("2024-01-01")
+    ms0 = int(t0.value // 1_000_000)
+    batch = pd.DataFrame(
+        {
+            "ts": [
+                t0,
+                t0 + pd.Timedelta(minutes=10),
+                t0 + pd.Timedelta(minutes=90),  # > 30 min gap -> new session
+            ],
+            "value": [1.0, 2.0, 5.0],
+        }
+    )
+    state = _FakeGroupState()
+    out = list(stateful._update_session((1,), iter([batch]), state))
+    assert len(out) == 1  # first session closed by the gap
+    closed = out[0]
+    assert closed.loc[0, "n_events"] == 2 and closed.loc[0, "sum_value"] == 3.0
+    # open session: one event at +90min, timeout at last+gap
+    assert state.get == (ms0 + 90 * 60_000, ms0 + 90 * 60_000, 1, 5.0)
+    assert state.timeout_ts == ms0 + 90 * 60_000 + gap
+
+    # watermark passes the horizon -> timeout emits the final session
+    timed_out = _FakeGroupState(value=state.get, timed_out=True)
+    final = list(stateful._update_session((1,), iter([]), timed_out))
+    assert len(final) == 1 and final[0].loc[0, "n_events"] == 1
+    assert timed_out.removed
+
+
+def test_stateful_sessionizer_stream_end_to_end(spark, tmp_path):
+    """Streaming sessionizer: gap-closed sessions emit as batches arrive;
+    late batches advance the watermark and flush the pending session."""
+    rows = lambda specs: [
+        {"event_id": i, "ts": ts, "user_id": 1, "value": float(v)}
+        for i, (ts, v) in enumerate(specs)
+    ]
+    batches = [
+        rows([("2024-01-01T00:00:00", 1), ("2024-01-01T00:10:00", 2)]),
+        # 01:00 starts a new session -> closes the 00:00 session in-batch
+        rows([("2024-01-01T01:00:00", 5)]),
+        # far-future rows march the watermark past 01:30 so the 01:00
+        # session times out (watermark takes effect one batch later)
+        rows([("2024-01-01T03:00:00", 7)]),
+        rows([("2024-01-01T05:00:00", 9)]),
+    ]
+    stream = _stream_events(spark, tmp_path, batches)
+    out = stateful.sessionize_stateful(stream, watermark="1 minute")
+    _run_to_memory(out, "sess_state_sink", "append")
+    got = {
+        (r.session_start.isoformat(), r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_state_sink").collect()
+    }
+    assert ("2024-01-01T00:00:00", 2, 3.0) in got
+    assert ("2024-01-01T01:00:00", 1, 5.0) in got
