@@ -186,3 +186,34 @@ def bloom_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1.0)
         .alias("availability_score"),
     )
+
+
+def bloom_filtered_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    fpp: float = 0.01,
+    how: str = "inner",
+) -> DataFrame:
+    """Runtime-filter join (the shuffle reducer, SURVEY.md §4.3): when the
+    small side is too big to broadcast but most big-side rows won't match,
+    build a Bloom sketch of the small side's keys and pre-filter the big
+    side BEFORE its shuffle. False positives only — they just ride the
+    shuffle and drop in the exact join — so the result is identical to the
+    plain join (asserted in tests/test_bloom.py).
+
+    At 100 TB: the big side's shuffle shrinks by (1 − selectivity); the
+    sketch costs one pass over the small side's keys plus O(sketch bytes)
+    through the driver (tree-merged build above). This is the manual form
+    of the row-level runtime filters Spark injects for some join shapes —
+    usable on any join, including ones the optimizer won't cover."""
+    spark = big.sparkSession
+    approx_n = (
+        small.agg(F.approx_count_distinct(small_key).alias("n")).first().n
+    )
+    sketch = build_bloom(
+        small, small_key, expected_items=max(1024, int(approx_n * 1.2)), fpp=fpp
+    )
+    pre = big.filter(might_contain(spark, sketch, F.col(big_key)))
+    return pre.join(small, pre[big_key] == small[small_key], how)

@@ -89,3 +89,25 @@ def test_bloom_availability_vs_exact(spark, sf_dir):
         elif score == 0.5:
             false_pos += 1
     assert false_pos / max(1, n_parts - len(truly_booked)) < 0.05
+
+
+def test_bloom_filtered_join_equals_plain_join(spark, sf_dir):
+    """The runtime-filter join must be result-identical to the plain join
+    (false positives survive the pre-filter but drop in the exact join)."""
+    from streamroom_bigdata_spark.operators.bloom import bloom_filtered_join
+    from streamroom_bigdata_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # a selective small side: high-priority orders only
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+    )
+    got = bloom_filtered_join(li, orders, "l_orderkey", "o_orderkey")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    assert got.count() == plain.count()
+    h = lambda df: df.select(
+        F.sum(F.hash("l_orderkey", "l_partkey", "o_totalprice")).alias("h")
+    ).collect()[0].h
+    assert h(got) == h(plain)
