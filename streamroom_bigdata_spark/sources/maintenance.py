@@ -106,3 +106,21 @@ def streaming_upsert_sink(table_dir: str, key: str):
                 raise
 
     return apply
+
+
+def write_range_partitioned(
+    df: DataFrame, dst_dir: str, col: str, n_files: int
+) -> None:
+    """Range-partitioned, sorted layout: repartitionByRange assigns disjoint
+    key ranges to files (via a sampled range exchange), sortWithinPartitions
+    orders rows inside each. Result: parquet file/row-group min-max stats
+    are disjoint along ``col``, so a range predicate prunes whole files at
+    planning time — the layout half of making 100 TB range scans cheap
+    (verified against real parquet footer statistics in
+    tests/test_maintenance.py)."""
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )

@@ -84,3 +84,35 @@ def test_streaming_upsert_sink_idempotent_on_batch_replay(spark, tmp_path):
     sink(b0, 0)  # redelivery of the same batch
     twice = sorted(map(tuple, spark.read.parquet(table).collect()))
     assert once == twice == [(1, "a"), (2, "b")]
+
+
+def test_range_partitioned_write_disjoint_file_stats(spark, tmp_path):
+    """The written files' parquet footer min/max ranges along the sort
+    column must be pairwise disjoint — the property range pruning needs."""
+    import pyarrow.parquet as pq
+
+    from streamroom_bigdata_spark.sources.maintenance import (
+        write_range_partitioned,
+    )
+
+    dst = str(tmp_path / "ranged")
+    df = spark.range(0, 10_000, 1, 16).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    write_range_partitioned(df, dst, "k", 8)
+
+    ranges = []
+    for f in sorted(_parquet_files(dst)):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint: file N's max below file N+1's min
+    # content intact
+    assert spark.read.parquet(dst).count() == 10_000
