@@ -470,3 +470,85 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bit_sums.select(
         "doc_id", simhash.cast("bigint").alias("simhash")
     )
+
+
+dedup_clusters_oracle = f"""
+WITH RECURSIVE pairs AS (
+  {near_dup_oracle}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT id AS doc_id, min(r) AS component
+FROM reach GROUP BY id
+"""
+
+
+@register("dedup_clusters", dedup_clusters_oracle)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS (L2 completion): connected components over
+    the near-dup pair graph, labeling every clustered document with the
+    minimum doc_id of its component — the canonical-representative step a
+    dedup pipeline runs after pair generation (keep min doc_id, drop the
+    rest).
+
+    Algorithm: hash-min label propagation — each iteration joins labels to
+    the (symmetrized) edge list and takes the min over neighbors; converges
+    in O(component diameter) rounds (near-dup components are near-cliques,
+    so 1-2). Each round is one shuffle join + aggregate; ``localCheckpoint``
+    truncates lineage so plans don't grow with iterations. The driver sees
+    only the per-round changed-count — the iterative-algorithm shape that
+    scales (same loop structure at any data size, rounds bounded by graph
+    diameter, not size)."""
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).toDF("src", "dst")
+    edges = edges.localCheckpoint()  # pairs pipeline runs once, not per round
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(20):  # diameter bound; near-dup graphs converge in 1-3
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("nc")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nc").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("min_nbr", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
