@@ -414,3 +414,56 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "n_phones"
         ),
     )
+
+
+HH_CAPACITY = 64   # Misra-Gries counters per partition
+HH_TOP_K = 10
+
+
+def heavy_hitter_candidates(
+    tokens: DataFrame, col: str = "tok", capacity: int = HH_CAPACITY
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: each partition emits at most
+    ``capacity`` candidate values. Guarantee: any value with global
+    frequency > n_partition_rows/capacity survives its partition's summary,
+    so the union of candidates contains every global heavy hitter — the
+    exact recount pass then fixes the counts. Driver/shuffle traffic is
+    O(partitions × capacity), independent of data size."""
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    # decrement-all step (dict rebuild keeps it O(capacity))
+                    counters = {
+                        key: c - 1 for key, c in counters.items() if c > 1
+                    }
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return tokens.mapInPandas(mg, f"{col} string").distinct()
+
+
+@register("heavy_hitter_tokens")
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass exact heavy hitters (the 100 TB top-k-frequent shape):
+    pass 1 — Misra-Gries candidates per partition (bounded memory, no
+    shuffle); pass 2 — exact count of ONLY the candidate set (semi-join
+    then groupBy on a tiny key domain), take top-k. Rows-only checked
+    (partitioning-dependent candidate sets aren't SQL); the guarantee —
+    candidates ⊇ all true top-k, recounts exact — is property-tested
+    against token_frequencies."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    cands = heavy_hitter_candidates(tokens)
+    return (
+        tokens.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(HH_TOP_K)
+    )

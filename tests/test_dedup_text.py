@@ -172,3 +172,19 @@ def test_pii_redaction_semantics(spark):
     assert got[2].redacted == "ssn-ish <ID> and card <ID> end"
     assert got[3].redacted == rows[2][1]
     assert got[3].n_emails == 0 and got[3].n_phones == 0
+
+
+def test_heavy_hitters_match_exact_topk(spark, sf_dir):
+    """Misra-Gries candidates must contain every true top-k token, and the
+    recount pass must produce exactly the true top-k with exact counts."""
+    from streamroom_bigdata_spark.operators.text import (
+        HH_TOP_K,
+        heavy_hitter_tokens,
+        token_frequencies,
+    )
+
+    got = [(r.tok, r.n) for r in heavy_hitter_tokens(spark, sf_dir).collect()]
+    exact = [
+        (r.tok, r.n) for r in token_frequencies(spark, sf_dir).collect()
+    ][:HH_TOP_K]
+    assert got == exact
