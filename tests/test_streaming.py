@@ -664,3 +664,42 @@ def test_stateful_sessionizer_stream_end_to_end(spark, tmp_path):
     }
     assert ("2024-01-01T00:00:00", 2, 3.0) in got
     assert ("2024-01-01T01:00:00", 1, 5.0) in got
+
+
+def test_stream_static_join_enriches_batches(spark, tmp_path):
+    """Stream-static join (T-surface): a streaming fact joined to a static
+    dimension — the dimension is re-resolved per micro-batch, no watermark
+    needed on the static side."""
+    static_dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id int, tier string"
+    )
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 5.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 2, "value": 6.0},
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 9, "value": 7.0},
+    ]
+    stream = _stream_events(spark, tmp_path, [rows])
+    joined = stream.join(static_dim, "user_id", "left")
+    _run_to_memory(joined, "ss_join_sink", "append")
+    got = {r.event_id: r.tier for r in spark.sql("SELECT * FROM ss_join_sink").collect()}
+    assert got == {1: "gold", 2: "basic", 3: None}
+
+
+def test_malformed_wire_records_parse_to_nulls(spark):
+    """S5 robustness: a corrupt JSON line must not kill the stream — it
+    parses to an all-null row (from_json semantics), and valid records in
+    the same batch are unaffected."""
+    raw = spark.createDataFrame(
+        [
+            ('{"classroom_id": "C1", "capacity": 40, "source_type": "classroom"}',),
+            ("{not json at all",),
+            ("",),
+        ],
+        "value string",
+    )
+    rows = parse_wire(raw).collect()
+    assert len(rows) == 3
+    ok = [r for r in rows if r.classroom_id == "C1"]
+    assert len(ok) == 1 and ok[0].capacity == 40
+    bad = [r for r in rows if r.classroom_id is None]
+    assert len(bad) == 2 and all(r.source_type is None for r in bad)
