@@ -90,6 +90,8 @@ def batch_neardup_filter(
     spark = docs.sparkSession
     bands = _bands_of(_signatures(docs))
 
+    from pyspark.errors import AnalysisException
+
     dup_vs_history = None
     try:
         index = spark.read.parquet(index_dir)
@@ -98,8 +100,9 @@ def batch_neardup_filter(
             .select(bands.doc_id.alias("dup_id"))
             .distinct()
         )
-    except Exception:  # first batch: no index yet
-        pass
+    except AnalysisException as exc:  # first batch: no index yet
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
 
     # within-batch: earliest doc_id of a colliding band bucket wins
     a = bands.alias("a")
