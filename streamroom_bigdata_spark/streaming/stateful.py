@@ -114,7 +114,11 @@ def _update_session(
 
     rows = []
     for pdf in pdfs:
-        ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        # normalize to ns first — Arrow may deliver datetime64 in us or ns
+        # depending on pandas/Arrow versions, and int64 ticks follow the unit
+        ms = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+        ).tolist()
         rows.extend(zip(ms, pdf["value"].tolist()))
     rows.sort()
 
