@@ -1,0 +1,102 @@
+"""End-to-end corpus curation (the LLM-data flagship, SURVEY.md §2.11).
+
+One composed plan — the pipeline every pretraining-data run executes:
+
+1. quality gate      — Gopher-style ratio thresholds (operators/text.py)
+2. exact dedup       — keep the min doc_id per content hash
+3. near-dup dedup    — keep each MinHash-LSH cluster's representative
+                       (min doc_id of its connected component)
+
+Everything stays declarative: the three stages are semi/anti joins over the
+existing operators' outputs, so Catalyst sees ONE plan — filters push into
+the shared documents scan, and the only data-sized shuffles are the ones
+the component operators already pay (content-hash aggregate, band
+self-join, label propagation). The DuckDB oracle recomputes the identical
+pipeline (including the connected components, via recursive CTE), so the
+whole composition is hash-checked end to end — not just its pieces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .dedup import dedup_clusters, near_dup_oracle
+from .text import STOPWORDS, _SW_LIST
+
+curation_pipeline_oracle = f"""
+WITH RECURSIVE quality AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           len(list_filter(toks, t -> t IN ({_SW_LIST})))::DOUBLE
+             / len(toks) AS stopword_ratio,
+           len(list_distinct(toks))::DOUBLE / len(toks) AS unique_ratio,
+           len(toks) AS n_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+  WHERE n_tokens >= 20 AND stopword_ratio BETWEEN 0.05 AND 0.6
+        AND unique_ratio >= 0.2
+), exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+), pairs AS (
+  {near_dup_oracle}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN quality USING (doc_id)
+JOIN exact_keep USING (doc_id)
+LEFT JOIN comp USING (doc_id)
+WHERE comp.component IS NULL OR comp.component = d.doc_id
+"""
+
+
+@register("curation_pipeline", curation_pipeline_oracle)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated corpus: documents that pass the quality gate, represent
+    their exact-duplicate group, and represent (or are outside) their
+    near-duplicate cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    toks = F.split("text", " ")
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    unique_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    quality = docs.filter(
+        (F.size(toks) >= 20)
+        & stopword_ratio.between(0.05, 0.6)
+        & (unique_ratio >= 0.2)
+    ).select("doc_id")
+
+    exact_keep = (
+        docs.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    clusters = dedup_clusters(spark, sf_dir)
+    non_representatives = clusters.filter(
+        F.col("doc_id") != F.col("component")
+    ).select("doc_id")
+
+    return (
+        docs.join(quality, "doc_id", "left_semi")
+        .join(exact_keep, "doc_id", "left_semi")
+        .join(non_representatives, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )

@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "streamroom_bigdata_spark.operators.similarity",
     "streamroom_bigdata_spark.operators.sampling",
     "streamroom_bigdata_spark.operators.profile",
+    "streamroom_bigdata_spark.operators.curation",
     "streamroom_bigdata_spark.operators.sessions",
     "streamroom_bigdata_spark.operators.multimodal",
     "streamroom_bigdata_spark.operators.bloom",
