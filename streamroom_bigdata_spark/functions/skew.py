@@ -28,8 +28,14 @@ def with_salt(
     Content-derived, so it is stable across task retries/recomputation —
     monotonically_increasing_id is NOT (a partial stage retry can renumber
     rows and duplicate/lose them through a salted join, SPARK-23207 class).
-    Identical rows share a salt; that only narrows spreading for exact
-    duplicates, which the two-phase aggregate handles anyway."""
+
+    Caveat: identical rows share a salt. For ``salted_count`` that's
+    harmless (the pre-aggregate collapses them). For ``salted_join_left``,
+    do NOT project the big side down to just the join key first — keep (or
+    pass via ``cols``) a high-cardinality column so the hot key's rows
+    actually spread; if the hot key's rows are full duplicates, the right
+    fix is to pre-aggregate them into (row, weight) before joining, not to
+    salt."""
     cols = [F.col(c) for c in (cols or df.columns)]
     return df.withColumn(
         col_name, F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")

@@ -207,7 +207,16 @@ def bloom_filtered_join(
     sketch costs one pass over the small side's keys plus O(sketch bytes)
     through the driver (tree-merged build above). This is the manual form
     of the row-level runtime filters Spark injects for some join shapes —
-    usable on any join, including ones the optimizer won't cover."""
+    usable on any join, including ones the optimizer won't cover.
+
+    Only join types where dropping non-matching BIG-side rows is sound are
+    accepted (inner / left_semi): pre-filtering the big side of a
+    'left'/'full'/'anti' join would delete rows the join must preserve."""
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(
+            f"bloom_filtered_join: how={how!r} would drop preserved-side "
+            "rows; only inner/left_semi are supported"
+        )
     spark = big.sparkSession
     approx_n = (
         small.agg(F.approx_count_distinct(small_key).alias("n")).first().n

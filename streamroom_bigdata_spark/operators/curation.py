@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources import load_table
 from .dedup import dedup_clusters, near_dup_oracle
-from .text import STOPWORDS, _SW_LIST
+from .text import (
+    _SW_LIST,
+    QUALITY_MIN_TOKENS,
+    QUALITY_MIN_UNIQUE,
+    QUALITY_SW_RANGE,
+    is_quality_col,
+)
 
 curation_pipeline_oracle = f"""
 WITH RECURSIVE quality AS (
@@ -36,8 +42,9 @@ WITH RECURSIVE quality AS (
            len(toks) AS n_tokens
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
   )
-  WHERE n_tokens >= 20 AND stopword_ratio BETWEEN 0.05 AND 0.6
-        AND unique_ratio >= 0.2
+  WHERE n_tokens >= {QUALITY_MIN_TOKENS}
+        AND stopword_ratio BETWEEN {QUALITY_SW_RANGE[0]} AND {QUALITY_SW_RANGE[1]}
+        AND unique_ratio >= {QUALITY_MIN_UNIQUE}
 ), exact_keep AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
 ), pairs AS (
@@ -71,17 +78,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate cluster."""
     docs = load_table(spark, sf_dir, "documents")
 
-    toks = F.split("text", " ")
-    stopword_ratio = (
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
-        / F.size(toks)
-    )
-    unique_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    quality = docs.filter(
-        (F.size(toks) >= 20)
-        & stopword_ratio.between(0.05, 0.6)
-        & (unique_ratio >= 0.2)
-    ).select("doc_id")
+    # the one shared gate definition (operators/text.is_quality_col) — the
+    # Spark side can't drift from text_quality's thresholds
+    quality = docs.filter(is_quality_col()).select("doc_id")
 
     exact_keep = (
         docs.groupBy(F.sha2("text", 256).alias("content_hash"))

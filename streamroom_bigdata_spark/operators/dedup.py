@@ -122,22 +122,22 @@ MH_A = [pow(31, i + 1, MH_P) for i in range(N_MINHASH)]
 MH_B = [pow(17, i + 1, MH_P) for i in range(N_MINHASH)]
 
 
-def exploded_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h) — one row per (document, distinct hashed shingle). The
-    flat, explode-first formulation everything downstream derives from:
-    signatures are a groupBy-min, set sizes a groupBy-count, and pair
-    intersections a join-count — no nested-array operations past this point.
+def exploded_shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) for ANY (doc_id, text) frame — one row per (document,
+    distinct hashed shingle). The flat, explode-first formulation everything
+    downstream derives from (batch queries here AND the streaming crawl
+    filter, streaming/neardup.py): signatures are a groupBy-min, set sizes a
+    groupBy-count, and pair intersections a join-count — no nested-array
+    operations past this point.
 
     Explode-THEN-hash matters: lambdas inside higher-order functions
     (``F.transform``) are evaluated interpreted, per element — an md5 chain
     there runs ~5x slower than the same md5 as a flat projection inside
     whole-stage codegen. Jaccard over hashed shingles equals Jaccard over
     the shingles up to 60-bit collisions (~1e-9)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.split("text", " ").alias("toks")
-    )
+    toks = docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
     n = SHINGLE_N
-    long = docs.filter(F.size("toks") >= n).select(
+    long = toks.filter(F.size("toks") >= n).select(
         "doc_id",
         "toks",
         F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
@@ -147,7 +147,7 @@ def exploded_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)]
         ).alias("s"),
     )
-    short = docs.filter(F.size("toks") < n).select("doc_id", F.col("text").alias("s"))
+    short = toks.filter(F.size("toks") < n).select("doc_id", F.col("text").alias("s"))
     return (
         long.unionByName(short)
         .select("doc_id", portable_hash_mod(F.col("s"), MH_P).alias("h"))
@@ -155,14 +155,19 @@ def exploded_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signature_df(
-    spark: SparkSession, sf_dir: str, exploded: DataFrame | None = None
-) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}) — min over affine-transformed shingle
-    hashes; one md5 per shingle, k integer transforms, one partial+final
-    min-agg shuffle on doc_id. Flat output → fast columnar-cache path."""
-    ex = exploded if exploded is not None else exploded_shingle_df(spark, sf_dir)
-    return ex.groupBy("doc_id").agg(
+def exploded_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`exploded_shingles_of` over the documents fixture table."""
+    return exploded_shingles_of(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def minhash_signatures_of(exploded: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) from an exploded-shingle frame — min over
+    affine-transformed shingle hashes; one md5 per shingle, k integer
+    transforms, one partial+final min-agg shuffle on doc_id. Flat output →
+    fast columnar-cache path."""
+    return exploded.groupBy("doc_id").agg(
         *[
             F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(
                 f"mh_{i}"
@@ -170,6 +175,33 @@ def minhash_signature_df(
             for i in range(N_MINHASH)
         ]
     )
+
+
+def minhash_signature_df(
+    spark: SparkSession, sf_dir: str, exploded: DataFrame | None = None
+) -> DataFrame:
+    """:func:`minhash_signatures_of` over the documents fixture table."""
+    ex = exploded if exploded is not None else exploded_shingle_df(spark, sf_dir)
+    return minhash_signatures_of(ex)
+
+
+def signature_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) — the LSH banding of a signature frame,
+    shared by batch candidate generation and the streaming band index."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(expr).alias("band_key"),
+                    )
+                    for b, expr in enumerate(_band_exprs())
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
 
 
 def _sql_minhash_cte(n_hash: int = N_MINHASH) -> str:
@@ -239,11 +271,18 @@ FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-# Hot-bucket cap (VERDICT r1 #5): a stop-phrase shingle shared by millions of
-# documents puts them all in one band bucket, making the bucket self-join
-# quadratic. Band keys whose document frequency exceeds this cap are dropped
-# from candidate generation — candidates per bucket are then ≤ cap²/2, and a
-# pair sharing a hot band is still found through any of its non-hot bands.
+# Hot-bucket cap (VERDICT r1 #5): a band bucket shared by many documents —
+# a stop-phrase shingle, or a template duplicated thousands of times — makes
+# the bucket self-join quadratic. Buckets over the cap switch from all-pairs
+# to CHAIN-LINKING: members sorted by doc_id are linked consecutively, which
+# generates O(bucket) candidates yet keeps every hot bucket CONNECTED, so
+# downstream connected-components clustering (dedup_clusters,
+# curation_pipeline) still groups mass-duplicated documents — dropping the
+# bucket outright would let a 2000-copy template evade dedup entirely.
+# Trade: the pair LIST for a hot bucket is its spanning chain, not all
+# pairs (near_dup_pairs under-reports pairs inside hot buckets; cluster
+# membership is preserved when consecutive copies verify, which
+# near-identical template copies do).
 NEAR_DUP_MAX_BUCKET = 1_000
 
 
@@ -262,33 +301,37 @@ def lsh_candidate_pairs(
     max_bucket_size: int | None = NEAR_DUP_MAX_BUCKET,
     log_dropped: bool = False,
 ) -> DataFrame:
-    """Distinct candidate (doc_a < doc_b) pairs from band-bucket collisions,
-    with hot buckets (> ``max_bucket_size`` docs) excluded before the
-    self-join so no bucket can go quadratic. The cap is a window count over
-    (band_id, band_key) — it shuffles on EXACTLY the key the self-join needs,
-    so the exchange is reused rather than recomputing the signature pipeline
-    for a separate hot-bucket aggregate, and nothing is collected or
-    broadcast. ``log_dropped=True`` runs one extra count job to report the
-    skipped buckets."""
-    if max_bucket_size is not None:
+    """Distinct candidate (doc_a < doc_b) pairs from band-bucket collisions.
+    Buckets at or under ``max_bucket_size`` contribute all pairs (the exact
+    LSH semantics); larger buckets contribute their doc_id-sorted spanning
+    CHAIN — O(bucket) candidates that keep the bucket connected for
+    clustering without going quadratic. The bucket count is a window over
+    (band_id, band_key) — it shuffles on EXACTLY the key the self-join and
+    the chain window need, so one exchange serves all three, and nothing is
+    collected or broadcast. ``log_dropped=True`` runs one extra count job
+    to report the chained buckets."""
+    if max_bucket_size is None:
+        normal, hot = bands, None
+    else:
         if log_dropped:
-            skipped = hot_bucket_report(bands, max_bucket_size).collect()
-            if skipped:
+            chained = hot_bucket_report(bands, max_bucket_size).collect()
+            if chained:
                 logger.warning(
-                    "near-dup LSH: skipping %d hot band bucket(s) over cap %d: %s",
-                    len(skipped),
+                    "near-dup LSH: chain-linking %d hot band bucket(s) over cap %d: %s",
+                    len(chained),
                     max_bucket_size,
-                    [(r.band_id, r.band_key, r.bucket_n) for r in skipped[:20]],
+                    [(r.band_id, r.band_key, r.bucket_n) for r in chained[:20]],
                 )
         w = Window.partitionBy("band_id", "band_key")
-        bands = (
-            bands.withColumn("_bucket_n", F.count("*").over(w))
-            .filter(F.col("_bucket_n") <= max_bucket_size)
-            .drop("_bucket_n")
+        counted = bands.withColumn("_bucket_n", F.count("*").over(w))
+        normal = counted.filter(F.col("_bucket_n") <= max_bucket_size).drop(
+            "_bucket_n"
         )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
+        hot = counted.filter(F.col("_bucket_n") > max_bucket_size)
+
+    a = normal.alias("a")
+    b = normal.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -296,8 +339,18 @@ def lsh_candidate_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    if hot is not None:
+        chain_w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+        chain = (
+            hot.withColumn("_prev", F.lag("doc_id").over(chain_w))
+            .filter(F.col("_prev").isNotNull())
+            .select(
+                F.col("_prev").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+        )
+        pairs = pairs.unionByName(chain)
+    return pairs.distinct()
 
 
 @register("near_dup_pairs", near_dup_oracle)
@@ -310,27 +363,12 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-count intersection (|A∩B| via equi-join on hash; |A∪B| =
     nA + nB − |A∩B|) — no n² compare and no nested-array ops anywhere, so
     every stage is a plain shuffle that scales linearly. Band buckets larger
-    than ``NEAR_DUP_MAX_BUCKET`` are dropped before the self-join (hot-key
-    guard) so no single stop-phrase bucket can go quadratic."""
+    than ``NEAR_DUP_MAX_BUCKET`` switch to chain-linked candidates (hot-key
+    guard) so no single bucket can go quadratic."""
     ex = exploded_shingle_df(spark, sf_dir).cache()
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sigs = minhash_signature_df(spark, sf_dir, exploded=ex)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.expr(expr).alias("band_key"),
-                    )
-                    for b, expr in enumerate(_band_exprs())
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
-
-    cand = lsh_candidate_pairs(bands)
+    cand = lsh_candidate_pairs(signature_bands(sigs))
 
     ex_a = ex.select(F.col("doc_id").alias("doc_a"), "h")
     ex_b = ex.select(F.col("doc_id").alias("doc_b"), "h")

@@ -56,14 +56,46 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+QUALITY_MIN_TOKENS = 20
+QUALITY_SW_RANGE = (0.05, 0.6)
+QUALITY_MIN_UNIQUE = 0.2
+
+
+def stopword_ratio_col():
+    # multiset stopword count (array_intersect would dedup) -> filter
+    toks = F.split("text", " ")
+    return (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+
+
+def unique_ratio_col():
+    toks = F.split("text", " ")
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+def is_quality_col():
+    """The quality gate as one boolean column — the single definition the
+    scoring query AND the curation pipeline share (operators/curation.py)."""
+    return (
+        (F.size(F.split("text", " ")) >= QUALITY_MIN_TOKENS)
+        & stopword_ratio_col().between(*QUALITY_SW_RANGE)
+        & (unique_ratio_col() >= QUALITY_MIN_UNIQUE)
+    )
+
+
 @register(
     "text_quality",
     f"""
     SELECT doc_id,
            round(stopword_ratio, 6) AS stopword_ratio,
            round(unique_ratio, 6) AS unique_ratio,
-           CAST(n_tokens >= 20 AND stopword_ratio BETWEEN 0.05 AND 0.6
-                AND unique_ratio >= 0.2 AS BOOLEAN) AS is_quality
+           CAST(n_tokens >= {QUALITY_MIN_TOKENS}
+                AND stopword_ratio BETWEEN {QUALITY_SW_RANGE[0]}
+                                       AND {QUALITY_SW_RANGE[1]}
+                AND unique_ratio >= {QUALITY_MIN_UNIQUE} AS BOOLEAN)
+             AS is_quality
     FROM (
       SELECT doc_id,
              len(list_filter(toks, t -> t IN ({_SW_LIST})))::DOUBLE
@@ -78,23 +110,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (L4): stopword ratio + vocabulary diversity gates —
     the Gopher-style heuristic filter shape, as pure column algebra."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    # multiset stopword count (array_intersect would dedup) -> filter
-    stopword_ratio = (
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
-        / F.size(toks)
-    )
-    unique_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    n_tokens = F.size(toks)
     return docs.select(
         "doc_id",
-        F.round(stopword_ratio, 6).alias("stopword_ratio"),
-        F.round(unique_ratio, 6).alias("unique_ratio"),
-        (
-            (n_tokens >= 20)
-            & stopword_ratio.between(0.05, 0.6)
-            & (unique_ratio >= 0.2)
-        ).alias("is_quality"),
+        F.round(stopword_ratio_col(), 6).alias("stopword_ratio"),
+        F.round(unique_ratio_col(), 6).alias("unique_ratio"),
+        is_quality_col().alias("is_quality"),
     )
 
 
@@ -424,11 +444,15 @@ def heavy_hitter_candidates(
     tokens: DataFrame, col: str = "tok", capacity: int = HH_CAPACITY
 ) -> DataFrame:
     """Per-partition Misra-Gries summaries: each partition emits at most
-    ``capacity`` candidate values. Guarantee: any value with global
-    frequency > n_partition_rows/capacity survives its partition's summary,
-    so the union of candidates contains every global heavy hitter — the
-    exact recount pass then fixes the counts. Driver/shuffle traffic is
-    O(partitions × capacity), independent of data size."""
+    ``capacity`` candidate values. The MG guarantee is frequency-relative:
+    a value with frequency > n_p/(capacity+1) WITHIN a partition survives
+    that partition's summary, so the candidate union contains every value
+    whose global share exceeds ~1/(capacity+1). It does NOT guarantee the
+    full top-k when the k-th value's share is below that bound — size
+    ``capacity`` ≫ k for the expected skew (e.g. for natural-language
+    tokens, whose rank-k share follows Zipf ≈ 0.1/k, capacity ≥ ~10·k).
+    Shuffle/driver traffic is O(partitions × capacity), independent of data
+    size."""
 
     def mg(batches):
         counters: dict = {}
@@ -450,13 +474,15 @@ def heavy_hitter_candidates(
 
 @register("heavy_hitter_tokens")
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-pass exact heavy hitters (the 100 TB top-k-frequent shape):
-    pass 1 — Misra-Gries candidates per partition (bounded memory, no
-    shuffle); pass 2 — exact count of ONLY the candidate set (semi-join
-    then groupBy on a tiny key domain), take top-k. Rows-only checked
-    (partitioning-dependent candidate sets aren't SQL); the guarantee —
-    candidates ⊇ all true top-k, recounts exact — is property-tested
-    against token_frequencies."""
+    """Two-pass heavy hitters (the 100 TB top-k-frequent shape): pass 1 —
+    Misra-Gries candidates per partition (bounded memory, no shuffle);
+    pass 2 — exact count of ONLY the candidate set (semi-join then groupBy
+    on a tiny key domain), take top-k. Counts are exact; completeness of
+    the top-k holds when the k-th value's global share exceeds
+    ~1/(HH_CAPACITY+1) (see :func:`heavy_hitter_candidates` — capacity 64
+    vs k=10 leaves ~6× headroom over the Zipf rank-10 share). Rows-only
+    checked (partitioning-dependent candidate sets aren't SQL); agreement
+    with the exact top-k from token_frequencies is property-tested."""
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(F.split("text", " ")).alias("tok"))
     cands = heavy_hitter_candidates(tokens)

@@ -58,24 +58,54 @@ def compact_parquet_dir(
     return n_files
 
 
+def _fs_path(spark: SparkSession, p: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(p)
+    return path.getFileSystem(hconf), path, jvm
+
+
+def recover_upsert(spark: SparkSession, table_dir: str) -> bool:
+    """Crash recovery for :func:`upsert_parquet`: if a previous swap died
+    between its two renames, the table lives at ``__upsert_old`` — move it
+    back. A stale ``__upsert_tmp`` (died before/during the tmp write) is
+    deleted. Returns True if anything was repaired. Called automatically by
+    upsert_parquet and the streaming sink, so a checkpoint replay after a
+    crash resumes instead of mistaking the swap gap for an empty table."""
+    fs, path, jvm = _fs_path(spark, table_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(table_dir + "__upsert_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(table_dir + "__upsert_old")
+    repaired = False
+    if fs.exists(old):
+        if fs.exists(path):
+            fs.delete(old, True)  # swap completed; old is leftover
+        else:
+            fs.rename(old, path)  # died mid-swap: restore
+        repaired = True
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+        repaired = True
+    return repaired
+
+
 def upsert_parquet(
     spark: SparkSession, table_dir: str, updates: DataFrame, key: str
 ) -> None:
     """Merge ``updates`` into the parquet table at ``table_dir`` by ``key``:
     rows whose key appears in ``updates`` are replaced, new keys appended.
-    The merged result is written to a sibling temp dir and swapped in via
-    rename, so a reader never sees a half-written table; the swap is atomic
-    per-directory on local/HDFS filesystems (use Delta/Iceberg for
-    object-store deployments)."""
+    The merge is written to a sibling temp dir first, so readers never see
+    partial DATA; the two-rename swap does leave a brief window where the
+    directory is absent (single-rename atomicity needs a manifest layer —
+    Delta/Iceberg — which this module deliberately stays below). Stale
+    tmp/old dirs from a crashed previous call are repaired first, so a
+    crash at any point is recoverable (tested)."""
+    recover_upsert(spark, table_dir)
     current = spark.read.parquet(table_dir)
     merged = current.join(
         updates.select(key).distinct(), key, "left_anti"
     ).unionByName(updates.select(*current.columns))
 
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(table_dir)
-    fs = path.getFileSystem(hconf)
+    fs, path, jvm = _fs_path(spark, table_dir)
     tmp = jvm.org.apache.hadoop.fs.Path(table_dir + "__upsert_tmp")
     old = jvm.org.apache.hadoop.fs.Path(table_dir + "__upsert_old")
 
@@ -88,18 +118,32 @@ def upsert_parquet(
     fs.delete(old, True)
 
 
-def streaming_upsert_sink(table_dir: str, key: str):
+def streaming_upsert_sink(table_dir: str, key: str, ts_col: str | None = None):
     """foreachBatch function applying each micro-batch as an upsert — the
-    CDC-consumer pattern (latest record per key wins within the batch via
-    dropDuplicates before the merge)."""
+    CDC-consumer pattern. Pass ``ts_col`` to make latest-wins deterministic
+    within a batch (highest ts kept per key); without it, duplicate keys in
+    one batch keep an arbitrary row (dropDuplicates semantics)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        deduped = batch_df.dropDuplicates([key])
+        if ts_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(key).orderBy(F.desc(ts_col))
+            deduped = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            deduped = batch_df.dropDuplicates([key])
+        # repair any crashed swap BEFORE interpreting PATH_NOT_FOUND as
+        # "first batch" — otherwise a replay could clobber the whole table
+        # with one batch's rows
+        recover_upsert(spark, table_dir)
         try:
             upsert_parquet(spark, table_dir, deduped, key)
         except Exception as exc:
-            # first batch: table does not exist yet -> plain write
             if "Path does not exist" in str(exc) or "PATH_NOT_FOUND" in str(exc):
                 deduped.write.mode("overwrite").parquet(table_dir)
             else:

@@ -50,10 +50,15 @@ def dispatch_entity(filename: str) -> str | None:
     dispatch. Returns None for unrecognized files (the reference returns a
     null parser and skips)."""
     name = os.path.basename(filename).lower()
-    if "bookings" in name and "onetime" not in name:
-        return "fixed_booking"
-    if "onetime" in name:
+    # one-time check comes FIRST and also accepts the underscored spelling:
+    # the reference's `contains("bookings") && !contains("onetime")` routes
+    # "one_time_bookings.csv" to the fixed parser, whose 7-field schema then
+    # silently drops every 8-field row under DROPMALFORMED — a deliberate
+    # deviation from producer.scala:65 to avoid that data-loss trap
+    if "onetime" in name or "one_time" in name:
         return "one_time_booking"
+    if "bookings" in name:
+        return "fixed_booking"
     for ent in ("courses", "sections", "professors", "classroom"):
         if ent in name:
             return ent

@@ -25,60 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash_mod
-from ..operators.dedup import MH_A, MH_B, MH_P, N_MINHASH, SHINGLE_N, _band_exprs
+from ..operators.dedup import (
+    exploded_shingles_of,
+    minhash_signatures_of,
+    signature_bands,
+)
 
 __all__ = ["streaming_neardup_sink", "batch_neardup_filter"]
-
-
-def _bands_of(sigs: DataFrame) -> DataFrame:
-    return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.expr(expr).alias("band_key"),
-                    )
-                    for b, expr in enumerate(_band_exprs())
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
-
-
-def _signatures(docs: DataFrame) -> DataFrame:
-    """MinHash signatures for an arbitrary (doc_id, text) frame — the
-    fixture-table pipeline's math applied to a batch frame."""
-    toks = docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
-    n = SHINGLE_N
-    long = toks.filter(F.size("toks") >= n).select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
-    ).select(
-        "doc_id",
-        F.concat_ws(
-            " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)]
-        ).alias("s"),
-    )
-    short = toks.filter(F.size("toks") < n).select(
-        "doc_id", F.col("text").alias("s")
-    )
-    ex = (
-        long.unionByName(short)
-        .select("doc_id", portable_hash_mod(F.col("s"), MH_P).alias("h"))
-        .distinct()
-    )
-    return ex.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)
-            ).alias(f"mh_{i}")
-            for i in range(N_MINHASH)
-        ]
-    )
 
 
 def batch_neardup_filter(
@@ -88,7 +41,9 @@ def batch_neardup_filter(
     ``docs`` is (doc_id, text); the index at ``index_dir`` holds previously
     accepted documents' band rows (doc_id, band_id, band_key)."""
     spark = docs.sparkSession
-    bands = _bands_of(_signatures(docs))
+    # the SAME shingle/minhash/band math as batch near_dup_pairs — one core,
+    # so the persistent index and batch results can never drift apart
+    bands = signature_bands(minhash_signatures_of(exploded_shingles_of(docs)))
 
     from pyspark.errors import AnalysisException
 

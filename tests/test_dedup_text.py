@@ -137,10 +137,12 @@ def test_fingerprint_order_sensitivity(spark, tmp_path):
     assert fps[0] != fps[1]       # permuted tokens change it
 
 
-def test_hot_bucket_cap_bounds_candidates(spark, caplog):
-    """A band key shared by many docs (stop-phrase bucket) must be skipped
-    above the cap, keeping candidate counts bounded; pairs in non-hot
-    buckets are unaffected (VERDICT r1 #5)."""
+def test_hot_bucket_cap_chains_instead_of_quadratic(spark, caplog):
+    """A band key shared by many docs (template mass-duplication or a
+    stop-phrase bucket) must contribute its spanning CHAIN above the cap —
+    candidates linear in bucket size, bucket still fully connected for
+    clustering (a dropped bucket would let 2000-copy templates evade dedup
+    entirely); non-hot buckets are unaffected (VERDICT r1 #5 + r2 review)."""
     hot = [(i, 0, 777) for i in range(50)]         # 50 docs, one hot bucket
     cool = [(100, 1, 42), (101, 1, 42)]            # a genuine near-dup pair
     bands = spark.createDataFrame(
@@ -150,8 +152,12 @@ def test_hot_bucket_cap_bounds_candidates(spark, caplog):
     assert uncapped.count() == 50 * 49 // 2 + 1
     with caplog.at_level("WARNING", logger="streamroom_bigdata_spark.operators.dedup"):
         capped = dedup.lsh_candidate_pairs(bands, max_bucket_size=10, log_dropped=True)
-        rows = capped.collect()
-    assert [(r.doc_a, r.doc_b) for r in rows] == [(100, 101)]
+        rows = sorted((r.doc_a, r.doc_b) for r in capped.collect())
+    # chain: 49 consecutive links + the cool pair — linear, not 1225
+    assert rows == [(i, i + 1) for i in range(49)] + [(100, 101)]
+    # connectivity preserved: the chain spans all 50 hot docs
+    linked = {a for a, _ in rows[:-1]} | {b for _, b in rows[:-1]}
+    assert linked == set(range(50))
     assert any("hot band bucket" in m for m in caplog.messages)
     report = dedup.hot_bucket_report(bands, 10).collect()
     assert [(r.band_id, r.band_key, r.bucket_n) for r in report] == [(0, 777, 50)]

@@ -116,3 +116,33 @@ def test_range_partitioned_write_disjoint_file_stats(spark, tmp_path):
         assert hi1 < lo2  # disjoint: file N's max below file N+1's min
     # content intact
     assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_upsert_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Simulate dying between the two swap renames (table moved aside, new
+    data never moved in): the next upsert must restore the table and apply
+    normally — NOT mistake the gap for an empty table."""
+    import os
+
+    table = str(tmp_path / "crash_tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).write.parquet(table)
+    os.rename(table, table + "__upsert_old")  # the mid-swap crash state
+
+    sink = streaming_upsert_sink(table, "k")
+    sink(spark.createDataFrame([(3, "c")], "k int, v string"), 7)
+    got = dict((r.k, r.v) for r in spark.read.parquet(table).collect())
+    assert got == {1: "a", 2: "b", 3: "c"}  # history survived the crash
+
+
+def test_upsert_sink_latest_wins_with_ts(spark, tmp_path):
+    table = str(tmp_path / "ts_tbl")
+    sink = streaming_upsert_sink(table, "k", ts_col="ts")
+    batch = spark.createDataFrame(
+        [(1, "old", 10), (1, "new", 20), (2, "x", 5)],
+        "k int, v string, ts long",
+    )
+    sink(batch, 0)
+    got = dict((r.k, r.v) for r in spark.read.parquet(table).collect())
+    assert got == {1: "new", 2: "x"}

@@ -703,3 +703,13 @@ def test_malformed_wire_records_parse_to_nulls(spark):
     assert len(ok) == 1 and ok[0].capacity == 40
     bad = [r for r in rows if r.classroom_id is None]
     assert len(bad) == 2 and all(r.source_type is None for r in bad)
+
+
+def test_dispatch_one_time_bookings_underscore():
+    """The underscored spelling must route to the one-time parser — the
+    reference's contains-rules would misroute it to the 7-field fixed
+    schema and silently drop every row."""
+    from streamroom_bigdata_spark.streaming.ingest import dispatch_entity
+
+    assert dispatch_entity("one_time_bookings_2024.csv") == "one_time_booking"
+    assert dispatch_entity("STUDENT_BOOKINGS.csv") == "fixed_booking"
