@@ -146,3 +146,37 @@ def test_upsert_sink_latest_wins_with_ts(spark, tmp_path):
     sink(batch, 0)
     got = dict((r.k, r.v) for r in spark.read.parquet(table).collect())
     assert got == {1: "new", 2: "x"}
+
+
+def test_upsert_partitioned_touches_only_updated_partitions(spark, tmp_path):
+    """A partition-scoped upsert must merge correctly AND leave untouched
+    partition directories physically unrewritten."""
+    import time
+
+    table = str(tmp_path / "part_tbl")
+    spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")],
+        "k int, v string, d string",
+    ).write.partitionBy("d").parquet(table)
+
+    d2_files = {
+        f: os.path.getmtime(f)
+        for f in _parquet_files(os.path.join(table, "d=d2"))
+    }
+    time.sleep(1.1)
+
+    from streamroom_bigdata_spark.sources.maintenance import upsert_partitioned
+
+    updates = spark.createDataFrame(
+        [(2, "B2", "d1"), (4, "new", "d1")], "k int, v string, d string"
+    )
+    upsert_partitioned(spark, table, updates, "k", "d")
+
+    got = {(r.k): (r.v, r.d) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a", "d1"), 2: ("B2", "d1"), 3: ("c", "d2"), 4: ("new", "d1")}
+    # d2 untouched: same files, same mtimes
+    d2_after = {
+        f: os.path.getmtime(f)
+        for f in _parquet_files(os.path.join(table, "d=d2"))
+    }
+    assert d2_after == d2_files
