@@ -103,3 +103,24 @@ def parse_wire(raw: DataFrame, value_col: str = "value") -> DataFrame:
         .select(F.from_json("json", WIRE_SCHEMA).alias("data"))
         .select("data.*")
     )
+
+
+def with_event_times(parsed: DataFrame) -> DataFrame:
+    """Typed event-time columns for the bronze store (the 'typed bronze'
+    half of schemas.py's wire-parity note): booking date + start/end time
+    strings become real timestamps, as does the ingestion stamp. Entities
+    without those fields get nulls — try_to_timestamp, because ANSI mode
+    makes plain to_timestamp RAISE on the empty string concat_ws yields for
+    null fields. Keeps the original string columns for wire parity."""
+    fmt = F.lit("yyyy-MM-dd HH:mm:ss")
+    return parsed.withColumns(
+        {
+            "start_ts": F.try_to_timestamp(
+                F.concat_ws(" ", "date", "start_time"), fmt
+            ),
+            "end_ts": F.try_to_timestamp(
+                F.concat_ws(" ", "date", "end_time"), fmt
+            ),
+            "ingest_ts": F.try_to_timestamp(F.col("ingestion_timestamp"), fmt),
+        }
+    )

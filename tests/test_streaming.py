@@ -713,3 +713,20 @@ def test_dispatch_one_time_bookings_underscore():
 
     assert dispatch_entity("one_time_bookings_2024.csv") == "one_time_booking"
     assert dispatch_entity("STUDENT_BOOKINGS.csv") == "fixed_booking"
+
+
+def test_with_event_times_types_booking_fields(spark, tmp_path):
+    """Typed bronze: booking date/time strings become real timestamps;
+    entities without those fields stay null; string originals survive."""
+    from streamroom_bigdata_spark.streaming.ingest import with_event_times
+
+    _write_entity_csvs(tmp_path)
+    typed = with_event_times(parse_wire(entity_dir_to_wire(spark, str(tmp_path))))
+    rows = {(r.source_type, r.booking_id or r.classroom_id): r for r in typed.collect()}
+    b1 = rows[("fixed_booking", "B1")]
+    assert b1.start_ts.hour == 8 and b1.end_ts.hour == 10
+    assert b1.start_ts.date().isoformat() == "2024-01-01"
+    assert b1.date == "2024-01-01"  # wire-parity string kept
+    assert b1.ingest_ts is not None
+    c1 = rows[("classroom", "C1")]
+    assert c1.start_ts is None and c1.end_ts is None
