@@ -730,3 +730,30 @@ def test_with_event_times_types_booking_fields(spark, tmp_path):
     assert b1.ingest_ts is not None
     c1 = rows[("classroom", "C1")]
     assert c1.start_ts is None and c1.end_ts is None
+
+
+def test_silver_reads_prune_by_date_partition(spark, tmp_path):
+    """The silver table's date partitioning must actually serve partition
+    pruning: a date-filtered read shows PartitionFilters in the scan."""
+    from streamroom_bigdata_spark.streaming import silver as sv
+
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00", "user_id": 1, "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-02T00:10:00", "user_id": 1, "value": 2.0},
+    ]
+    stream = _stream_events(spark, tmp_path, [rows]).withColumn(
+        "event_type", F.lit("x")
+    )
+    q = sv.start_silver_rollup(
+        stream,
+        str(tmp_path / "silver_prune"),
+        str(tmp_path / "silver_prune_ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    df = spark.read.parquet(str(tmp_path / "silver_prune")).filter(
+        F.col(sv.SILVER_PART) == "2024-01-01"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "window_date" in plan
+    assert df.count() == 1
