@@ -211,3 +211,18 @@ def stream_kafka_source(spark: SparkSession, **kwargs) -> DataFrame:
             "Kafka source unavailable (connector jar or broker missing); "
             "use stream_file_source/stream_rate_source for local testing"
         ) from exc
+
+
+def stream_rate_micro_batch(
+    spark: SparkSession, rows_per_batch: int = 1000, start_ts_ms: int = 0
+) -> DataFrame:
+    """rate-micro-batch source (S4): EXACTLY ``rows_per_batch`` rows per
+    trigger with deterministic values and timestamps — the reproducible
+    variant of ``rate`` (which is wall-clock driven), right for
+    load-shaping tests where batch contents must be stable across runs."""
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("startTimestamp", str(start_ts_ms))
+        .load()
+    )

@@ -757,3 +757,30 @@ def test_silver_reads_prune_by_date_partition(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "window_date" in plan
     assert df.count() == 1
+
+
+def test_rate_micro_batch_deterministic(spark, tmp_path):
+    """rate-micro-batch: exact per-batch row counts, contiguous values from
+    0 — reproducible across runs (unlike the wall-clock rate source)."""
+    import time
+
+    from streamroom_bigdata_spark.sources.readers import stream_rate_micro_batch
+
+    q = (
+        stream_rate_micro_batch(spark, rows_per_batch=25)
+        .writeStream.format("memory")
+        .queryName("rmb_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM rmb_sink").count() >= 50:
+                break
+            time.sleep(0.25)
+        vals = sorted(r.value for r in spark.sql("SELECT * FROM rmb_sink").collect())
+        assert vals[:50] == list(range(50))  # contiguous, no gaps
+        assert len(vals) % 25 == 0           # whole batches only
+    finally:
+        q.stop()
