@@ -253,7 +253,9 @@ def cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions",
     """
     SELECT doc_id,
-           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_toks,
+           array_to_string(
+             list_sort(list_distinct(string_split(text, ' ')))[1:5], ' '
+           ) AS first_toks,
            CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
            list_contains(string_split(text, ' '), 'spark') AS has_spark,
            list_sort(list_distinct(string_split(text, ' ')))[
@@ -263,13 +265,18 @@ def cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/list scalar surface (F-EXT): distinct, sort, slice, contains,
-    element_at — all built-in array expressions over tokenized text."""
+    element_at — all built-in array expressions over tokenized text.
+
+    The slice result is re-joined to a string because the driver's value
+    comparator canonicalizes through pandas, which cannot hash raw
+    ``array<string>`` cells — every registered query must emit scalar
+    columns only."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     uniq_sorted = F.array_sort(F.array_distinct(toks))
     return docs.select(
         "doc_id",
-        F.slice(uniq_sorted, 1, 5).alias("first_toks"),
+        F.array_join(F.slice(uniq_sorted, 1, 5), " ").alias("first_toks"),
         F.size(toks).alias("n_toks"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.element_at(uniq_sorted, F.size(uniq_sorted)).alias("max_tok"),
