@@ -58,8 +58,12 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mean byte is carried as integer micro-units (floor(sum*1e6 / n)) rather
+# than a rounded double: floor is unambiguous across engines, while
+# round-half differs (Python rounds half-to-even, DuckDB half-away) and
+# power-of-two payload lengths make exact .5 ties representable.
 DECODE_SCHEMA = (
-    "asset_id long, n_bytes int, mean_byte double, first_byte int, "
+    "asset_id long, n_bytes int, mean_byte_micro long, first_byte int, "
     "last_byte int, byte_checksum long"
 )
 
@@ -73,7 +77,33 @@ def decode_image(payload: bytes) -> dict:
     )
 
 
-@register("multimodal_decode_features")
+# The fixture corpus is pure ASCII (asserted in tests/test_multimodal
+# plumbing tests), so per-character code points ARE the payload bytes and
+# DuckDB can replay the byte-statistics kernel with unnest + ascii().
+decode_features_oracle = """
+WITH bytes AS (
+  SELECT doc_id, sum(ascii(ch)) AS bsum
+  FROM (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+  )
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS asset_id,
+       CAST(length(d.text) AS INT) AS n_bytes,
+       CAST(CASE WHEN length(d.text) = 0 THEN 0
+                 ELSE (b.bsum * 1000000) // length(d.text)
+            END AS BIGINT) AS mean_byte_micro,
+       CAST(CASE WHEN length(d.text) = 0 THEN -1
+                 ELSE ascii(substr(d.text, 1, 1)) END AS INT) AS first_byte,
+       CAST(CASE WHEN length(d.text) = 0 THEN -1
+                 ELSE ascii(substr(d.text, length(d.text), 1)) END AS INT)
+         AS last_byte,
+       CAST(coalesce(b.bsum, 0) % 1000000007 AS BIGINT) AS byte_checksum
+FROM documents d LEFT JOIN bytes b USING (doc_id)
+"""
+
+
+@register("multimodal_decode_features", decode_features_oracle)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas`` (L5): the
     per-batch Arrow plumbing is exactly what a real decode uses — iterate
@@ -89,9 +119,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "asset_id": pdf["asset_id"],
                     "n_bytes": payloads.map(len).astype("int32"),
-                    "mean_byte": payloads.map(
-                        lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
-                    ),
+                    "mean_byte_micro": payloads.map(
+                        lambda b: (sum(b) * 1_000_000) // len(b) if len(b) else 0
+                    ).astype("int64"),
                     "first_byte": payloads.map(
                         lambda b: b[0] if len(b) else -1
                     ).astype("int32"),

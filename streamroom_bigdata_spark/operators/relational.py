@@ -496,29 +496,54 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GS_SQL)
 
 
-@register("quantile_summary")
+_QS_PCTS = (0.25, 0.50, 0.75, 0.95)
+
+# Both engines implement the standard continuous-percentile definition
+# (pos = p * (n - 1), linear interpolation between the bracketing order
+# statistics), so Spark's exact `percentile` and DuckDB's `quantile_cont`
+# agree to the last bit on the same doubles. percentile_approx's
+# GK-sketch answer is deliberately NOT the oracled surface: its selected
+# rank depends on insertion-order delta bookkeeping that no other engine
+# reproduces (its error *bound* is property-tested instead).
+_QS_ORACLE = f"""
+SELECT o_orderstatus,
+       {", ".join(
+           "round(quantile_cont(o_totalprice, CAST(%s AS DOUBLE)), 2) AS p%d"
+           % (p, round(p * 100))
+           for p in _QS_PCTS
+       )},
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("quantile_summary", _QS_ORACLE)
 def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles (A6 sketch surface): percentile_approx over
-    o_totalprice per order status. One pass, fixed-size QuantileSummaries
-    state per group — the 100 TB path where an exact percentile would need a
-    per-group sort. Rows-only checked (sketch results aren't portable across
-    engines); the error bound vs exact percentiles is property-tested in
-    tests/test_relational.py."""
+    """Percentile summary (A6): exact interpolated percentiles per order
+    status via Spark's sort-based `percentile` aggregate — the
+    SQL-portable definition (pos = p*(n-1), linear interpolation), which
+    DuckDB's quantile_cont reproduces bit-for-bit. The one-pass sketch
+    variant (percentile_approx) is the 100 TB path and keeps its error
+    bound property-tested in tests/test_relational.py; it is not the
+    oracled surface because GK-sketch rank selection is
+    implementation-defined."""
+    pcts = F.array(*[F.lit(p) for p in _QS_PCTS])
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.percentile_approx(
-                "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10_000
-            ).alias("price_quantiles"),
+            F.percentile("o_totalprice", pcts).alias("price_quantiles"),
             F.count("*").alias("n_orders"),
         )
         .select(
             "o_orderstatus",
-            F.round(F.col("price_quantiles")[0], 2).alias("p25"),
-            F.round(F.col("price_quantiles")[1], 2).alias("p50"),
-            F.round(F.col("price_quantiles")[2], 2).alias("p75"),
-            F.round(F.col("price_quantiles")[3], 2).alias("p95"),
+            *[
+                F.round(F.col("price_quantiles")[i], 2).alias(
+                    f"p{round(p * 100)}"
+                )
+                for i, p in enumerate(_QS_PCTS)
+            ],
             "n_orders",
         )
     )

@@ -472,7 +472,19 @@ def heavy_hitter_candidates(
     return tokens.mapInPandas(mg, f"{col} string").distinct()
 
 
-@register("heavy_hitter_tokens")
+heavy_hitter_oracle = f"""
+SELECT tok, n
+FROM (
+  SELECT tok, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+)
+WHERE rk <= {HH_TOP_K}
+"""
+
+
+@register("heavy_hitter_tokens", heavy_hitter_oracle)
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass heavy hitters (the 100 TB top-k-frequent shape): pass 1 —
     Misra-Gries candidates per partition (bounded memory, no shuffle);
@@ -480,9 +492,10 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a tiny key domain), take top-k. Counts are exact; completeness of
     the top-k holds when the k-th value's global share exceeds
     ~1/(HH_CAPACITY+1) (see :func:`heavy_hitter_candidates` — capacity 64
-    vs k=10 leaves ~6× headroom over the Zipf rank-10 share). Rows-only
-    checked (partitioning-dependent candidate sets aren't SQL); agreement
-    with the exact top-k from token_frequencies is property-tested."""
+    vs k=10 leaves ~6× headroom over the Zipf rank-10 share), which the
+    fixture satisfies, so the oracle is the plain exact top-k SQL;
+    candidate-set completeness is additionally property-tested in
+    tests/test_dedup_text.py."""
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(F.split("text", " ")).alias("tok"))
     cands = heavy_hitter_candidates(tokens)
