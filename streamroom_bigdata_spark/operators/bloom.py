@@ -162,13 +162,26 @@ def might_contain(spark: SparkSession, sketch: BloomSketch, key: Column) -> Colu
     return probe(key)
 
 
-@register("bloom_availability")
+bloom_availability_oracle = """
+SELECT p_partkey,
+       CAST(CASE WHEN p_partkey IN (
+              SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+            ) THEN 0.5 ELSE 1.0 END AS DOUBLE) AS availability_score
+FROM part
+"""
+
+
+@register("bloom_availability", bloom_availability_oracle)
 def bloom_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's availability check (processing.scala:106-109) with the
-    sketch built and probed at scale: parts whose key *might* be in the
-    booked set score 0.5, definitely-free parts score 1.0. Approximate by
-    construction (false positives only) → rows-only check; the no-false-
-    negative and FPP properties are asserted in tests/test_bloom.py."""
+    """The reference's availability check (processing.scala:106-109) with
+    the sketch as a *runtime filter*: parts the Bloom probe clears are
+    definitely free (no false negatives → score 1.0 with no join at all);
+    only the bloom-positive remainder rides the exact semi-join, which
+    corrects the sketch's false positives. The result is therefore exactly
+    the semi-join availability — SQL-oracled — while the join's shuffle
+    input shrinks to ~|booked|·(1+fpp) rows instead of |part|. The
+    no-false-negative and FPP properties of the probe itself are asserted
+    in tests/test_bloom.py."""
     part = load_table(spark, sf_dir, "part")
     lineitem = load_table(spark, sf_dir, "lineitem")
     booked = lineitem.filter(F.col("l_returnflag") == "R").select("l_partkey")
@@ -180,12 +193,30 @@ def bloom_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = build_bloom(
         booked, "l_partkey", expected_items=max(1024, int(approx_n * 1.2)), fpp=0.01
     )
-    return part.select(
-        "p_partkey",
-        F.when(might_contain(spark, sketch, F.col("p_partkey")), 0.5)
-        .otherwise(1.0)
-        .alias("availability_score"),
+    flagged = part.withColumn(
+        "maybe_booked", might_contain(spark, sketch, F.col("p_partkey"))
     )
+    # bloom-negative rows never touch a join; bloom-positive rows (true
+    # matches + ~fpp false positives) ride one left join against the
+    # distinct booked keys, which corrects the false positives to 1.0
+    score_pos = (
+        flagged.filter(F.col("maybe_booked"))
+        .join(
+            booked.distinct().withColumn("hit", F.lit(1)),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left",
+        )
+        .select(
+            "p_partkey",
+            F.when(F.col("hit").isNotNull(), 0.5).otherwise(1.0).alias(
+                "availability_score"
+            ),
+        )
+    )
+    score_neg = flagged.filter(~F.col("maybe_booked")).select(
+        "p_partkey", F.lit(1.0).alias("availability_score")
+    )
+    return score_pos.unionByName(score_neg)
 
 
 def bloom_filtered_join(

@@ -142,13 +142,61 @@ def lsh_bucket_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.withColumn("bucket", bucket.cast("int"))
 
 
-@register("ann_lsh_cosine")
+def _bucket_sql(emb: str) -> str:
+    """DuckDB expression for the sign-LSH bucket id: the hyperplanes are
+    fixed module constants, so the oracle inlines them literally and
+    replays the exact algorithm (repr() round-trips each float64)."""
+    terms = []
+    for j, plane in enumerate(_hyperplanes()):
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({emb}, {arr}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+ann_lsh_oracle = f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), b AS (
+  SELECT vec_id, emb, {_bucket_sql('emb')} AS bucket FROM c
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_emb,
+         unnest([bucket{''.join(f', xor(bucket, {1 << j})' for j in range(N_HYPERPLANES))}])
+           AS q_bucket
+  FROM b WHERE vec_id IN {QUERY_IDS}
+), cand AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round({_duck_cosine('q.q_emb', 'b.emb')}, 6) AS cosine
+  FROM q JOIN b ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS rnk
+  FROM cand
+)
+WHERE rnk <= {TOP_K}
+"""
+
+
+@register("ann_lsh_cosine", ann_lsh_oracle)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN (L3 scale path): sign-LSH bucketing, candidates share
     the query's bucket, exact cosine re-rank inside the bucket. The
     candidate join is an equi-join on bucket — shuffle keyed on ~2^N buckets
-    instead of an all-pairs compare. Rows-only checked (the bucket step is
-    not ANSI SQL); recall vs brute force is property-tested."""
+    instead of an all-pairs compare. The hyperplanes are fixed constants,
+    so the DuckDB oracle replays the exact algorithm with them inlined
+    (see ann_lsh_oracle); recall vs brute force is property-tested."""
     # not cached: caching array<double> columns hits Spark's slow nested-type
     # columnar cache path — recomputing the projection is cheaper
     bucketed = lsh_bucket_df(spark, sf_dir)
@@ -192,8 +240,58 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PROBE = 3  # IVF: how many nearest inverted lists a query scans
 
+ann_ivf_oracle = f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+), cent AS (
+  SELECT label AS list_id, list(cv ORDER BY dim) AS c_emb
+  FROM (
+    SELECT label, i AS dim, avg(emb[i + 1]) AS cv
+    FROM c, unnest(range(0, {DIM})) AS u(i)
+    GROUP BY label, i
+  )
+  GROUP BY label
+), assigned AS (
+  SELECT vec_id, emb, list_id
+  FROM (
+    SELECT c.vec_id, c.emb, cent.list_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_duck_cosine('c.emb', 'cent.c_emb')} DESC, cent.list_id
+           ) AS c_rnk
+    FROM c CROSS JOIN cent
+  )
+  WHERE c_rnk <= 1
+), q AS (
+  SELECT query_id, q_emb, list_id
+  FROM (
+    SELECT c.vec_id AS query_id, c.emb AS q_emb, cent.list_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_duck_cosine('c.emb', 'cent.c_emb')} DESC, cent.list_id
+           ) AS c_rnk
+    FROM c CROSS JOIN cent
+    WHERE c.vec_id IN {QUERY_IDS}
+  )
+  WHERE c_rnk <= {N_PROBE}
+), cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round({_duck_cosine('q.q_emb', 'a.emb')}, 6) AS cosine
+  FROM q JOIN assigned a USING (list_id)
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS rnk
+  FROM cand
+)
+WHERE rnk <= {TOP_K}
+"""
 
-@register("ann_ivf_cosine")
+
+@register("ann_ivf_cosine", ann_ivf_oracle)
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN, IVF flavor (L3 scale path #2): a coarse quantizer
     (per-label centroids) partitions the corpus into inverted lists; each
@@ -203,8 +301,9 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: centroids are tiny (k rows) and broadcast; assignment is a
     broadcast join + per-vector argmin (one corpus scan, no shuffle);
     candidate generation is an equi-join on list id. Compare cost drops from
-    n² to n·(N_PROBE/k). Rows-only checked (quantizer choice isn't ANSI
-    SQL); recall vs brute force is property-tested."""
+    n² to n·(N_PROBE/k). The quantizer is deterministic (label-seeded
+    centroids), so the DuckDB oracle replays the full algorithm; recall vs
+    brute force is property-tested."""
     corpus = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
@@ -297,12 +396,26 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_near_dup_lsh")
+embedding_near_dup_lsh_oracle = f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), b AS (
+  SELECT vec_id, emb, {_bucket_sql('emb')} AS bucket FROM c
+)
+SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+       round({_duck_cosine('a.emb', 'bb.emb')}, 6) AS cosine
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+WHERE {_duck_cosine('a.emb', 'bb.emb')} >= {NEAR_DUP_COSINE}
+"""
+
+
+@register("embedding_near_dup_lsh", embedding_near_dup_lsh_oracle)
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup at scale (L2): candidate pairs share a
     sign-LSH bucket — the self-join shuffles on bucket id, so compares are
-    n²/buckets, not n². Approximate (misses cross-bucket pairs) → rows-only;
-    recall vs the exact variant is property-tested."""
+    n²/buckets, not n². Approximate vs the exact variant (misses
+    cross-bucket pairs — recall property-tested), but deterministic, so
+    the oracle replays the same fixed-hyperplane bucketing."""
     bucketed = lsh_bucket_df(spark, sf_dir)
     a = bucketed.select("bucket", F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
     b = bucketed.select("bucket", F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
