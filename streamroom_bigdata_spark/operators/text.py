@@ -10,7 +10,7 @@ plus property-tested.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import FP_MOD, portable_hash_mod, sql_hash_mod
@@ -235,12 +235,61 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-@register("lang_id_heuristic")
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram language-ID heuristic (L4) as an Arrow-vectorized Pandas UDF:
-    character-bigram frequency scoring against small per-language profiles.
-    Deterministic; rows-only checked (profile scoring isn't ANSI SQL) and
-    property-tested for stability + agreement shape."""
+#: langs scored, in the UDF's sorted-iteration order (first max wins ties)
+_SCORED_LANGS = tuple(sorted(k for k, v in _LANG_PROFILES.items() if v))
+
+
+def _sql_hits(low: str, lang: str) -> str:
+    """SQL expression (Spark SQL == DuckDB) counting profile-bigram
+    occurrences in ``low`` via the replace-length trick. Valid because no
+    profile bigram self-overlaps (first char != last char) or contains
+    whitespace, so non-overlapping substring count == the sliding-window
+    bigram count the scoring model defines."""
+    terms = [
+        f"(length({low}) - length(replace({low}, '{bg}', ''))) // 2"
+        for bg in _LANG_PROFILES[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lang_id_sql(table_expr: str) -> str:
+    """The whole language-ID heuristic as one portable SQL query: bigram
+    hit counts per profile (integer column algebra), total valid bigrams =
+    non-whitespace chars minus word runs (each run of length L contributes
+    L-1 in-word bigrams), integer-exact threshold (frac > 0.05 ⇔
+    20*hits > total) and first-in-sorted-order argmax tie-break."""
+    hits = ", ".join(
+        f"{_sql_hits('low', lang)} AS h_{lang}" for lang in _SCORED_LANGS
+    )
+    greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in _SCORED_LANGS) + ")"
+    argmax = " ".join(
+        f"WHEN h_{lang} = {greatest} THEN '{lang}'"
+        for lang in _SCORED_LANGS[:-1]
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, lower(coalesce(text, '')) AS low FROM {table_expr}
+), feat AS (
+  SELECT doc_id, lang,
+         length(regexp_replace(low, '\\s', '', 'g'))
+           - len(regexp_extract_all(low, '[^\\s]+')) AS total,
+         {hits}
+  FROM base
+)
+SELECT doc_id, lang,
+       CASE WHEN total <= 0 THEN 'und'
+            WHEN {greatest} * 20 <= total THEN 'und'
+            {argmax}
+            ELSE '{_SCORED_LANGS[-1]}' END AS detected_lang
+FROM feat
+"""
+
+
+def lang_id_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original Arrow-batched Pandas-UDF scorer — per-row Python, kept
+    ONLY as the agreement-test oracle for the column-algebra plan below
+    (tests/test_dedup_text.py). Never the registered hot path: at 100 TB a
+    per-character Python loop is the slowest operator per byte."""
     docs = load_table(spark, sf_dir, "documents")
 
     profiles = {k: set(v) for k, v in _LANG_PROFILES.items() if v}
@@ -271,6 +320,40 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", detect(F.col("text")).alias("detected_lang")
     )
+
+
+@register("lang_id_heuristic", _lang_id_sql("documents"))
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-ID heuristic (L4) as pure column algebra: per-profile
+    bigram hit counts via the replace-length trick (40 codegen'd string
+    ops), total valid bigrams from run arithmetic, integer-exact 5%
+    threshold and deterministic argmax — whole-stage codegen end to end,
+    no Python worker. The retired per-row UDF (:func:`lang_id_udf`) is the
+    agreement oracle; the DuckDB oracle runs the identical SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+
+    def hits(lang: str) -> Column:
+        h = None
+        for bg in _LANG_PROFILES[lang]:
+            c = (
+                (F.length(low) - F.length(F.replace(low, F.lit(bg), F.lit(""))))
+                / 2
+            ).cast("long")
+            h = c if h is None else h + c
+        return h
+
+    h = {lang: hits(lang) for lang in _SCORED_LANGS}
+    total = (
+        F.length(F.regexp_replace(low, r"\s", ""))
+        - F.regexp_count(low, F.lit(r"\S+"))
+    ).cast("long")
+    maxh = F.greatest(*h.values())
+    detected = F.when(total <= 0, "und").when(maxh * 20 <= total, "und")
+    for lang in _SCORED_LANGS[:-1]:
+        detected = detected.when(h[lang] == maxh, lang)
+    detected = detected.otherwise(_SCORED_LANGS[-1])
+    return docs.select("doc_id", "lang", detected.alias("detected_lang"))
 
 
 TFIDF_TOP_K = 3
