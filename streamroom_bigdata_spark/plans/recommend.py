@@ -80,7 +80,12 @@ def recommend_rooms(
 
     scored = (
         feasible.join(usage, part.p_partkey == usage.l_partkey, "left")
-        .join(F.broadcast(booked.withColumnRenamed("l_partkey", "b_partkey")),
+        # no broadcast hint: `booked` is a distinct derived from the FACT
+        # table — bounded by the part dimension in this domain, but a forced
+        # broadcast of a fact-derived set is the classic 100×-scale OOM.
+        # AQE sees the post-aggregation size at runtime and broadcasts only
+        # when it is actually small (VERDICT r2 #4).
+        .join(booked.withColumnRenamed("l_partkey", "b_partkey"),
               part.p_partkey == F.col("b_partkey"), "left")
         .join(F.broadcast(max_usage))
         .withColumn("usage_count", F.coalesce(F.col("usage_count"), F.lit(0)))

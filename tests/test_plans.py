@@ -68,3 +68,74 @@ def test_no_cartesian_products_in_headline(spark, sf_dir):
     for name in bench.HEADLINE:
         plan = _plan(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
+
+
+# --- forced-broadcast audit (VERDICT r2 #4) --------------------------------
+
+#: fact-table relations, identified in analyzed plans by a distinctive column
+_FACT_COLS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+#: queries allowed N broadcast hints over fact-derived subtrees, each with a
+#: boundedness argument. Anything else that force-broadcasts a fact subtree
+#: fails the audit — at 100× scale that hint is the classic OOM.
+_ALLOWED_FACT_BROADCASTS = {
+    # 1-row global aggregates (max usage / corpus count): one row crosses
+    "recommend_rooms": 1,
+    "recommend_rmse": 1,
+    "normalized_usage": 1,
+    "tf_idf": 1,
+    # literal-key-bounded subsets (|QUERY_IDS| or anchor row)
+    "ann_lsh_cosine": 1,
+    "cosine_to_anchor_pandas": 1,
+    "vector_norms": 1,
+    # centroids: Aggregate keyed on the quantizer's label domain (k lists,
+    # fixed by design) — 2 assignment paths + 1 query path
+    "ann_ivf_cosine": 3,
+    # documented O(n²) small-scale oracle for its LSH twin
+    "embedding_near_dup": 1,
+    # Misra-Gries candidates: ≤ partitions × capacity rows by construction
+    "heavy_hitter_tokens": 1,
+}
+
+
+def _fact_broadcast_hints(spark, fn, sf_dir):
+    """Count ResolvedHint(broadcast) nodes whose subtree scans a fact
+    relation in the analyzed (pre-optimization) logical plan."""
+    lines = (
+        fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString().splitlines()
+    )
+    hits = 0
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln or "broadcast" not in ln:
+            continue
+        ind = len(ln) - len(ln.lstrip(" :+|-"))
+        sub = []
+        for nxt in lines[i + 1:]:
+            if len(nxt) - len(nxt.lstrip(" :+|-")) <= ind:
+                break
+            sub.append(nxt)
+        subtxt = "\n".join(sub)
+        if any(
+            re.search(rf"Relation \[[^\]]*{c}#", subtxt)
+            for c in _FACT_COLS.values()
+        ):
+            hits += 1
+    return hits
+
+
+def test_no_unjustified_forced_broadcast_over_facts(spark, sf_dir):
+    offenders = {}
+    for name, fn in sorted(registry.queries().items()):
+        n = _fact_broadcast_hints(spark, fn, sf_dir)
+        if n > _ALLOWED_FACT_BROADCASTS.get(name, 0):
+            offenders[name] = n
+    assert offenders == {}, (
+        "forced broadcast hint(s) above a fact-derived relation — drop the "
+        f"hint (let AQE decide) or justify in the allowlist: {offenders}"
+    )
