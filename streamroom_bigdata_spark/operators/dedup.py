@@ -274,14 +274,14 @@ FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
 # Hot-bucket cap (VERDICT r1 #5): a band bucket shared by many documents —
 # a stop-phrase shingle, or a template duplicated thousands of times — makes
 # the bucket self-join quadratic. Buckets over the cap switch from all-pairs
-# to CHAIN-LINKING: members sorted by doc_id are linked consecutively, which
-# generates O(bucket) candidates yet keeps every hot bucket CONNECTED, so
-# downstream connected-components clustering (dedup_clusters,
-# curation_pipeline) still groups mass-duplicated documents — dropping the
-# bucket outright would let a 2000-copy template evade dedup entirely.
-# Trade: the pair LIST for a hot bucket is its spanning chain, not all
-# pairs (near_dup_pairs under-reports pairs inside hot buckets; cluster
-# membership is preserved when consecutive copies verify, which
+# to STAR-LINKING: every member pairs with the bucket's min doc_id, which
+# generates O(bucket) candidates yet keeps every hot bucket CONNECTED at
+# diameter 2, so downstream connected-components clustering (dedup_clusters,
+# curation_pipeline) still groups mass-duplicated documents in ~2 propagation
+# rounds — dropping the bucket outright would let a 2000-copy template evade
+# dedup entirely. Trade: the pair LIST for a hot bucket is its spanning star,
+# not all pairs (near_dup_pairs under-reports pairs inside hot buckets;
+# cluster membership is preserved when hub-member pairs verify, which
 # near-identical template copies do).
 NEAR_DUP_MAX_BUCKET = 1_000
 
@@ -303,13 +303,13 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate (doc_a < doc_b) pairs from band-bucket collisions.
     Buckets at or under ``max_bucket_size`` contribute all pairs (the exact
-    LSH semantics); larger buckets contribute their doc_id-sorted spanning
-    CHAIN — O(bucket) candidates that keep the bucket connected for
-    clustering without going quadratic. The bucket count is a window over
-    (band_id, band_key) — it shuffles on EXACTLY the key the self-join and
-    the chain window need, so one exchange serves all three, and nothing is
-    collected or broadcast. ``log_dropped=True`` runs one extra count job
-    to report the chained buckets."""
+    LSH semantics); larger buckets contribute their spanning STAR on the
+    min doc_id — O(bucket) candidates that keep the bucket connected (at
+    diameter 2) for clustering without going quadratic. The bucket count is
+    a window over (band_id, band_key) — it shuffles on EXACTLY the key the
+    self-join and the star window need, so one exchange serves all three,
+    and nothing is collected or broadcast. ``log_dropped=True`` runs one
+    extra count job to report the starred buckets."""
     if max_bucket_size is None:
         normal, hot = bands, None
     else:
@@ -317,7 +317,7 @@ def lsh_candidate_pairs(
             chained = hot_bucket_report(bands, max_bucket_size).collect()
             if chained:
                 logger.warning(
-                    "near-dup LSH: chain-linking %d hot band bucket(s) over cap %d: %s",
+                    "near-dup LSH: star-linking %d hot band bucket(s) over cap %d: %s",
                     len(chained),
                     max_bucket_size,
                     [(r.band_id, r.band_key, r.bucket_n) for r in chained[:20]],
@@ -341,15 +341,21 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     if hot is not None:
-        chain_w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
-        chain = (
-            hot.withColumn("_prev", F.lag("doc_id").over(chain_w))
-            .filter(F.col("_prev").isNotNull())
+        # STAR-link, not chain-link (ADVICE r2): every member pairs with the
+        # bucket's min doc_id. Still O(bucket) candidates, but the pair graph
+        # has diameter 2 through the hub, so downstream hash-min label
+        # propagation converges in ~2 rounds — a doc_id-sorted chain has
+        # diameter ≈ bucket size and splits when the propagation loop's
+        # round bound is hit before convergence.
+        star_w = Window.partitionBy("band_id", "band_key")
+        star = (
+            hot.withColumn("_hub", F.min("doc_id").over(star_w))
+            .filter(F.col("doc_id") != F.col("_hub"))
             .select(
-                F.col("_prev").alias("doc_a"), F.col("doc_id").alias("doc_b")
+                F.col("_hub").alias("doc_a"), F.col("doc_id").alias("doc_b")
             )
         )
-        pairs = pairs.unionByName(chain)
+        pairs = pairs.unionByName(star)
     return pairs.distinct()
 
 
@@ -363,7 +369,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-count intersection (|A∩B| via equi-join on hash; |A∪B| =
     nA + nB − |A∩B|) — no n² compare and no nested-array ops anywhere, so
     every stage is a plain shuffle that scales linearly. Band buckets larger
-    than ``NEAR_DUP_MAX_BUCKET`` switch to chain-linked candidates (hot-key
+    than ``NEAR_DUP_MAX_BUCKET`` switch to star-linked candidates (hot-key
     guard) so no single bucket can go quadratic."""
     ex = exploded_shingle_df(spark, sf_dir).cache()
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -560,6 +566,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    converged = False
     for _ in range(20):  # diameter bound; near-dup graphs converge in 1-3
         nbr_min = (
             edges.join(
@@ -590,5 +597,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Exiting with changed > 0 means some component's labels are still
+        # moving — the result would silently split long-diameter components
+        # (ADVICE r2). Hot buckets star-link (diameter 2), so hitting this
+        # indicates a pathological pair graph, not normal data.
+        raise RuntimeError(
+            "dedup_clusters: hash-min label propagation did not converge "
+            "within 20 rounds; component diameter exceeds the bound"
+        )
     return labels.select(F.col("id").alias("doc_id"), "component")

@@ -249,7 +249,13 @@ def quartiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select("c_acctbal", "c_custkey")
         .repartitionByRange(n_parts, "c_acctbal", "c_custkey")
         .withColumn("pid", F.spark_partition_id())
-        .persist()  # pin pid assignment across the two consumers below
+        # localCheckpoint, not persist (ADVICE r2): TRULY pins the pid
+        # assignment across the two consumers — a cached partition lost to
+        # executor failure would be re-range-sampled AFTER the counts were
+        # collected, silently skewing global ranks; a lost checkpoint
+        # partition fails loudly instead. Also leaves nothing in the cache
+        # registry across calls (blocks are freed with the DataFrame).
+        .localCheckpoint()
     )
     counts = sorted(
         ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect(),

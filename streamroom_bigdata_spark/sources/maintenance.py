@@ -183,8 +183,14 @@ def upsert_partitioned(
     not the table — the property a long-running incremental sink needs
     (contrast :func:`upsert_parquet`, which rewrites the whole table).
     Untouched partition directories are not rewritten (asserted against
-    file mtimes in tests)."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    file mtimes in tests).
+
+    CONSTRAINT: ``part_col`` must be a pure function of ``key`` (as it is
+    for the silver sink's wkey→window_date). If a key could reappear with
+    a DIFFERENT partition value, its stale row in the old (untouched)
+    partition would survive the merge and the key would exist twice. When
+    partitions can move, anti-join the update keys against the whole
+    table instead (:func:`upsert_parquet`)."""
     try:
         current = spark.read.parquet(table_dir)
     except Exception as exc:
@@ -203,7 +209,11 @@ def upsert_partitioned(
         updates.select(key).distinct(), key, "left_anti"
     ).unionByName(updates.select(*cur_touched.columns))
     (
+        # writer-scoped dynamic overwrite (ADVICE r2): the session-level
+        # conf would silently change the semantics of every later
+        # partitioned overwrite in the session
         merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(part_col)
         .parquet(table_dir)
     )

@@ -169,12 +169,14 @@ def test_fingerprint_order_sensitivity(spark, tmp_path):
     assert fps[0] != fps[1]       # permuted tokens change it
 
 
-def test_hot_bucket_cap_chains_instead_of_quadratic(spark, caplog):
+def test_hot_bucket_cap_stars_instead_of_quadratic(spark, caplog):
     """A band key shared by many docs (template mass-duplication or a
-    stop-phrase bucket) must contribute its spanning CHAIN above the cap —
-    candidates linear in bucket size, bucket still fully connected for
-    clustering (a dropped bucket would let 2000-copy templates evade dedup
-    entirely); non-hot buckets are unaffected (VERDICT r1 #5 + r2 review)."""
+    stop-phrase bucket) must contribute its spanning STAR on the min doc_id
+    above the cap — candidates linear in bucket size, bucket fully
+    connected at diameter 2 so label propagation converges in ~2 rounds (a
+    dropped bucket would let 2000-copy templates evade dedup entirely; a
+    chain's diameter ≈ bucket size outruns the propagation round bound);
+    non-hot buckets are unaffected (VERDICT r1 #5 + ADVICE r2)."""
     hot = [(i, 0, 777) for i in range(50)]         # 50 docs, one hot bucket
     cool = [(100, 1, 42), (101, 1, 42)]            # a genuine near-dup pair
     bands = spark.createDataFrame(
@@ -185,14 +187,28 @@ def test_hot_bucket_cap_chains_instead_of_quadratic(spark, caplog):
     with caplog.at_level("WARNING", logger="streamroom_bigdata_spark.operators.dedup"):
         capped = dedup.lsh_candidate_pairs(bands, max_bucket_size=10, log_dropped=True)
         rows = sorted((r.doc_a, r.doc_b) for r in capped.collect())
-    # chain: 49 consecutive links + the cool pair — linear, not 1225
-    assert rows == [(i, i + 1) for i in range(49)] + [(100, 101)]
-    # connectivity preserved: the chain spans all 50 hot docs
+    # star: 49 hub links + the cool pair — linear, not 1225
+    assert rows == [(0, i) for i in range(1, 50)] + [(100, 101)]
+    # connectivity preserved at diameter 2: hub 0 reaches every hot doc
     linked = {a for a, _ in rows[:-1]} | {b for _, b in rows[:-1]}
     assert linked == set(range(50))
     assert any("hot band bucket" in m for m in caplog.messages)
     report = dedup.hot_bucket_report(bands, 10).collect()
     assert [(r.band_id, r.band_key, r.bucket_n) for r in report] == [(0, 777, 50)]
+
+
+def test_fixture_has_no_hot_buckets(spark, sf_dir):
+    """near_dup_pairs is oracle-checked against SQL that enumerates ALL
+    bucket pairs; the Spark side star-links buckets over
+    NEAR_DUP_MAX_BUCKET. The two agree exactly iff the fixture has no
+    bucket above the cap — pin that precondition here so a fixture or cap
+    change surfaces as THIS failure instead of a mystery oracle mismatch
+    (ADVICE r2). Checked at both the smoke and the driver-gate sf."""
+    for d in (sf_dir, "/root/testdata/sf0.01"):
+        bands = dedup.signature_bands(dedup.minhash_signature_df(spark, d))
+        assert dedup.hot_bucket_report(
+            bands, dedup.NEAR_DUP_MAX_BUCKET
+        ).count() == 0, f"hot bucket above cap in {d}: oracle would diverge"
 
 
 def test_pii_redaction_semantics(spark):
