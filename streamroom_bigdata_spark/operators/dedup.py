@@ -137,20 +137,22 @@ def exploded_shingles_of(docs: DataFrame) -> DataFrame:
     the shingles up to 60-bit collisions (~1e-9)."""
     toks = docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
     n = SHINGLE_N
-    long = toks.filter(F.size("toks") >= n).select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
-    ).select(
-        "doc_id",
+    # one explode path for both long and short docs (short docs emit the
+    # sentinel position -1 → whole text as the single shingle): a single
+    # whole-stage-codegen pipeline instead of a two-branch union, which
+    # halves the generated code the first (cold) run must compile
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array(F.lit(-1)))
+    s = F.when(
+        F.col("i") >= 0,
         F.concat_ws(
             " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)]
-        ).alias("s"),
-    )
-    short = toks.filter(F.size("toks") < n).select("doc_id", F.col("text").alias("s"))
+        ),
+    ).otherwise(F.col("text"))
     return (
-        long.unionByName(short)
-        .select("doc_id", portable_hash_mod(F.col("s"), MH_P).alias("h"))
+        toks.select("doc_id", "text", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", portable_hash_mod(s, MH_P).alias("h"))
         .distinct()
     )
 
@@ -162,19 +164,24 @@ def exploded_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures_of(exploded: DataFrame) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}) from an exploded-shingle frame — min over
-    affine-transformed shingle hashes; one md5 per shingle, k integer
-    transforms, one partial+final min-agg shuffle on doc_id. Flat output →
-    fast columnar-cache path."""
-    return exploded.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(
-                f"mh_{i}"
-            )
-            for i in range(N_MINHASH)
-        ]
-    )
+def minhash_signatures_of(
+    exploded: DataFrame, with_size: bool = False
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}[, n_sh]) from an exploded-shingle frame —
+    min over affine-transformed shingle hashes; one md5 per shingle, k
+    integer transforms, one partial+final min-agg shuffle on doc_id. Flat
+    output → fast columnar-cache path. ``with_size`` rides the shingle-set
+    count on the SAME aggregate, so Jaccard verification needs no second
+    pass over the shingle table."""
+    aggs = [
+        F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(
+            f"mh_{i}"
+        )
+        for i in range(N_MINHASH)
+    ]
+    if with_size:
+        aggs.append(F.count("*").alias("n_sh"))
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signature_df(
@@ -185,11 +192,15 @@ def minhash_signature_df(
     return minhash_signatures_of(ex)
 
 
-def signature_bands(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key) — the LSH banding of a signature frame,
-    shared by batch candidate generation and the streaming band index."""
+def signature_bands(sigs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, band_id, band_key[, *keep]) — the LSH banding of a signature
+    frame, shared by batch candidate generation and the streaming band
+    index. ``keep`` passes extra per-doc columns through the explode (e.g.
+    the shingle-set size, so verification reads it off the materialized
+    band table instead of re-aggregating the shingle table)."""
     return sigs.select(
         "doc_id",
+        *keep,
         F.explode(
             F.array(
                 *[
@@ -201,7 +212,7 @@ def signature_bands(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+    ).select("doc_id", *keep, "band.band_id", "band.band_key")
 
 
 def _sql_minhash_cte(n_hash: int = N_MINHASH) -> str:
@@ -296,10 +307,21 @@ def hot_bucket_report(bands: DataFrame, max_bucket_size: int) -> DataFrame:
     )
 
 
+def counted_bands(bands: DataFrame) -> DataFrame:
+    """Band table + per-bucket count, materialized once. localCheckpoint:
+    the counted band table is tiny (N_BANDS rows per doc, flat ints) but
+    its upstream — shingle explode → md5 → signature min-agg → band window
+    — would otherwise recompute for each consumer (self-join left/right +
+    hot path + size lookups)."""
+    w = Window.partitionBy("band_id", "band_key")
+    return bands.withColumn("_bucket_n", F.count("*").over(w)).localCheckpoint()
+
+
 def lsh_candidate_pairs(
     bands: DataFrame,
     max_bucket_size: int | None = NEAR_DUP_MAX_BUCKET,
     log_dropped: bool = False,
+    pre_counted: bool = False,
 ) -> DataFrame:
     """Distinct candidate (doc_a < doc_b) pairs from band-bucket collisions.
     Buckets at or under ``max_bucket_size`` contribute all pairs (the exact
@@ -322,8 +344,7 @@ def lsh_candidate_pairs(
                     max_bucket_size,
                     [(r.band_id, r.band_key, r.bucket_n) for r in chained[:20]],
                 )
-        w = Window.partitionBy("band_id", "band_key")
-        counted = bands.withColumn("_bucket_n", F.count("*").over(w))
+        counted = bands if pre_counted else counted_bands(bands)
         normal = counted.filter(F.col("_bucket_n") <= max_bucket_size).drop(
             "_bucket_n"
         )
@@ -372,9 +393,14 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     than ``NEAR_DUP_MAX_BUCKET`` switch to star-linked candidates (hot-key
     guard) so no single bucket can go quadratic."""
     ex = exploded_shingle_df(spark, sf_dir).cache()
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sigs = minhash_signature_df(spark, sf_dir, exploded=ex)
-    cand = lsh_candidate_pairs(signature_bands(sigs))
+    # one aggregate produces signatures AND shingle-set sizes; the sizes
+    # ride the banding explode into the materialized band table, so the
+    # Jaccard denominator below is a lookup on ~N_BANDS·n_docs checkpointed
+    # rows, not a second aggregation pass over the shingle table
+    sigs = minhash_signatures_of(ex, with_size=True)
+    counted = counted_bands(signature_bands(sigs, keep=("n_sh",)))
+    sizes = counted.select("doc_id", "n_sh").distinct()
+    cand = lsh_candidate_pairs(counted, pre_counted=True)
 
     ex_a = ex.select(F.col("doc_id").alias("doc_a"), "h")
     ex_b = ex.select(F.col("doc_id").alias("doc_b"), "h")
