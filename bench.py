@@ -9,8 +9,25 @@ Runs the headline queries from ``__spark_entry__.queries()`` at
 ``value`` is the total wall-clock seconds across the headline set (each query
 executed to completion via ``count()`` — full plan execution, no driver-side
 result materialization cost in the number). Per-query seconds are under
-``queries``. Run with ``python bench.py``; pass query names as argv to bench a
-subset.
+``queries``; per-query result cardinality under ``rows`` (so output-driven
+growth is never conflated with plan cost).
+
+MEASUREMENT PROTOCOL (frozen — BASELINE.md §"protocol"):
+  1. one fresh SparkSession; warm-up = 1 non-headline query + one count of
+     every fixture table + one trivial mapInPandas over every core + the
+     one-time bucketed-table write. Nothing in the headline set runs before
+     its measured run.
+  2. each headline query then runs ONCE, cold (plan compile + execute) —
+     that first-run number is ``queries``.
+  3. the 5 slowest queries by cold time re-run 3 more times; the median is
+     reported under ``warm_top5``.
+Cold single-shot numbers at this scale carry ±20-30 % variance; compare
+round-over-round via warm medians first, cold totals second.
+
+Flags:
+    python bench.py [query ...]       subset of the headline set
+    python bench.py --sf1             synthesize (once) and run at sf≈1
+                                      (10× the sf0.1 facts, /tmp/sf1_synth)
 """
 
 from __future__ import annotations
@@ -18,17 +35,21 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one representative per operator family (SURVEY.md §2) —
-# scan+agg, star join, window top-k, flagship recommendation, as-of and
-# interval joins, exact + near dedup, similarity search, text analysis.
+# scan+agg, star join (plain + bucketed layout), window top-k, flagship
+# recommendation, as-of and interval joins, exact + near dedup, similarity
+# search, text analysis.
 HEADLINE = [
     "pricing_summary",        # A6 multi-agg scan (TPC-H Q1 shape)
     "star_join_revenue",      # J3 fact ⋈ 4 dims
+    "star_join_bucketed",     # J3 over the bucketed layout (zero-Exchange)
     "topk_per_brand",         # W1 window rank top-k
     "recommend_rooms",        # flagship hybrid scoring query
     "asof_join",              # J6 as-of via window
@@ -43,10 +64,37 @@ HEADLINE = [
     "rollup_orders",          # A7 rollup
 ]
 
+SF1_DIR = "/tmp/sf1_synth"
+WARM_TOP_N = 5
+WARM_RUNS = 3
+
+
+def _ensure_sf1() -> str:
+    if not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "make_scale.py"),
+                "/root/testdata/sf0.1",
+                SF1_DIR,
+                "10",
+            ],
+            check=True,
+        )
+    return SF1_DIR
+
 
 def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    only = sys.argv[1:]
+    argv = [a for a in sys.argv[1:]]
+    sf1 = "--sf1" in argv
+    only = [a for a in argv if not a.startswith("-")]
+
+    sf_dir = (
+        _ensure_sf1()
+        if sf1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
     names = only or HEADLINE
 
     from streamroom_bigdata_spark import registry
@@ -78,15 +126,34 @@ def main() -> int:
         lambda it: it, "id long"
     ).count()
 
+    # one-time bucketed-layout write (the ingest-time cost the bucketed
+    # star-join variant trades its shuffle for) — layout prep, not query time
+    if "star_join_bucketed" in names:
+        from streamroom_bigdata_spark.sources.bucketing import (
+            ensure_star_bucketed,
+        )
+
+        ensure_star_bucketed(spark, sf_dir)
+
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in names:
         fn = qs[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        rows[name] = fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    warm: dict[str, float] = {}
+    for name in sorted(timings, key=timings.get, reverse=True)[:WARM_TOP_N]:
+        runs = []
+        for _ in range(WARM_RUNS):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        warm[name] = round(statistics.median(runs), 3)
+
     m = re.match(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
-    sf = float(m.group(1)) if m else 0.0
+    sf = float(m.group(1)) if m else 1.0
     print(
         json.dumps(
             {
@@ -94,6 +161,8 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "rows": rows,
+                "warm_top5": warm,
                 "sf": sf,
             }
         )

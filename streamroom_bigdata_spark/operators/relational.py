@@ -273,6 +273,55 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "star_join_bucketed",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def star_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """star_join_revenue over lineitem/orders BUCKETED on orderkey (J3
+    scale variant): both sides hash into the same 16 buckets at write time,
+    so the fact⋈fact join is a zero-Exchange merge join — at 100 TB this
+    converts the query's dominant shuffle into a one-time layout cost paid
+    at ingest. Results are identical to star_join_revenue (same oracle
+    SQL); the Exchange-free plan is asserted in tests/test_plans.py and
+    the unbucketed-vs-bucketed delta is measured in bench.py."""
+    from ..sources.bucketing import ensure_star_bucketed
+
+    li_tbl, ord_tbl = ensure_star_bucketed(spark, sf_dir)
+    li = spark.table(li_tbl)
+    orders = spark.table(ord_tbl).filter(F.col("o_orderstatus") == "F")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
     "semi_join_active_customers",
     """
     SELECT c_custkey, c_name FROM customer c
