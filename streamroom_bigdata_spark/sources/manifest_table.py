@@ -1,0 +1,212 @@
+"""Manifest-committed parquet tables: a minimal transaction log.
+
+``upsert_parquet`` (maintenance.py) swaps the table directory with two
+renames, which leaves a brief window where the path is absent and is only
+rename-atomic on local/HDFS-like filesystems. This module removes that
+window with the commit-log idea Delta/Iceberg use, reduced to its minimum:
+
+    table_dir/
+      data/gen-<n>-<uuid>/part-*.parquet   immutable generation data
+      _manifest/<%020d-n>.json             commit record for generation n
+
+- A writer stages a NEW generation directory (never touching live data),
+  then commits by renaming a temp manifest file into ``_manifest/<n>.json``
+  — one atomic file rename IS the commit point.
+- Readers list ``_manifest/``, take the highest generation, and read the
+  data directory it names. A crash before the manifest rename leaves an
+  orphan data dir and possibly a temp manifest — both invisible; readers
+  keep seeing the previous generation. There is no moment when the table
+  is absent or torn.
+- The rename-if-absent commit also detects concurrent writers: the loser's
+  rename fails (destination exists) and surfaces as ConcurrentCommitError
+  instead of silently clobbering (single-writer is still the intended
+  deployment; this is a guard, not OCC with retry).
+- ``vacuum`` deletes generations older than the newest ``keep`` commits —
+  the reclaim step, separated from commit so readers of older generations
+  get a grace period.
+
+At 100 TB the manifest is O(commits) tiny JSON files and one listing per
+read — the same metadata shape object stores serve well — while data files
+are immutable, so eventual-consistency renames of DATA never happen.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this generation first."""
+
+
+def _fs(spark: SparkSession, p: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(p)
+    return path.getFileSystem(hconf), jvm
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return f"{table_dir}/_manifest"
+
+
+def _list_commits(spark: SparkSession, table_dir: str) -> list[tuple[int, str]]:
+    """Sorted (generation, manifest path) pairs; [] for an empty table."""
+    fs, jvm = _fs(spark, table_dir)
+    mdir = jvm.org.apache.hadoop.fs.Path(_manifest_dir(table_dir))
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.endswith(".json") and not name.startswith("."):
+            try:
+                out.append((int(name[:-5]), st.getPath().toString()))
+            except ValueError:
+                continue  # foreign file; never a commit
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, manifest_path: str) -> dict:
+    fs, jvm = _fs(spark, manifest_path)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(manifest_path))
+    try:
+        data = bytes(
+            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _commit(
+    spark: SparkSession, table_dir: str, generation: int, record: dict
+) -> None:
+    """Atomically publish ``record`` as commit ``generation`` via
+    write-temp + rename-if-absent. The rename IS the commit point."""
+    fs, jvm = _fs(spark, table_dir)
+    mdir = _manifest_dir(table_dir)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(mdir))
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(f"{mdir}/{generation:020d}.json")
+    out = fs.create(tmp, False)
+    try:
+        out.write(bytearray(json.dumps(record).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(final) or not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise ConcurrentCommitError(
+            f"generation {generation} of {table_dir} was committed by "
+            "another writer"
+        )
+
+
+def _stage_generation(
+    df: DataFrame, table_dir: str, generation: int
+) -> tuple[str, int]:
+    """Write ``df`` into a fresh immutable data dir; returns (dir, rows)."""
+    data_dir = f"{table_dir}/data/gen-{generation}-{uuid.uuid4().hex[:8]}"
+    df.write.parquet(data_dir)  # fresh dir — no overwrite semantics needed
+    n_rows = df.sparkSession.read.parquet(data_dir).count()
+    return data_dir, n_rows
+
+
+def manifest_write(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> int:
+    """Full overwrite as a new committed generation; returns the generation."""
+    commits = _list_commits(spark, table_dir)
+    gen = commits[-1][0] + 1 if commits else 0
+    data_dir, n_rows = _stage_generation(df, table_dir, gen)
+    _commit(
+        spark, table_dir, gen,
+        {"generation": gen, "data_dir": data_dir, "n_rows": n_rows},
+    )
+    return gen
+
+
+def manifest_read(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The table at its newest committed generation."""
+    commits = _list_commits(spark, table_dir)
+    if not commits:
+        raise FileNotFoundError(f"no committed generation in {table_dir}")
+    rec = _read_manifest(spark, commits[-1][1])
+    return spark.read.parquet(rec["data_dir"])
+
+
+def manifest_generation(spark: SparkSession, table_dir: str) -> int | None:
+    commits = _list_commits(spark, table_dir)
+    return commits[-1][0] if commits else None
+
+
+def manifest_upsert(
+    spark: SparkSession, table_dir: str, updates: DataFrame, key: str
+) -> int:
+    """Keyed merge committed as one new generation: replaced keys dropped
+    via anti-join, updates appended, staged to a fresh data dir, then one
+    atomic manifest rename publishes it. Readers either see the previous
+    generation or the merged one — never a gap, never a mix. Returns the
+    new generation (0 when creating the table)."""
+    commits = _list_commits(spark, table_dir)
+    if not commits:
+        return manifest_write(spark, table_dir, updates)
+    current = manifest_read(spark, table_dir)
+    merged = current.join(
+        updates.select(key).distinct(), key, "left_anti"
+    ).unionByName(updates.select(*current.columns))
+    gen = commits[-1][0] + 1
+    data_dir, n_rows = _stage_generation(merged, table_dir, gen)
+    _commit(
+        spark, table_dir, gen,
+        {"generation": gen, "data_dir": data_dir, "n_rows": n_rows},
+    )
+    return gen
+
+
+def manifest_vacuum(
+    spark: SparkSession, table_dir: str, keep: int = 2
+) -> int:
+    """Delete data dirs (and manifests) older than the newest ``keep``
+    generations, plus orphaned data dirs no manifest references (crashed
+    stages). Returns the number of directories removed."""
+    fs, jvm = _fs(spark, table_dir)
+    commits = _list_commits(spark, table_dir)
+    live = commits[-keep:] if keep > 0 else []
+    # qualify through the filesystem so "file:/x" and "/x" compare equal
+    live_dirs = {
+        fs.makeQualified(
+            jvm.org.apache.hadoop.fs.Path(_read_manifest(spark, p)["data_dir"])
+        ).toString()
+        for _, p in live
+    }
+    removed = 0
+    data_root = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/data")
+    if fs.exists(data_root):
+        for st in fs.listStatus(data_root):
+            d = fs.makeQualified(st.getPath()).toString()
+            if d not in live_dirs:
+                fs.delete(st.getPath(), True)
+                removed += 1
+    for gen, p in commits[: max(0, len(commits) - keep)]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(p), False)
+    return removed
+
+
+def streaming_manifest_upsert_sink(table_dir: str, key: str):
+    """foreachBatch sink applying each micro-batch as a manifest-committed
+    upsert — the crash-safe successor of streaming_upsert_sink: a batch
+    replay after a crash re-merges idempotently (same keys replace
+    themselves), and readers never observe a partial batch."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        manifest_upsert(batch_df.sparkSession, table_dir, batch_df, key)
+
+    return apply

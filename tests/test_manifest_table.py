@@ -1,0 +1,98 @@
+"""Manifest-committed table: atomic visibility under crash injection."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.sources import manifest_table as mt
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    mt.manifest_write(spark, d, _mk(spark, [(1, "a"), (2, "b")]))
+    return d
+
+
+def test_write_read_roundtrip(spark, table):
+    got = {(r.k, r.v) for r in mt.manifest_read(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert mt.manifest_generation(spark, table) == 0
+
+
+def test_upsert_replaces_and_appends(spark, table):
+    gen = mt.manifest_upsert(
+        spark, table, _mk(spark, [(2, "B"), (3, "c")]), "k"
+    )
+    assert gen == 1
+    got = {(r.k, r.v) for r in mt.manifest_read(spark, table).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_crash_between_stage_and_commit_is_invisible(spark, table):
+    """Kill the writer after the data write, before the manifest rename:
+    readers must keep seeing generation 0, and a later upsert must succeed
+    and ignore the orphan."""
+    before = {(r.k, r.v) for r in mt.manifest_read(spark, table).collect()}
+    # crash injection: stage a generation but never commit it
+    mt._stage_generation(_mk(spark, [(9, "torn")]), table, 1)
+    # ...and a manifest temp file that never got renamed
+    os.makedirs(f"{table}/_manifest", exist_ok=True)
+    with open(f"{table}/_manifest/.tmp-deadbeef.json", "w") as f:
+        json.dump({"generation": 1, "data_dir": "bogus"}, f)
+
+    assert {(r.k, r.v) for r in mt.manifest_read(spark, table).collect()} == before
+    assert mt.manifest_generation(spark, table) == 0
+
+    gen = mt.manifest_upsert(spark, table, _mk(spark, [(3, "c")]), "k")
+    assert gen == 1
+    got = {(r.k, r.v) for r in mt.manifest_read(spark, table).collect()}
+    assert got == before | {(3, "c")}
+    # vacuum reclaims the orphaned stage dir (2 live gens kept)
+    removed = mt.manifest_vacuum(spark, table, keep=2)
+    assert removed == 1
+    assert {(r.k, r.v) for r in mt.manifest_read(spark, table).collect()} == got
+
+
+def test_concurrent_commit_detected(spark, table):
+    """Two writers staging the same next generation: the second rename
+    fails loudly instead of clobbering."""
+    data_dir, n = mt._stage_generation(_mk(spark, [(5, "x")]), table, 1)
+    mt._commit(spark, table, 1, {"generation": 1, "data_dir": data_dir,
+                                 "n_rows": n})
+    other, n2 = mt._stage_generation(_mk(spark, [(6, "y")]), table, 1)
+    with pytest.raises(mt.ConcurrentCommitError):
+        mt._commit(spark, table, 1, {"generation": 1, "data_dir": other,
+                                     "n_rows": n2})
+    got = {(r.k, r.v) for r in mt.manifest_read(spark, table).collect()}
+    assert (5, "x") in got and (6, "y") not in got
+
+
+def test_vacuum_keeps_recent_generations(spark, table):
+    for i in range(3):
+        mt.manifest_upsert(spark, table, _mk(spark, [(10 + i, "v")]), "k")
+    assert mt.manifest_generation(spark, table) == 3
+    removed = mt.manifest_vacuum(spark, table, keep=2)
+    assert removed == 2  # gens 0 and 1 reclaimed
+    # newest generation still reads fine
+    assert mt.manifest_read(spark, table).count() == 5
+
+
+def test_streaming_manifest_sink_idempotent_replay(spark, tmp_path):
+    """A foreachBatch replay of the same batch (post-crash restart) must
+    leave the table unchanged — keys replace themselves."""
+    d = str(tmp_path / "stream_tbl")
+    sink = mt.streaming_manifest_upsert_sink(d, "k")
+    batch = _mk(spark, [(1, "a"), (2, "b")])
+    sink(batch, 0)
+    sink(batch, 0)  # replay
+    got = {(r.k, r.v) for r in mt.manifest_read(spark, d).collect()}
+    assert got == {(1, "a"), (2, "b")}
