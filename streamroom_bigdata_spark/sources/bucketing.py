@@ -18,6 +18,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """Remove an orphaned warehouse directory for ``table``.
+
+    The default local catalog is in-memory: it dies with the JVM while the
+    warehouse directory survives, and ``saveAsTable`` then refuses the
+    orphaned location (LOCATION_ALREADY_EXISTS). Single-writer assumption:
+    callers must not run two processes materializing the same table
+    concurrently (same rule as any non-transactional table format)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -28,6 +44,9 @@ def write_bucketed(
     """Write ``df`` as a bucketed (and optionally sorted) managed table.
     Sorting within buckets additionally enables merge-join without a sort
     step."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _clear_stale_location(spark, table)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)

@@ -213,6 +213,33 @@ def stream_kafka_source(spark: SparkSession, **kwargs) -> DataFrame:
         ) from exc
 
 
+def read_kafka_batch(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    ending_offsets: str = "latest",
+) -> DataFrame:
+    """Batch Kafka read (S4 batch form): a bounded scan of ``topic`` between
+    the two offset specs — the replay/backfill path. Same guard as the
+    streaming source: clear error when the connector jar or broker is
+    absent."""
+    reader = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("endingOffsets", ending_offsets)
+    )
+    try:
+        return reader.load()
+    except Exception as exc:  # pragma: no cover - no broker in test env
+        raise RuntimeError(
+            "Kafka source unavailable (connector jar or broker missing); "
+            "use batch parquet/CSV readers for local testing"
+        ) from exc
+
+
 def stream_rate_micro_batch(
     spark: SparkSession, rows_per_batch: int = 1000, start_ts_ms: int = 0
 ) -> DataFrame:

@@ -119,7 +119,7 @@ def test_decode_features_deterministic_stub(spark, sf_dir):
         assert r.first_byte == b[0]
         assert r.last_byte == b[-1]
         assert r.byte_checksum == sum(b) % 1_000_000_007
-        assert abs(r.mean_byte - round(sum(b) / len(b), 6)) < 1e-9
+        assert r.mean_byte_micro == (sum(b) * 1_000_000) // len(b)
 
 
 def test_decode_image_is_explicit_stub():
