@@ -1,0 +1,338 @@
+"""Training-data preparation operators (SURVEY.md §2.11/§2.12 extensions).
+
+The ops a large-scale LLM pipeline runs between raw corpus and training
+shards: sequence packing, repetition-quality signals, benchmark
+contamination checks, embedding quantization, and deterministic train/val
+splitting. All [EXT] — the reference has no counterpart (its surface is the
+435-LoC SmartRoom pipeline); these follow the driver mandate that
+training-data ops be first-class.
+
+Scale design notes (100 TB):
+
+- Every operator's only shuffles are hash shuffles on bounded keys
+  (``doc_id`` / ``vec_id`` / pack-shard). No global sorts, no driver
+  round-trips, no interpreted higher-order lambdas (the round-1 perf trap —
+  n-grams are built with slice+arrays_zip, which stay inside whole-stage
+  codegen, not ``F.transform`` lambdas).
+- ``pack_sequences`` windows per (source, shard), never globally: packing
+  parallelism is the shard count, and a window over an unbounded global
+  order (single-partition exchange) never appears.
+- ``contamination_trigrams`` keeps the benchmark side tiny by construction
+  (real benchmark suites are ≪ corpus); the join is AQE-broadcastable
+  without a forced hint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash_mod, sql_hash_mod
+from ..registry import register
+from ..sources import load_table
+
+#: token budget per packed training sequence
+PACK_BUDGET = 2048
+#: shards per source for parallel packing (at 100 TB this is O(cores), not 8)
+PACK_SHARDS = 8
+#: every doc_id divisible by this is "benchmark" for the contamination check
+BENCH_MOD = 97
+#: train fraction (percent) for the deterministic split
+TRAIN_PCT = 90
+
+_DOC_KEY = "CAST(doc_id AS VARCHAR)"
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+
+pack_sequences_oracle = f"""
+WITH docs AS (
+  SELECT source, doc_id,
+         CAST({sql_hash_mod(_DOC_KEY, PACK_SHARDS)} AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, shard, doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) // {PACK_BUDGET} AS seq_id
+  FROM docs
+)
+SELECT source, shard, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM packed
+GROUP BY source, shard, seq_id
+"""
+
+
+@register("pack_sequences", pack_sequences_oracle)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token-budget packing: assign documents (in deterministic
+    doc_id order within a (source, shard) group) to training sequences of
+    ~PACK_BUDGET tokens via an exclusive running sum. A sequence may overflow
+    by at most its last document — the standard streaming-pack trade that
+    needs one window pass instead of bin-packing's quadratic search.
+
+    Shard-local packing keeps the window partitioned (no global order, no
+    single-partition exchange); the shard key is the portable hash, so the
+    layout is reproducible across engines and cluster sizes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        portable_hash_mod(F.col("doc_id").cast("string"), PACK_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("seq_id", F.expr(f"cum_before div {PACK_BUDGET}"))
+    return packed.groupBy("source", "shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition signals (Gopher-style duplicate n-gram quality filters)
+# --------------------------------------------------------------------------
+
+repetition_signals_oracle = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), pairs AS (
+  SELECT doc_id, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+), cnt AS (
+  SELECT doc_id, tok || ' ' || nxt AS bigram, count(*) AS c
+  FROM pairs WHERE nxt IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS total_bigrams,
+       CAST(max(c) AS BIGINT) AS top_bigram_count,
+       CAST(count(*) AS BIGINT) AS distinct_bigrams,
+       round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac,
+       round((sum(c) - count(*))::DOUBLE / sum(c), 4) AS dup_bigram_frac
+FROM cnt
+GROUP BY doc_id
+"""
+
+
+def _ngram_col(n: int) -> F.Column:
+    """n-gram strings from a ``toks`` array column — slice+arrays_zip+explode
+    (whole-stage codegen), NOT an ``F.transform`` index lambda (interpreted
+    per element — the round-1 perf trap)."""
+    slices = [
+        F.slice("toks", i + 1, F.size("toks") - (n - 1)).alias(f"g{i}")
+        for i in range(n)
+    ]
+    z = F.explode(F.arrays_zip(*slices)).alias("z")
+    return z
+
+
+@register("repetition_signals", repetition_signals_oracle)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals (Gopher-style): bigram total /
+    top count / distinct count, plus top-bigram and duplicate-bigram
+    fractions. High values on either fraction flag boilerplate or degenerate
+    repetition — a standard pre-training quality gate.
+
+    Plan: bigrams come from zipping the token array with its own offset-1
+    slice (no window, no per-element lambda), so the only shuffle is the
+    (doc_id, bigram) count aggregate, re-used by the per-doc rollup on the
+    same doc_id key."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = docs.select("doc_id", _ngram_col(2)).select(
+        "doc_id", F.concat_ws(" ", "z.g0", "z.g1").alias("bigram")
+    )
+    cnt = grams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    s, d = F.sum("c"), F.count("*")
+    return cnt.groupBy("doc_id").agg(
+        s.alias("total_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        d.alias("distinct_bigrams"),
+        F.round(F.max("c").cast("double") / s, 4).alias("top_bigram_frac"),
+        F.round((s - d).cast("double") / s, 4).alias("dup_bigram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark contamination (n-gram overlap)
+# --------------------------------------------------------------------------
+
+_TRIGRAMS_SQL = """
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+"""
+
+contamination_trigrams_oracle = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), tri AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS trigram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), tri_ok AS (
+  SELECT DISTINCT doc_id, trigram FROM tri WHERE trigram IS NOT NULL
+), bench AS (
+  SELECT DISTINCT trigram FROM tri_ok WHERE doc_id % {BENCH_MOD} = 0
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(b.trigram) AS BIGINT) AS n_contaminated,
+       round(count(b.trigram)::DOUBLE / count(*), 4) AS contamination_frac
+FROM tri_ok t LEFT JOIN bench b USING (trigram)
+WHERE t.doc_id % {BENCH_MOD} != 0
+GROUP BY t.doc_id
+"""
+
+
+@register("contamination_trigrams", contamination_trigrams_oracle)
+def contamination_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each training document's
+    distinct token trigrams that also appear in the held-out "benchmark" set
+    (here: doc_id ≡ 0 mod BENCH_MOD — a stand-in for a real eval suite).
+    Documents scoring high would leak eval data into training.
+
+    Scale: the benchmark trigram set is small by construction (eval suites
+    are ≪ corpus), so AQE broadcasts it — no forced hint, no corpus-sized
+    shuffle on the join; the per-doc rollup shuffles on doc_id only."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    tri = (
+        docs.select("doc_id", _ngram_col(3))
+        .select("doc_id", F.concat_ws(" ", "z.g0", "z.g1", "z.g2").alias("trigram"))
+        .distinct()
+    )
+    bench = (
+        tri.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("trigram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = tri.filter(F.col("doc_id") % BENCH_MOD != 0)
+    joined = corpus.join(bench, "trigram", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count("hit").alias("n_contaminated"),
+        F.round(F.count("hit").cast("double") / F.count("*"), 4).alias(
+            "contamination_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding quantization (int8, symmetric per-vector scale)
+# --------------------------------------------------------------------------
+
+embedding_quantize_oracle = """
+WITH vals AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+         max(abs(v)) OVER (PARTITION BY vec_id) / 127 AS scale
+  FROM vals
+), q AS (
+  SELECT vec_id, scale, round(v / scale) AS q,
+         abs(v - round(v / scale) * scale) AS err
+  FROM scaled
+)
+SELECT vec_id,
+       round(min(scale), 6) AS scale,
+       round(max(err), 6) AS max_abs_err,
+       CAST(sum(CAST(abs(q) AS BIGINT)) AS BIGINT) AS sum_q_abs,
+       CAST(count(*) FILTER (WHERE abs(q) = 127) AS INT) AS n_saturated
+FROM q
+GROUP BY vec_id
+"""
+
+
+@register("embedding_quantize", embedding_quantize_oracle)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit per embedding: scale = max|x|/127,
+    q = round(x/scale), reporting the reconstruction-error bound and
+    saturation stats a vector-store compaction job would gate on. |q| ≤ 127
+    by construction (symmetric scale), so no clipping branch.
+
+    All math is double-precision column algebra replayed bit-identically by
+    the DuckDB oracle; the only shuffle is the vec_id hash for the window +
+    final aggregate (same key, one exchange under AQE reuse)."""
+    vals = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", F.col("v").cast("double").alias("v"))
+    w = Window.partitionBy("vec_id")
+    scaled = vals.withColumn("scale", F.max(F.abs("v")).over(w) / 127)
+    q = F.round(F.col("v") / F.col("scale"))
+    quant = scaled.select(
+        "vec_id",
+        "scale",
+        q.alias("q"),
+        F.abs(F.col("v") - q * F.col("scale")).alias("err"),
+    )
+    return quant.groupBy("vec_id").agg(
+        F.round(F.min("scale"), 6).alias("scale"),
+        F.round(F.max("err"), 6).alias("max_abs_err"),
+        F.sum(F.abs("q").cast("bigint")).alias("sum_q_abs"),
+        F.count(F.when(F.abs("q") == 127, 1)).cast("int").alias("n_saturated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic train/val split
+# --------------------------------------------------------------------------
+
+_SPLIT_KEY = "concat(CAST(doc_id AS VARCHAR), '|split')"
+
+train_val_split_oracle = f"""
+SELECT source,
+       CASE WHEN {sql_hash_mod(_SPLIT_KEY, 100)} < {TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("train_val_split", train_val_split_oracle)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~TRAIN_PCT/remainder split keyed on a salted portable
+    hash of doc_id — reproducible across runs, engines, and cluster sizes
+    (``randomSplit`` is none of those). The salt decorrelates this split
+    from every other hash-keyed sampler in the registry. Summary shape
+    (per-source counts) keeps the oracle exact; the row-level assignment is
+    the same filter expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        portable_hash_mod(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|split")), 100
+        )
+        < TRAIN_PCT,
+        "train",
+    ).otherwise("val")
+    return docs.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

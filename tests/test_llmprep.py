@@ -1,0 +1,91 @@
+"""Property tests for the training-data prep operators (operators/llmprep.py).
+
+Hash-parity with DuckDB is the driver's job (tools/check_oracle.py); these
+pin the semantic invariants the hashes can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.operators import llmprep
+from streamroom_bigdata_spark.sources import load_table
+
+
+def test_pack_sequences_budget_invariants(spark, sf_dir):
+    """Every doc lands in exactly one sequence; a sequence's tokens exceed
+    the budget by at most its final document (streaming-pack guarantee);
+    within a (source, shard) group sequence ids are dense from 0."""
+    packed = llmprep.pack_sequences(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in packed) == n_docs
+
+    max_doc_tokens = docs.select(
+        F.max(F.size(F.split("text", " ")))
+    ).first()[0]
+    for r in packed:
+        assert r.total_tokens <= llmprep.PACK_BUDGET + max_doc_tokens
+    by_group: dict[tuple, list[int]] = {}
+    for r in packed:
+        by_group.setdefault((r.source, r.shard), []).append(r.seq_id)
+    for seqs in by_group.values():
+        assert sorted(seqs) == list(range(len(seqs)))
+
+
+def test_pack_sequences_fills_before_opening_new(spark, sf_dir):
+    """Non-final sequences in a group are at least budget-full minus the
+    max doc size — packing never opens a new sequence early."""
+    packed = llmprep.pack_sequences(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    max_doc_tokens = docs.select(F.max(F.size(F.split("text", " ")))).first()[0]
+    last = packed.groupBy("source", "shard").agg(F.max("seq_id").alias("last_seq"))
+    nonfinal = packed.join(last, ["source", "shard"]).filter(
+        F.col("seq_id") < F.col("last_seq")
+    )
+    bad = nonfinal.filter(
+        F.col("total_tokens") < llmprep.PACK_BUDGET - max_doc_tokens
+    ).count()
+    assert bad == 0
+
+
+def test_repetition_signals_bounds(spark, sf_dir):
+    rows = llmprep.repetition_signals(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.filter(F.size(F.split("text", " ")) >= 2).count()
+    for r in rows:
+        assert r.total_bigrams == r.distinct_bigrams or r.dup_bigram_frac > 0
+        assert 0 < r.top_bigram_frac <= 1.0
+        assert 0 <= r.dup_bigram_frac < 1.0
+        assert r.top_bigram_count <= r.total_bigrams
+        assert r.distinct_bigrams <= r.total_bigrams
+
+
+def test_contamination_excludes_benchmark_and_bounds(spark, sf_dir):
+    rows = llmprep.contamination_trigrams(spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_id % llmprep.BENCH_MOD != 0
+        assert 0 <= r.n_contaminated <= r.n_grams
+        assert 0.0 <= r.contamination_frac <= 1.0
+
+
+def test_embedding_quantize_error_bound(spark, sf_dir):
+    """Reconstruction error of symmetric int8 quantization is bounded by
+    scale/2 per element, and no quantized magnitude exceeds 127."""
+    rows = llmprep.embedding_quantize(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    for r in rows:
+        assert r.max_abs_err <= r.scale / 2 + 1e-6
+        assert r.sum_q_abs <= 127 * 64
+        assert 0 <= r.n_saturated <= 64
+
+
+def test_train_val_split_partitions_corpus(spark, sf_dir):
+    rows = llmprep.train_val_split(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    total = {"train": 0, "val": 0}
+    for r in rows:
+        total[r.split] += r.n_docs
+    frac = total["train"] / (total["train"] + total["val"])
+    assert 0.8 < frac < 0.97  # ~TRAIN_PCT% with hash noise
