@@ -180,3 +180,51 @@ def test_upsert_partitioned_touches_only_updated_partitions(spark, tmp_path):
         for f in _parquet_files(os.path.join(table, "d=d2"))
     }
     assert d2_after == d2_files
+
+
+def test_zorder_layout_skips_files_on_both_columns(spark, tmp_path):
+    """Z-order layout: file-level footer stats must allow pruning on BOTH
+    clustered columns, where a single-column range sort prunes only its
+    own column (the multi-dimensional data-skipping property)."""
+    import pyarrow.parquet as pq
+
+    from streamroom_bigdata_spark.sources.maintenance import (
+        write_range_partitioned,
+        write_zordered,
+    )
+
+    n = 40_000
+    df = spark.range(0, n, 1, 16).select(
+        (F.col("id") % 200).alias("k1"),
+        (F.col("id") / 200).cast("long").alias("k2"),
+    )
+    zdir, rdir = str(tmp_path / "zord"), str(tmp_path / "ranged1col")
+    write_zordered(df, zdir, ["k1", "k2"], n_files=16, bits=2)
+    write_range_partitioned(df, rdir, "k1", 16)
+
+    def skip_fraction(path, col, probes):
+        spans = []
+        for f in sorted(_parquet_files(path)):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            spans.append((min(mins), max(maxs)))
+        skipped = sum(
+            1 for v in probes for lo, hi in spans if v < lo or v > hi
+        )
+        return skipped / (len(probes) * len(spans))
+
+    probes = [5, 55, 105, 155, 195]
+    # z-order prunes on BOTH dimensions
+    assert skip_fraction(zdir, "k1", probes) >= 0.5
+    assert skip_fraction(zdir, "k2", probes) >= 0.5
+    # single-column sort prunes its own column well, the other not at all
+    assert skip_fraction(rdir, "k1", probes) >= 0.8
+    assert skip_fraction(rdir, "k2", probes) <= 0.2
+    # content intact
+    assert spark.read.parquet(zdir).count() == n
