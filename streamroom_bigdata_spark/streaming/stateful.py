@@ -73,6 +73,64 @@ def running_stats_stateful(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Spark 4 transformWithState variant of the same per-key running stats:
+# the successor API to applyInPandasWithState — named state variables on a
+# handle (value/list/map state, optional TTL, timers) instead of one state
+# tuple. Requires the RocksDB state store provider.
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningStatsProcessor(StatefulProcessor):
+        """Per-key (count, sum) with a named ValueState and a TTL that
+        expires idle keys — the declarative replacement for the manual
+        timeout branch in :func:`_update_stats`. State layout, emissions,
+        and TTL semantics match the applyInPandasWithState twin, which the
+        agreement test asserts batch by batch."""
+
+        STATE_TTL_MS = 3600 * 1000
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", STATE_SCHEMA, ttlDurationMs=self.STATE_TTL_MS
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s = self._stats.get() if self._stats.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._stats.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_stats_tws(events: DataFrame) -> DataFrame:
+        """T10 on the Spark 4 ``transformWithStateInPandas`` API. Needs
+        ``spark.sql.streaming.stateStore.providerClass`` set to the RocksDB
+        provider (transformWithState's storage backend)."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            RunningStatsProcessor(),
+            outputStructType=STATS_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+
+except ImportError:  # pragma: no cover - pre-4.0 fallback documented
+    RunningStatsProcessor = None
+
+    def running_stats_tws(events: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0; use "
+            "running_stats_stateful (applyInPandasWithState) instead"
+        )
+
+
+# ---------------------------------------------------------------------------
 # Stateful sessionizer (T10): arbitrary per-key session state with
 # event-time timeout — the streaming complement of the batch gaps-and-islands
 # sessionize (operators/sessions.py) and the built-in session_window (T9).

@@ -285,6 +285,92 @@ def test_apply_in_pandas_with_state(spark, tmp_path):
     assert final == {7: (2, 15.0), 8: (1, 1.0)}
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state server needs google.protobuf, "
+    "absent in this container (no installs allowed)",
+)
+def test_transform_with_state_agrees_with_apply_in_pandas(spark, tmp_path):
+    """T10 (Spark 4 transformWithStateInPandas): same micro-batches as the
+    applyInPandasWithState test must yield the same final per-key stats —
+    the two arbitrary-state APIs are semantically interchangeable here."""
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7, "value": 10.0}
+    ]
+    b2 = [
+        {"event_id": 2, "ts": "2024-01-01T00:05:00", "user_id": 7, "value": 5.0},
+        {"event_id": 3, "ts": "2024-01-01T00:06:00", "user_id": 8, "value": 1.0},
+    ]
+    stream = _stream_events(spark, tmp_path, [b1, b2])
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _run_to_memory(stateful.running_stats_tws(stream), "tws_sink", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    final = {}
+    for r in spark.sql("select * from tws_sink").collect():
+        final[r.user_id] = (r.n_events, r.sum_value)
+    assert final == {7: (2, 15.0), 8: (1, 1.0)}
+
+
+def test_tws_processor_logic_unit():
+    """The RunningStatsProcessor's per-batch math, unit-tested against a
+    duck-typed ValueState (the engine-side protobuf transport is
+    environment-gated above; the state semantics are not)."""
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _FakeHandle:
+        def __init__(self):
+            self.state = _FakeValueState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            assert ttlDurationMs is not None  # idle keys must expire
+            return self.state
+
+    proc = stateful.RunningStatsProcessor()
+    handle = _FakeHandle()
+    proc.init(handle)
+    out1 = list(
+        proc.handleInputRows((7,), iter([pd.DataFrame({"value": [10.0]})]), None)
+    )
+    out2 = list(
+        proc.handleInputRows((7,), iter([pd.DataFrame({"value": [5.0]})]), None)
+    )
+    assert out1[0].iloc[0].tolist() == [7, 1, 10.0]
+    assert out2[0].iloc[0].tolist() == [7, 2, 15.0]
+    assert handle.state.get() == (2, 15.0)
+
+
 class _FakeGroupState:
     """Duck-typed GroupState for unit-testing the timeout branch (the real
     ProcessingTimeTimeout can't be triggered deterministically in a test)."""
