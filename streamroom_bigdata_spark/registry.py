@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "streamroom_bigdata_spark.operators.similarity",
     "streamroom_bigdata_spark.operators.sampling",
     "streamroom_bigdata_spark.operators.llmprep",
+    "streamroom_bigdata_spark.operators.timeseries",
     "streamroom_bigdata_spark.operators.profile",
     "streamroom_bigdata_spark.operators.curation",
     "streamroom_bigdata_spark.operators.sessions",
