@@ -133,13 +133,41 @@ def manifest_write(
     return gen
 
 
-def manifest_read(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The table at its newest committed generation."""
+def manifest_read(
+    spark: SparkSession, table_dir: str, generation: int | None = None
+) -> DataFrame:
+    """The table at its newest committed generation, or — time travel — at
+    an explicit earlier ``generation`` (immutable data dirs make every
+    still-vacuum-retained generation readable, the Delta/Iceberg
+    ``VERSION AS OF`` capability). Raises on a generation that was never
+    committed or whose data a vacuum already reclaimed."""
     commits = _list_commits(spark, table_dir)
     if not commits:
         raise FileNotFoundError(f"no committed generation in {table_dir}")
-    rec = _read_manifest(spark, commits[-1][1])
+    if generation is None:
+        rec = _read_manifest(spark, commits[-1][1])
+    else:
+        by_gen = dict(commits)
+        if generation not in by_gen:
+            raise FileNotFoundError(
+                f"generation {generation} not in manifest for {table_dir} "
+                f"(have {sorted(by_gen)}; older ones may be vacuumed)"
+            )
+        rec = _read_manifest(spark, by_gen[generation])
+    fs, jvm = _fs(spark, rec["data_dir"])
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(rec["data_dir"])):
+        raise FileNotFoundError(
+            f"generation {rec['generation']} data was vacuumed from {table_dir}"
+        )
     return spark.read.parquet(rec["data_dir"])
+
+
+def manifest_history(spark: SparkSession, table_dir: str) -> list[dict]:
+    """Commit records oldest-first — the table's audit log (generation,
+    data_dir, n_rows per commit)."""
+    return [
+        _read_manifest(spark, p) for _, p in _list_commits(spark, table_dir)
+    ]
 
 
 def manifest_generation(spark: SparkSession, table_dir: str) -> int | None:

@@ -96,3 +96,25 @@ def test_streaming_manifest_sink_idempotent_replay(spark, tmp_path):
     sink(batch, 0)  # replay
     got = {(r.k, r.v) for r in mt.manifest_read(spark, d).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_time_travel_reads_old_generation(spark, table):
+    mt.manifest_upsert(spark, table, _mk(spark, [(2, "B"), (3, "c")]), "k")
+    # latest is merged; generation 0 is still the original
+    now = {(r.k, r.v) for r in mt.manifest_read(spark, table).collect()}
+    then = {(r.k, r.v) for r in mt.manifest_read(spark, table, generation=0).collect()}
+    assert now == {(1, "a"), (2, "B"), (3, "c")}
+    assert then == {(1, "a"), (2, "b")}
+    hist = mt.manifest_history(spark, table)
+    assert [h["generation"] for h in hist] == [0, 1]
+    assert [h["n_rows"] for h in hist] == [2, 3]
+
+
+def test_time_travel_errors_are_explicit(spark, table):
+    mt.manifest_upsert(spark, table, _mk(spark, [(3, "c")]), "k")
+    with pytest.raises(FileNotFoundError, match="not in manifest"):
+        mt.manifest_read(spark, table, generation=99)
+    # vacuum to 1 generation: gen 0's manifest AND data go away
+    mt.manifest_vacuum(spark, table, keep=1)
+    with pytest.raises(FileNotFoundError):
+        mt.manifest_read(spark, table, generation=0)
