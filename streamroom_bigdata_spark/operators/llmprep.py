@@ -303,6 +303,140 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic train/val split
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# source mixing (per-source sampling rates — "data mixing weights")
+# --------------------------------------------------------------------------
+
+_MIX_KEY = "concat(CAST(doc_id AS VARCHAR), '|mix')"
+
+source_mix_sample_oracle = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {sql_hash_mod(_MIX_KEY, 100)} < 20 + {sql_hash_mod('source', 81)}
+"""
+
+
+@register("source_mix_sample", source_mix_sample_oracle)
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing-weight sampler: each source gets its own keep rate
+    (here derived from the source name's hash, 20-100% — in production the
+    rates come from a mixing table) applied as a deterministic salted-hash
+    Bernoulli filter. Pure filter over the scan — no shuffle, reproducible
+    at any cluster size; THE op behind 'sample web at 30%, books at 100%'
+    dataset recipes."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.lit(20) + portable_hash_mod(F.col("source"), 81)
+    keep = (
+        portable_hash_mod(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|mix")), 100
+        )
+        < pct
+    )
+    return docs.filter(keep).select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# cross-source dedup with source priority
+# --------------------------------------------------------------------------
+
+dedup_source_priority_oracle = f"""
+WITH ranked AS (
+  SELECT doc_id, source, sha256(text) AS content_hash,
+         row_number() OVER (
+           PARTITION BY sha256(text)
+           ORDER BY {sql_hash_mod('source', 1000)}, doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY sha256(text)) AS n_copies
+  FROM documents
+)
+SELECT content_hash, CAST(n_copies AS BIGINT) AS n_copies,
+       doc_id AS keep_doc_id, source AS keep_source
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_source_priority", dedup_source_priority_oracle)
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the copy from the PREFERRED source (priority
+    = source-name hash here; a curated-source ranking in production), tie
+    broken by doc_id — the policy layer `dedup_exact`'s min-doc_id keep
+    rule can't express. One window on the content-hash shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.sha2("text", 256).alias("content_hash"),
+    ).withColumns(
+        {
+            "rn": F.row_number().over(
+                w.orderBy(portable_hash_mod(F.col("source"), 1000), "doc_id")
+            ),
+            "n_copies": F.count("*").over(w),
+        }
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "content_hash",
+        "n_copies",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("source").alias("keep_source"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dynamic per-source quality gate
+# --------------------------------------------------------------------------
+
+quality_gate_dynamic_oracle = """
+WITH scored AS (
+  SELECT doc_id, source,
+         round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')), 6) AS uniq_ratio
+  FROM documents
+), ranked AS (
+  SELECT *, percent_rank() OVER (
+    PARTITION BY source ORDER BY uniq_ratio
+  ) AS pr
+  FROM scored
+)
+SELECT doc_id, source, uniq_ratio, round(pr, 6) AS pr
+FROM ranked WHERE pr >= 0.25
+"""
+
+
+@register("quality_gate_dynamic", quality_gate_dynamic_oracle)
+def quality_gate_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-relative quality gate: drop each source's bottom quartile
+    by unique-token ratio. Absolute thresholds (text.py is_quality_col)
+    misfire when sources have different baseline quality; ranking within
+    the source adapts automatically. The score is rounded BEFORE ranking so
+    the rank depends only on the value multiset — engine-portable. One
+    source-key shuffle for the window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("uniq_ratio"),
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("uniq_ratio")
+    )
+    # filter on the RAW rank (as the oracle does), round only for output —
+    # rounding first would flip keep/drop at the quartile boundary
+    return (
+        scored.withColumn("pr_raw", pr)
+        .filter(F.col("pr_raw") >= 0.25)
+        .select("doc_id", "source", "uniq_ratio", F.round("pr_raw", 6).alias("pr"))
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic train/val split
+# --------------------------------------------------------------------------
+
 _SPLIT_KEY = "concat(CAST(doc_id AS VARCHAR), '|split')"
 
 train_val_split_oracle = f"""

@@ -89,3 +89,47 @@ def test_train_val_split_partitions_corpus(spark, sf_dir):
         total[r.split] += r.n_docs
     frac = total["train"] / (total["train"] + total["val"])
     assert 0.8 < frac < 0.97  # ~TRAIN_PCT% with hash noise
+
+
+def test_source_mix_sample_rates_follow_weights(spark, sf_dir):
+    from streamroom_bigdata_spark.functions.hashing import portable_hash_mod
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.source: r.n
+        for r in llmprep.source_mix_sample(spark, sf_dir)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    pcts = {
+        r.source: 20 + r.h
+        for r in docs.select("source", portable_hash_mod(F.col("source"), 81).alias("h"))
+        .distinct().collect()
+    }
+    for src, total in totals.items():
+        rate = kept.get(src, 0) / total
+        # hash noise at n≈tens..hundreds per source: generous tolerance
+        assert abs(rate - pcts[src] / 100) < 0.25
+
+
+def test_dedup_source_priority_covers_corpus_and_agrees_with_exact(spark, sf_dir):
+    out = llmprep.dedup_source_priority(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    rows = out.collect()
+    assert sum(r.n_copies for r in rows) == docs.count()
+    # same duplicate-group structure as dedup_exact, different keep policy
+    from streamroom_bigdata_spark.operators.dedup import dedup_exact
+
+    assert len(rows) == dedup_exact(spark, sf_dir).count()
+
+
+def test_quality_gate_dynamic_keeps_top_three_quartiles(spark, sf_dir):
+    out = llmprep.quality_gate_dynamic(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    kept = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, total in totals.items():
+        frac = kept.get(src, 0) / total
+        assert 0.5 < frac <= 0.8  # ~75%, tie-dependent
+    # every kept row really is at or above its source's 25th percentile rank
+    assert out.filter(F.col("pr") < 0.25).count() == 0
