@@ -61,3 +61,29 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (Spark 4 DataSketches HLL)
+# ---------------------------------------------------------------------------
+
+def distinct_sketch_by_group(
+    df: DataFrame, group_col: str, col: str, lgk: int = 12
+) -> DataFrame:
+    """Per-group HLL sketches as reusable BINARY aggregates — the profiling
+    shape for 100 TB: sketch once per partition/day/source, then answer
+    any rollup's distinct count by UNIONING sketches (mergeable, unlike a
+    count_distinct result). Sketch size is fixed (2^lgk registers) no
+    matter the input."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(col, F.lit(lgk)).alias("sketch"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def union_sketch_estimate(sketches: DataFrame) -> DataFrame:
+    """Merge per-group sketches into one global estimate — the rollup a
+    pre-sketched table answers without rescanning data."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")
+    )

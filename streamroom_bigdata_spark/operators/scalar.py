@@ -160,6 +160,31 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_extraction",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val,
+           CAST(json_extract(props, '$.missing') AS INT) AS missing_val
+    FROM events
+    """,
+)
+def variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VariantType (F10 [EXT]):
+    ``parse_json`` decodes the JSON string ONCE into the binary variant
+    encoding; ``variant_get`` then path-extracts without re-parsing — the
+    scale answer to repeated ``get_json_object`` calls, each of which
+    re-parses the string. Missing paths yield null (``try_variant_get``),
+    matching SQL JSON-path semantics in the DuckDB oracle."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return events.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_val"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_val"),
+    )
+
+
+@register(
     "math_functions",
     """
     SELECT l_linenumber,

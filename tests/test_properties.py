@@ -140,3 +140,26 @@ def test_bernoulli_sample_stable_under_partitioning(spark, n_parts):
         for r in base.repartition(n_parts).filter("keep").collect()
     }
     assert got == expected
+
+
+def test_hll_sketches_merge_losslessly(spark, sf_dir):
+    """DataSketches HLL: the union of per-group sketches must estimate the
+    SAME value as one global sketch (mergeability — what makes sketch
+    columns reusable across rollups), and land within the standard ~2%
+    relative error of the exact distinct count at lgk=12."""
+    from streamroom_bigdata_spark.operators.profile import (
+        distinct_sketch_by_group,
+        union_sketch_estimate,
+    )
+    from streamroom_bigdata_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    merged = union_sketch_estimate(
+        distinct_sketch_by_group(events, "event_type", "user_id")
+    ).first().estimate
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+    ).first()[0]
+    exact = events.select("user_id").distinct().count()
+    assert merged == direct
+    assert abs(merged - exact) / exact < 0.05
