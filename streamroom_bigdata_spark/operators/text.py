@@ -141,6 +141,25 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenize_udtf():
+    """True Python UDTF (Spark 4, Arrow-backed) emitting (pos, tok) rows per
+    document — the D5 surface in its table-function form. Row-at-a-time
+    Python: registered ONLY as the agreement oracle for the explode path
+    above, never in the hot path (explode+split stays in whole-stage
+    codegen; see the lang_id UDF precedent)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    return Tokenize
+
+
 @register(
     "token_count_regex",
     """

@@ -242,3 +242,26 @@ def test_heavy_hitters_match_exact_topk(spark, sf_dir):
         (r.tok, r.n) for r in token_frequencies(spark, sf_dir).collect()
     ][:HH_TOP_K]
     assert got == exact
+
+
+def test_udtf_tokenization_agrees_with_explode(spark, sf_dir):
+    """D5: the Python UDTF form must produce exactly the explode+posexplode
+    token stream (the codegen path it is the oracle for)."""
+    from streamroom_bigdata_spark.operators.text import tokenize_udtf
+    from streamroom_bigdata_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    tok = tokenize_udtf()
+    via_udtf = {
+        (r.doc_id, r.pos, r.tok)
+        for r in docs.lateralJoin(
+            tok(F.col("text").outer()).alias("t")
+        ).select("doc_id", "t.pos", "t.tok").collect()
+    }
+    via_explode = {
+        (r.doc_id, r.pos, r.tok)
+        for r in docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        ).collect()
+    }
+    assert via_udtf == via_explode and len(via_udtf) > 0
