@@ -135,6 +135,65 @@ def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("user_id").applyInPandas(merge, schema)
 
 
+@register("asof_join_cogroup", _ASOF_ORACLE)
+def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics through the COGROUP pandas API: views and
+    purchases stay two relations, co-partitioned per key into one
+    ``applyInPandas(lambda left, right: ...)`` — the two-input UDF shape
+    (pairwise reconciliation, custom joins) the single-input grouped-map
+    can't express without a pre-union. One co-partitioned shuffle per
+    side on user_id; matches ``asof_join`` bit-for-bit (same oracle)."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    schema = (
+        "purchase_id long, user_id long, purchase_ts timestamp, "
+        "purchase_value double, last_view_value double, last_view_ts timestamp"
+    )
+
+    def merge(views_pdf: pd.DataFrame, buys_pdf: pd.DataFrame) -> pd.DataFrame:
+        buys_pdf = buys_pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        out = pd.DataFrame(
+            {
+                "purchase_id": buys_pdf["event_id"],
+                "user_id": buys_pdf["user_id"],
+                "purchase_ts": buys_pdf["ts"],
+                "purchase_value": buys_pdf["value"],
+            }
+        )
+        if views_pdf.empty or buys_pdf.empty:
+            out["last_view_value"] = pd.Series(dtype="float64")
+            out["last_view_ts"] = pd.Series(dtype="datetime64[us]")
+            return out
+        # ties among views at one ts: merge_asof takes the LAST sorted row,
+        # i.e. the highest event_id — same tiebreak as the window form
+        views_pdf = views_pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        merged = pd.merge_asof(
+            buys_pdf[["ts"]].reset_index(drop=True),
+            views_pdf[["ts", "value"]].rename(
+                columns={"ts": "last_view_ts", "value": "last_view_value"}
+            ),
+            left_on="ts",
+            right_on="last_view_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = out.reset_index(drop=True)
+        out["last_view_value"] = merged["last_view_value"]
+        out["last_view_ts"] = merged["last_view_ts"]
+        return out
+
+    return (
+        views.groupBy("user_id")
+        .cogroup(buys.groupBy("user_id"))
+        .applyInPandas(merge, schema)
+    )
+
+
 @register(
     "range_join_attribution",
     """

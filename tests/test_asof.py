@@ -61,3 +61,16 @@ def test_interval_overlap_bounds(spark, sf_dir):
     for r in asof.interval_overlap_pairs(spark, sf_dir).collect():
         assert r.event_a < r.event_b
         assert 0 < r.overlap_ms <= 3 * 60 * 1000
+
+
+def test_cogroup_asof_matches_window_form(spark, sf_dir):
+    """D-surface cogroup: the two-relation pandas form must equal the
+    window (pure DataFrame) as-of join row for row."""
+    from streamroom_bigdata_spark.operators.asof import (
+        asof_join,
+        asof_join_cogroup,
+    )
+
+    a = {tuple(r) for r in asof_join(spark, sf_dir).collect()}
+    b = {tuple(r) for r in asof_join_cogroup(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
