@@ -604,10 +604,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("nc").alias("min_nbr"))
         )
+        # carry the previous label through the join so the changed-count is
+        # a filter on the checkpointed frame, not another per-round join
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("prev"),
                 F.least(
                     F.col("component"),
                     F.coalesce("min_nbr", F.col("component")),
@@ -615,13 +618,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("prev")).count()
+        labels = new_labels.drop("prev")
         if changed == 0:
             converged = True
             break
