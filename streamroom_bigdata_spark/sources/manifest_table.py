@@ -176,20 +176,37 @@ def manifest_generation(spark: SparkSession, table_dir: str) -> int | None:
 
 
 def manifest_upsert(
-    spark: SparkSession, table_dir: str, updates: DataFrame, key: str
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+    evolve_schema: bool = False,
 ) -> int:
     """Keyed merge committed as one new generation: replaced keys dropped
     via anti-join, updates appended, staged to a fresh data dir, then one
     atomic manifest rename publishes it. Readers either see the previous
     generation or the merged one — never a gap, never a mix. Returns the
-    new generation (0 when creating the table)."""
+    new generation (0 when creating the table).
+
+    Schema policy: by default an updates frame must not ADD columns (a
+    typo'd column name would otherwise silently widen the table — the
+    strict default Delta also chose); a missing column in ``updates`` or,
+    with ``evolve_schema=True``, a new column is null-filled on the other
+    side, which is exactly parquet-compatible schema evolution (old data
+    files simply lack the column)."""
     commits = _list_commits(spark, table_dir)
     if not commits:
         return manifest_write(spark, table_dir, updates)
     current = manifest_read(spark, table_dir)
+    added = set(updates.columns) - set(current.columns)
+    if added and not evolve_schema:
+        raise ValueError(
+            f"updates add column(s) {sorted(added)} not in the table; pass "
+            "evolve_schema=True to widen the schema"
+        )
     merged = current.join(
         updates.select(key).distinct(), key, "left_anti"
-    ).unionByName(updates.select(*current.columns))
+    ).unionByName(updates, allowMissingColumns=True)
     gen = commits[-1][0] + 1
     data_dir, n_rows = _stage_generation(merged, table_dir, gen)
     _commit(
@@ -197,6 +214,80 @@ def manifest_upsert(
         {"generation": gen, "data_dir": data_dir, "n_rows": n_rows},
     )
     return gen
+
+
+def manifest_delete(
+    spark: SparkSession, table_dir: str, keys: DataFrame, key: str
+) -> int:
+    """Row-level delete committed as one new generation: the surviving rows
+    (anti-join against ``keys``) become the next generation's data — the
+    copy-on-write delete Delta/Iceberg perform, without deletion-vector
+    machinery. Time travel keeps the pre-delete generations readable until
+    vacuumed."""
+    commits = _list_commits(spark, table_dir)
+    if not commits:
+        raise FileNotFoundError(f"no committed generation in {table_dir}")
+    current = manifest_read(spark, table_dir)
+    remaining = current.join(keys.select(key).distinct(), key, "left_anti")
+    gen = commits[-1][0] + 1
+    data_dir, n_rows = _stage_generation(remaining, table_dir, gen)
+    _commit(
+        spark, table_dir, gen,
+        {"generation": gen, "data_dir": data_dir, "n_rows": n_rows},
+    )
+    return gen
+
+
+def manifest_compact(
+    spark: SparkSession, table_dir: str, n_files: int
+) -> int:
+    """Rewrite the current generation into ``n_files`` files as a NEW
+    generation — same rows, better layout. Because compaction is just
+    another commit, it is atomic, concurrent-reader-safe, and undoable via
+    time travel; the small-file debt of many upsert generations is paid
+    without a maintenance window."""
+    commits = _list_commits(spark, table_dir)
+    if not commits:
+        raise FileNotFoundError(f"no committed generation in {table_dir}")
+    current = manifest_read(spark, table_dir).coalesce(n_files)
+    gen = commits[-1][0] + 1
+    data_dir, n_rows = _stage_generation(current, table_dir, gen)
+    _commit(
+        spark, table_dir, gen,
+        {"generation": gen, "data_dir": data_dir, "n_rows": n_rows},
+    )
+    return gen
+
+
+def manifest_diff(
+    spark: SparkSession, table_dir: str, from_gen: int, to_gen: int
+) -> DataFrame:
+    """Row-level change feed between two retained generations: each row of
+    the result carries ``_change`` = 'insert' (present only in ``to_gen``)
+    or 'delete' (present only in ``from_gen``); an updated row appears as
+    its delete + insert pair. Incremental consumers read this instead of
+    rescanning the table."""
+    from pyspark.sql import functions as F
+
+    old = manifest_read(spark, table_dir, generation=from_gen)
+    new = manifest_read(spark, table_dir, generation=to_gen)
+    # align schemas across an evolution boundary: a column absent in one
+    # generation is null there (parquet semantics), so diff on that basis
+    types = {f.name: f.dataType for f in new.schema.fields}
+    for f in old.schema.fields:
+        types.setdefault(f.name, f.dataType)
+    cols = sorted(types)
+
+    def align(df: DataFrame) -> DataFrame:
+        for c in cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(types[c]))
+        return df.select(*cols)
+
+    old, new = align(old), align(new)
+    inserts = new.exceptAll(old).withColumn("_change", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change", F.lit("delete"))
+    return inserts.unionByName(deletes)
 
 
 def manifest_vacuum(

@@ -118,3 +118,59 @@ def test_time_travel_errors_are_explicit(spark, table):
     mt.manifest_vacuum(spark, table, keep=1)
     with pytest.raises(FileNotFoundError):
         mt.manifest_read(spark, table, generation=0)
+
+
+def test_schema_evolution_gated_and_null_fills(spark, table):
+    widened = spark.createDataFrame([(3, "c", 9.5)], "k long, v string, score double")
+    with pytest.raises(ValueError, match="evolve_schema"):
+        mt.manifest_upsert(spark, table, widened, "k")
+    mt.manifest_upsert(spark, table, widened, "k", evolve_schema=True)
+    got = {(r.k, r.v, r.score) for r in mt.manifest_read(spark, table).collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
+    # narrower updates still merge after evolution (missing col null-fills)
+    mt.manifest_upsert(spark, table, _mk(spark, [(1, "A")]), "k")
+    row1 = mt.manifest_read(spark, table).filter("k = 1").first()
+    assert (row1.v, row1.score) == ("A", None)
+
+
+def test_delete_is_a_generation(spark, table):
+    gen = mt.manifest_delete(spark, table, _mk(spark, [(1, "x")]), "k")
+    assert gen == 1
+    assert {r.k for r in mt.manifest_read(spark, table).collect()} == {2}
+    # pre-delete state still readable via time travel
+    assert {r.k for r in mt.manifest_read(spark, table, generation=0).collect()} == {1, 2}
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
+    import os
+
+    d = str(tmp_path / "many")
+    df = spark.range(0, 1000, 1, 12).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    mt.manifest_write(spark, d, df)
+
+    def files_of(gen):
+        rec = mt.manifest_history(spark, d)[gen]
+        return [
+            f for f in os.listdir(rec["data_dir"].removeprefix("file:"))
+            if f.endswith(".parquet")
+        ]
+
+    assert len(files_of(0)) > 2
+    gen = mt.manifest_compact(spark, d, 2)
+    assert gen == 1 and len(files_of(1)) <= 2
+    assert mt.manifest_read(spark, d).count() == 1000
+
+
+def test_diff_emits_insert_delete_pairs(spark, table):
+    mt.manifest_upsert(spark, table, _mk(spark, [(2, "B"), (3, "c")]), "k")
+    diff = {
+        (r.k, r.v, r._change)
+        for r in mt.manifest_diff(spark, table, 0, 1).collect()
+    }
+    assert diff == {
+        (2, "b", "delete"),   # update = delete+insert pair
+        (2, "B", "insert"),
+        (3, "c", "insert"),
+    }
