@@ -662,3 +662,36 @@ def full_outer_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").isNotNull().alias("has_usage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-SQL entry point: one portable SQL text drives BOTH engines
+# ---------------------------------------------------------------------------
+
+_REVENUE_SHARE_SQL = """
+WITH rev AS (
+  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS yr,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, yr, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY yr), 6) AS yr_share
+FROM rev
+"""
+
+
+@register("sql_revenue_share", _REVENUE_SHARE_SQL)
+def sql_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() surface (SURVEY.md §3 'no SQL parser of its own —
+    delegates to Spark SQL'): the SAME portable ANSI SQL text runs through
+    Catalyst here and through DuckDB as its own oracle — dialect-portable
+    by construction. Per-year revenue share per nation: star join →
+    grouped aggregate → windowed share, all planned by Catalyst exactly
+    as the equivalent DataFrame chain would be."""
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REVENUE_SHARE_SQL)

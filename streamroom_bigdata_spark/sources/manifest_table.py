@@ -216,6 +216,29 @@ def manifest_upsert(
     return gen
 
 
+def manifest_upsert_occ(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+    max_retries: int = 3,
+) -> int:
+    """Optimistic-concurrency upsert: on a commit collision (another writer
+    landed the generation first) the merge is RECOMPUTED against the new
+    current generation and retried — the standard OCC loop Delta runs.
+    Correct because ``manifest_upsert`` re-reads the table each attempt;
+    the loser's staged data dir is left orphaned for vacuum. Raises the
+    last ``ConcurrentCommitError`` after ``max_retries`` collisions."""
+    last: ConcurrentCommitError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return manifest_upsert(spark, table_dir, updates, key)
+        except ConcurrentCommitError as exc:
+            last = exc
+    assert last is not None
+    raise last
+
+
 def manifest_delete(
     spark: SparkSession, table_dir: str, keys: DataFrame, key: str
 ) -> int:

@@ -174,3 +174,33 @@ def test_diff_emits_insert_delete_pairs(spark, table):
         (2, "B", "insert"),
         (3, "c", "insert"),
     }
+
+
+def test_occ_upsert_recomputes_merge_after_collision(spark, table, monkeypatch):
+    """A writer losing the commit race must re-merge against the WINNER's
+    generation, not its own stale read — simulated by injecting a competing
+    commit between the loser's read and its commit attempt."""
+    real_commit = mt._commit
+    raced = {"done": False}
+
+    def racing_commit(spark_, table_dir, generation, record):
+        if not raced["done"]:
+            raced["done"] = True
+            # competing writer lands (2, "X") first, taking this generation
+            winner = mt.manifest_read(spark_, table_dir).join(
+                _mk(spark_, [(2, "X")]).select("k"), "k", "left_anti"
+            ).unionByName(_mk(spark_, [(2, "X")]))
+            data_dir, n_rows = mt._stage_generation(winner, table_dir, generation)
+            real_commit(
+                spark_, table_dir, generation,
+                {"generation": generation, "data_dir": data_dir, "n_rows": n_rows},
+            )
+            # now the loser's own attempt at the same generation collides
+        return real_commit(spark_, table_dir, generation, record)
+
+    monkeypatch.setattr(mt, "_commit", racing_commit)
+    gen = mt.manifest_upsert_occ(spark, table, _mk(spark, [(3, "c")]), "k")
+    assert gen == 2  # retried as the NEXT generation
+    got = {(r.k, r.v) for r in mt.manifest_read(spark, table).collect()}
+    # both the winner's update and the retried upsert survive
+    assert got == {(1, "a"), (2, "X"), (3, "c")}

@@ -870,3 +870,45 @@ def test_rate_micro_batch_deterministic(spark, tmp_path):
         assert len(vals) % 25 == 0           # whole batches only
     finally:
         q.stop()
+
+
+def test_available_now_backfill_resumes_from_checkpoint(spark, tmp_path):
+    """T5+ backfill pattern: Trigger.AvailableNow drains everything present
+    then STOPS; a later run against the same checkpoint processes ONLY
+    files added since — batch-shaped runs with streaming exactly-once
+    bookkeeping (the scheduled-ingest shape: cron a bounded run, offsets
+    carry over)."""
+    import pandas as _pd
+
+    src = tmp_path / "backfill_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "backfill_ckpt")
+    sink = tmp_path / "backfill_sink"
+
+    def add_file(i, rows):
+        _pd.DataFrame(rows).to_json(
+            src / f"f{i}.json", orient="records", lines=True, date_format="iso"
+        )
+
+    def drain():
+        stream = stream_file_source(spark, str(src), EVENTS_DDL, fmt="json")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive  # AvailableNow terminates on its own
+
+    add_file(0, [{"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0}])
+    add_file(1, [{"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 2, "value": 2.0}])
+    drain()
+    assert spark.read.parquet(str(sink)).count() == 2
+
+    add_file(2, [{"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 3, "value": 3.0}])
+    drain()
+    got = {r.event_id for r in spark.read.parquet(str(sink)).collect()}
+    assert got == {1, 2, 3}  # old files NOT reprocessed, new file picked up
