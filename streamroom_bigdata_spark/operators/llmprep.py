@@ -304,6 +304,63 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # --------------------------------------------------------------------------
+# document chunking (RAG / context-window preparation)
+# --------------------------------------------------------------------------
+
+#: tokens per chunk and stride between chunk starts (overlap = CHUNK-STRIDE)
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 12
+
+chunk_documents_oracle = f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           1, len(string_split(text, ' ')), {CHUNK_STRIDE}
+         )) AS start
+  FROM documents
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       array_to_string(
+         string_split(text, ' ')[start : start + {CHUNK_TOKENS} - 1], ' '
+       ) AS chunk_text,
+       CAST(len(string_split(text, ' ')[start : start + {CHUNK_TOKENS} - 1])
+            AS INT) AS n_tokens
+FROM starts
+"""
+
+
+@register("chunk_documents", chunk_documents_oracle)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunks per document (CHUNK_TOKENS window,
+    CHUNK_STRIDE stride) — the retrieval/context-window prep step between a
+    curated corpus and an embedding or training job. The trailing chunk may
+    be short (standard chunking semantics); overlap = CHUNK-STRIDE tokens.
+
+    Plan: explode an in-plan ``sequence()`` of chunk starts, then
+    ``slice``+``concat_ws`` — all codegen, no lambda, no shuffle at all
+    (chunking is embarrassingly parallel; the scan partitioning IS the
+    output partitioning)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    exploded = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start"), F.lit(CHUNK_TOKENS))
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # source mixing (per-source sampling rates — "data mixing weights")
 # --------------------------------------------------------------------------
 

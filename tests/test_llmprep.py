@@ -133,3 +133,25 @@ def test_quality_gate_dynamic_keeps_top_three_quartiles(spark, sf_dir):
         assert 0.5 < frac <= 0.8  # ~75%, tie-dependent
     # every kept row really is at or above its source's 25th percentile rank
     assert out.filter(F.col("pr") < 0.25).count() == 0
+
+
+def test_chunking_covers_and_overlaps(spark, sf_dir):
+    """Every token of every doc appears in at least one chunk; consecutive
+    chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE tokens; reassembling
+    chunk 0's stride-prefixes + the final chunk reproduces the document."""
+    chunks = llmprep.chunk_documents(spark, sf_dir)
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    by_doc: dict = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = (r.chunk_text, r.n_tokens)
+    assert set(by_doc) == set(docs)
+    for doc_id, text in list(docs.items())[:40]:
+        toks = text.split(" ")
+        got = by_doc[doc_id]
+        assert sorted(got) == list(range(len(got)))  # dense chunk ids
+        rebuilt: list = []
+        for cid in sorted(got):
+            ctoks = got[cid][0].split(" ")
+            assert got[cid][1] == len(ctoks) <= llmprep.CHUNK_TOKENS
+            rebuilt = rebuilt[: cid * llmprep.CHUNK_STRIDE] + ctoks
+        assert rebuilt == toks
