@@ -300,10 +300,6 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# deterministic train/val split
-# --------------------------------------------------------------------------
-
-# --------------------------------------------------------------------------
 # document chunking (RAG / context-window preparation)
 # --------------------------------------------------------------------------
 
@@ -487,6 +483,101 @@ def quality_gate_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("pr_raw", pr)
         .filter(F.col("pr_raw") >= 0.25)
         .select("doc_id", "source", "uniq_ratio", F.round("pr_raw", 6).alias("pr"))
+    )
+
+
+# --------------------------------------------------------------------------
+# composed corpus-to-chunks pipeline (the policy ops chained in ONE plan)
+# --------------------------------------------------------------------------
+
+curation_v2_oracle = f"""
+WITH mixed AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE {sql_hash_mod(_MIX_KEY, 100)} < 20 + {sql_hash_mod('source', 81)}
+), ranked AS (
+  SELECT doc_id, source, text,
+         percent_rank() OVER (
+           PARTITION BY source
+           ORDER BY round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                          / len(string_split(text, ' ')), 6)
+         ) AS pr
+  FROM mixed
+), gated AS (
+  SELECT doc_id, source, text FROM ranked WHERE pr >= 0.25
+), deduped AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY sha256(text)
+      ORDER BY {sql_hash_mod('source', 1000)}, doc_id
+    ) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), chunks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         unnest(generate_series(
+           1, len(string_split(text, ' ')), {CHUNK_STRIDE}
+         )) AS start
+  FROM deduped
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(len(toks[start : start + {CHUNK_TOKENS} - 1])) AS BIGINT)
+         AS total_chunk_tokens
+FROM chunks
+GROUP BY source
+"""
+
+
+@register("curation_pipeline_v2", curation_v2_oracle)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The policy operators composed end to end in ONE declarative plan:
+    source-mix sample → per-source dynamic quality gate (ranked within the
+    SAMPLED population — the gate adapts to what mixing kept) → priority-
+    keep exact dedup → overlapping chunking → per-source output stats.
+
+    Plan shape: pushed-filter scan (mix), window on source (gate), window
+    on content hash (dedup), shuffle-free chunk explode, final source
+    aggregate — three hash shuffles for a five-stage pipeline, because
+    chunking and mixing ride existing partitionings. Complements
+    `curation_pipeline` (the near-dup/cluster path); together they are the
+    corpus-to-training-chunks story."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    mixed = docs.filter(
+        portable_hash_mod(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|mix")), 100
+        )
+        < F.lit(20) + portable_hash_mod(F.col("source"), 81)
+    )
+    toks = F.split("text", " ")
+    uniq = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+    )
+    pr = F.percent_rank().over(Window.partitionBy("source").orderBy(uniq))
+    gated = (
+        mixed.withColumn("pr", pr).filter(F.col("pr") >= 0.25).drop("pr")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.sha2("text", 256)).orderBy(
+            portable_hash_mod(F.col("source"), 1000), "doc_id"
+        )
+    )
+    deduped = gated.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    chunks = deduped.select(
+        "doc_id",
+        "source",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start"), F.lit(CHUNK_TOKENS))
+    return chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum(F.size(chunk).cast("long")).alias("total_chunk_tokens"),
     )
 
 

@@ -155,3 +155,13 @@ def test_chunking_covers_and_overlaps(spark, sf_dir):
             assert got[cid][1] == len(ctoks) <= llmprep.CHUNK_TOKENS
             rebuilt = rebuilt[: cid * llmprep.CHUNK_STRIDE] + ctoks
         assert rebuilt == toks
+
+
+def test_curation_v2_stats_are_consistent(spark, sf_dir):
+    rows = llmprep.curation_pipeline_v2(spark, sf_dir).collect()
+    n_docs_total = sum(r.n_docs for r in rows)
+    mixed = llmprep.source_mix_sample(spark, sf_dir).count()
+    assert 0 < n_docs_total < mixed  # gate + dedup must both bite
+    for r in rows:
+        assert r.n_chunks >= r.n_docs          # >= 1 chunk per kept doc
+        assert r.total_chunk_tokens >= r.n_chunks  # chunks are non-empty
