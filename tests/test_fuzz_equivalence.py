@@ -1,0 +1,104 @@
+"""Randomized Spark-vs-DuckDB query-equivalence fuzzing (SURVEY.md §5).
+
+The fixed oracle set (tools/check_oracle.py) pins 101 hand-written
+queries; this fuzzer samples the NEIGHBORHOOD around them: hypothesis
+generates small filter+group+aggregate queries over lineitem, renders ONE
+SQL text, and asserts Spark (via ``df.filter(sql_pred)`` + aggregate
+expressions) and DuckDB agree row for row. Catches operator-semantics
+drift (null ordering, numeric typing, predicate edge cases) that a fixed
+set can miss.
+
+Kept cheap: sf0.001 (~6k rows), bounded example count, shared sessions.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+GROUP_COLS = ("l_returnflag", "l_linestatus", "l_linenumber")
+NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+AGGS = ("sum", "min", "max", "count", "avg")
+OPS = ("<", "<=", ">", ">=", "=", "<>")
+
+# constants chosen to straddle each column's actual range
+CONSTS = {
+    "l_quantity": (1.0, 10.0, 25.0, 50.0),
+    "l_extendedprice": (1000.0, 20000.0, 60000.0),
+    "l_discount": (0.0, 0.04, 0.08),
+    "l_tax": (0.0, 0.04, 0.08),
+}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    yield con
+    con.close()
+
+
+query_strategy = st.builds(
+    lambda g, ac, a, fc, op, ci, conj: {
+        "group": g,
+        "agg": a,
+        "agg_col": ac,
+        "pred_col": fc,
+        "op": op,
+        "const_i": ci,
+        "conj": conj,
+    },
+    g=st.sampled_from(GROUP_COLS),
+    ac=st.sampled_from(NUM_COLS),
+    a=st.sampled_from(AGGS),
+    fc=st.sampled_from(NUM_COLS),
+    op=st.sampled_from(OPS),
+    ci=st.integers(min_value=0, max_value=3),
+    conj=st.none() | st.sampled_from(NUM_COLS),
+)
+
+
+def _render(q) -> tuple[str, str, str]:
+    const = CONSTS[q["pred_col"]][q["const_i"] % len(CONSTS[q["pred_col"]])]
+    pred = f"{q['pred_col']} {q['op']} {const}"
+    if q["conj"] is not None:
+        c2 = CONSTS[q["conj"]][0]
+        pred += f" AND {q['conj']} >= {c2}"
+    if q["agg"] == "count":
+        agg_sql = "CAST(count(*) AS BIGINT)"
+    else:
+        agg_sql = f"round({q['agg']}({q['agg_col']}), 6)"
+    return pred, agg_sql, q["group"]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=query_strategy)
+def test_random_agg_query_agrees(spark, duck, q):
+    pred, agg_sql, group = _render(q)
+    sql = (
+        f"SELECT {group} AS g, {agg_sql} AS v "
+        f"FROM lineitem WHERE {pred} GROUP BY 1"
+    )
+    want = sorted(map(tuple, duck.sql(sql).fetchall()))
+
+    df = load_table(spark, SF_DIR, "lineitem").filter(pred)
+    got = sorted(
+        (r.g, r.v)
+        for r in df.groupBy(F.col(group).alias("g"))
+        .agg(F.expr(agg_sql).alias("v"))
+        .collect()
+    )
+    assert got == want, f"divergence for: {sql}"
