@@ -102,3 +102,73 @@ def test_random_agg_query_agrees(spark, duck, q):
         .collect()
     )
     assert got == want, f"divergence for: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Shared-SQL-text fuzz: the SAME rendered SQL runs through spark.sql and
+# DuckDB — exercising the dialect-portable surface (windows over a unique
+# order key, CASE WHEN buckets, HAVING) beyond the DataFrame-API fuzz above.
+# ---------------------------------------------------------------------------
+
+# ranking/offset functions use the frameless window `wo` — Spark rejects an
+# explicit frame on lag/row_number/rank where DuckDB tolerates one (a real
+# dialect difference this fuzzer surfaced); only the running sum frames
+WIN_FNS = (
+    "row_number() OVER wo",
+    "rank() OVER wo",
+    "CAST(lag(l_linenumber) OVER wo AS INT)",
+    "round(sum(l_quantity) OVER w, 6)",
+)
+
+sql_query_strategy = st.builds(
+    lambda part, wfn, bucket_col, ci, having: {
+        "part": part,
+        "wfn": wfn,
+        "bucket_col": bucket_col,
+        "const_i": ci,
+        "having": having,
+    },
+    part=st.sampled_from(GROUP_COLS),
+    wfn=st.sampled_from(WIN_FNS),
+    bucket_col=st.sampled_from(NUM_COLS),
+    ci=st.integers(min_value=0, max_value=3),
+    having=st.booleans(),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=sql_query_strategy)
+def test_shared_sql_text_agrees(spark, duck, q):
+    consts = CONSTS[q["bucket_col"]]
+    c = consts[q["const_i"] % len(consts)]
+    win_sql = (
+        f"SELECT l_orderkey, l_linenumber, {q['wfn']} AS wv, "
+        f"CASE WHEN {q['bucket_col']} > {c} THEN 'hi' ELSE 'lo' END AS bucket "
+        f"FROM lineitem "
+        # the fixture has duplicate (l_orderkey, l_linenumber) rows, so the
+        # sort key must be total over every column the query consumes —
+        # remaining ties are then full duplicates, which no aggregate can
+        # distinguish (the fuzzer itself caught this as tie nondeterminism)
+        f"WINDOW wo AS (PARTITION BY {q['part']} "
+        f"ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+        f"l_discount, l_tax), "
+        f"w AS (PARTITION BY {q['part']} "
+        f"ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+        f"l_discount, l_tax "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    having = "HAVING count(*) > 3 " if q["having"] else ""
+    sql = (
+        f"SELECT bucket, CAST(count(*) AS BIGINT) AS n, "
+        f"round(sum(wv), 6) AS sum_wv "
+        f"FROM ({win_sql}) GROUP BY 1 {having}"
+    )
+    want = sorted(map(tuple, duck.sql(sql).fetchall()))
+
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    got = sorted(map(tuple, spark.sql(sql).collect()))
+    assert got == want, f"divergence for: {sql}"
