@@ -40,9 +40,10 @@ CONSTS = {
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
-    )
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
     yield con
     con.close()
 
@@ -170,5 +171,57 @@ def test_shared_sql_text_agrees(spark, duck, q):
     want = sorted(map(tuple, duck.sql(sql).fetchall()))
 
     load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    got = sorted(map(tuple, spark.sql(sql).collect()))
+    assert got == want, f"divergence for: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Join + null-path fuzz: equi-join orders⋈lineitem with NULLIF-injected
+# nulls in the aggregate — exercises join duplicate semantics and the
+# engines' shared null-skipping aggregate rules (the fixture itself has no
+# nulls, so NULLIF manufactures them deterministically).
+# ---------------------------------------------------------------------------
+
+JOIN_AGGS = ("sum", "avg", "min", "count")
+
+join_query_strategy = st.builds(
+    lambda how, agg, ac, ci, nullify: {
+        "how": how,
+        "agg": agg,
+        "agg_col": ac,
+        "const_i": ci,
+        "nullify": nullify,
+    },
+    how=st.sampled_from(("JOIN", "LEFT JOIN")),
+    agg=st.sampled_from(JOIN_AGGS),
+    ac=st.sampled_from(("l_quantity", "l_discount")),
+    ci=st.integers(min_value=0, max_value=3),
+    nullify=st.booleans(),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=join_query_strategy)
+def test_join_with_null_paths_agrees(spark, duck, q):
+    consts = CONSTS[q["agg_col"]]
+    c = consts[q["const_i"] % len(consts)]
+    expr = f"NULLIF({q['agg_col']}, {c})" if q["nullify"] else q["agg_col"]
+    if q["agg"] == "count":
+        agg_sql = f"CAST(count({expr}) AS BIGINT)"  # count skips nulls
+    else:
+        agg_sql = f"round({q['agg']}({expr}), 6)"
+    sql = (
+        f"SELECT o.o_orderstatus AS g, {agg_sql} AS v "
+        f"FROM orders o {q['how']} lineitem l ON o.o_orderkey = l.l_orderkey "
+        f"GROUP BY 1"
+    )
+    want = sorted(map(tuple, duck.sql(sql).fetchall()))
+
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
     got = sorted(map(tuple, spark.sql(sql).collect()))
     assert got == want, f"divergence for: {sql}"
