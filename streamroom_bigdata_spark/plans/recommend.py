@@ -54,20 +54,22 @@ def recommend_rooms(
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
-    # usage per room (A1) — partial+final hash agg, one shuffle on l_partkey
-    usage = lineitem.groupBy("l_partkey").agg(F.count("*").alias("usage_count"))
+    # ONE fact scan + ONE l_partkey shuffle computes BOTH per-room signals:
+    # usage count (A1) and the booked flag (any returned booking) — the
+    # shuffle-audit showed the previous three-branch form (usage agg,
+    # 1-row max agg, booked distinct) rescanning lineitem three times.
+    usage = lineitem.groupBy("l_partkey").agg(
+        F.count("*").alias("usage_count"),
+        F.max(F.when(F.col("l_returnflag") == "R", 1)).alias("is_booked"),
+    )
 
-    # global max usage stays in-plan: 1-row agg, broadcast cross join
-    # (replaces driver-side .first(), processing.scala:88)
-    max_usage = usage.agg(F.max("usage_count").alias("max_usage"))
-
-    # "currently booked" set — distinct keys of returned bookings; broadcast
-    # left join replaces the driver-built Bloom probe (processing.scala:60-74)
-    booked = (
-        lineitem.filter(F.col("l_returnflag") == "R")
-        .select("l_partkey")
-        .distinct()
-        .withColumn("is_booked", F.lit(1))
+    # global max usage stays in-plan as a window over the AGGREGATED frame
+    # (bounded by the part-dimension cardinality, so the single-partition
+    # exchange moves dimension-sized data, not fact-sized) — replaces both
+    # the driver-side .first() (processing.scala:88) and the extra 1-row
+    # aggregate branch that cost a second fact scan.
+    usage = usage.withColumn(
+        "max_usage", F.max("usage_count").over(Window.partitionBy())
     )
 
     requests = spark.createDataFrame(
@@ -79,19 +81,21 @@ def recommend_rooms(
     )
 
     scored = (
+        # no broadcast hint: `usage` derives from the FACT table — bounded
+        # by the part dimension in this domain, but a forced broadcast of a
+        # fact-derived aggregate is the classic 100×-scale OOM. AQE sees the
+        # post-aggregation size at runtime and broadcasts only when it is
+        # actually small (VERDICT r2 #4).
         feasible.join(usage, part.p_partkey == usage.l_partkey, "left")
-        # no broadcast hint: `booked` is a distinct derived from the FACT
-        # table — bounded by the part dimension in this domain, but a forced
-        # broadcast of a fact-derived set is the classic 100×-scale OOM.
-        # AQE sees the post-aggregation size at runtime and broadcasts only
-        # when it is actually small (VERDICT r2 #4).
-        .join(booked.withColumnRenamed("l_partkey", "b_partkey"),
-              part.p_partkey == F.col("b_partkey"), "left")
-        .join(F.broadcast(max_usage))
         .withColumn("usage_count", F.coalesce(F.col("usage_count"), F.lit(0)))
         .withColumn(
+            # rooms absent from usage carry a null max_usage through the
+            # left join; their collab score is 0 by definition (0 usages)
             "collab_score",
-            F.col("usage_count").cast("double") / F.col("max_usage"),
+            F.coalesce(
+                F.col("usage_count").cast("double") / F.col("max_usage"),
+                F.lit(0.0),
+            ),
         )
         .withColumn(
             "availability_score",
