@@ -350,7 +350,13 @@ def lsh_candidate_pairs(
         )
         hot = counted.filter(F.col("_bucket_n") > max_bucket_size)
 
-    a = normal.alias("a")
+    # localCheckpoint erased the band table's statistics, so WITHOUT a hint
+    # Catalyst may broadcast one side of this self-join on a default size
+    # estimate — measured at 516 MiB on the sf≈1 corpus (tools/
+    # shuffle_audit.py), a driver OOM at real scale. shuffle_hash pins a
+    # stats-independent plan on the same band-key shuffle the bucket-count
+    # window already paid.
+    a = normal.alias("a").hint("shuffle_hash")
     b = normal.alias("b")
     pairs = (
         a.join(
@@ -402,8 +408,15 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = counted.select("doc_id", "n_sh").distinct()
     cand = lsh_candidate_pairs(counted, pre_counted=True)
 
-    ex_a = ex.select(F.col("doc_id").alias("doc_a"), "h")
-    ex_b = ex.select(F.col("doc_id").alias("doc_b"), "h")
+    # shuffle_hash: the shingle table is CORPUS-sized — its columnar-cache
+    # size ESTIMATE sits under the broadcast threshold while the
+    # deserialized broadcast reality measured 192+295 MiB at sf≈1
+    # (tools/shuffle_audit.py), i.e. an un-broadcastable side chosen for
+    # broadcast on a bad estimate. Pin partition-local hash joins on the
+    # doc-key shuffle instead; scale then follows the shuffle, not the
+    # estimate.
+    ex_a = ex.select(F.col("doc_id").alias("doc_a"), "h").hint("shuffle_hash")
+    ex_b = ex.select(F.col("doc_id").alias("doc_b"), "h").hint("shuffle_hash")
     inter = (
         cand.join(ex_a, "doc_a")
         .join(ex_b, ["doc_b", "h"])
