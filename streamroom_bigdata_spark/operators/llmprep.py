@@ -138,9 +138,13 @@ def _ngram_col(n: int) -> F.Column:
     """n-gram strings from a ``toks`` array column — slice+arrays_zip+explode
     (whole-stage codegen), NOT an ``F.transform`` index lambda (interpreted
     per element — the round-1 perf trap)."""
+    # clamp: a doc with fewer than n tokens would give slice a negative
+    # length (SparkRuntimeException INVALID_PARAMETER_VALUE.LENGTH); a
+    # zero-length slice yields an empty array → arrays_zip/explode emit no
+    # rows, matching the oracle's lead()+IS NOT NULL filter.
+    length = F.greatest(F.lit(0), F.size("toks") - (n - 1))
     slices = [
-        F.slice("toks", i + 1, F.size("toks") - (n - 1)).alias(f"g{i}")
-        for i in range(n)
+        F.slice("toks", i + 1, length).alias(f"g{i}") for i in range(n)
     ]
     z = F.explode(F.arrays_zip(*slices)).alias("z")
     return z
@@ -255,8 +259,10 @@ WITH vals AS (
          max(abs(v)) OVER (PARTITION BY vec_id) / 127 AS scale
   FROM vals
 ), q AS (
-  SELECT vec_id, scale, round(v / scale) AS q,
-         abs(v - round(v / scale) * scale) AS err
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN 0 ELSE round(v / scale) END AS q,
+         abs(v - CASE WHEN scale = 0 THEN 0 ELSE round(v / scale) END * scale)
+           AS err
   FROM scaled
 )
 SELECT vec_id,
@@ -284,7 +290,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("v").cast("double").alias("v"))
     w = Window.partitionBy("vec_id")
     scaled = vals.withColumn("scale", F.max(F.abs("v")).over(w) / 127)
-    q = F.round(F.col("v") / F.col("scale"))
+    # all-zero vector → scale 0; Spark's non-ANSI x/0 is NULL (DuckDB: NaN),
+    # so pin q = 0 for that case in BOTH engines (v is 0, err is 0)
+    q = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("v") / F.col("scale"))
+    )
     quant = scaled.select(
         "vec_id",
         "scale",

@@ -56,13 +56,17 @@ def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = obs.groupBy("user_id").agg(
         F.min("ts").alias("mn"), F.max("ts").alias("mx")
     )
+    # A user whose events all land inside one clock hour has
+    # grid_start > mx; F.sequence throws for start > stop with a positive
+    # step, so gate it — explode(NULL) emits no rows, matching the
+    # oracle's empty generate_series for the same span.
+    grid_start = F.date_trunc("hour", F.col("mn")) + F.expr("INTERVAL 1 HOUR")
     grid = spans.select(
         "user_id",
         F.explode(
-            F.sequence(
-                F.date_trunc("hour", F.col("mn")) + F.expr("INTERVAL 1 HOUR"),
-                F.col("mx"),
-                F.expr("INTERVAL 1 HOUR"),
+            F.when(
+                grid_start <= F.col("mx"),
+                F.sequence(grid_start, F.col("mx"), F.expr("INTERVAL 1 HOUR")),
             )
         ).alias("grid_ts"),
     )

@@ -47,8 +47,12 @@ def build_bloom_sidecars(
     group is one task's worth of one column — bounded memory)."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = BloomSketch(max(1, len(pdf)), fpp)
-        sk._set(pdf["k"].to_numpy(np.uint64))
+        # belt-and-braces: NULL keys arrive as NaN in a float64 column and
+        # would corrupt (or throw on) the uint64 cast; the scan below
+        # already filters them, but a sketch must never be built over NaN
+        keys = pdf["k"].dropna()
+        sk = BloomSketch(max(1, len(keys)), fpp)
+        sk._set(keys.to_numpy(np.int64).astype(np.uint64))
         return pd.DataFrame(
             {
                 "file": [pdf["f"].iloc[0]],
@@ -58,9 +62,13 @@ def build_bloom_sidecars(
             }
         )
 
+    # NULL keys are never probe-able (point predicates are null-rejecting:
+    # NULL = v and NULL IN (...) are both never true), so drop them before
+    # sketching; a file of only NULL keys simply gets no sidecar row and is
+    # correctly pruned from every lookup.
     rows = spark.read.parquet(table_dir).select(
         F.input_file_name().alias("f"), F.col(col).cast("long").alias("k")
-    )
+    ).filter(F.col("k").isNotNull())
     sketches = rows.groupBy("f").applyInPandas(build, _SIDE_SCHEMA)
     dst = _sidecar_dir(table_dir, col)
     sketches.write.mode("overwrite").parquet(dst)
