@@ -135,39 +135,50 @@ def main() -> int:
 
         ensure_star_bucketed(spark, sf_dir)
 
+    # Per-query fault isolation: one broken query must never erase the
+    # round's entire performance signal — record its error and keep going.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        fn = qs[name]
         t0 = time.perf_counter()
-        rows[name] = fn(spark, sf_dir).count()
+        try:
+            rows[name] = qs[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     warm: dict[str, float] = {}
     for name in sorted(timings, key=timings.get, reverse=True)[:WARM_TOP_N]:
         runs = []
-        for _ in range(WARM_RUNS):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(WARM_RUNS):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"warm: {type(exc).__name__}: {exc}"[:400]
+            continue
         warm[name] = round(statistics.median(runs), 3)
 
     m = re.match(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "rows": rows,
-                "warm_top5": warm,
-                "sf": sf,
-            }
-        )
-    )
-    return 0
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "warm_top5": warm,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    # Nonzero-but-parsed: the driver still gets a full JSON line with every
+    # healthy query's timing even when some query failed.
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":

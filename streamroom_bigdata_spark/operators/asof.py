@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_ms
 from ..registry import register
 from ..sources import load_table
 
@@ -238,7 +239,7 @@ def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "purchase_id",
         F.col("c_user").alias("user_id"),
-        (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias("gap_ms"),
+        (epoch_ms("purchase_ts") - epoch_ms("click_ts")).alias("gap_ms"),
         F.round("p_value", 2).alias("purchase_value"),
     )
 
@@ -289,8 +290,8 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.event_id").alias("event_a"),
             F.col("b.event_id").alias("event_b"),
             (
-                F.unix_millis(F.least("a.e", "b.e"))
-                - F.unix_millis(F.greatest("a.s", "b.s"))
+                epoch_ms(F.least("a.e", "b.e"))
+                - epoch_ms(F.greatest("a.s", "b.s"))
             ).alias("overlap_ms"),
         )
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_ms
 from ..registry import register
 from ..sources import load_table
 
@@ -65,7 +66,7 @@ def sessionize(events: DataFrame, gap_ms: int = _GAP_MS) -> DataFrame:
     """Gaps-and-islands sessionization of any (user_id, event_id, ts, value)
     frame — the composable core behind :func:`sessionize_events`."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
+    ms = epoch_ms("ts")
     flagged = events.select(
         "user_id",
         "event_id",

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_ms
 from ..registry import register
 from ..sources import load_table
 
@@ -102,7 +103,7 @@ def event_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding is involved. Order includes event_id as a total-order tiebreak."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
+    ms = epoch_ms("ts")
     return events.select(
         "event_id",
         "user_id",

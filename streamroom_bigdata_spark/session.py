@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Defense-in-depth: parquet written with timezone-naive timestamps
+        # (the driver-generated fixtures) should read as TIMESTAMP_LTZ so
+        # epoch functions (unix_millis & co) resolve. Operators additionally
+        # cast at the call site so correctness never depends on this conf —
+        # the driver may build its own session without it.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
