@@ -127,8 +127,9 @@ def main() -> int:
     ).count()
 
     # one-time bucketed-layout write (the ingest-time cost the bucketed
-    # star-join variant trades its shuffle for) — layout prep, not query time
-    if "star_join_bucketed" in names:
+    # star-join and SQL revenue-share variants trade their shuffle for) —
+    # layout prep, not query time
+    if "star_join_bucketed" in names or "sql_revenue_share" in names:
         from streamroom_bigdata_spark.sources.bucketing import (
             ensure_star_bucketed,
         )

@@ -690,8 +690,20 @@ def sql_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst here and through DuckDB as its own oracle — dialect-portable
     by construction. Per-year revenue share per nation: star join →
     grouped aggregate → windowed share, all planned by Catalyst exactly
-    as the equivalent DataFrame chain would be."""
+    as the equivalent DataFrame chain would be.
+
+    The two fact views are overlaid with the orderkey-bucketed layout
+    (sources/bucketing.py) before planning: the dominant lineitem⋈orders
+    join then reads co-bucketed files side by side — no Exchange above
+    either fact scan (asserted in tests/test_plans.py). The dimension joins
+    broadcast, and the only remaining shuffles are the output-sized
+    (nation, yr) aggregate and its window — the plan whose cost scales with
+    the result, not the fact table."""
+    from ..sources.bucketing import ensure_star_bucketed
     from ..sources.readers import register_views
 
     register_views(spark, sf_dir)
+    li_tbl, ord_tbl = ensure_star_bucketed(spark, sf_dir)
+    spark.table(li_tbl).createOrReplaceTempView("lineitem")
+    spark.table(ord_tbl).createOrReplaceTempView("orders")
     return spark.sql(_REVENUE_SHARE_SQL)
