@@ -134,7 +134,22 @@ def exploded_shingles_of(docs: DataFrame) -> DataFrame:
     (``F.transform``) are evaluated interpreted, per element — an md5 chain
     there runs ~5x slower than the same md5 as a flat projection inside
     whole-stage codegen. Jaccard over hashed shingles equals Jaccard over
-    the shingles up to 60-bit collisions (~1e-9)."""
+    the shingles up to 60-bit collisions (~1e-9).
+
+    Rows are NOT globally deduplicated (measured dup rate at sf0.1: 0.1%):
+    a full distinct exchange to strip 0.1% of rows costs more than every
+    consumer absorbing duplicates for free — signature mins are
+    dup-insensitive and set sizes / intersections use count_distinct inside
+    aggregations they already pay for.
+
+    Input-split-bound parallelism guard: a corpus delivered as fewer splits
+    than cores (the fixtures are ONE 0.6 MB row group) would run the whole
+    tokenize-and-hash pipeline on one task; spread the cheap pre-explode
+    rows first. At real scale the corpus arrives as thousands of splits,
+    the condition is false, and no extra shuffle is paid."""
+    n_default = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n_default:
+        docs = docs.repartition(n_default, "doc_id")
     toks = docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
     n = SHINGLE_N
     # one explode path for both long and short docs (short docs emit the
@@ -150,11 +165,9 @@ def exploded_shingles_of(docs: DataFrame) -> DataFrame:
             " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)]
         ),
     ).otherwise(F.col("text"))
-    return (
-        toks.select("doc_id", "text", "toks", F.explode(idx).alias("i"))
-        .select("doc_id", portable_hash_mod(s, MH_P).alias("h"))
-        .distinct()
-    )
+    return toks.select(
+        "doc_id", "text", "toks", F.explode(idx).alias("i")
+    ).select("doc_id", portable_hash_mod(s, MH_P).alias("h"))
 
 
 def exploded_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +193,9 @@ def minhash_signatures_of(
         for i in range(N_MINHASH)
     ]
     if with_size:
-        aggs.append(F.count("*").alias("n_sh"))
+        # distinct-hash count == shingle-set size (input rows may carry the
+        # ~0.1% within-document duplicates the explode no longer strips)
+        aggs.append(F.count_distinct(F.col("h")).alias("n_sh"))
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
@@ -322,6 +337,7 @@ def lsh_candidate_pairs(
     max_bucket_size: int | None = NEAR_DUP_MAX_BUCKET,
     log_dropped: bool = False,
     pre_counted: bool = False,
+    carry_sizes: bool = False,
 ) -> DataFrame:
     """Distinct candidate (doc_a < doc_b) pairs from band-bucket collisions.
     Buckets at or under ``max_bucket_size`` contribute all pairs (the exact
@@ -331,7 +347,12 @@ def lsh_candidate_pairs(
     a window over (band_id, band_key) — it shuffles on EXACTLY the key the
     self-join and the star window need, so one exchange serves all three,
     and nothing is collected or broadcast. ``log_dropped=True`` runs one
-    extra count job to report the starred buckets."""
+    extra count job to report the starred buckets.
+
+    ``carry_sizes=True`` (requires an ``n_sh`` column on ``bands``) rides
+    each document's shingle-set size through candidate generation as
+    (n_a, n_b) — the Jaccard denominators then come off the pair rows
+    directly and the verifier needs NO size-lookup joins."""
     if max_bucket_size is None:
         normal, hot = bands, None
     else:
@@ -358,6 +379,15 @@ def lsh_candidate_pairs(
     # window already paid.
     a = normal.alias("a").hint("shuffle_hash")
     b = normal.alias("b")
+    pair_cols = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    ]
+    if carry_sizes:
+        pair_cols += [
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        ]
     pairs = (
         a.join(
             b,
@@ -365,7 +395,7 @@ def lsh_candidate_pairs(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(*pair_cols)
     )
     if hot is not None:
         # STAR-link, not chain-link (ADVICE r2): every member pairs with the
@@ -375,13 +405,28 @@ def lsh_candidate_pairs(
         # diameter ≈ bucket size and splits when the propagation loop's
         # round bound is hit before convergence.
         star_w = Window.partitionBy("band_id", "band_key")
-        star = (
-            hot.withColumn("_hub", F.min("doc_id").over(star_w))
-            .filter(F.col("doc_id") != F.col("_hub"))
-            .select(
-                F.col("_hub").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        if carry_sizes:
+            # min(struct) carries the hub's size along with its id in the
+            # same window pass
+            hub = F.min(F.struct("doc_id", "n_sh")).over(star_w)
+            star = (
+                hot.withColumn("_hub", hub)
+                .filter(F.col("doc_id") != F.col("_hub.doc_id"))
+                .select(
+                    F.col("_hub.doc_id").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("_hub.n_sh").alias("n_a"),
+                    F.col("n_sh").alias("n_b"),
+                )
             )
-        )
+        else:
+            star = (
+                hot.withColumn("_hub", F.min("doc_id").over(star_w))
+                .filter(F.col("doc_id") != F.col("_hub"))
+                .select(
+                    F.col("_hub").alias("doc_a"), F.col("doc_id").alias("doc_b")
+                )
+            )
         pairs = pairs.unionByName(star)
     return pairs.distinct()
 
@@ -400,13 +445,12 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard) so no single bucket can go quadratic."""
     ex = exploded_shingle_df(spark, sf_dir).cache()
     # one aggregate produces signatures AND shingle-set sizes; the sizes
-    # ride the banding explode into the materialized band table, so the
-    # Jaccard denominator below is a lookup on ~N_BANDS·n_docs checkpointed
-    # rows, not a second aggregation pass over the shingle table
+    # ride the banding explode into the materialized band table AND through
+    # candidate generation (carry_sizes), so the Jaccard denominators below
+    # come straight off the pair rows — no size-lookup joins at all
     sigs = minhash_signatures_of(ex, with_size=True)
     counted = counted_bands(signature_bands(sigs, keep=("n_sh",)))
-    sizes = counted.select("doc_id", "n_sh").distinct()
-    cand = lsh_candidate_pairs(counted, pre_counted=True)
+    cand = lsh_candidate_pairs(counted, pre_counted=True, carry_sizes=True)
 
     # shuffle_hash: the shingle table is CORPUS-sized — its columnar-cache
     # size ESTIMATE sits under the broadcast threshold while the
@@ -420,18 +464,14 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         cand.join(ex_a, "doc_a")
         .join(ex_b, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count_distinct(F.col("h")).alias("n_common"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jaccard = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("jaccard", F.round(jaccard, 6))
+        inter.withColumn("jaccard", F.round(jaccard, 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
