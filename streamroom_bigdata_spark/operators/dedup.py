@@ -624,15 +624,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pipeline runs after pair generation (keep min doc_id, drop the
     rest).
 
-    Algorithm: hash-min label propagation — each iteration joins labels to
-    the (symmetrized) edge list and takes the min over neighbors; converges
-    in O(component diameter) rounds (near-dup components are near-cliques,
-    so 1-2). Each round is one shuffle join + aggregate; ``localCheckpoint``
-    truncates lineage so plans don't grow with iterations. The driver sees
-    only the per-round changed-count — the iterative-algorithm shape that
-    scales (same loop structure at any data size, rounds bounded by graph
-    diameter, not size)."""
+    Algorithm: hash-min label propagation WITH POINTER DOUBLING — each
+    round (a) takes the min label over neighbors, then (b) jumps each
+    label to its label's label (path halving), so label chains shrink
+    geometrically: O(log diameter) rounds instead of O(diameter). Near-dup
+    components are near-cliques (star-linked hot buckets cap the diameter
+    at 2), so typical data converges in 1-2 rounds either way — the
+    doubling is the worst-case guarantee that a pathological chain of
+    pairwise-similar documents costs log(n) Spark jobs, not n. Each round
+    is two shuffle joins + an aggregate; ``localCheckpoint`` truncates
+    lineage so plans don't grow with iterations. The driver sees only the
+    per-round changed-count — the iterative-algorithm shape that scales
+    (rounds bounded by log of graph diameter, not size)."""
     pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """(id, component) labels for the undirected graph given as (doc_a,
+    doc_b) pairs — hash-min + pointer-doubling propagation; see
+    :func:`dedup_clusters` for the algorithm notes. ``max_rounds`` bounds
+    doubling rounds (covers diameters up to ~2**max_rounds); exceeding it
+    raises rather than returning silently split components."""
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -646,7 +663,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component", F.col("id"))
     )
     converged = False
-    for _ in range(20):  # diameter bound; near-dup graphs converge in 1-3
+    # log-diameter bound: doubling rounds cover diameters up to ~2^max_rounds
+    for _ in range(max_rounds):
+        # (a) hash-min over neighbors
         nbr_min = (
             edges.join(
                 labels.select(
@@ -659,14 +678,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # carry the previous label through the join so the changed-count is
         # a filter on the checkpointed frame, not another per-round join
+        prop = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+            "id",
+            F.col("component").alias("prev"),
+            F.least(
+                F.col("component"),
+                F.coalesce("min_nbr", F.col("component")),
+            ).alias("component"),
+        )
+        # (b) pointer doubling: jump to the label's label. Labels are
+        # always node ids (mins over ids), so the lookup self-join hits;
+        # 'left' keeps isolated self-labeled nodes intact either way.
+        lbl = prop.select(
+            F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            prop.join(lbl, prop.component == lbl._pid, "left")
             .select(
                 "id",
-                F.col("component").alias("prev"),
+                "prev",
                 F.least(
                     F.col("component"),
-                    F.coalesce("min_nbr", F.col("component")),
+                    F.coalesce("_pcomp", F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint()
@@ -679,10 +712,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not converged:
         # Exiting with changed > 0 means some component's labels are still
         # moving — the result would silently split long-diameter components
-        # (ADVICE r2). Hot buckets star-link (diameter 2), so hitting this
-        # indicates a pathological pair graph, not normal data.
+        # (ADVICE r2). With doubling, 20 rounds cover any graph this side
+        # of 2^20 diameter, so hitting this indicates a bug, not data.
         raise RuntimeError(
-            "dedup_clusters: hash-min label propagation did not converge "
-            "within 20 rounds; component diameter exceeds the bound"
+            "connected_components: hash-min + pointer-doubling label "
+            f"propagation did not converge within {max_rounds} rounds"
         )
-    return labels.select(F.col("id").alias("doc_id"), "component")
+    return labels

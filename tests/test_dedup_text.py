@@ -265,3 +265,29 @@ def test_udtf_tokenization_agrees_with_explode(spark, sf_dir):
         ).collect()
     }
     assert via_udtf == via_explode and len(via_udtf) > 0
+
+
+def test_connected_components_chain_pointer_doubling(spark):
+    """A 64-node path graph (diameter 63) must converge well inside the
+    doubling bound — pointer doubling makes rounds O(log diameter), so 10
+    rounds suffice where plain hash-min propagation would need 63."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    labels = dedup.connected_components(pairs, max_rounds=10)
+    rows = labels.collect()
+    assert len(rows) == 64
+    assert {r.component for r in rows} == {0}
+
+
+def test_connected_components_two_components(spark):
+    """Disjoint components keep distinct min-id labels."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (11, 12), (12, 13)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.id, r.component)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (10, 10), (11, 10), (12, 10), (13, 10)}
