@@ -46,7 +46,6 @@ JACCARD_THRESHOLD = 0.3
            min(doc_id) AS keep_doc_id
     FROM documents
     GROUP BY 1
-    HAVING count(*) >= 1
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -374,15 +374,28 @@ WHERE list_dot_product(a.emb, b.emb)
 """
 
 
+# embedding_near_dup is the documented O(n²) small-sf oracle; refuse to run
+# it past this row count instead of silently going quadratic on a big table
+EMBEDDING_NEAR_DUP_MAX_ROWS = 200_000
+
+
 @register("embedding_near_dup", embedding_near_dup_oracle)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact (L2 oracle baseline): all pairs above
     NEAR_DUP_COSINE. The `<` theta-join broadcasts one side (vectors are
     small); O(n²) compare — correct reference for the LSH variant below,
-    which is the one to run at corpus scale."""
+    which is the one to run at corpus scale. Guarded: raises past
+    EMBEDDING_NEAR_DUP_MAX_ROWS rather than submitting a quadratic plan."""
     c = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
+    n = c.count()
+    if n > EMBEDDING_NEAR_DUP_MAX_ROWS:
+        raise ValueError(
+            f"embedding_near_dup is the O(n²) exact baseline; {n} rows "
+            f"exceeds the {EMBEDDING_NEAR_DUP_MAX_ROWS}-row guard. Use "
+            "embedding_near_dup_lsh (bucketed equi-join) at this scale."
+        )
     b = c.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
     return (
         c.join(F.broadcast(b), F.col("vec_id") < F.col("vec_b"))

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from streamroom_bigdata_spark.operators import multimodal, similarity
@@ -157,3 +158,11 @@ def test_pandas_scorers_agree_with_hof(spark):
     for r in got:
         assert abs(r.ch - r.cp) < 1e-9
         assert abs(r.dh - r.dp) < 1e-9
+
+
+def test_embedding_near_dup_size_guard(spark, sf_dir, monkeypatch):
+    """The exact O(n²) baseline must refuse oversized inputs instead of
+    silently submitting a quadratic plan."""
+    monkeypatch.setattr(similarity, "EMBEDDING_NEAR_DUP_MAX_ROWS", 1)
+    with pytest.raises(ValueError, match="O\\(n²\\) exact baseline"):
+        similarity.embedding_near_dup(spark, sf_dir)

@@ -7,7 +7,8 @@ The number that matters at 100 TB is bytes-through-the-shuffle per query,
 and it is measured here, not inferred.
 
 Usage:
-    python tools/shuffle_audit.py [sf_dir] [--write]   # --write → SHUFFLES.md
+    python tools/shuffle_audit.py [sf_dir] [query ...] [--write]
+    # --write → SHUFFLES.md; query names default to bench.py's HEADLINE
 """
 
 from __future__ import annotations
@@ -16,9 +17,9 @@ import sys
 
 sys.path.insert(0, ".")
 
-SF_DIR = next(
-    (a for a in sys.argv[1:] if not a.startswith("-")), "/root/testdata/sf0.1"
-)
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+SF_DIR = _pos[0] if _pos else "/root/testdata/sf0.1"
+ONLY = _pos[1:]  # optional query subset (default: bench HEADLINE)
 WRITE = "--write" in sys.argv
 
 HEADER = (
@@ -65,7 +66,7 @@ def main() -> int:
     )
     qs = registry.queries()
     lines = [HEADER]
-    for name in HEADLINE:
+    for name in (ONLY or HEADLINE):
         df = qs[name](spark, SF_DIR)
         df.collect()
         root = df._jdf.queryExecution().executedPlan()
