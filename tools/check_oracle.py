@@ -7,12 +7,17 @@ decimals before hashing, so float noise below the round threshold doesn't
 flip the gate).
 
 Usage:
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [sf_dir] [query ...] [--json FILE]
+
+``--json FILE`` additionally writes per-query results in the driver's
+CORRECTNESS_r{N}.json shape (rows/schema/hash match + error), so a full
+local run can be committed as a round artifact (CHECK_LOCAL_r{N}.json).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import sys
 import time
@@ -22,8 +27,14 @@ import duckdb
 
 sys.path.insert(0, ".")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+JSON_OUT = None
+if "--json" in _args:
+    i = _args.index("--json")
+    JSON_OUT = _args[i + 1]
+    _args = _args[:i] + _args[i + 2 :]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -75,6 +86,18 @@ def main() -> int:
     qs = registry.queries()
     oracles = registry.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, *, rows=None, orows=None, rm=None, sm=None, hm=None, err=None):
+        results[name] = {
+            "rows_match": rm,
+            "schema_match": sm,
+            "hash_match": hm,
+            "spark_rows": rows,
+            "oracle_rows": orows,
+            "err": err,
+        }
+
     for name, fn in sorted(qs.items()):
         if ONLY and name not in ONLY:
             continue
@@ -87,9 +110,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc()
             failures.append(name)
+            record(name, err="spark: " + traceback.format_exc()[-400:])
             continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            record(name, rows=len(srows))
             continue
         try:
             res = con.execute(oracles[name])
@@ -99,6 +124,7 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc()
             failures.append(name)
+            record(name, rows=len(srows), err="duckdb: " + traceback.format_exc()[-400:])
             continue
         problems = []
         if len(srows) != len(drows):
@@ -126,12 +152,25 @@ def main() -> int:
                         break
             for k in list(sset)[:3]:
                 problems.append(f"  spark-only: {k[:160]}")
+        record(
+            name,
+            rows=len(srows),
+            orows=len(drows),
+            rm=len(srows) == len(drows),
+            sm=sorted(scols) == sorted(dcols),
+            hm=not problems,
+            err="; ".join(problems[:8]) or None,
+        )
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems[:8]))
             failures.append(name)
         else:
             print(f"OK    {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {JSON_OUT}")
     return 1 if failures else 0
 
 
