@@ -50,6 +50,7 @@ HEADLINE = [
     "pricing_summary",        # A6 multi-agg scan (TPC-H Q1 shape)
     "star_join_revenue",      # J3 fact ⋈ 4 dims
     "star_join_bucketed",     # J3 over the bucketed layout (zero-Exchange)
+    "sql_revenue_share",      # SQL surface over the bucketed layout (r6+)
     "topk_per_brand",         # W1 window rank top-k
     "recommend_rooms",        # flagship hybrid scoring query
     "asof_join",              # J6 as-of via window
