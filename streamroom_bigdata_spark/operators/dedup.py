@@ -701,7 +701,11 @@ def connected_components(
                     F.coalesce("_pcomp", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
+            # lazy checkpoint: the changed-count below is the single
+            # consumer that materializes it, so the round runs as ONE job
+            # instead of checkpoint-then-count; later rounds read the
+            # persisted blocks
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("component") != F.col("prev")).count()
         labels = new_labels.drop("prev")
