@@ -441,6 +441,51 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+semantic_dedup_oracle = f"""
+WITH RECURSIVE pairs AS (
+  {embedding_near_dup_lsh_oracle}
+), edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT id AS vec_id, min(r) AS representative,
+       CAST(id = min(r) AS BOOLEAN) AS keep
+FROM reach GROUP BY id
+"""
+
+
+@register("semantic_dedup_clusters", semantic_dedup_oracle)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (L2 completion for the
+    embedding modality): cosine near-dup pairs from the sign-LSH bucketed
+    self-join, connected components over that pair graph (hash-min +
+    pointer doubling, O(log diameter) rounds — operators/dedup.py
+    connected_components), each clustered vector labeled with its
+    component's min vec_id as the canonical representative and a ``keep``
+    flag (keep the representative, drop the rest). The whole thing is the
+    composition of two already-scale-safe pieces: a bucketed equi-join for
+    candidates and a logarithmic-round label propagation — no stage sees
+    an all-pairs compare or a driver-sized collect."""
+    from .dedup import connected_components
+
+    pairs = embedding_near_dup_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("representative"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
+
+
 embedding_centroids_oracle = f"""
 SELECT label, CAST(i AS INT) AS dim,
        round(avg(embedding[i + 1]::DOUBLE), 6) AS centroid_val,

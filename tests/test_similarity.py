@@ -166,3 +166,23 @@ def test_embedding_near_dup_size_guard(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(similarity, "EMBEDDING_NEAR_DUP_MAX_ROWS", 1)
     with pytest.raises(ValueError, match="O\\(n²\\) exact baseline"):
         similarity.embedding_near_dup(spark, sf_dir)
+
+
+def test_semantic_dedup_clusters_consistent_with_pair_graph(spark, sf_dir):
+    """Every LSH near-dup pair must land in one component; representatives
+    are the component min and exactly the keep-flagged rows."""
+    labels = {
+        r.vec_id: (r.representative, r.keep)
+        for r in similarity.semantic_dedup_clusters(spark, sf_dir).collect()
+    }
+    pairs = similarity.embedding_near_dup_lsh(spark, sf_dir).collect()
+    assert len(pairs) > 0 and len(labels) > 0
+    for p in pairs:
+        assert labels[p.vec_a][0] == labels[p.vec_b][0]
+    for vec_id, (rep, keep) in labels.items():
+        assert rep <= vec_id
+        assert keep == (rep == vec_id)
+    # one keep per component
+    comps = {rep for rep, _ in labels.values()}
+    keeps = {v for v, (rep, keep) in labels.items() if keep}
+    assert keeps == comps
