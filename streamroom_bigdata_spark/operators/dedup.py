@@ -147,7 +147,9 @@ def exploded_shingles_of(docs: DataFrame) -> DataFrame:
     rows first. At real scale the corpus arrives as thousands of splits,
     the condition is false, and no extra shuffle is paid."""
     n_default = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < n_default:
+    # .rdd is illegal on a streaming frame; the streaming near-dup filter
+    # feeds micro-batch (batch) frames here, but guard anyway
+    if not docs.isStreaming and docs.rdd.getNumPartitions() < n_default:
         docs = docs.repartition(n_default, "doc_id")
     toks = docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
     n = SHINGLE_N
