@@ -163,3 +163,48 @@ def test_hll_sketches_merge_losslessly(spark, sf_dir):
     exact = events.select("user_id").distinct().count()
     assert merged == direct
     assert abs(merged - exact) / exact < 0.05
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SPARK_SETTINGS
+def test_connected_components_match_union_find(spark, edges):
+    """Pointer-doubling label propagation must produce exactly the
+    components a reference union-find computes, for arbitrary graphs
+    (self-loops and duplicate edges included)."""
+    from streamroom_bigdata_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    members: dict[int, list[int]] = {}
+    for a, b in edges:
+        for x in (a, b):
+            members.setdefault(find(x), []).append(x)
+    expected = {
+        x: min(xs) for root, xs in members.items() for x in xs
+    }
+    assert got == expected
