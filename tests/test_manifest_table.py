@@ -204,3 +204,43 @@ def test_occ_upsert_recomputes_merge_after_collision(spark, table, monkeypatch):
     got = {(r.k, r.v) for r in mt.manifest_read(spark, table).collect()}
     # both the winner's update and the retried upsert survive
     assert got == {(1, "a"), (2, "X"), (3, "c")}
+
+
+def test_incremental_agg_matches_recompute(spark, tmp_path):
+    """Folding the change feed into a materialized aggregate must equal
+    recomputing the aggregate from the new generation — including updated
+    rows (delete+insert pairs) and groups that vanish entirely."""
+    d = str(tmp_path / "ivm")
+    rows0 = [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "c", 7)]
+    df0 = spark.createDataFrame(rows0, "k long, grp string, x long")
+    mt.manifest_write(spark, d, df0)
+
+    agg = (
+        mt.manifest_read(spark, d)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("sx"))
+    )
+
+    # gen1: update k=2 (a: 20->25), add k=5 (b), delete the only c row
+    mt.manifest_upsert(
+        spark, d,
+        spark.createDataFrame([(2, "a", 25), (5, "b", 1)], "k long, grp string, x long"),
+        "k",
+    )
+    mt.manifest_delete(
+        spark, d, spark.createDataFrame([(4,)], "k long"), "k"
+    )
+
+    new_gen = mt.manifest_generation(spark, d)
+    updated = mt.manifest_incremental_agg(
+        spark, d, agg, 0, new_gen, ["grp"], "n", {"sx": "x"}
+    )
+    recomputed = (
+        mt.manifest_read(spark, d)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("sx"))
+    )
+    got = {(r.grp, r.n, r.sx) for r in updated.collect()}
+    want = {(r.grp, r.n, r.sx) for r in recomputed.collect()}
+    assert got == want
+    assert not any(r[0] == "c" for r in got)  # emptied group dropped
