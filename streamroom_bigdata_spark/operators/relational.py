@@ -707,3 +707,25 @@ def sql_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.table(li_tbl).createOrReplaceTempView("lineitem")
     spark.table(ord_tbl).createOrReplaceTempView("orders")
     return spark.sql(_REVENUE_SHARE_SQL)
+
+
+@register(
+    "salted_usage_counts",
+    """
+    SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+    """,
+)
+def salted_usage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (100 TB design note made a
+    first-class query): groupBy on (key, deterministic salt) spreads a
+    pathologically hot key over n_salts reducers, then a second output-
+    sized merge — exact same result as the plain groupBy (the oracle IS
+    the plain GROUP BY). AQE's skew-join splitting can't re-plan a skewed
+    AGGREGATE, so this is the manual escape hatch; the salt is
+    content-derived (xxhash64, functions/skew.py) so task retries can't
+    renumber rows through it."""
+    from ..functions.skew import salted_count
+
+    return salted_count(
+        load_table(spark, sf_dir, "lineitem"), "l_partkey", n_salts=16
+    )
