@@ -729,3 +729,36 @@ def salted_usage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(
         load_table(spark, sf_dir, "lineitem"), "l_partkey", n_salts=16
     )
+
+
+@register(
+    "salted_join_usage",
+    """
+    SELECT l.l_partkey, p.p_brand,
+           count(*) AS n_uses, round(sum(l.l_quantity), 2) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY l.l_partkey, p.p_brand
+    """,
+)
+def salted_join_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join (the join-side twin of
+    salted_usage_counts): the big side carries a content-derived salt, the
+    small side is exploded n_salts ways, and the join key becomes
+    (key, salt) — a hot part key's rows land on n_salts reducers instead
+    of one. Exactness is by construction (each big row joins exactly its
+    one salt replica) and the oracle is the plain join. Use when the small
+    side is too big to broadcast whole but its rows can be replicated;
+    AQE's skew handling covers the broadcastable case automatically."""
+    from ..functions.skew import salted_join_left
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity"
+    ).withColumnRenamed("l_partkey", "p_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join_left(li, part, "p_partkey", n_salts=8)
+    return joined.groupBy(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    ).agg(
+        F.count("*").alias("n_uses"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
