@@ -98,6 +98,14 @@ def main() -> int:
     )
     names = only or HEADLINE
 
+    # Box-state capture: this box suffers external load epochs that swing
+    # cold timings 1.3-1.8x; recording loadavg before/after makes every
+    # bench artifact self-diagnosing (compare rounds only when both ran on
+    # a comparably quiet box).
+    load_start = os.getloadavg()
+    with open("/proc/uptime") as f:
+        uptime_start = float(f.read().split()[0])
+
     from streamroom_bigdata_spark import registry
     from streamroom_bigdata_spark.session import get_spark
 
@@ -166,6 +174,7 @@ def main() -> int:
 
     m = re.match(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else 1.0
+    load_end = os.getloadavg()
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -174,6 +183,9 @@ def main() -> int:
         "rows": rows,
         "warm_top5": warm,
         "sf": sf,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "uptime_start": round(uptime_start, 1),
     }
     if errors:
         out["errors"] = errors

@@ -20,6 +20,7 @@ import logging
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 logger = logging.getLogger(__name__)
 
@@ -323,14 +324,22 @@ def hot_bucket_report(bands: DataFrame, max_bucket_size: int) -> DataFrame:
     )
 
 
-def counted_bands(bands: DataFrame) -> DataFrame:
+def counted_bands(
+    bands: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Band table + per-bucket count, materialized once. localCheckpoint:
     the counted band table is tiny (N_BANDS rows per doc, flat ints) but
     its upstream — shingle explode → md5 → signature min-agg → band window
     — would otherwise recompute for each consumer (self-join left/right +
-    hot path + size lookups)."""
+    hot path + size lookups). ``checkpoint_dir``: use a RELIABLE checkpoint
+    instead, so a lost executor doesn't abort the run (see
+    :func:`connected_components`)."""
     w = Window.partitionBy("band_id", "band_key")
-    return bands.withColumn("_bucket_n", F.count("*").over(w)).localCheckpoint()
+    counted = bands.withColumn("_bucket_n", F.count("*").over(w))
+    if checkpoint_dir is not None:
+        bands.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return counted.checkpoint()
+    return counted.localCheckpoint()
 
 
 def lsh_candidate_pairs(
@@ -625,38 +634,106 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pipeline runs after pair generation (keep min doc_id, drop the
     rest).
 
-    Algorithm: hash-min label propagation WITH POINTER DOUBLING — each
-    round (a) takes the min label over neighbors, then (b) jumps each
-    label to its label's label (path halving), so label chains shrink
-    geometrically: O(log diameter) rounds instead of O(diameter). Near-dup
-    components are near-cliques (star-linked hot buckets cap the diameter
-    at 2), so typical data converges in 1-2 rounds either way — the
+    Algorithm: hash-min label propagation, with POINTER DOUBLING engaged
+    after the first ``_CC_PLAIN_ROUNDS`` rounds — early rounds take the
+    min label over neighbors (one job each); if labels are still moving
+    after that, each further round also jumps labels to their label's
+    label (path halving), so chains shrink geometrically: O(log diameter)
+    rounds instead of O(diameter). Near-dup components are near-cliques
+    (star-linked hot buckets cap the diameter at 2), so typical data
+    converges in the plain rounds and never pays the doubling self-join —
     doubling is the worst-case guarantee that a pathological chain of
-    pairwise-similar documents costs log(n) Spark jobs, not n. Each round
-    is two shuffle joins + an aggregate; ``localCheckpoint`` truncates
-    lineage so plans don't grow with iterations. The driver sees only the
-    per-round changed-count — the iterative-algorithm shape that scales
-    (rounds bounded by log of graph diameter, not size)."""
+    pairwise-similar documents costs log(n) Spark jobs, not n. The graph
+    is OUTPUT-sized, so rounds run at size-aware parallelism (coalesced
+    partitions scale with edge count); checkpoints truncate lineage so
+    plans don't grow with iterations. The driver sees only the per-round
+    changed-count — the iterative-algorithm shape that scales (rounds
+    bounded by log of graph diameter, not size)."""
     pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
     )
 
 
+# Edge count per partition for the iterative rounds: the component graph is
+# OUTPUT-sized (pairs, not corpus), so rounds over a small graph should not
+# pay full-cluster task-scheduling overhead. 2M edges/partition keeps a
+# round's join input comfortably in one task's memory while scaling the
+# partition count linearly with graph size at 100 TB.
+_CC_EDGES_PER_PARTITION = 2_000_000
+# Below this edge count the graph is collected and solved with union-find on
+# the driver (bounded: 200k (long, long) rows ≈ 3 MB — same order as the O(P)
+# bloom partials the repo already collects). Distributed label propagation
+# costs ~1 s of planning+codegen PER ROUND regardless of data size (measured:
+# 4.1 s for a 256-edge graph at sf0.1), so below the threshold the driver
+# path is ~10× faster while the iterative path remains the only route for
+# graphs that could not fit on any single node.
+_CC_DRIVER_MAX_EDGES = 200_000
+# Rounds 0..N-1 run plain hash-min (one job, no self-join); pointer doubling
+# engages after that. Near-dup components are near-cliques (diameter <= ~2
+# via hot-bucket star links), so typical data converges before doubling ever
+# runs — doubling remains the worst-case O(log diameter) guarantee for
+# pathological chains without taxing the common case.
+_CC_PLAIN_ROUNDS = 2
+
+
 def connected_components(
-    pairs: DataFrame, max_rounds: int = 20
+    pairs: DataFrame,
+    max_rounds: int = 20,
+    checkpoint_dir: str | None = None,
+    small_graph_threshold: int = _CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """(id, component) labels for the undirected graph given as (doc_a,
-    doc_b) pairs — hash-min + pointer-doubling propagation; see
-    :func:`dedup_clusters` for the algorithm notes. ``max_rounds`` bounds
-    doubling rounds (covers diameters up to ~2**max_rounds); exceeding it
-    raises rather than returning silently split components."""
+    doc_b) pairs — hash-min propagation with pointer doubling engaged from
+    round ``_CC_PLAIN_ROUNDS`` on; see :func:`dedup_clusters` for the
+    algorithm notes. ``max_rounds`` bounds total rounds (doubling covers
+    diameters up to ~2**rounds); exceeding it raises rather than returning
+    silently split components.
+
+    ``checkpoint_dir``: when set, per-round materialization uses RELIABLE
+    checkpoints (``df.checkpoint()`` into that directory) instead of
+    ``localCheckpoint``. localCheckpoint stores executor-local blocks — fine
+    on local[32], but at cluster scale one lost executor aborts the whole
+    iteration; reliable checkpoints survive executor loss at the cost of a
+    write to fault-tolerant storage per round (measured at sf0.1: ~0.5 s
+    total overhead across a 3-round run — noise next to the join cost).
+
+    ``small_graph_threshold``: at or below this many (symmetrized,
+    materialized) edges the graph is collected and solved with driver-side
+    union-find (:func:`_driver_union_find`) — identical labels, none of the
+    per-round planning overhead. Set to 0 to force the distributed path."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).toDF("src", "dst")
-    edges = edges.localCheckpoint()  # pairs pipeline runs once, not per round
+    edges = ckpt(edges)  # pairs pipeline runs once, not per round
+
+    # Size-aware parallelism: count is free on the materialized edge table,
+    # and coalesce is a narrow op on the checkpointed blocks. A 256-pair
+    # graph then runs every round in single-task stages instead of
+    # scheduling 32 empty tasks per stage per round.
+    n_edges = edges.count()
+    if n_edges <= small_graph_threshold:
+        return _driver_union_find(edges)
+    n_part = max(
+        1,
+        min(
+            -(-n_edges // _CC_EDGES_PER_PARTITION),
+            edges.rdd.getNumPartitions() or 1,
+        ),
+    )
+    if n_part < (edges.rdd.getNumPartitions() or 1):
+        edges = edges.coalesce(n_part)
 
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -664,8 +741,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
     )
     converged = False
-    # log-diameter bound: doubling rounds cover diameters up to ~2^max_rounds
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # (a) hash-min over neighbors
         nbr_min = (
             edges.join(
@@ -687,28 +763,33 @@ def connected_components(
                 F.coalesce("min_nbr", F.col("component")),
             ).alias("component"),
         )
-        # (b) pointer doubling: jump to the label's label. Labels are
-        # always node ids (mins over ids), so the lookup self-join hits;
-        # 'left' keeps isolated self-labeled nodes intact either way.
-        lbl = prop.select(
-            F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
-        )
-        new_labels = (
-            prop.join(lbl, prop.component == lbl._pid, "left")
-            .select(
-                "id",
-                "prev",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("_pcomp", F.col("component")),
-                ).alias("component"),
+        if rnd < _CC_PLAIN_ROUNDS:
+            # plain round: ONE job — lazy checkpoint with the changed-count
+            # below as its single materializing consumer
+            new_labels = ckpt(prop, eager=False)
+        else:
+            # (b) pointer doubling: jump to the label's label. Labels are
+            # always node ids (mins over ids), so the lookup self-join
+            # hits; 'left' keeps isolated self-labeled nodes intact.
+            # prop is consumed TWICE below (probe + lookup side), so it
+            # must be EAGERLY materialized first — a lazy checkpoint here
+            # recomputes the hash-min subtree per consumer (ADVICE r6;
+            # measured earlier for the band table).
+            prop = ckpt(prop)
+            lbl = prop.select(
+                F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
             )
-            # lazy checkpoint: the changed-count below is the single
-            # consumer that materializes it, so the round runs as ONE job
-            # instead of checkpoint-then-count; later rounds read the
-            # persisted blocks
-            .localCheckpoint(eager=False)
-        )
+            new_labels = ckpt(
+                prop.join(lbl, prop.component == lbl._pid, "left").select(
+                    "id",
+                    "prev",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("_pcomp", F.col("component")),
+                    ).alias("component"),
+                ),
+                eager=False,
+            )
         changed = new_labels.filter(F.col("component") != F.col("prev")).count()
         labels = new_labels.drop("prev")
         if changed == 0:
@@ -718,9 +799,55 @@ def connected_components(
         # Exiting with changed > 0 means some component's labels are still
         # moving — the result would silently split long-diameter components
         # (ADVICE r2). With doubling, 20 rounds cover any graph this side
-        # of 2^20 diameter, so hitting this indicates a bug, not data.
+        # of 2^18 diameter, so hitting this indicates a bug, not data.
         raise RuntimeError(
             "connected_components: hash-min + pointer-doubling label "
             f"propagation did not converge within {max_rounds} rounds"
         )
     return labels
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: union-find with path compression on the
+    collected (symmetrized, materialized) edge table. Only reached when
+    ``connected_components`` counted at most ``_CC_DRIVER_MAX_EDGES`` edges,
+    so the collect is bounded by construction. Produces identical labels to
+    the distributed propagation: component = min member id (enforced by a
+    final min-over-members relabel). Returns a 1-partition DataFrame with
+    the same (id, component) schema, id-typed like the input edges."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.toLocalIterator():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    spark = edges.sparkSession
+    id_type = edges.schema[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type, False),
+            T.StructField("component", id_type, False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, comp_min[find(n)]) for n in parent], schema
+    )

@@ -668,11 +668,16 @@ def full_outer_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure-SQL entry point: one portable SQL text drives BOTH engines
 # ---------------------------------------------------------------------------
 
-_REVENUE_SHARE_SQL = """
+# One portable SQL text drives both engines; only the FACT TABLE BINDING
+# differs (a catalog concern, not a semantic one): DuckDB reads the plain
+# parquet views, Spark reads the orderkey-bucketed overlay under distinct
+# view names — rebinding the session-global `lineitem`/`orders` views in
+# place was an ADVICE-flagged footgun for every other view consumer.
+_REVENUE_SHARE_TEMPLATE = """
 WITH rev AS (
   SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS yr,
          round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  FROM {lineitem} l JOIN {orders} o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   GROUP BY 1, 2
@@ -681,6 +686,10 @@ SELECT nation, yr, revenue,
        round(revenue / sum(revenue) OVER (PARTITION BY yr), 6) AS yr_share
 FROM rev
 """
+
+_REVENUE_SHARE_SQL = _REVENUE_SHARE_TEMPLATE.format(
+    lineitem="lineitem", orders="orders"
+)
 
 
 @register("sql_revenue_share", _REVENUE_SHARE_SQL)
@@ -704,9 +713,15 @@ def sql_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     li_tbl, ord_tbl = ensure_star_bucketed(spark, sf_dir)
-    spark.table(li_tbl).createOrReplaceTempView("lineitem")
-    spark.table(ord_tbl).createOrReplaceTempView("orders")
-    return spark.sql(_REVENUE_SHARE_SQL)
+    # bind the bucketed facts under their own view names — the session-
+    # global `lineitem`/`orders` views stay untouched
+    spark.table(li_tbl).createOrReplaceTempView("lineitem_bkt")
+    spark.table(ord_tbl).createOrReplaceTempView("orders_bkt")
+    return spark.sql(
+        _REVENUE_SHARE_TEMPLATE.format(
+            lineitem="lineitem_bkt", orders="orders_bkt"
+        )
+    )
 
 
 @register(
@@ -751,8 +766,12 @@ def salted_join_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE's skew handling covers the broadcastable case automatically."""
     from ..functions.skew import salted_join_left
 
+    # l_orderkey rides along solely to feed the content-derived salt: the
+    # salt hashes the whole row, and a hot part key whose rows share
+    # quantity values would otherwise collapse onto one salt — exactly the
+    # skew this query exists to spread (with_salt's documented caveat).
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity"
+        "l_partkey", "l_quantity", "l_orderkey"
     ).withColumnRenamed("l_partkey", "p_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = salted_join_left(li, part, "p_partkey", n_salts=8)

@@ -379,6 +379,24 @@ WHERE list_dot_product(a.emb, b.emb)
 EMBEDDING_NEAR_DUP_MAX_ROWS = 200_000
 
 
+def _parquet_row_count(path: str) -> int:
+    """Row count from parquet FOOTER METADATA — no Spark job, so building
+    the guarded plan stays lazy (an eager df.count() here made every
+    composition and plan audit pay a scan job, ADVICE r6). Handles both a
+    single parquet file and a directory of part files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 @register("embedding_near_dup", embedding_near_dup_oracle)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact (L2 oracle baseline): all pairs above
@@ -389,7 +407,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    n = c.count()
+    n = _parquet_row_count(f"{sf_dir}/embeddings.parquet")
     if n > EMBEDDING_NEAR_DUP_MAX_ROWS:
         raise ValueError(
             f"embedding_near_dup is the O(n²) exact baseline; {n} rows "

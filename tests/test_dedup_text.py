@@ -270,14 +270,61 @@ def test_udtf_tokenization_agrees_with_explode(spark, sf_dir):
 def test_connected_components_chain_pointer_doubling(spark):
     """A 64-node path graph (diameter 63) must converge well inside the
     doubling bound — pointer doubling makes rounds O(log diameter), so 10
-    rounds suffice where plain hash-min propagation would need 63."""
+    rounds suffice where plain hash-min propagation would need 63.
+    small_graph_threshold=0 forces the distributed path (the default would
+    solve 63 edges on the driver)."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
     )
-    labels = dedup.connected_components(pairs, max_rounds=10)
+    labels = dedup.connected_components(
+        pairs, max_rounds=10, small_graph_threshold=0
+    )
     rows = labels.collect()
     assert len(rows) == 64
     assert {r.component for r in rows} == {0}
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The small-graph union-find fast path must produce EXACTLY the labels
+    of the distributed propagation (component = min member id), on a graph
+    mixing a chain, a clique, and an isolated pair."""
+    edges = (
+        [(i, i + 1) for i in range(20, 26)]  # chain 20..26
+        + [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique 0-4
+        + [(100, 101)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    via_driver = {
+        (r.id, r.component)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    via_spark = {
+        (r.id, r.component)
+        for r in dedup.connected_components(
+            pairs, small_graph_threshold=0
+        ).collect()
+    }
+    assert via_driver == via_spark
+    assert {c for _, c in via_driver} == {0, 20, 100}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches per-round materialization to reliable
+    checkpoints (fault-tolerant storage) — same labels either way."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    ckdir = str(tmp_path / "cc_ckpt")
+    got = {
+        (r.id, r.component)
+        for r in dedup.connected_components(
+            pairs, checkpoint_dir=ckdir, small_graph_threshold=0
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(11)}
+    import os
+
+    assert any(os.scandir(ckdir)), "reliable checkpoint dir is empty"
 
 
 def test_connected_components_two_components(spark):

@@ -45,16 +45,48 @@ HEADER = (
 )
 
 
+# Unary pass-through nodes a Window's input may route through before its
+# partitioning Exchange. Anything NOT in this set ends the walk (a join /
+# scan / aggregate boundary means the window's input partitioning is
+# established elsewhere).
+_WINDOW_PASSTHROUGH = {
+    "Sort",
+    "Project",
+    "Filter",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "ColumnarToRow",
+    "WindowGroupLimit",
+    "CoalescedShuffleRead",
+}
+
+_NODE_NAME = re.compile(r"[A-Za-z][A-Za-z0-9]*")
+
+
 def unpartitioned_windows(plan: str) -> int:
-    """Count Window operators fed by an Exchange SinglePartition (looking
-    through the optional AQEShuffleRead / Sort nodes in between)."""
+    """Count Window operators fed by an Exchange SinglePartition. Walks the
+    Window's child chain through any number of unary pass-through nodes
+    (Sort/Project/AQEShuffleRead/...) until the first Exchange or a
+    non-unary boundary — a fixed 3-line lookahead missed windows separated
+    from their exchange by longer chains (ADVICE r6)."""
     lines = plan.splitlines()
     hits = 0
     for i, line in enumerate(lines):
-        if re.search(r"\bWindow \[", line):
-            ctx = "\n".join(lines[i + 1 : i + 4])
-            if "Exchange SinglePartition" in ctx:
-                hits += 1
+        if not re.search(r"\bWindow \[", line):
+            continue
+        for nxt in lines[i + 1 :]:
+            m = _NODE_NAME.search(nxt.lstrip(" :+-*()0123456789"))
+            if m is None:
+                continue
+            node = m.group(0)
+            if "Exchange" in node or node == "ReusedExchange":
+                if "SinglePartition" in nxt:
+                    hits += 1
+                break
+            if node not in _WINDOW_PASSTHROUGH:
+                break
     return hits
 
 
