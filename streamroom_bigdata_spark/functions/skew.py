@@ -57,13 +57,84 @@ def salted_count(
 
 
 def salted_join_left(
-    big: DataFrame, small: DataFrame, key: str, n_salts: int = 8
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    hot: list | None = None,
 ) -> DataFrame:
     """Skewed inner equi-join: salt the big side, explode the small side
     n_salts ways, join on (key, salt). Every output row appears exactly once
-    (each big row carries one salt; the small side covers all salts)."""
-    big_s = with_salt(big, n_salts)
-    small_s = small.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
+    (each big row carries one salt; the small side covers all salts).
+
+    ``hot``: when given (see :func:`detect_hot_keys`), only those keys are
+    salted and only their small-side rows are replicated — the small side
+    grows by len(hot)*(n_salts-1) rows instead of n_salts×, which is the
+    difference between a constant-size fixup and replicating a 100 TB-scale
+    dimension eight-fold."""
+    if hot is not None:
+        big_s = with_hot_salt(big, key, hot, n_salts)
+        small_s = small.withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col(key).isin(hot),
+                    F.array(*[F.lit(i) for i in range(n_salts)]),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+    else:
+        big_s = with_salt(big, n_salts)
+        small_s = small.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
     return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    n_top: int = 16,
+    sample_fraction: float = 0.01,
+    min_sampled: int = 1_000,
+) -> list:
+    """Cheap sampled hot-key detection: the (at most ``n_top``) keys whose
+    count in a ``sample_fraction`` sample is at least ``min_sampled`` —
+    i.e. roughly min_sampled/sample_fraction true rows. One O(sample) scan,
+    returns a tiny driver-side list to feed :func:`with_hot_salt` /
+    :func:`salted_join_left`. At 100 TB this is the pattern: pay a 1%
+    sampled count once, then salt only what is actually hot — salting
+    EVERY key multiplies the downstream group count by n_salts (measured
+    in tools/skew_rehearsal.py: a grouped-pandas stage went 7 s → 31 s
+    when all keys were salted 16×)."""
+    rows = (
+        df.sample(fraction=sample_fraction, seed=7)
+        .groupBy(key)
+        .count()
+        .filter(F.col("count") >= min_sampled)
+        .orderBy(F.desc("count"))
+        .limit(n_top)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def with_hot_salt(
+    df: DataFrame,
+    key: str,
+    hot: list,
+    n_salts: int,
+    col_name: str = "_salt",
+    cols=None,
+) -> DataFrame:
+    """Content-derived salt applied ONLY to the listed hot keys; every
+    other key gets salt 0. Downstream (key, salt) group count grows by
+    len(hot)*(n_salts-1) instead of n_salts× — salt surgically, not
+    globally."""
+    if not hot:
+        return df.withColumn(col_name, F.lit(0))
+    salted = with_salt(df, n_salts, col_name="_salt_all", cols=cols)
+    return salted.withColumn(
+        col_name,
+        F.when(F.col(key).isin(hot), F.col("_salt_all")).otherwise(F.lit(0)),
+    ).drop("_salt_all")

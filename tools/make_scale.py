@@ -7,8 +7,14 @@ unchanged — the realistic shape of growth (facts grow, dims don't).
 Document text gets a per-copy suffix token so shingle-based near-dup does
 not see every copy as a duplicate of its original.
 
+``--hot-key`` additionally plants PATHOLOGICAL KEY SKEW: ~30% of the
+replicated lineitem rows get their l_partkey rewritten to one hot part key
+(deterministically, by row-content hash). That is the worst-case shape the
+salted operators (functions/skew.py) exist for — use with
+tools/skew_rehearsal.py to measure the reducer-time spread the salt buys.
+
 Usage:
-    python tools/make_scale.py [src_sf_dir] [dst_dir] [factor]
+    python tools/make_scale.py [src_sf_dir] [dst_dir] [factor] [--hot-key]
 
 Then:  SPARK_GRAFT_SF_DIR=<dst_dir> python bench.py
 """
@@ -19,11 +25,17 @@ import sys
 
 sys.path.insert(0, ".")
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
-FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+SRC = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.1"
+DST = _pos[1] if len(_pos) > 1 else "/tmp/sf1_synth"
+FACTOR = int(_pos[2]) if len(_pos) > 2 else 10
+HOT_KEY = "--hot-key" in sys.argv
 
 KEY_OFFSET = 10_000_000_000  # far above any fixture key
+# --hot-key: fraction of lineitem rows remapped onto one part key. The key
+# itself is a real p_partkey (1), so joins still hit the part table.
+HOT_FRACTION = 0.3
+HOT_PARTKEY = 1
 
 
 def main() -> int:
@@ -68,6 +80,22 @@ def main() -> int:
             copied = copied.withColumn(
                 "user_id", F.col("user_id") + F.col("_copy") * F.lit(1000)
             )
+        if name == "lineitem" and HOT_KEY:
+            # deterministic content-hash selection: ~HOT_FRACTION of rows
+            # collapse onto HOT_PARTKEY — a single pathologically hot
+            # reducer key for the skew rehearsal
+            copied = copied.withColumn(
+                "l_partkey",
+                F.when(
+                    F.pmod(
+                        F.xxhash64("l_orderkey", "l_linenumber", "_copy"),
+                        F.lit(1000),
+                    )
+                    < int(HOT_FRACTION * 1000),
+                    F.lit(HOT_PARTKEY).cast("long"),
+                ).otherwise(F.col("l_partkey")),
+            )
+            print(f"lineitem: --hot-key planted ({HOT_FRACTION:.0%} -> partkey {HOT_PARTKEY})")
         copied.drop("_copy").write.mode("overwrite").parquet(
             f"{DST}/{name}.parquet"
         )
