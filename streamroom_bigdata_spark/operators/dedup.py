@@ -828,7 +828,9 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.toLocalIterator():
+    # one bounded collect (<= threshold edges by construction) — NOT
+    # toLocalIterator, which launches one sequential job per partition
+    for row in edges.collect():
         a, b = row[0], row[1]
         if a not in parent:
             parent[a] = a

@@ -65,11 +65,24 @@ def read_entity_csv(
 
 
 def stream_file_source(
-    spark: SparkSession, path: str, schema: T.StructType, fmt: str = "parquet", **options
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    **options,
 ) -> DataFrame:
     """File-based streaming source — the deterministic test harness stand-in
-    for Kafka (same micro-batch engine downstream)."""
+    for Kafka (same micro-batch engine downstream).
+
+    ``max_files_per_trigger`` is the file-source rate-limiting knob (the
+    idiomatic equivalent of the reference producer's 200 ms/record sleep,
+    and of ``maxOffsetsPerTrigger`` on the Kafka source): each micro-batch
+    ingests at most that many files, so a backlog drains in bounded bites
+    instead of one giant catch-up batch that can blow executor memory."""
     reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)

@@ -912,3 +912,33 @@ def test_available_now_backfill_resumes_from_checkpoint(spark, tmp_path):
     drain()
     got = {r.event_id for r in spark.read.parquet(str(sink)).collect()}
     assert got == {1, 2, 3}  # old files NOT reprocessed, new file picked up
+
+
+def test_max_files_per_trigger_bounds_each_batch(spark, tmp_path):
+    """The file-source rate-limiting knob (idiomatic stand-in for the
+    reference producer's per-record sleep): with max_files_per_trigger=2,
+    a 6-file backlog must drain as 3 micro-batches of exactly 2 files'
+    rows — bounded bites, never one giant catch-up batch."""
+    src = tmp_path / "throttle_src"
+    src.mkdir()
+    base = 1_700_000_000
+    for i in range(6):
+        p = src / f"f{i}.json"
+        pd.DataFrame([{"v": i * 10 + j} for j in range(5)]).to_json(
+            p, orient="records", lines=True
+        )
+        os.utime(p, (base + i, base + i))
+
+    stream = stream_file_source(
+        spark, str(src), "v long", fmt="json", max_files_per_trigger=2
+    )
+    batch_sizes: list[int] = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "throttle_ckpt"))
+        .foreachBatch(lambda df, _id: batch_sizes.append(df.count()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert batch_sizes == [10, 10, 10]  # 3 batches x (2 files x 5 rows)

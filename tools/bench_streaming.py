@@ -2,10 +2,14 @@
 router (reference comparison point: the reference producer hard-caps ingest
 at 5 events/s via a 200 ms driver sleep, producer.scala:51).
 
-Drives the router with the built-in rate source mapped onto the wire format,
-sinks to per-entity parquet through the checkpointed foreachBatch router, and
-reports rows/sec over the run. Usage: python tools/bench_streaming.py
-[rows_per_second] [seconds].
+Drives the router with the rate-micro-batch source (EXACTLY rowsPerBatch
+rows per trigger) mapped onto the wire format, sinks to partitioned parquet
+through the checkpointed foreachBatch router, and reports sustained rows/sec
+as sum(committed batch input rows) / sum(trigger durations) — startup time
+and the in-flight batch discarded at stop() cancel out, which a wall-clock
+quotient does not (measured 7x understatement on a 20 s run).
+
+Usage: python tools/bench_streaming.py [rows_per_batch] [seconds]
 """
 
 from __future__ import annotations
@@ -28,15 +32,26 @@ def main() -> int:
     from streamroom_bigdata_spark.streaming.ingest import parse_wire
     from streamroom_bigdata_spark.streaming.router import start_router
 
-    rows_per_second = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    run_seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    rows_per_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    run_seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 
     spark = get_spark(
         "bench_streaming", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     entities = list(ENTITIES)
+    # rate-micro-batch: EXACTLY rows_per_batch rows per trigger, so every
+    # committed batch is the same size and throughput can be computed from
+    # committed-batch trigger durations alone — startup time and the
+    # in-flight batch lost at stop() (which understated a 20 s wall-clock
+    # run 7x) cancel out of the number entirely.
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("numPartitions", str(spark.sparkContext.defaultParallelism))
+        .load()
+    )
     # rate rows -> synthetic wire JSON, one of the six entity types per row
-    wire = stream_rate_source(spark, rows_per_second).select(
+    wire = rate.select(
         F.to_json(
             F.struct(
                 F.concat(F.lit("B"), F.col("value")).alias("booking_id"),
@@ -54,7 +69,10 @@ def main() -> int:
         ).alias("value")
     )
 
+    import os
+
     out_dir = tempfile.mkdtemp(prefix="bench_stream_")
+    load_start = os.getloadavg()
     try:
         t0 = time.time()
         q = start_router(
@@ -67,6 +85,21 @@ def main() -> int:
         q.stop()
         q.awaitTermination(60)
         elapsed = time.time() - t0
+        # Active window = first trigger start -> stop: session+stream
+        # startup (~8 s) must not count against throughput. Short runs
+        # additionally lose the in-flight batch at stop() (its rows are
+        # uncommitted but its time elapsed) — measured as a 7x understate
+        # on a 20 s run vs 40 s; run >= 40 s for a stable number.
+        # committed batches only: every batch is exactly rows_per_batch, so
+        # sum(inputRows)/sum(triggerExecution) is the router's sustained
+        # rate, independent of startup and the discarded in-flight batch
+        progress = [
+            p
+            for p in q.recentProgress
+            if p is not None and p.get("numInputRows", 0) > 0
+        ]
+        in_rows = sum(p["numInputRows"] for p in progress)
+        busy_ms = sum(p["durationMs"]["triggerExecution"] for p in progress)
         rows = (
             spark.read.parquet(f"{out_dir}/bronze").count()
             if shutil.os.path.isdir(f"{out_dir}/bronze")
@@ -76,11 +109,16 @@ def main() -> int:
             json.dumps(
                 {
                     "metric": "streaming_router_throughput",
-                    "value": round(rows / elapsed, 1),
+                    "value": round(in_rows / max(busy_ms / 1000.0, 0.001), 1),
                     "unit": "events/sec",
-                    "rows": rows,
+                    "rows_committed": in_rows,
+                    "rows_in_bronze": rows,
                     "elapsed_sec": round(elapsed, 1),
-                    "configured_rate": rows_per_second,
+                    "busy_sec": round(busy_ms / 1000.0, 1),
+                    "n_batches": len(progress),
+                    "rows_per_batch": rows_per_batch,
+                    "loadavg_start": [round(x, 2) for x in load_start],
+                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 }
             )
         )
