@@ -106,6 +106,16 @@ def main() -> int:
     with open("/proc/uptime") as f:
         uptime_start = float(f.read().split()[0])
 
+    def _steal_jiffies() -> int:
+        # 8th field of the aggregate cpu line: time stolen by the
+        # hypervisor. On this box steal bursts of 10-30 cpu-sec/min are
+        # the measured cause of multi-second spikes in otherwise-trivial
+        # stages — steal delta makes that diagnosable per artifact.
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
+    steal_start = _steal_jiffies()
+
     from streamroom_bigdata_spark import registry
     from streamroom_bigdata_spark.session import get_spark
 
@@ -186,6 +196,7 @@ def main() -> int:
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
         "uptime_start": round(uptime_start, 1),
+        "steal_jiffies": _steal_jiffies() - steal_start,
     }
     if errors:
         out["errors"] = errors

@@ -714,20 +714,23 @@ def connected_components(
             return df.checkpoint(eager=eager)
         return df.localCheckpoint(eager=eager)
 
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).toDF("src", "dst")
-    edges = ckpt(edges)  # pairs pipeline runs once, not per round
+    # Materialize the PAIR table (half the symmetrized edge table) — the
+    # pair pipeline runs once, and symmetrization below is a lazy union of
+    # two projections over the materialized blocks (narrow, re-read per
+    # consumer but never recomputed).
+    pairs = ckpt(pairs.toDF("src", "dst"))
 
-    # Size-aware parallelism: count is free on the materialized edge table,
+    # Size-aware parallelism: count is free on the materialized pair table,
     # and coalesce is a narrow op on the checkpointed blocks. A 256-pair
     # graph then runs every round in single-task stages instead of
     # scheduling 32 empty tasks per stage per round.
-    n_edges = edges.count()
+    n_edges = 2 * pairs.count()
     if n_edges <= small_graph_threshold:
-        return _driver_union_find(edges)
+        # union-find is direction-agnostic — feed it the raw pairs
+        return _driver_union_find(pairs)
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     n_part = max(
         1,
         min(
@@ -812,9 +815,10 @@ def connected_components(
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
     """Small-graph fast path: union-find with path compression on the
-    collected (symmetrized, materialized) edge table. Only reached when
-    ``connected_components`` counted at most ``_CC_DRIVER_MAX_EDGES`` edges,
-    so the collect is bounded by construction. Produces identical labels to
+    collected pair table (union-find is direction-agnostic, so the
+    symmetrized edges are never built on this path). Only reached when
+    ``connected_components`` counted at most ``_CC_DRIVER_MAX_EDGES``
+    symmetrized edges, so the collect is bounded by construction. Produces identical labels to
     the distributed propagation: component = min member id (enforced by a
     final min-over-members relabel). Returns a 1-partition DataFrame with
     the same (id, component) schema, id-typed like the input edges."""

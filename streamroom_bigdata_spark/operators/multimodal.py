@@ -68,13 +68,95 @@ DECODE_SCHEMA = (
 )
 
 
+def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated integer tokens from a PNM header
+    (skipping ``#`` comments), returning (tokens, offset_after_last). The
+    offset points at the single whitespace byte that separates the header
+    from the raster."""
+    toks: list[int] = []
+    i = 2  # past the magic
+    while len(toks) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        toks.append(int(payload[i:j]))
+        i = j
+    return toks, i
+
+
 def decode_image(payload: bytes) -> dict:
-    """Real decoder integration point — wire Pillow/torchvision/ffmpeg here
-    when the runtime has them. Deliberately unimplemented in this container."""
-    raise NotImplementedError(
-        "image/audio decode requires media libraries not present in this "
-        "environment; decode_features() provides the deterministic stub"
-    )
+    """Minimal REAL image decode — pure Python, no external libs — for the
+    two classic uncompressed formats whose specs fit in a page:
+
+    - **PPM (P6)**: ``P6 <ws> width <ws> height <ws> maxval <1 ws byte>``
+      then ``width*height*3`` RGB bytes (maxval < 256).
+    - **BMP** (BITMAPINFOHEADER, 24 bpp, uncompressed): little-endian
+      header, bottom-up BGR rows padded to 4 bytes.
+
+    Returns ``{format, width, height, n_pixels, mean_r_micro, mean_g_micro,
+    mean_b_micro}`` — channel means as floor(sum*1e6 / n_pixels) integer
+    micro-units (unambiguous across engines, like DECODE_SCHEMA's
+    mean_byte_micro). Compressed formats (PNG/JPEG/…) still raise
+    ``NotImplementedError`` — entropy coding genuinely needs the media libs
+    this container lacks; wire Pillow/torchvision/ffmpeg here when present."""
+    if payload[:2] == b"P6":
+        (w, h, maxval), i = _ppm_tokens(payload, 3)
+        if maxval >= 256:
+            raise NotImplementedError("16-bit PPM not supported")
+        raster = payload[i + 1 : i + 1 + w * h * 3]
+        if len(raster) != w * h * 3:
+            raise ValueError("truncated PPM raster")
+        sums = [0, 0, 0]
+        for c in range(3):
+            sums[c] = sum(raster[c::3])
+        fmt = "ppm"
+    elif payload[:2] == b"BM":
+        def u32(o: int) -> int:
+            return int.from_bytes(payload[o : o + 4], "little")
+
+        def i32(o: int) -> int:
+            return int.from_bytes(payload[o : o + 4], "little", signed=True)
+
+        data_off = u32(10)
+        w, h_raw = i32(18), i32(22)
+        bpp = int.from_bytes(payload[28:30], "little")
+        if bpp != 24 or u32(30) != 0:
+            raise NotImplementedError("only uncompressed 24bpp BMP supported")
+        h = abs(h_raw)
+        row_stride = (w * 3 + 3) & ~3
+        sums = [0, 0, 0]
+        for r in range(h):
+            row = payload[data_off + r * row_stride :][: w * 3]
+            if len(row) != w * 3:
+                raise ValueError("truncated BMP raster")
+            # BGR on disk → accumulate as RGB
+            sums[0] += sum(row[2::3])
+            sums[1] += sum(row[1::3])
+            sums[2] += sum(row[0::3])
+        fmt = "bmp"
+    else:
+        raise NotImplementedError(
+            "only PPM(P6)/BMP(24bpp) decode in-container; compressed formats "
+            "require media libraries not present in this environment"
+        )
+    n_px = w * h
+    return {
+        "format": fmt,
+        "width": w,
+        "height": h,
+        "n_pixels": n_px,
+        "mean_r_micro": (sums[0] * 1_000_000) // n_px,
+        "mean_g_micro": (sums[1] * 1_000_000) // n_px,
+        "mean_b_micro": (sums[2] * 1_000_000) // n_px,
+    }
 
 
 # The fixture corpus is pure ASCII (asserted in tests/test_multimodal
@@ -135,6 +217,85 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return assets.mapInPandas(extract, DECODE_SCHEMA)
+
+
+# image_decode: synthetic 4x4 PPM per document — header + the first 48 text
+# bytes as RGB raster. The payload is assembled in-plan (binary concat), so
+# the decode below exercises a REAL parser on a REAL wire format end-to-end.
+IMG_W = IMG_H = 4
+_IMG_RASTER = IMG_W * IMG_H * 3  # 48 raster bytes
+IMAGE_SCHEMA = (
+    "asset_id long, format string, width int, height int, n_pixels int, "
+    "mean_r_micro long, mean_g_micro long, mean_b_micro long"
+)
+
+image_decode_oracle = f"""
+WITH px AS (
+  SELECT doc_id,
+         ascii(substr(text, CAST(i + 1 AS BIGINT), 1)) AS b,
+         CAST(i % 3 AS INT) AS chan
+  FROM documents, range(0, {_IMG_RASTER}) t(i)
+  WHERE length(text) >= {_IMG_RASTER}
+)
+SELECT doc_id AS asset_id,
+       'ppm' AS format,
+       CAST({IMG_W} AS INT) AS width,
+       CAST({IMG_H} AS INT) AS height,
+       CAST({IMG_W * IMG_H} AS INT) AS n_pixels,
+       CAST(sum(CASE WHEN chan = 0 THEN b ELSE 0 END) * 1000000
+            // {IMG_W * IMG_H} AS BIGINT) AS mean_r_micro,
+       CAST(sum(CASE WHEN chan = 1 THEN b ELSE 0 END) * 1000000
+            // {IMG_W * IMG_H} AS BIGINT) AS mean_g_micro,
+       CAST(sum(CASE WHEN chan = 2 THEN b ELSE 0 END) * 1000000
+            // {IMG_W * IMG_H} AS BIGINT) AS mean_b_micro
+FROM px
+GROUP BY doc_id
+"""
+
+
+@register("multimodal_image_decode", image_decode_oracle)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (L5, de-stubbed for headerless formats):
+    a 4x4 P6 PPM is assembled per document in-plan (binary concat of a
+    literal header and the first 48 text bytes as raster), then
+    :func:`decode_image`'s actual PPM parser runs inside ``mapInPandas`` and
+    emits per-channel statistics. The DuckDB oracle replays the channel
+    arithmetic directly on the text bytes — so header parsing, raster
+    slicing, and channel de-interleave are all verified, not stubbed.
+    Compressed formats still gate on media libs (see decode_image)."""
+    docs = load_table(spark, sf_dir, "documents")
+    header = f"P6\n{IMG_W} {IMG_H}\n255\n".encode()
+    assets = docs.filter(F.octet_length("text") >= _IMG_RASTER).select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(
+            F.lit(header),
+            F.encode(F.substring("text", 1, _IMG_RASTER), "UTF-8"),
+        ).alias("payload"),
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "asset_id", "format", "width", "height", "n_pixels",
+            "mean_r_micro", "mean_g_micro", "mean_b_micro",
+        ]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [decode_image(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
+            yield out[cols].astype(
+                {
+                    "width": "int32",
+                    "height": "int32",
+                    "n_pixels": "int32",
+                    "mean_r_micro": "int64",
+                    "mean_g_micro": "int64",
+                    "mean_b_micro": "int64",
+                }
+            )
+
+    return assets.mapInPandas(decode, IMAGE_SCHEMA)
 
 
 FRAME_SIZE = 32     # bytes per "frame" of the payload

@@ -123,11 +123,77 @@ def test_decode_features_deterministic_stub(spark, sf_dir):
         assert r.mean_byte_micro == (sum(b) * 1_000_000) // len(b)
 
 
-def test_decode_image_is_explicit_stub():
+def test_decode_image_compressed_formats_still_gate():
     import pytest
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_decode_image_ppm_with_comments():
+    """Real PPM parse: comments and arbitrary header whitespace are legal;
+    channel means come from de-interleaved raster bytes."""
+    raster = bytes([10, 20, 30, 110, 120, 130, 210, 220, 230, 0, 0, 0])
+    payload = b"P6 # a comment\n# another\n 3\t1 # w h\n255\n" + raster
+    out = multimodal.decode_image(payload)
+    assert out["format"] == "ppm" and (out["width"], out["height"]) == (3, 1)
+    # hand-checked wrong-stride trap: means must de-interleave R,G,B
+    assert out["mean_r_micro"] == ((10 + 110 + 210 + 0) * 1_000_000) // 3
+    assert out["mean_g_micro"] == ((20 + 120 + 220) * 1_000_000) // 3
+    assert out["mean_b_micro"] == ((30 + 130 + 230) * 1_000_000) // 3
+
+
+def test_decode_image_bmp_bottom_up_padded_rows():
+    """Real BMP parse: 3x2 24bpp — BGR byte order, 4-byte row padding, and
+    bottom-up row order must all be honored (means are order-insensitive, so
+    use per-channel-distinct values to catch BGR/RGB swaps)."""
+    # rows as seen top-down, RGB tuples
+    px = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+          [(10, 11, 12), (13, 14, 15), (16, 17, 18)]]
+    w, h = 3, 2
+    stride = (w * 3 + 3) & ~3  # 12 -> 12; use w=3 -> 9 -> padded 12
+    raster = b""
+    for row in reversed(px):  # bottom-up on disk
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)  # BGR
+        raster += line + b"\x00" * (stride - len(line))
+    data_off = 14 + 40
+    header = (
+        b"BM" + (data_off + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00" + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    out = multimodal.decode_image(header + raster)
+    assert out["format"] == "bmp" and (out["width"], out["height"]) == (3, 2)
+    n = w * h
+    assert out["mean_r_micro"] == (sum(r for row in px for (r, _, _) in row) * 1_000_000) // n
+    assert out["mean_g_micro"] == (sum(g for row in px for (_, g, _) in row) * 1_000_000) // n
+    assert out["mean_b_micro"] == (sum(b for row in px for (_, _, b) in row) * 1_000_000) // n
+
+
+def test_multimodal_image_decode_matches_manual(spark, sf_dir):
+    """End-to-end: the in-plan PPM assembly + mapInPandas decode agrees with
+    a driver-side reimplementation over the raw fixture text."""
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    rows = {r.asset_id: r for r in multimodal.multimodal_image_decode(spark, sf_dir).collect()}
+    n_checked = 0
+    for doc_id, text in docs.items():
+        b = text.encode("utf-8")
+        if len(b) < 48:
+            assert doc_id not in rows
+            continue
+        r = rows[doc_id]
+        assert (r.width, r.height, r.n_pixels, r.format) == (4, 4, 16, "ppm")
+        for off, col in ((0, r.mean_r_micro), (1, r.mean_g_micro), (2, r.mean_b_micro)):
+            assert col == (sum(b[:48][off::3]) * 1_000_000) // 16
+        n_checked += 1
+        if n_checked >= 20:
+            break
+    assert n_checked > 0
 
 
 def test_pandas_scorers_agree_with_hof(spark):
