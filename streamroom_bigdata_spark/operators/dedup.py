@@ -657,10 +657,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Edge count per partition for the iterative rounds: the component graph is
 # OUTPUT-sized (pairs, not corpus), so rounds over a small graph should not
-# pay full-cluster task-scheduling overhead. 2M edges/partition keeps a
-# round's join input comfortably in one task's memory while scaling the
-# partition count linearly with graph size at 100 TB.
-_CC_EDGES_PER_PARTITION = 2_000_000
+# pay full-cluster task-scheduling overhead, but a graph just above the
+# driver threshold should not serialize onto one core either. Measured at
+# 500k edges (sf≈1 near-dup graph): 250k/partition 2.2-2.4 s vs 2.6-5.3 s
+# at 2M (single task) and 2.7-2.8 s at 16k (32 tasks of overhead). Scales
+# linearly with graph size at 100 TB; tasks stay well inside memory.
+_CC_EDGES_PER_PARTITION = 250_000
 # Below this edge count the graph is collected and solved with union-find on
 # the driver (bounded: 200k (long, long) rows ≈ 3 MB — same order as the O(P)
 # bloom partials the repo already collects). Distributed label propagation
