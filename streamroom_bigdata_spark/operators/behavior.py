@@ -1,0 +1,285 @@
+"""Behavioral / distribution analytics over the events and lineitem tables
+(round-7 additions; SURVEY.md §2.15).
+
+The reference's observable surface is a recommendation query over booking
+events (`processing.scala:71-149`); these are the event-analytics queries the
+same product team asks next — funnel conversion, cohort retention, value
+distributions, robust outlier flags. All are one-or-two-shuffle column
+algebra: per-user aggregation keyed on user_id, then an output-sized
+reduction. At 100 TB each scales with the USER count (first shuffle) and the
+tiny stage/cohort/bucket cardinality after that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import epoch_ms
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (ordered min-timestamp semantics)
+# ---------------------------------------------------------------------------
+
+# Stage order for the funnel. Semantics: a user reaches stage k iff the
+# FIRST occurrence of each stage is strictly later than the first occurrence
+# of the previous stage (min-ts ordering — one aggregation pass, no ordered
+# re-scan; the common "did the journey happen in order" reading).
+FUNNEL_STAGES = ("signup", "click", "view", "purchase")
+
+_mins_sql = ", ".join(
+    f"min(CASE WHEN event_type = '{s}' THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS t{i}"
+    for i, s in enumerate(FUNNEL_STAGES)
+)
+
+funnel_oracle = f"""
+WITH per_user AS (
+  SELECT user_id, {_mins_sql}
+  FROM events
+  GROUP BY user_id
+), depth AS (
+  SELECT user_id,
+         CASE WHEN t0 IS NULL THEN 0
+              WHEN t1 IS NULL OR t1 <= t0 THEN 1
+              WHEN t2 IS NULL OR t2 <= t1 THEN 2
+              WHEN t3 IS NULL OR t3 <= t2 THEN 3
+              ELSE 4 END AS depth
+  FROM per_user
+), counts AS (
+  SELECT CAST(sum(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN depth >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM depth
+)
+SELECT * FROM (
+  SELECT 1 AS stage, '{FUNNEL_STAGES[0]}' AS stage_name, n1 AS n_users,
+         CAST(1.0 AS DOUBLE) AS conv_from_first FROM counts
+  UNION ALL
+  SELECT 2, '{FUNNEL_STAGES[1]}', n2, round(CAST(n2 AS DOUBLE) / n1, 4) FROM counts
+  UNION ALL
+  SELECT 3, '{FUNNEL_STAGES[2]}', n3, round(CAST(n3 AS DOUBLE) / n1, 4) FROM counts
+  UNION ALL
+  SELECT 4, '{FUNNEL_STAGES[3]}', n4, round(CAST(n4 AS DOUBLE) / n1, 4) FROM counts
+)
+"""
+
+
+@register("funnel_conversion", funnel_oracle)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over events: per-user first-occurrence timestamps of
+    each stage in ONE aggregation (conditional mins — no per-stage re-scan,
+    no window), funnel depth from their ordering, then a global roll-up to
+    4 rows. Two shuffles total: user_id hash agg (map-side partials make it
+    user-count-sized) and a single-row final combine. Millisecond-epoch
+    comparison keeps stage ordering integer-exact across engines."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        *[
+            F.min(
+                F.when(F.col("event_type") == s, epoch_ms("ts"))
+            ).alias(f"t{i}")
+            for i, s in enumerate(FUNNEL_STAGES)
+        ]
+    )
+    t = [F.col(f"t{i}") for i in range(4)]
+    depth = (
+        F.when(t[0].isNull(), 0)
+        .when(t[1].isNull() | (t[1] <= t[0]), 1)
+        .when(t[2].isNull() | (t[2] <= t[1]), 2)
+        .when(t[3].isNull() | (t[3] <= t[2]), 3)
+        .otherwise(4)
+    )
+    counts = per_user.select(depth.alias("depth")).agg(
+        *[
+            F.sum((F.col("depth") >= k).cast("bigint")).alias(f"n{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+    # 4-row unpivot of the single combined row: stack() stays in-plan, and
+    # every stage's conversion divides by n1 from the SAME row — no window
+    stages_sql = ", ".join(
+        f"{k}, '{FUNNEL_STAGES[k - 1]}', n{k}, "
+        + ("CAST(1.0 AS DOUBLE)" if k == 1 else f"round(double(n{k}) / n1, 4)")
+        for k in (1, 2, 3, 4)
+    )
+    return counts.select(
+        F.expr(f"stack(4, {stages_sql})").alias(
+            "stage", "stage_name", "n_users", "conv_from_first"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention
+# ---------------------------------------------------------------------------
+
+retention_oracle = """
+WITH cohorts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week
+  FROM events
+  GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS active_week
+  FROM events
+)
+SELECT c.cohort_week,
+       CAST(datediff('day', c.cohort_week, a.active_week) // 7 AS INT)
+         AS week_offset,
+       count(*) AS n_users
+FROM cohorts c JOIN activity a USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("retention_cohorts", retention_oracle)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = ISO week of a user's first event;
+    one row per (cohort_week, week_offset) counting users still active that
+    many weeks later. Plan: user_id agg (cohort), distinct (user, week)
+    activity, user-keyed join (both sides already partitioned by user_id —
+    the exchange is reused), then an output-sized roll-up. Scales with
+    users; output is weeks². DATE-typed weeks keep the NTZ/LTZ question out
+    of the comparison entirely."""
+    events = load_table(spark, sf_dir, "events")
+    week = lambda c: F.to_date(F.date_trunc("week", F.col(c)))  # noqa: E731
+    cohorts = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", week("ts").alias("active_week")
+    ).distinct()
+    return (
+        cohorts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram (distribution profiling)
+# ---------------------------------------------------------------------------
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 100_000.0, 20
+_W = (HIST_HI - HIST_LO) / HIST_BUCKETS
+
+histogram_oracle = f"""
+WITH b AS (
+  SELECT CAST(least({HIST_BUCKETS - 1},
+                    floor((l_extendedprice - {HIST_LO}) / {_W})) AS INT)
+           AS bucket,
+         l_extendedprice
+  FROM lineitem
+  WHERE l_extendedprice >= {HIST_LO} AND l_extendedprice < {HIST_HI}
+)
+SELECT bucket,
+       CAST(round({HIST_LO} + bucket * {_W}, 2) AS DOUBLE) AS lo_edge,
+       CAST(round({HIST_LO} + (bucket + 1) * {_W}, 2) AS DOUBLE) AS hi_edge,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
+         AS sum_price
+FROM b
+GROUP BY bucket
+"""
+
+
+@register("histogram_prices", histogram_oracle)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice — the profiling query behind
+    every data-quality dashboard. Pure map-side bucket arithmetic + a
+    BUCKETS-sized aggregation: the shuffle carries ≤ HIST_BUCKETS rows per
+    map task regardless of input size. The bucket formula (floor of scaled
+    offset, top bucket clamped) is written identically in both engines
+    rather than relying on a width_bucket builtin DuckDB lacks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    bucket = F.least(
+        F.lit(HIST_BUCKETS - 1), F.floor((x - HIST_LO) / _W)
+    ).cast("int")
+    return (
+        li.filter((x >= HIST_LO) & (x < HIST_HI))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_items"),
+            # decimal accumulation: float sums are addition-order-dependent
+            # across engines/partitionings; 2-decimal prices sum exactly
+            F.sum(x.cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            F.round(HIST_LO + F.col("bucket") * _W, 2).alias("lo_edge"),
+            F.round(HIST_LO + (F.col("bucket") + 1) * _W, 2).alias("hi_edge"),
+            "n_items",
+            "sum_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median / MAD per event type
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0  # flag |x - median| > MAD_K * 1.4826 * MAD
+
+mad_oracle = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n,
+       round(max(d.med), 4) AS median_value,
+       round(max(m.mad), 4) AS mad,
+       CAST(sum(CASE WHEN d.adev > {MAD_K} * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@register("mad_outliers", mad_oracle)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags per event type: exact median (linear
+    interpolation — Spark ``percentile`` ≡ DuckDB ``quantile_cont``), MAD as
+    the median absolute deviation, outliers beyond MAD_K·1.4826·MAD (the
+    normal-consistency constant). Two grouped exact percentiles + two
+    broadcast-sized joins back (5 groups — AQE broadcasts at runtime); the
+    event scan happens twice, which is the honest cost of an exact two-pass
+    statistic — the approx single-pass variant is quantile_summary."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("adev") > MAD_K * 1.4826 * F.col("mad")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )

@@ -559,51 +559,131 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_BITS = 16
 
-_simhash_bit_sums = ", ".join(
-    f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}"
-    for j in range(SIMHASH_BITS)
-)
-_simhash_assemble = " + ".join(
-    f"(CASE WHEN s_{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
-)
 
-simhash_oracle = f"""
+def _simhash_sql(bits: int) -> str:
+    """DuckDB CTE body producing (doc_id, simhash) at the given width."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s_{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ), hashed AS (
-  SELECT doc_id, {sql_hash_mod("tok", 1 << SIMHASH_BITS)} AS h FROM toks
+  SELECT doc_id, {sql_hash_mod("tok", 1 << bits)} AS h FROM toks
 ), bitsums AS (
-  SELECT doc_id, {_simhash_bit_sums} FROM hashed GROUP BY doc_id
+  SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
 )
-SELECT doc_id, CAST({_simhash_assemble} AS BIGINT) AS simhash
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
 FROM bitsums
 """
 
 
-@register("simhash_fingerprints", simhash_oracle)
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (L2): frequency-weighted per-bit majority vote over token
-    hashes, reassembled into a 16-bit fingerprint. Near-duplicate documents
-    land within small Hamming distance (property-tested); candidate pairing
-    at scale groups on the fingerprint or its bit-bands."""
-    docs = load_table(spark, sf_dir, "documents")
+def simhash_of(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) at the given bit width: frequency-weighted per-bit
+    majority vote over token hashes. One doc_id-keyed aggregation whose
+    partials are a fixed ``bits``-wide int vector per doc — corpus-linear."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", portable_hash_mod(F.col("tok"), 1 << SIMHASH_BITS))
+    ).withColumn("h", portable_hash_mod(F.col("tok"), 1 << bits))
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.expr(f"(h div {1 << j}) % 2 = 1"), 1).otherwise(-1)
             ).alias(f"s_{j}")
-            for j in range(SIMHASH_BITS)
+            for j in range(bits)
         ]
     )
     simhash = None
-    for j in range(SIMHASH_BITS):
+    for j in range(bits):
         term = F.when(F.col(f"s_{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    return bit_sums.select(
-        "doc_id", simhash.cast("bigint").alias("simhash")
+    return bit_sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@register("simhash_fingerprints", _simhash_sql(SIMHASH_BITS))
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (L2): 16-bit fingerprint per document (see
+    :func:`simhash_of`). Near-duplicate documents land within small Hamming
+    distance (property-tested); candidate pairing at scale goes through
+    :func:`simhash_near_dup`'s bit-bands."""
+    return simhash_of(load_table(spark, sf_dir, "documents"), SIMHASH_BITS)
+
+
+# SimHash near-dup pairing: band the fingerprint and equi-join on band
+# value. With HAM_MAX < SIMHASH_ND_BANDS, any pair within the Hamming
+# radius shares at least one untouched band (pigeonhole) — banding is
+# LOSSLESS for the radius, unlike probabilistic MinHash-LSH. 32 bits is the
+# widest the portable cross-engine hash comfortably drives here; production
+# corpora would use a 64-bit simhash with 16-bit bands (65k buckets/band)
+# to keep band buckets ~n/65536 — same plan, wider constants.
+SIMHASH_ND_BITS = 32
+SIMHASH_ND_BANDS = 4
+_SIMHASH_BAND_W = SIMHASH_ND_BITS // SIMHASH_ND_BANDS  # 8 bits → 256 buckets
+HAM_MAX = 3
+
+simhash_near_dup_oracle = f"""
+WITH sims AS (
+  {_simhash_sql(SIMHASH_ND_BITS)}
+), bands AS (
+  SELECT doc_id, simhash, CAST(b.b AS INT) AS band,
+         (simhash // CAST(power(2, b.b * {_SIMHASH_BAND_W}) AS BIGINT))
+           % {1 << _SIMHASH_BAND_W} AS band_val
+  FROM sims, range(0, {SIMHASH_ND_BANDS}) b(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAM_MAX}
+"""
+
+
+@register("simhash_near_dup", simhash_near_dup_oracle)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (L2 fingerprint variant, completing the
+    family): 32-bit simhash → {SIMHASH_ND_BANDS} bit-bands → candidate
+    pairs from a band-value equi-self-join (never all-pairs) → exact
+    Hamming verify via ``bit_count(xor)``, DISTINCT across bands. The
+    banding is exact for radius HAM_MAX (pigeonhole: {HAM_MAX} flipped
+    bits cannot touch all {SIMHASH_ND_BANDS} bands). Same scale shape as
+    near_dup_pairs: shuffle keyed on (band, band_val), candidate volume
+    bounded by bucket sizes, verification a per-row bit op."""
+    sims = simhash_of(
+        load_table(spark, sf_dir, "documents"), SIMHASH_ND_BITS
+    )
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SIMHASH_ND_BANDS - 1))
+        ).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"(simhash div cast(pow(2, band * {_SIMHASH_BAND_W}) as bigint))"
+            f" % {1 << _SIMHASH_BAND_W}"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= HAM_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
     )
 
 

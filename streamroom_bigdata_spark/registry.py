@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "streamroom_bigdata_spark.operators.curation",
     "streamroom_bigdata_spark.operators.sessions",
     "streamroom_bigdata_spark.operators.multimodal",
+    "streamroom_bigdata_spark.operators.behavior",
     "streamroom_bigdata_spark.operators.bloom",
     "streamroom_bigdata_spark.streaming.queries",
 )
