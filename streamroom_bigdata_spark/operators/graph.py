@@ -181,3 +181,93 @@ def pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("id div 2").alias("node_key"),
         F.round("rank", 5).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + degree distribution
+# ---------------------------------------------------------------------------
+
+_COOCCUR_EDGES_SQL = """
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+"""
+
+triangle_oracle = f"""
+WITH e AS ({_COOCCUR_EDGES_SQL})
+SELECT count(*) AS n_triangles
+FROM e ab JOIN e bc ON ab.dst = bc.src
+          JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+"""
+
+
+@register("triangle_count", triangle_oracle)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the supplier co-occurrence graph (suppliers
+    sharing an order). Edges are kept in canonical orientation (src < dst),
+    so each triangle a<b<c is produced exactly once by the two-hop join
+    ab⋈bc closed by ac. Both joins shuffle on a node key with map-side
+    dedup'd edges; the classic 100 TB refinement — orienting edges from
+    low- to high-DEGREE endpoints so hub nodes never fan out their full
+    neighbor list — drops in here as a degree join before the two-hop,
+    same plan shape."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    return (
+        ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+        .join(
+            ac,
+            (F.col("ac.src") == F.col("ab.src"))
+            & (F.col("ac.dst") == F.col("bc.dst")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+degree_dist_oracle = f"""
+WITH edges AS ({_edges_sql()}),
+deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY src)
+SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       degree, count(*) AS n_nodes
+FROM deg GROUP BY 1, 2
+"""
+
+
+@register("degree_distribution", degree_dist_oracle)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the customer↔supplier transaction graph, split
+    by node type — the first diagnostic run on any large graph (hub
+    detection drives the salting / orientation decisions above). Two
+    aggregations, the second bounded by the distinct-degree count."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    return deg.groupBy(
+        F.when(F.col("src") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        "degree",
+    ).agg(F.count("*").alias("n_nodes"))
