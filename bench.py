@@ -157,10 +157,32 @@ def main() -> int:
 
     # Per-query fault isolation: one broken query must never erase the
     # round's entire performance signal — record its error and keep going.
+    # A query that OOMs the JVM kills the whole SparkContext (measured:
+    # one executor OOM at sf≈1 poisoned every later query with "stopped
+    # SparkContext"), so isolation must also REVIVE the session.
+    def ensure_alive():
+        nonlocal spark, qs
+        if not spark.sparkContext._jsc.sc().isStopped():
+            return
+        from streamroom_bigdata_spark.session import get_spark as _gs
+
+        spark = _gs(
+            "bench-revived",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        qs = registry.queries()
+        if "star_join_bucketed" in names or "sql_revenue_share" in names:
+            from streamroom_bigdata_spark.sources.bucketing import (
+                ensure_star_bucketed,
+            )
+
+            ensure_star_bucketed(spark, sf_dir)
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name in names:
+        ensure_alive()
         t0 = time.perf_counter()
         try:
             rows[name] = qs[name](spark, sf_dir).count()
@@ -171,6 +193,7 @@ def main() -> int:
 
     warm: dict[str, float] = {}
     for name in sorted(timings, key=timings.get, reverse=True)[:WARM_TOP_N]:
+        ensure_alive()
         runs = []
         try:
             for _ in range(WARM_RUNS):

@@ -206,31 +206,77 @@ FROM e ab JOIN e bc ON ab.doc_b = bc.doc_a
 """
 
 
+# Two-hop join size bound before triangle_count refuses to run: wedges
+# (Σ out-degree²) on the DEGREE-ORIENTED graph. Enumeration-based triangle
+# counting is bounded below by the triangle count itself — on a graph of
+# large quasi-cliques no algorithm escapes that. Measured: the sf≈1
+# synthetic corpus yields a 9.5M-edge near-dup graph of quasi-cliques whose
+# unguarded two-hop join OOM'd the 128 GiB JVM; with this guard the query
+# refuses with the measured wedge count instead of killing the session.
+_TRIANGLE_MAX_WEDGES = 200_000_000
+
+
+def count_triangles(pairs: DataFrame) -> DataFrame:
+    """Exact triangle count (1 row, ``n_triangles``) over canonical
+    (doc_a < doc_b) pairs. DEGREE-ORIENTED two-hop join — every edge is
+    re-oriented from its lower-(degree, id) endpoint to the higher one, so
+    a hub's neighbor list is never self-joined in full: the wedge count
+    drops from Σ deg² to Σ outdeg², bounded by m·√m on any graph (the
+    classic m^1.5 algorithm). Orientation changes the PLAN, not the count.
+    Refuses (loud RuntimeError) when the measured wedge count exceeds
+    ``_TRIANGLE_MAX_WEDGES`` — on quasi-clique graphs the output itself is
+    Θ(n³) and no enumeration can be cheaper."""
+    e = pairs.toDF("u", "v").localCheckpoint()
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    # orient: src = endpoint with smaller (deg, id); ties broken by id
+    du = deg.select(F.col("u").alias("_u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("_v"), F.col("deg").alias("deg_v"))
+    oriented = (
+        e.join(du, e.u == du._u)
+        .join(dv, e.v == dv._v)
+        .select(
+            F.when(
+                (F.col("deg_u") < F.col("deg_v"))
+                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst"))
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+        .localCheckpoint()
+    )
+    outdeg = oriented.groupBy("src").agg(F.count("*").alias("od"))
+    wedges = outdeg.agg(F.sum(F.col("od") * F.col("od"))).collect()[0][0] or 0
+    if wedges > _TRIANGLE_MAX_WEDGES:
+        raise RuntimeError(
+            f"triangle_count: {wedges:,} wedges on the oriented graph exceed "
+            f"the {_TRIANGLE_MAX_WEDGES:,} budget — the graph is quasi-clique "
+            "dense and exact enumeration would be output-bound; raise "
+            "_TRIANGLE_MAX_WEDGES deliberately or sparsify the edge set"
+        )
+    ab, bc, ac = oriented.alias("ab"), oriented.alias("bc"), oriented.alias("ac")
+    return (
+        ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+        .join(
+            ac,
+            (F.col("ac.src") == F.col("ab.src"))
+            & (F.col("ac.dst") == F.col("bc.dst")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 @register("triangle_count", triangle_oracle)
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the simhash near-dup graph (mutually-similar
-    document triples). Edges arrive in canonical orientation
-    (doc_a < doc_b), so each triangle a<b<c is produced exactly once by
-    the two-hop join ab⋈bc closed by ac. The edge table is materialized
-    once and reused across all three join roles (the pair pipeline would
-    otherwise run three times); both joins shuffle on a node key. The
-    classic 100 TB refinement — orienting edges from low- to high-DEGREE
-    endpoints so hubs never fan out their full neighbor list — drops in as
-    a degree join before the two-hop, same plan shape."""
-    e = (
-        simhash_near_dup(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
-    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
-    return (
-        ab.join(bc, F.col("ab.doc_b") == F.col("bc.doc_a"))
-        .join(
-            ac,
-            (F.col("ac.doc_a") == F.col("ab.doc_a"))
-            & (F.col("ac.doc_b") == F.col("bc.doc_b")),
-        )
-        .agg(F.count("*").alias("n_triangles"))
+    document triples) — see :func:`count_triangles` for the
+    degree-oriented plan and the wedge-budget guard."""
+    return count_triangles(
+        simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
     )
 
 

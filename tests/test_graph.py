@@ -49,3 +49,42 @@ def test_transactions_query_shape(spark, sf_dir):
     assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-3  # round-5 output
     assert {r.node_type for r in rows} == {"customer", "supplier"}
     assert all(r.pagerank > 0 for r in rows)
+
+
+def test_count_triangles_matches_bruteforce(spark):
+    """Degree orientation changes the plan, not the count: compare against
+    a driver-side brute force on a graph with hubs, cliques and a chain."""
+    import itertools
+
+    pairs = set()
+    pairs |= {(a, b) for a, b in itertools.combinations([1, 2, 3, 4, 5], 2)}  # K5
+    pairs |= {(10, i) for i in range(11, 31)}  # star (no triangles itself)
+    pairs |= {(11, 12), (12, 13)}  # closes two triangles with hub 10
+    pairs |= {(100 + i, 101 + i) for i in range(10)}  # chain
+    edges = spark.createDataFrame(sorted(pairs), "doc_a long, doc_b long")
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a, b in pairs
+        for c in adj[a] & adj[b]
+        if c > b  # a < b < c counted once
+    )
+    got = graph.count_triangles(edges).collect()[0].n_triangles
+    assert got == brute == 12  # C(5,3)=10 from K5 + 2 closed at the hub
+
+
+def test_count_triangles_guard_refuses_dense_graphs(spark, monkeypatch):
+    import itertools
+
+    import pytest
+
+    monkeypatch.setattr(graph, "_TRIANGLE_MAX_WEDGES", 10)
+    edges = spark.createDataFrame(
+        sorted(itertools.combinations(range(10), 2)), "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="wedges"):
+        graph.count_triangles(edges)
