@@ -624,6 +624,12 @@ SIMHASH_ND_BITS = 32
 SIMHASH_ND_BANDS = 4
 _SIMHASH_BAND_W = SIMHASH_ND_BITS // SIMHASH_ND_BANDS  # 8 bits → 256 buckets
 HAM_MAX = 3
+# Hot-bucket cap (same safety valve as NEAR_DUP_MAX_BUCKET): buckets above
+# this star-link instead of going quadratic. Chosen to NOT engage at test
+# scales (sf0.01 max natural bucket ≈ tens) — at quasi-clique scales it
+# trades the lossless-radius guarantee for bounded candidate volume, the
+# documented near_dup trade.
+SIMHASH_ND_MAX_BUCKET = 1000
 
 simhash_near_dup_oracle = f"""
 WITH sims AS (
@@ -655,35 +661,32 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = simhash_of(
         load_table(spark, sf_dir, "documents"), SIMHASH_ND_BITS
     )
+    # band table in lsh_candidate_pairs' shape, so the hot-bucket cap +
+    # star-link machinery (and its shuffle_hash-pinned, bucket-counted
+    # self-join) is reused verbatim. The fingerprint rides through
+    # candidate generation in the carry channel (column n_sh → n_a/n_b),
+    # so the Hamming verify needs NO fingerprint-lookup joins — the same
+    # optimization that removed near_dup_pairs' size-lookup joins in r6.
     bands = sims.select(
         "doc_id",
-        "simhash",
+        F.col("simhash").alias("n_sh"),
         F.explode(
             F.sequence(F.lit(0), F.lit(SIMHASH_ND_BANDS - 1))
-        ).alias("band"),
+        ).alias("band_id"),
     ).withColumn(
-        "band_val",
+        "band_key",
         F.expr(
-            f"(simhash div cast(pow(2, band * {_SIMHASH_BAND_W}) as bigint))"
+            f"(n_sh div cast(pow(2, band_id * {_SIMHASH_BAND_W}) as bigint))"
             f" % {1 << _SIMHASH_BAND_W}"
         ),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(ham <= HAM_MAX)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
-        )
-        .distinct()
+    cand = lsh_candidate_pairs(
+        bands, max_bucket_size=SIMHASH_ND_MAX_BUCKET, carry_sizes=True
+    )
+    # lsh_candidate_pairs already returns distinct pairs — no re-dedup
+    ham = F.expr("bit_count(n_a ^ n_b)")
+    return cand.filter(ham <= HAM_MAX).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
 
 
