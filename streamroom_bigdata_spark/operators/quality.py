@@ -1,0 +1,135 @@
+"""Data-quality validation (round-7; SURVEY.md §2.15): declarative rule
+checks with row-level quarantine — the expectations/constraints surface
+(à la Deequ / dbt tests / Delta constraints) every production pipeline
+bolts onto ingest.
+
+Design: rules are named boolean Columns evaluated in ONE pass — each row
+gets the array of rule names it violates; the quarantine is the non-empty
+slice. Referential rules are left joins whose null-extension marks the
+orphan. No second scan, no per-rule jobs: k rules cost one projection over
+the fact scan plus one dim join per referential rule (AQE-broadcast when
+small). At 100 TB the quarantine output is violation-sized, the summary is
+rule-count-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+_ALLOWED_STATUS = ("F", "O", "P")
+# fixture dates span 1995-01..2001-08; the range rule flags the 2001 tail
+# (~9% of orders) — a realistic "stale feed" quarantine slice
+_MIN_DATE, _MAX_DATE = "1992-01-01", "2000-12-31"
+
+
+def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Append a ``dq_reasons`` array column: names of violated rules (rule
+    Column TRUE ⇒ row passes). One projection; empty array ⇒ clean row."""
+    marks = [
+        F.when(~cond, F.lit(name)) for name, cond in sorted(rules.items())
+    ]
+    return df.withColumn(
+        "dq_reasons",
+        F.filter(F.array(*marks), lambda x: x.isNotNull()),
+    )
+
+
+def order_rules() -> dict[str, Column]:
+    """The orders-table rule set (referential rule joined in by caller)."""
+    return {
+        "positive_total": F.col("o_totalprice") > 0.0,
+        "known_status": F.col("o_orderstatus").isin(*_ALLOWED_STATUS),
+        "date_in_range": F.col("o_orderdate").between(_MIN_DATE, _MAX_DATE),
+        "customer_exists": F.col("_c_key").isNotNull(),
+    }
+
+
+dq_quarantine_oracle = f"""
+WITH marked AS (
+  SELECT o.o_orderkey,
+         list_sort(list_filter([
+           CASE WHEN NOT (o.o_totalprice > 0.0) THEN 'positive_total' END,
+           CASE WHEN NOT (o.o_orderstatus IN ('F','O','P')) THEN 'known_status' END,
+           CASE WHEN NOT (o.o_orderdate BETWEEN DATE '{_MIN_DATE}' AND DATE '{_MAX_DATE}')
+                THEN 'date_in_range' END,
+           CASE WHEN c.c_custkey IS NULL THEN 'customer_exists' END
+         ], x -> x IS NOT NULL)) AS dq_reasons
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT o_orderkey, dq_reasons
+FROM marked WHERE len(dq_reasons) > 0
+"""
+
+
+@register("dq_orders_quarantine", dq_quarantine_oracle)
+def dq_orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows of ``orders`` violating any rule, with the sorted list of
+    violated rule names — the quarantine feed. Rules: positive total,
+    known status code, date in the valid range, referential integrity to
+    ``customer`` (orphan detection via null-extended left join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("_c_key")
+    )
+    joined = orders.join(
+        cust, orders.o_custkey == F.col("_c_key"), "left"
+    )
+    marked = validate(joined, order_rules())
+    return (
+        marked.filter(F.size("dq_reasons") > 0)
+        .select("o_orderkey", F.sort_array("dq_reasons").alias("dq_reasons"))
+    )
+
+
+dq_summary_oracle = f"""
+WITH marked AS (
+  SELECT unnest(list_filter([
+           CASE WHEN NOT (o.o_totalprice > 0.0) THEN 'positive_total' END,
+           CASE WHEN NOT (o.o_orderstatus IN ('F','O','P')) THEN 'known_status' END,
+           CASE WHEN NOT (o.o_orderdate BETWEEN DATE '{_MIN_DATE}' AND DATE '{_MAX_DATE}')
+                THEN 'date_in_range' END,
+           CASE WHEN c.c_custkey IS NULL THEN 'customer_exists' END
+         ], x -> x IS NOT NULL)) AS rule
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), counts AS (
+  SELECT rule, count(*) AS n_violations FROM marked GROUP BY rule
+), total AS (
+  SELECT count(*) AS n FROM orders
+)
+SELECT c.rule, c.n_violations,
+       round(CAST(c.n_violations AS DOUBLE) / t.n, 6) AS violation_rate
+FROM counts c, total t
+"""
+
+
+@register("dq_orders_summary", dq_summary_oracle)
+def dq_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation counts + rates over ``orders`` — the health
+    dashboard number. Explode of the per-row reason array then a
+    rule-count-sized aggregation; the total is a 1-row combine reused via
+    a broadcast-sized cross join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("_c_key")
+    )
+    marked = validate(
+        orders.join(cust, orders.o_custkey == F.col("_c_key"), "left"),
+        order_rules(),
+    )
+    counts = (
+        marked.select(F.explode("dq_reasons").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").alias("n_violations"))
+    )
+    total = orders.agg(F.count("*").alias("n"))
+    return counts.join(F.broadcast(total)).select(
+        "rule",
+        "n_violations",
+        F.round(F.col("n_violations").cast("double") / F.col("n"), 6).alias(
+            "violation_rate"
+        ),
+    )

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "streamroom_bigdata_spark.operators.behavior",
     "streamroom_bigdata_spark.operators.graph",
     "streamroom_bigdata_spark.operators.tpch_shapes",
+    "streamroom_bigdata_spark.operators.quality",
     "streamroom_bigdata_spark.operators.bloom",
     "streamroom_bigdata_spark.streaming.queries",
 )

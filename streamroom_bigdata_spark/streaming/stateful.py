@@ -215,3 +215,71 @@ def sessionize_stateful(events: DataFrame, watermark: str = "15 minutes") -> Dat
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: the stateful twin of operators/behavior.funnel_conversion
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUT_SCHEMA = "user_id long, depth int"
+# first-occurrence epoch-ms per stage; -1 = stage not seen yet
+FUNNEL_STATE_SCHEMA = "t0 long, t1 long, t2 long, t3 long"
+_FUNNEL_STAGES = ("signup", "click", "view", "purchase")
+
+
+def funnel_depth(ts: tuple[int, int, int, int]) -> int:
+    """Depth under min-ts ordering — the same semantics as the batch
+    funnel_conversion: stage k is reached iff every earlier stage's FIRST
+    occurrence strictly precedes this stage's first occurrence."""
+    t0, t1, t2, t3 = ts
+    if t0 < 0:
+        return 0
+    if t1 < 0 or t1 <= t0:
+        return 1
+    if t2 < 0 or t2 <= t1:
+        return 2
+    if t3 < 0 or t3 <= t2:
+        return 3
+    return 4
+
+
+def _update_funnel(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    ts = list(state.get) if state.exists else [-1, -1, -1, -1]
+    for pdf in pdfs:
+        ms = (pdf["ts"].astype("datetime64[ms]").astype("int64")).tolist()
+        for stage, m in zip(pdf["event_type"].tolist(), ms):
+            try:
+                i = _FUNNEL_STAGES.index(stage)
+            except ValueError:
+                continue  # non-funnel event types pass through
+            if ts[i] < 0 or m < ts[i]:
+                ts[i] = m
+    state.update(tuple(ts))
+    state.setTimeoutDuration(24 * 3600 * 1000)  # idle users expire in a day
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "depth": [funnel_depth(tuple(ts))]}
+    )
+
+
+def funnel_stateful(events: DataFrame) -> DataFrame:
+    """Per-user live funnel depth via ``applyInPandasWithState``: state is
+    ONE 4-long tuple per user (first-occurrence time of each stage), so
+    state size is user-count-bounded regardless of traffic; each
+    micro-batch emits the updated depth for users it touched (update
+    mode). Late/out-of-order events are handled by taking the MIN per
+    stage — arrival order cannot change the converged answer, matching
+    the batch funnel_conversion exactly (agreement-tested)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

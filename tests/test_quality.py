@@ -1,0 +1,55 @@
+"""Data-quality validation: every rule fires on planted bad rows, clean
+rows pass, reasons arrays compose."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.operators import quality
+
+
+def _frame(spark):
+    orders = spark.createDataFrame(
+        [
+            # (key, custkey, status, total, date)       expected reasons
+            (1, 10, "O", 100.0, dt.datetime(1996, 1, 1)),   # clean
+            (2, 10, "X", 100.0, dt.datetime(1996, 1, 1)),   # bad status
+            (3, 10, "O", -5.0, dt.datetime(1996, 1, 1)),    # bad total
+            (4, 10, "O", 100.0, dt.datetime(2003, 1, 1)),   # bad date
+            (5, 99, "O", 100.0, dt.datetime(1996, 1, 1)),   # orphan cust
+            (6, 99, "X", 0.0, dt.datetime(1903, 1, 1)),     # all four
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp",
+    )
+    cust = spark.createDataFrame([(10,)], "c_custkey long").select(
+        F.col("c_custkey").alias("_c_key")
+    )
+    return orders.join(cust, orders.o_custkey == F.col("_c_key"), "left")
+
+
+def test_each_rule_fires_and_composes(spark):
+    marked = quality.validate(_frame(spark), quality.order_rules())
+    reasons = {
+        r.o_orderkey: sorted(r.dq_reasons) for r in marked.collect()
+    }
+    assert reasons[1] == []
+    assert reasons[2] == ["known_status"]
+    assert reasons[3] == ["positive_total"]
+    assert reasons[4] == ["date_in_range"]
+    assert reasons[5] == ["customer_exists"]
+    assert reasons[6] == [
+        "customer_exists", "date_in_range", "known_status", "positive_total"
+    ]
+
+
+def test_quarantine_and_summary_agree(spark, sf_dir):
+    quar = quality.dq_orders_quarantine(spark, sf_dir)
+    summ = {r.rule: r.n_violations for r in quality.dq_orders_summary(spark, sf_dir).collect()}
+    exploded = dict(
+        quar.select(F.explode("dq_reasons").alias("r"))
+        .groupBy("r").count().collect()
+    )
+    assert exploded == summ

@@ -942,3 +942,51 @@ def test_max_files_per_trigger_bounds_each_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert batch_sizes == [10, 10, 10]  # 3 batches x (2 files x 5 rows)
+
+
+def test_stateful_funnel_agrees_with_batch_semantics(spark, tmp_path):
+    """T10 + B1: the streaming funnel's converged per-user depth equals the
+    batch min-ts-ordering depth, regardless of arrival order across
+    micro-batches (min-per-stage state is order-insensitive)."""
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    # user 1 completes the funnel but stages ARRIVE out of order;
+    # user 2's purchase precedes their click in EVENT TIME (depth stops);
+    # user 3 has only non-funnel events (never keyed into the output... but
+    # groupBy still sees the key — depth 0)
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T03:00:00", "user_id": 1, "event_type": "purchase", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "signup", "value": 1.0},
+        {"event_id": 3, "ts": "2024-01-01T00:10:00", "user_id": 2, "event_type": "signup", "value": 1.0},
+        {"event_id": 4, "ts": "2024-01-01T01:00:00", "user_id": 2, "event_type": "purchase", "value": 1.0},
+    ]
+    b2 = [
+        {"event_id": 5, "ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 6, "ts": "2024-01-01T02:00:00", "user_id": 1, "event_type": "view", "value": 1.0},
+        {"event_id": 7, "ts": "2024-01-01T02:00:00", "user_id": 2, "event_type": "click", "value": 1.0},
+        {"event_id": 8, "ts": "2024-01-01T03:00:00", "user_id": 2, "event_type": "view", "value": 1.0},
+        {"event_id": 9, "ts": "2024-01-01T03:00:00", "user_id": 3, "event_type": "error", "value": 1.0},
+    ]
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    base = 1_700_000_000
+    for i, rows in enumerate([b1, b2]):
+        p = src / f"b{i}.json"
+        pd.DataFrame(rows).to_json(p, orient="records", lines=True, date_format="iso")
+        os.utime(p, (base + i, base + i))
+    stream = stream_file_source(spark, str(src), ddl, fmt="json", maxFilesPerTrigger=1)
+    _run_to_memory(stateful.funnel_stateful(stream), "funnel_sink", "update")
+    final = {}
+    for r in spark.sql("select * from funnel_sink").collect():
+        final[r.user_id] = r.depth  # update mode: keep the LAST emission
+    # user 1: all four stages in event-time order once converged → 4
+    # user 2: purchase@01:00 < view@03:00 breaks the chain at stage 4 → 3
+    # user 3: no signup → 0
+    assert final == {1: 4, 2: 3, 3: 0}
+
+    # pure-function agreement: funnel_depth on the unioned mins equals the
+    # streamed result for user 2
+    from streamroom_bigdata_spark.streaming.stateful import funnel_depth
+
+    ms = lambda s: int(pd.Timestamp(s).value // 10**6)  # noqa: E731
+    assert funnel_depth((ms("2024-01-01T00:10:00"), ms("2024-01-01T02:00:00"),
+                         ms("2024-01-01T03:00:00"), ms("2024-01-01T01:00:00"))) == 3
