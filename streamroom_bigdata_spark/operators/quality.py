@@ -60,7 +60,7 @@ WITH marked AS (
          ], x -> x IS NOT NULL)) AS dq_reasons
   FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 )
-SELECT o_orderkey, dq_reasons
+SELECT o_orderkey, array_to_string(dq_reasons, ',') AS dq_reasons
 FROM marked WHERE len(dq_reasons) > 0
 """
 
@@ -79,9 +79,11 @@ def dq_orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, orders.o_custkey == F.col("_c_key"), "left"
     )
     marked = validate(joined, order_rules())
-    return (
-        marked.filter(F.size("dq_reasons") > 0)
-        .select("o_orderkey", F.sort_array("dq_reasons").alias("dq_reasons"))
+    return marked.filter(F.size("dq_reasons") > 0).select(
+        "o_orderkey",
+        # comma-joined sorted reasons: scalar column for the driver
+        # comparator (repo convention — no array-typed query outputs)
+        F.array_join(F.sort_array("dq_reasons"), ",").alias("dq_reasons"),
     )
 
 
@@ -125,8 +127,11 @@ def dq_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rule")
         .agg(F.count("*").alias("n_violations"))
     )
+    # no broadcast hint: `total` is a 1-row aggregate but derives from the
+    # FACT table — the repo invariant forbids forced broadcasts above
+    # fact-derived relations (AQE broadcasts the single row at runtime)
     total = orders.agg(F.count("*").alias("n"))
-    return counts.join(F.broadcast(total)).select(
+    return counts.join(total).select(
         "rule",
         "n_violations",
         F.round(F.col("n_violations").cast("double") / F.col("n"), 6).alias(

@@ -49,7 +49,7 @@ def test_quarantine_and_summary_agree(spark, sf_dir):
     quar = quality.dq_orders_quarantine(spark, sf_dir)
     summ = {r.rule: r.n_violations for r in quality.dq_orders_summary(spark, sf_dir).collect()}
     exploded = dict(
-        quar.select(F.explode("dq_reasons").alias("r"))
+        quar.select(F.explode(F.split("dq_reasons", ",")).alias("r"))
         .groupBy("r").count().collect()
     )
     assert exploded == summ
