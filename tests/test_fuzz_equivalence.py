@@ -225,3 +225,81 @@ def test_join_with_null_paths_agrees(spark, duck, q):
     load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
     got = sorted(map(tuple, spark.sql(sql).collect()))
     assert got == want, f"divergence for: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Predicate-subquery + set-operation fuzz: IN / NOT IN / EXISTS / NOT EXISTS
+# with NULLIF-injected nulls on the inner side (NOT IN against a null row is
+# the classic three-valued-logic trap — the whole outer result empties), and
+# INTERSECT / EXCEPT / UNION dedup semantics. Shared SQL text both engines.
+# ---------------------------------------------------------------------------
+
+QUANTIFIERS = ("IN", "NOT IN", "EXISTS", "NOT EXISTS")
+SETOPS = ("INTERSECT", "EXCEPT", "UNION")
+
+subq_strategy = st.builds(
+    lambda quant, ci, nullify: {"quant": quant, "const_i": ci, "nullify": nullify},
+    quant=st.sampled_from(QUANTIFIERS),
+    ci=st.integers(min_value=0, max_value=3),
+    nullify=st.booleans(),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=subq_strategy)
+def test_predicate_subquery_agrees(spark, duck, q):
+    consts = CONSTS["l_quantity"]
+    c = consts[q["const_i"] % len(consts)]
+    key = "NULLIF(l_orderkey, 7)" if q["nullify"] else "l_orderkey"
+    if q["quant"] in ("IN", "NOT IN"):
+        pred = (
+            f"o_orderkey {q['quant']} "
+            f"(SELECT {key} FROM lineitem WHERE l_quantity < {c})"
+        )
+    else:
+        pred = (
+            f"{q['quant']} (SELECT 1 FROM lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity < {c})"
+        )
+    sql = (
+        f"SELECT o_orderstatus AS g, CAST(count(*) AS BIGINT) AS n "
+        f"FROM orders o WHERE {pred} GROUP BY 1"
+    )
+    want = sorted(map(tuple, duck.sql(sql).fetchall()))
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
+    got = sorted(map(tuple, spark.sql(sql).collect()))
+    assert got == want, f"divergence for: {sql}"
+
+
+setop_strategy = st.builds(
+    lambda op, ci, cj: {"op": op, "ci": ci, "cj": cj},
+    op=st.sampled_from(SETOPS),
+    ci=st.integers(min_value=0, max_value=3),
+    cj=st.integers(min_value=0, max_value=3),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=setop_strategy)
+def test_set_operation_agrees(spark, duck, q):
+    ca = CONSTS["l_quantity"][q["ci"] % 4]
+    cb = CONSTS["l_extendedprice"][q["cj"] % 3]
+    sql = (
+        f"SELECT CAST(n AS BIGINT) AS n FROM ("
+        f"SELECT l_orderkey AS n FROM lineitem WHERE l_quantity < {ca} "
+        f"{q['op']} "
+        f"SELECT l_orderkey FROM lineitem WHERE l_extendedprice < {cb})"
+    )
+    want = sorted(map(tuple, duck.sql(sql).fetchall()))
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    got = sorted(map(tuple, spark.sql(sql).collect()))
+    assert got == want, f"divergence for: {sql}"

@@ -53,3 +53,45 @@ def test_quarantine_and_summary_agree(spark, sf_dir):
         .groupBy("r").count().collect()
     )
     assert exploded == summ
+
+
+def test_validate_applies_to_streams(spark, tmp_path):
+    """The same one-pass rule projection runs unchanged on a STREAMING
+    frame (stateless projection + stream-static referential join) — DQ at
+    ingest is the identical code path as batch DQ."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from streamroom_bigdata_spark.sources.readers import stream_file_source
+
+    ddl = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp")
+    rows = [
+        {"o_orderkey": 1, "o_custkey": 10, "o_orderstatus": "O",
+         "o_totalprice": 5.0, "o_orderdate": "1996-01-01T00:00:00"},
+        {"o_orderkey": 2, "o_custkey": 99, "o_orderstatus": "X",
+         "o_totalprice": -1.0, "o_orderdate": "1996-01-01T00:00:00"},
+    ]
+    src = tmp_path / "dq_src"
+    src.mkdir()
+    pd.DataFrame(rows).to_json(src / "b0.json", orient="records", lines=True,
+                               date_format="iso")
+    stream = stream_file_source(spark, str(src), ddl, fmt="json")
+    cust = spark.createDataFrame([(10,)], "c_custkey long").select(
+        F.col("c_custkey").alias("_c_key")
+    )
+    marked = quality.validate(
+        stream.join(cust, stream.o_custkey == F.col("_c_key"), "left"),
+        quality.order_rules(),
+    ).select("o_orderkey", F.array_join(F.sort_array("dq_reasons"), ",").alias("r"))
+    q = (
+        marked.writeStream.format("memory").queryName("dq_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {r.o_orderkey: r.r for r in spark.sql("select * from dq_stream_sink").collect()}
+    assert got == {1: "", 2: "customer_exists,known_status,positive_total"}
