@@ -628,3 +628,57 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability quality scoring (round-7; the perplexity-proxy
+# stage of corpus curation — a KenLM-shaped filter without the external LM:
+# the corpus's own unigram MLE stands in for the language model)
+# ---------------------------------------------------------------------------
+
+unigram_logprob_oracle = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), nonempty AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), vocab AS (
+  SELECT tok, count(*) AS c FROM nonempty GROUP BY tok
+), total AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(ln(v.c / tt.n)) / count(*), 6) AS avg_logprob
+FROM nonempty t
+JOIN vocab v USING (tok), total tt
+GROUP BY t.doc_id
+"""
+
+
+@register("unigram_logprob_quality", unigram_logprob_oracle)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    MLE unigram model — the model-based quality score (low = rare-token
+    soup / garbled text) that sits where a perplexity filter would in a
+    real curation stack. Two passes over the token explode: vocabulary
+    counts (vocab-sized shuffle with map-side partials), then a
+    token-keyed join back and a doc-keyed aggregation. The 1-row total
+    crosses via an AQE runtime broadcast; every unigram probability is
+    count/N in exact doubles, so both engines log identical values."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        toks.join(vocab, "tok")
+        .join(total)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("c") / F.col("n"))) / F.count("*"), 6
+            ).alias("avg_logprob"),
+        )
+    )
