@@ -303,3 +303,29 @@ def test_set_operation_agrees(spark, duck, q):
     load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
     got = sorted(map(tuple, spark.sql(sql).collect()))
     assert got == want, f"divergence for: {sql}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ci=st.integers(min_value=0, max_value=5), null_both=st.booleans())
+def test_null_safe_join_agrees(spark, duck, ci, null_both):
+    """IS NOT DISTINCT FROM (null-safe equality, Spark `<=>`): null keys
+    MATCH each other, unlike plain `=` — injected nulls on one or both
+    sides must produce identical match counts in both engines."""
+    k = 1 + ci  # an orderkey present in the fixture
+    left_key = f"NULLIF(o_orderkey, {k})"
+    right_key = f"NULLIF(l_orderkey, {k})" if null_both else "l_orderkey"
+    sql = (
+        f"SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(count(l_quantity) AS BIGINT) AS n_right "
+        f"FROM orders o JOIN lineitem l "
+        f"ON {left_key} IS NOT DISTINCT FROM {right_key}"
+    )
+    want = sorted(map(tuple, duck.sql(sql).fetchall()))
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
+    got = sorted(map(tuple, spark.sql(sql).collect()))
+    assert got == want, f"divergence for: {sql}"
