@@ -56,13 +56,17 @@ WITH per_user AS (
 )
 SELECT * FROM (
   SELECT 1 AS stage, '{FUNNEL_STAGES[0]}' AS stage_name, n1 AS n_users,
-         CAST(1.0 AS DOUBLE) AS conv_from_first FROM counts
+         CASE WHEN n1 = 0 THEN NULL ELSE CAST(1.0 AS DOUBLE) END
+           AS conv_from_first FROM counts
   UNION ALL
-  SELECT 2, '{FUNNEL_STAGES[1]}', n2, round(CAST(n2 AS DOUBLE) / n1, 4) FROM counts
+  SELECT 2, '{FUNNEL_STAGES[1]}', n2, CASE WHEN n1 = 0 THEN NULL
+         ELSE round(CAST(n2 AS DOUBLE) / n1, 4) END FROM counts
   UNION ALL
-  SELECT 3, '{FUNNEL_STAGES[2]}', n3, round(CAST(n3 AS DOUBLE) / n1, 4) FROM counts
+  SELECT 3, '{FUNNEL_STAGES[2]}', n3, CASE WHEN n1 = 0 THEN NULL
+         ELSE round(CAST(n3 AS DOUBLE) / n1, 4) END FROM counts
   UNION ALL
-  SELECT 4, '{FUNNEL_STAGES[3]}', n4, round(CAST(n4 AS DOUBLE) / n1, 4) FROM counts
+  SELECT 4, '{FUNNEL_STAGES[3]}', n4, CASE WHEN n1 = 0 THEN NULL
+         ELSE round(CAST(n4 AS DOUBLE) / n1, 4) END FROM counts
 )
 """
 
@@ -99,10 +103,16 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # 4-row unpivot of the single combined row: stack() stays in-plan, and
-    # every stage's conversion divides by n1 from the SAME row — no window
+    # every stage's conversion divides by n1 from the SAME row — no window.
+    # n1 = 0 (no user ever reached stage 1) yields NULL conversions, not a
+    # DIVIDE_BY_ZERO abort under ANSI mode.
     stages_sql = ", ".join(
         f"{k}, '{FUNNEL_STAGES[k - 1]}', n{k}, "
-        + ("CAST(1.0 AS DOUBLE)" if k == 1 else f"round(double(n{k}) / n1, 4)")
+        + (
+            "if(n1 = 0, cast(null as double), cast(1.0 as double))"
+            if k == 1
+            else f"if(n1 = 0, cast(null as double), round(double(n{k}) / n1, 4))"
+        )
         for k in (1, 2, 3, 4)
     )
     return counts.select(

@@ -94,6 +94,10 @@ def pagerank(
     the round-5 output), none of the per-round overhead."""
     edges = edges_sym.localCheckpoint()  # materialize once
     n_edges = edges.count()
+    if n_edges == 0:
+        # empty graph → empty labeling (1.0/n would divide by zero)
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "id long, rank double")
     if n_edges <= small_graph_threshold:
         return _driver_pagerank(edges, iters, damping)
 
@@ -155,13 +159,10 @@ def _driver_pagerank(edges: DataFrame, iters: int, damping: float) -> DataFrame:
     )
 
 
-@register("pagerank_transactions", _pagerank_oracle())
-def pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (damping 0.85, 8 iterations) over the symmetrized
-    customer↔supplier graph from order lineitems — see :func:`pagerank`
-    for the iteration plan and the bounded-graph driver fast path. The
-    oracle unrolls the same K rounds as chained SQL aggregates — exact
-    value check, not rows-only."""
+def _transaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer↔supplier edges (even/odd id encoding) — the
+    single definition behind pagerank_transactions and
+    degree_distribution (SQL twin: :func:`_edges_sql`)."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -172,10 +173,19 @@ def pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.unionByName(
+    return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank(edges).select(
+
+
+@register("pagerank_transactions", _pagerank_oracle())
+def pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 8 iterations) over the symmetrized
+    customer↔supplier graph from order lineitems — see :func:`pagerank`
+    for the iteration plan and the bounded-graph driver fast path. The
+    oracle unrolls the same K rounds as chained SQL aggregates — exact
+    value check, not rows-only."""
+    return pagerank(_transaction_edges(spark, sf_dir)).select(
         F.when(F.col("id") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
         .alias("node_type"),
@@ -295,19 +305,7 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     by node type — the first diagnostic run on any large graph (hub
     detection drives the salting / orientation decisions above). Two
     aggregations, the second bounded by the distinct-degree count."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _transaction_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
     return deg.groupBy(
         F.when(F.col("src") % 2 == 0, F.lit("customer"))

@@ -28,9 +28,14 @@ _MIN_DATE, _MAX_DATE = "1992-01-01", "2000-12-31"
 
 def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """Append a ``dq_reasons`` array column: names of violated rules (rule
-    Column TRUE ⇒ row passes). One projection; empty array ⇒ clean row."""
+    Column TRUE ⇒ row passes). A rule evaluating to NULL — a NULL in the
+    validated column — is a VIOLATION, not a pass: under three-valued
+    logic ``when(~NULL)`` silently drops the mark, and a quarantine that
+    waves NULLs through is the one bug a DQ operator cannot have. One
+    projection; empty array ⇒ clean row."""
     marks = [
-        F.when(~cond, F.lit(name)) for name, cond in sorted(rules.items())
+        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+        for name, cond in sorted(rules.items())
     ]
     return df.withColumn(
         "dq_reasons",
@@ -48,21 +53,41 @@ def order_rules() -> dict[str, Column]:
     }
 
 
+# NULL-as-violation mirrors validate(): every rule wrapped in
+# coalesce(cond, FALSE) before negation. Shared by both oracles.
+_RULES_SQL = f"""[
+           CASE WHEN NOT coalesce(o.o_totalprice > 0.0, FALSE)
+                THEN 'positive_total' END,
+           CASE WHEN NOT coalesce(o.o_orderstatus IN ('F','O','P'), FALSE)
+                THEN 'known_status' END,
+           CASE WHEN NOT coalesce(o.o_orderdate BETWEEN
+                  DATE '{_MIN_DATE}' AND DATE '{_MAX_DATE}', FALSE)
+                THEN 'date_in_range' END,
+           CASE WHEN c.c_custkey IS NULL THEN 'customer_exists' END
+         ]"""
+
 dq_quarantine_oracle = f"""
 WITH marked AS (
   SELECT o.o_orderkey,
-         list_sort(list_filter([
-           CASE WHEN NOT (o.o_totalprice > 0.0) THEN 'positive_total' END,
-           CASE WHEN NOT (o.o_orderstatus IN ('F','O','P')) THEN 'known_status' END,
-           CASE WHEN NOT (o.o_orderdate BETWEEN DATE '{_MIN_DATE}' AND DATE '{_MAX_DATE}')
-                THEN 'date_in_range' END,
-           CASE WHEN c.c_custkey IS NULL THEN 'customer_exists' END
-         ], x -> x IS NOT NULL)) AS dq_reasons
+         list_sort(list_filter({_RULES_SQL}, x -> x IS NOT NULL)) AS dq_reasons
   FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 )
 SELECT o_orderkey, array_to_string(dq_reasons, ',') AS dq_reasons
 FROM marked WHERE len(dq_reasons) > 0
 """
+
+
+def _marked_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders left-joined to the customer key and rule-marked — the shared
+    input of quarantine and summary (one definition, no drift)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("_c_key")
+    )
+    return validate(
+        orders.join(cust, orders.o_custkey == F.col("_c_key"), "left"),
+        order_rules(),
+    )
 
 
 @register("dq_orders_quarantine", dq_quarantine_oracle)
@@ -71,14 +96,7 @@ def dq_orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     violated rule names — the quarantine feed. Rules: positive total,
     known status code, date in the valid range, referential integrity to
     ``customer`` (orphan detection via null-extended left join)."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("_c_key")
-    )
-    joined = orders.join(
-        cust, orders.o_custkey == F.col("_c_key"), "left"
-    )
-    marked = validate(joined, order_rules())
+    marked = _marked_orders(spark, sf_dir)
     return marked.filter(F.size("dq_reasons") > 0).select(
         "o_orderkey",
         # comma-joined sorted reasons: scalar column for the driver
@@ -89,13 +107,7 @@ def dq_orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 dq_summary_oracle = f"""
 WITH marked AS (
-  SELECT unnest(list_filter([
-           CASE WHEN NOT (o.o_totalprice > 0.0) THEN 'positive_total' END,
-           CASE WHEN NOT (o.o_orderstatus IN ('F','O','P')) THEN 'known_status' END,
-           CASE WHEN NOT (o.o_orderdate BETWEEN DATE '{_MIN_DATE}' AND DATE '{_MAX_DATE}')
-                THEN 'date_in_range' END,
-           CASE WHEN c.c_custkey IS NULL THEN 'customer_exists' END
-         ], x -> x IS NOT NULL)) AS rule
+  SELECT unnest(list_filter({_RULES_SQL}, x -> x IS NOT NULL)) AS rule
   FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 ), counts AS (
   SELECT rule, count(*) AS n_violations FROM marked GROUP BY rule
@@ -114,19 +126,13 @@ def dq_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard number. Explode of the per-row reason array then a
     rule-count-sized aggregation; the total is a 1-row combine reused via
     a broadcast-sized cross join."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("_c_key")
-    )
-    marked = validate(
-        orders.join(cust, orders.o_custkey == F.col("_c_key"), "left"),
-        order_rules(),
-    )
+    marked = _marked_orders(spark, sf_dir)
     counts = (
         marked.select(F.explode("dq_reasons").alias("rule"))
         .groupBy("rule")
         .agg(F.count("*").alias("n_violations"))
     )
+    orders = load_table(spark, sf_dir, "orders")
     # no broadcast hint: `total` is a 1-row aggregate but derives from the
     # FACT table — the repo invariant forbids forced broadcasts above
     # fact-derived relations (AQE broadcasts the single row at runtime)

@@ -56,7 +56,10 @@ WITH rich AS (
   SELECT c_custkey, c_nationkey, c_acctbal
   FROM customer
   WHERE c_acctbal > (
-    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+    -- round-6 threshold: Spark's partial-aggregate avg and DuckDB's
+    -- sequential avg can differ in the last ulps; comparing against the
+    -- raw double would let a borderline customer flip between engines
+    SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0.0
   )
 )
 SELECT r.c_nationkey AS nationkey,
@@ -84,7 +87,7 @@ def q22_idle_valuable_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("a"))
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("a"))
     )
     rich = cust.join(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("a")
@@ -106,13 +109,18 @@ def q22_idle_valuable_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q16: supplier variety per part class ----------------------------------
 
+# NOT EXISTS, not NOT IN: the Spark side is a left_anti join, and NOT IN
+# diverges from anti-join under three-valued logic the moment the inner
+# side yields a NULL key (whole result empties) — NOT EXISTS is the
+# anti-join-equivalent formulation on any data, null or not.
 q16_oracle = """
 SELECT p.p_brand, p.p_size,
        count(DISTINCT l.l_suppkey) AS supplier_cnt
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
-WHERE l.l_suppkey NOT IN (
-  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+WHERE NOT EXISTS (
+  SELECT 1 FROM supplier s
+  WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0.0
 )
 GROUP BY p.p_brand, p.p_size
 """

@@ -70,7 +70,10 @@ class _JsonlWriterBase:
 
 class JsonlBatchWriter(_JsonlWriterBase, DataSourceWriter):
     def commit(self, messages):
-        self._write_manifest(messages, "batch")
+        # unique manifest per job: a second append to the same path must
+        # COMPOSE with (not replace) the first commit's manifest —
+        # read_committed unions all _committed-* manifests
+        self._write_manifest(messages, f"batch-{uuid.uuid4().hex}")
 
     def abort(self, messages):
         pass  # no manifest → nothing is visible
@@ -94,6 +97,12 @@ class JsonlCommitDataSource(DataSource):
         return "jsonl_commit"
 
     def writer(self, schema, overwrite: bool) -> JsonlBatchWriter:
+        if overwrite:
+            # truncating previously committed manifests is not implemented —
+            # refuse rather than silently append under overwrite semantics
+            raise ValueError(
+                "jsonl_commit supports append mode only; use mode('append')"
+            )
         return JsonlBatchWriter(self.options)
 
     def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:

@@ -338,3 +338,24 @@ def test_connected_components_two_components(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {(0, 0), (1, 0), (2, 0), (10, 10), (11, 10), (12, 10), (13, 10)}
+
+
+def test_counted_bands_reliable_checkpoint_matches_local(spark, tmp_path):
+    """counted_bands(checkpoint_dir=...) — the band-table half of the
+    reliable-checkpoint option — yields the same counted rows as the
+    localCheckpoint path."""
+    from streamroom_bigdata_spark.operators.dedup import (
+        counted_bands,
+        exploded_shingles_of,
+        minhash_signatures_of,
+        signature_bands,
+    )
+    from streamroom_bigdata_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    bands = signature_bands(minhash_signatures_of(exploded_shingles_of(docs)))
+    local = sorted(map(tuple, counted_bands(bands).collect()))
+    reliable = sorted(
+        map(tuple, counted_bands(bands, checkpoint_dir=str(tmp_path / "ck")).collect())
+    )
+    assert local == reliable and len(local) > 0

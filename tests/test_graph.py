@@ -88,3 +88,29 @@ def test_count_triangles_guard_refuses_dense_graphs(spark, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="wedges"):
         graph.count_triangles(edges)
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(empty).count() == 0
+
+
+def test_funnel_no_signups_yields_null_conversions(spark, monkeypatch):
+    """ANSI-mode regression: n1=0 must produce NULL conversion rates, not
+    a DIVIDE_BY_ZERO abort."""
+    import datetime as dt
+
+    from streamroom_bigdata_spark.operators import behavior
+
+    events = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.behavior.load_table",
+        lambda s_, d_, n_: events,
+    )
+    rows = {r.stage: r for r in behavior.funnel_conversion(spark, "x").collect()}
+    assert rows[1].n_users == 0
+    assert all(rows[k].conv_from_first is None for k in (1, 2, 3, 4))

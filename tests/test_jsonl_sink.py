@@ -26,14 +26,38 @@ def test_batch_write_commits_manifest(registered, tmp_path):
     df = registered.range(0, 100, 1, 4).selectExpr("id", "id * 2 AS dbl")
     df.write.format("jsonl_commit").option("path", out).mode("append").save()
 
-    files = os.listdir(out)
-    assert "_committed-batch" in files
-    manifest = json.load(open(os.path.join(out, "_committed-batch")))
+    manifests = [f for f in os.listdir(out) if f.startswith("_committed-batch")]
+    assert len(manifests) == 1
+    manifest = json.load(open(os.path.join(out, manifests[0])))
     assert manifest["rows"] == 100
     assert len(manifest["files"]) == 4  # one staging file per task
     rows = read_committed(out)
     assert sorted(r["id"] for r in rows) == list(range(100))
     assert all(r["dbl"] == 2 * r["id"] for r in rows)
+
+
+def test_second_append_composes_not_replaces(registered, tmp_path):
+    """Append twice: both jobs' committed rows remain visible (unique
+    manifest per job — a fixed manifest name would hide the first)."""
+    out = str(tmp_path / "sink")
+    registered.range(0, 5).write.format("jsonl_commit").option(
+        "path", out
+    ).mode("append").save()
+    registered.range(100, 105).write.format("jsonl_commit").option(
+        "path", out
+    ).mode("append").save()
+    assert sorted(r["id"] for r in read_committed(out)) == [
+        0, 1, 2, 3, 4, 100, 101, 102, 103, 104,
+    ]
+
+
+def test_overwrite_mode_is_refused(registered, tmp_path):
+    import pytest
+
+    with pytest.raises(Exception, match="append"):
+        registered.range(0, 5).write.format("jsonl_commit").option(
+            "path", str(tmp_path / "sink")
+        ).mode("overwrite").save()
 
 
 def test_orphaned_staging_files_are_invisible(registered, tmp_path):

@@ -95,3 +95,21 @@ def test_validate_applies_to_streams(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.o_orderkey: r.r for r in spark.sql("select * from dq_stream_sink").collect()}
     assert got == {1: "", 2: "customer_exists,known_status,positive_total"}
+
+
+def test_null_values_are_violations(spark):
+    """NULL in a validated column is a quarantine hit, not a silent pass
+    (three-valued-logic regression: when(~NULL) drops the mark)."""
+    orders = spark.createDataFrame(
+        [(1, 10, None, None, None)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp",
+    )
+    cust = spark.createDataFrame([(10,)], "c_custkey long").select(
+        F.col("c_custkey").alias("_c_key")
+    )
+    joined = orders.join(cust, orders.o_custkey == F.col("_c_key"), "left")
+    marked = quality.validate(joined, quality.order_rules()).collect()[0]
+    assert sorted(marked.dq_reasons) == [
+        "date_in_range", "known_status", "positive_total"
+    ]

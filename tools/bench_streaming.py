@@ -28,7 +28,6 @@ def main() -> int:
 
     from streamroom_bigdata_spark.schemas import ENTITIES
     from streamroom_bigdata_spark.session import get_spark
-    from streamroom_bigdata_spark.sources.readers import stream_rate_source
     from streamroom_bigdata_spark.streaming.ingest import parse_wire
     from streamroom_bigdata_spark.streaming.router import start_router
 
@@ -36,7 +35,14 @@ def main() -> int:
     run_seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 
     spark = get_spark(
-        "bench_streaming", extra_conf={"spark.ui.showConsoleProgress": "false"}
+        "bench_streaming",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # recentProgress retains only the last N updates (default 100);
+            # a long run with small batches would silently truncate the
+            # throughput numerator AND denominator — keep every batch
+            "spark.sql.streaming.numRecentProgressUpdates": "100000",
+        },
     )
     entities = list(ENTITIES)
     # rate-micro-batch: EXACTLY rows_per_batch rows per trigger, so every
