@@ -232,7 +232,7 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "star_join_revenue",
     """
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -264,8 +264,15 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
         )
         .agg(
+            # decimal accumulation: order-independent exact sum (see
+            # _REVENUE_SHARE_TEMPLATE note)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
             ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
@@ -276,7 +283,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "star_join_bucketed",
     """
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -313,8 +320,15 @@ def star_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
         )
         .agg(
+            # decimal accumulation: order-independent exact sum (see
+            # _REVENUE_SHARE_TEMPLATE note)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
             ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
@@ -675,8 +689,14 @@ def full_outer_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # place was an ADVICE-flagged footgun for every other view consumer.
 _REVENUE_SHARE_TEMPLATE = """
 WITH rev AS (
+  -- DECIMAL accumulation: the per-row product double is identical in both
+  -- engines, but float-SUM order is not — at sf0.001 one (nation, yr)
+  -- group measurably landed on a cent boundary (…673.95 vs .94). Casting
+  -- each product to DECIMAL(18,6) before summing makes the sum exact and
+  -- order-independent.
   SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS yr,
-         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
   FROM {lineitem} l JOIN {orders} o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
