@@ -23,7 +23,7 @@ from ..sources import load_table
            CAST(month(o_orderdate) AS INT)   AS order_month,
            CAST(quarter(o_orderdate) AS INT) AS order_quarter,
            count(*)                          AS n_orders,
-           round(sum(o_totalprice), 2)       AS total_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
            CAST(min(day(o_orderdate)) AS INT)   AS first_dom,
            CAST(max(dayofyear(o_orderdate)) AS INT) AS last_doy
     FROM orders
@@ -42,7 +42,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_price"),
             F.min(F.dayofmonth("o_orderdate")).alias("first_dom"),
             F.max(F.dayofyear("o_orderdate")).alias("last_doy"),
         )
