@@ -226,16 +226,16 @@ FROM e ab JOIN e bc ON ab.doc_b = bc.doc_a
 _TRIANGLE_MAX_WEDGES = 200_000_000
 
 
-def count_triangles(pairs: DataFrame) -> DataFrame:
-    """Exact triangle count (1 row, ``n_triangles``) over canonical
-    (doc_a < doc_b) pairs. DEGREE-ORIENTED two-hop join — every edge is
-    re-oriented from its lower-(degree, id) endpoint to the higher one, so
-    a hub's neighbor list is never self-joined in full: the wedge count
-    drops from Σ deg² to Σ outdeg², bounded by m·√m on any graph (the
-    classic m^1.5 algorithm). Orientation changes the PLAN, not the count.
-    Refuses (loud RuntimeError) when the measured wedge count exceeds
-    ``_TRIANGLE_MAX_WEDGES`` — on quasi-clique graphs the output itself is
-    Θ(n³) and no enumeration can be cheaper."""
+def _triangles(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(triangle frame (ta, tb, tc), symmetric degree frame (u, deg)) over
+    canonical (doc_a < doc_b) pairs. DEGREE-ORIENTED two-hop join — every
+    edge is re-oriented from its lower-(degree, id) endpoint to the higher
+    one, so a hub's neighbor list is never self-joined in full: the wedge
+    count drops from Σ deg² to Σ outdeg², bounded by m·√m on any graph
+    (the classic m^1.5 algorithm). Orientation changes the PLAN, not the
+    triangles. Refuses (loud RuntimeError) when the measured wedge count
+    exceeds ``_TRIANGLE_MAX_WEDGES`` — on quasi-clique graphs the output
+    itself is Θ(n³) and no enumeration can be cheaper."""
     e = pairs.toDF("u", "v").localCheckpoint()
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
@@ -269,24 +269,109 @@ def count_triangles(pairs: DataFrame) -> DataFrame:
             "_TRIANGLE_MAX_WEDGES deliberately or sparsify the edge set"
         )
     ab, bc, ac = oriented.alias("ab"), oriented.alias("bc"), oriented.alias("ac")
-    return (
+    tri = (
         ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
         .join(
             ac,
             (F.col("ac.src") == F.col("ab.src"))
             & (F.col("ac.dst") == F.col("bc.dst")),
         )
-        .agg(F.count("*").alias("n_triangles"))
+        .select(
+            F.col("ab.src").alias("ta"),
+            F.col("ab.dst").alias("tb"),
+            F.col("bc.dst").alias("tc"),
+        )
     )
+    return tri, deg
+
+
+def count_triangles(pairs: DataFrame) -> DataFrame:
+    """Exact triangle count (1 row, ``n_triangles``) — see
+    :func:`_triangles` for the oriented plan and the wedge guard."""
+    tri, _ = _triangles(pairs)
+    return tri.agg(F.count("*").alias("n_triangles"))
 
 
 @register("triangle_count", triangle_oracle)
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the simhash near-dup graph (mutually-similar
-    document triples) — see :func:`count_triangles` for the
+    document triples) — see :func:`_triangles` for the
     degree-oriented plan and the wedge-budget guard."""
     return count_triangles(
         simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+clustering_oracle = f"""
+WITH e AS (
+  SELECT doc_a, doc_b FROM ({simhash_near_dup_oracle})
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM e
+  UNION ALL SELECT doc_b, doc_a FROM e
+), deg AS (
+  SELECT u, count(*) AS degree FROM sym GROUP BY u
+), tri AS (
+  SELECT ab.doc_a AS ta, ab.doc_b AS tb, bc.doc_b AS tc
+  FROM e ab JOIN e bc ON ab.doc_b = bc.doc_a
+            JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+), corner AS (
+  SELECT ta AS u FROM tri UNION ALL SELECT tb FROM tri
+  UNION ALL SELECT tc FROM tri
+), tcount AS (
+  SELECT u, count(*) AS n_tri FROM corner GROUP BY u
+)
+SELECT d.u AS doc_id,
+       CAST(d.degree AS INT) AS degree,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree < 2 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(2.0 * coalesce(t.n_tri, 0)
+                       / (d.degree * (d.degree - 1)), 6) END
+         AS clustering_coeff
+FROM deg d LEFT JOIN tcount t ON d.u = t.u
+"""
+
+
+@register("clustering_coefficient", clustering_oracle)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per document over the simhash near-dup
+    graph: 2·T(v) / (deg(v)·(deg(v)−1)) — how clique-like each node's
+    neighborhood is (≈1 inside a duplicate cluster's core, ≈0 for chance
+    band collisions). Per-node triangle counts come from crediting all
+    three corners of the ORIENTED triangle enumeration (same wedge-guarded
+    plan as triangle_count); degrees from the symmetrized edge table; the
+    division is exact-integer inputs → identical doubles in both engines."""
+    return local_clustering(
+        simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+def local_clustering(pairs: DataFrame) -> DataFrame:
+    """(doc_id, degree, n_triangles, clustering_coeff) over canonical
+    pairs — the composable core behind :func:`clustering_coefficient`."""
+    tri, deg = _triangles(pairs)
+    corner = (
+        tri.select(F.col("ta").alias("u"))
+        .unionAll(tri.select(F.col("tb").alias("u")))
+        .unionAll(tri.select(F.col("tc").alias("u")))
+    )
+    tcount = corner.groupBy("u").agg(F.count("*").alias("n_tri"))
+    return (
+        deg.join(tcount, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.col("deg").cast("int").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(F.col("deg") < 2, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    2.0
+                    * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                )
+            )
+            .alias("clustering_coeff"),
+        )
     )
 
 

@@ -114,3 +114,21 @@ def test_funnel_no_signups_yields_null_conversions(spark, monkeypatch):
     rows = {r.stage: r for r in behavior.funnel_conversion(spark, "x").collect()}
     assert rows[1].n_users == 0
     assert all(rows[k].conv_from_first is None for k in (1, 2, 3, 4))
+
+
+def test_local_clustering_known_graphs(spark):
+    """K4 nodes are fully clustered (1.0); star hub and leaves are 0; a
+    K4 node attached to a pendant leaf drops to 3/(4*3/2)=0.5."""
+    import itertools
+
+    pairs = sorted(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 50)] + [
+        (100, i) for i in range(101, 106)
+    ]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    rows = {r.doc_id: r for r in graph.local_clustering(edges).collect()}
+    for n in (1, 2, 3):
+        assert rows[n].clustering_coeff == 1.0 and rows[n].n_triangles == 3
+    # node 4: degree 4 (K4 + pendant), still 3 triangles → 2*3/(4*3) = 0.5
+    assert rows[4].degree == 4 and rows[4].clustering_coeff == 0.5
+    assert rows[50].clustering_coeff == 0.0  # pendant, degree 1
+    assert rows[100].clustering_coeff == 0.0 and rows[100].degree == 5  # hub
