@@ -144,3 +144,22 @@ def dq_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+def observed_quarantine(marked: DataFrame):
+    """(observed DataFrame, Observation) — Spark's ``observe()`` surface:
+    row count + violation count ride the SAME job as whatever action
+    consumes the frame (accumulator-backed, zero extra scan), where
+    dq_orders_summary pays a second aggregation pass. The caller runs any
+    action on the returned frame, then reads ``observation.get`` — the
+    in-flight health counter every ingest pipeline wants next to its sink.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("dq")
+    observed = marked.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum((F.size("dq_reasons") > 0).cast("long")).alias("rows_violating"),
+    )
+    return observed, obs

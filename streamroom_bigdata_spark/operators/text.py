@@ -608,3 +608,43 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(HH_TOP_K)
     )
+
+
+def ngrams_udtf():
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze`` static method): emits
+    n-gram rows whose OUTPUT SCHEMA depends on the constant ``n`` argument
+    — columns g1..gn plus the gram string. ``analyze`` runs at plan time
+    on the literal argument and returns the computed schema, the D5+
+    surface `@udtf(returnType=...)` cannot express. Same hot-path caveat
+    as tokenize_udtf: agreement-oracle / API-surface role only."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("n must be a positive integer literal")
+            fields = [StructField("pos", IntegerType())]
+            fields += [
+                StructField(f"g{i + 1}", StringType()) for i in range(n.value)
+            ]
+            fields.append(StructField("gram", StringType()))
+            return AnalyzeResult(schema=StructType(fields))
+
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                window = toks[i : i + n]
+                yield (i, *window, " ".join(window))
+
+    return NGrams

@@ -165,3 +165,26 @@ def test_curation_v2_stats_are_consistent(spark, sf_dir):
     for r in rows:
         assert r.n_chunks >= r.n_docs          # >= 1 chunk per kept doc
         assert r.total_chunk_tokens >= r.n_chunks  # chunks are non-empty
+
+
+def test_polymorphic_udtf_schema_follows_argument(spark):
+    """D5+ (Spark 4 analyze()): the UDTF's output schema is computed at
+    plan time from the literal n — 2-gram and 3-gram calls get different
+    column sets; rows agree with a driver-side recompute."""
+    from streamroom_bigdata_spark.operators.text import ngrams_udtf
+
+    spark.udtf.register("ngrams_poly", ngrams_udtf())
+    two = spark.sql(
+        "SELECT * FROM ngrams_poly('a b c d', 2)"
+    )
+    three = spark.sql(
+        "SELECT * FROM ngrams_poly('a b c d', 3)"
+    )
+    assert two.columns == ["pos", "g1", "g2", "gram"]
+    assert three.columns == ["pos", "g1", "g2", "g3", "gram"]
+    assert [r.gram for r in two.orderBy("pos").collect()] == [
+        "a b", "b c", "c d"
+    ]
+    assert [r.gram for r in three.orderBy("pos").collect()] == [
+        "a b c", "b c d"
+    ]

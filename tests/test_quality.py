@@ -113,3 +113,15 @@ def test_null_values_are_violations(spark):
     assert sorted(marked.dq_reasons) == [
         "date_in_range", "known_status", "positive_total"
     ]
+
+
+def test_observe_counts_ride_the_consuming_job(spark, sf_dir):
+    """observe(): metrics come from the SAME action that consumed the
+    frame (no second scan) and agree with an explicit recount."""
+    marked = quality._marked_orders(spark, sf_dir)
+    observed, obs = quality.observed_quarantine(marked)
+    kept = observed.filter(F.size("dq_reasons") == 0).count()
+    got = obs.get
+    assert got["rows_seen"] == marked.count()
+    assert got["rows_violating"] == marked.filter(F.size("dq_reasons") > 0).count()
+    assert kept == got["rows_seen"] - got["rows_violating"]
