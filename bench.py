@@ -63,6 +63,11 @@ HEADLINE = [
     "token_frequencies",      # D5 tokenize + count
     "running_totals",         # W3 frame aggregates
     "rollup_orders",          # A7 rollup
+    # round-7 representatives (subtract for like-for-like vs the r02
+    # reference set, as with star_join_bucketed/sql_revenue_share):
+    "simhash_near_dup",       # L2± fingerprint banding + Hamming verify
+    "pagerank_transactions",  # G1 iterative (8 rounds / driver fast path)
+    "funnel_conversion",      # B1 behavioral analytics
 ]
 
 SF1_DIR = "/tmp/sf1_synth"

@@ -138,3 +138,36 @@ def test_simhash_banding_is_lossless_for_radius(spark, sf_dir):
         for r in dedup.simhash_near_dup(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_funnel_depth_semantics_property(spark):
+    """Hypothesis: for random per-user stage timestamp sets, the streaming
+    state helper funnel_depth agrees with a direct reimplementation of the
+    min-ts-ordering semantics (and with what funnel_conversion's depth
+    expression computes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from streamroom_bigdata_spark.streaming.stateful import funnel_depth
+
+    ts_strategy = st.tuples(*[
+        st.one_of(st.just(-1), st.integers(min_value=0, max_value=50))
+        for _ in range(4)
+    ])
+
+    def ref_depth(ts):
+        depth = 0
+        prev = None
+        for t in ts:
+            if t < 0 or (prev is not None and t <= prev):
+                break
+            depth += 1
+            prev = t
+        return depth
+
+    @settings(max_examples=300, deadline=None)
+    @given(ts=ts_strategy)
+    def check(ts):
+        assert funnel_depth(ts) == ref_depth(ts)
+
+    check()
