@@ -69,12 +69,15 @@ FROM r{PR_ITERS}
 
 
 # Below this many (symmetrized) edges the graph is collected and power-
-# iterated with numpy on the driver — same rationale and same order of
-# bound as connected_components' union-find fast path (500k (long,long)
-# rows ≈ 8 MB): the distributed loop costs ~0.6 s of job overhead PER
-# ROUND regardless of data size (plus ~1.5 s/round codegen when cold),
-# while a bounded matvec is milliseconds. Set to 0 to force distributed.
-_PR_DRIVER_MAX_EDGES = 500_000
+# iterated with numpy on the driver — same rationale as
+# connected_components' union-find fast path, with a higher bound because
+# the driver work is a VECTORIZED matvec, not a Python loop: 2M (long,
+# long) rows ≈ 32 MB collect + ~50 MB numpy working set, milliseconds per
+# iteration. The distributed loop costs ~0.6 s of job overhead PER ROUND
+# regardless of data size (plus ~1.5 s/round codegen when cold). The sf≈1
+# transaction graph (≈9M edges) still exercises the distributed path.
+# Set to 0 to force distributed.
+_PR_DRIVER_MAX_EDGES = 2_000_000
 
 
 def pagerank(
@@ -132,13 +135,16 @@ def _driver_pagerank(edges: DataFrame, iters: int, damping: float) -> DataFrame:
     import numpy as np
     from pyspark.sql import types as T
 
-    rows = edges.collect()
-    src = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
-    dst = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
+    # Arrow transfer, not collect(): py4j Row materialization runs ~100k
+    # rows/s (measured ~9 s for a 900k-edge graph — slower than the
+    # distributed loop it replaces); toPandas moves the same bounded
+    # table as columnar Arrow batches in well under a second.
+    pdf = edges.toPandas()
+    src = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    dst = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
     ids = np.unique(np.concatenate([src, dst]))
-    idx = {int(v): i for i, v in enumerate(ids)}
-    si = np.fromiter((idx[int(v)] for v in src), dtype=np.int64, count=len(src))
-    di = np.fromiter((idx[int(v)] for v in dst), dtype=np.int64, count=len(dst))
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
     n = len(ids)
     deg = np.bincount(si, minlength=n).astype(np.float64)
     rank = np.full(n, 1.0 / n)
