@@ -93,3 +93,94 @@ def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("grid_ts"),
         F.col("ffill").alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series pattern matching (round-7): z-normalized sliding-window
+# similarity search — the time-series complement of the vector ANN path
+# (cf. the streaming-similarity-search line of work, e.g. EDBT'19).
+# ---------------------------------------------------------------------------
+
+TSM_L = 8         # subsequence length
+TSM_TOPK = 20
+# query pattern: a monotone ramp, z-normalized below; any literal works —
+# the ramp finds "steadily rising value" episodes
+_TSM_Q = list(range(1, TSM_L + 1))
+_q_mean = sum(_TSM_Q) / TSM_L
+_q_std = (sum((q - _q_mean) ** 2 for q in _TSM_Q) / TSM_L) ** 0.5
+_TSM_QZ = [(q - _q_mean) / _q_std for q in _TSM_Q]
+
+
+def _tsm_sql() -> str:
+    # pure lead-column algebra — no list/array functions, so the SAME
+    # formulas run in both engines: w0..w7 via lead(), population mean/std,
+    # z-normalize, squared distance to the z-normalized ramp
+    leads = ",\n         ".join(
+        f"lead(value, {j}) OVER w AS w{j}" for j in range(1, TSM_L)
+    )
+    terms = " + ".join(f"w{j}" for j in range(TSM_L))
+    sq_terms = " + ".join(f"w{j} * w{j}" for j in range(TSM_L))
+    dist = " + ".join(
+        f"pow((w{j} - m) / s - ({_TSM_QZ[j]!r}), 2)" for j in range(TSM_L)
+    )
+    return f"""
+WITH seq AS (
+  SELECT user_id,
+         CAST(row_number() OVER w AS INT) - 1 AS pos,
+         value AS w0,
+         {leads}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), stats AS (
+  SELECT user_id, pos,
+         ({terms}) / {TSM_L}.0 AS m,
+         sqrt(greatest(({sq_terms}) / {TSM_L}.0
+              - pow(({terms}) / {TSM_L}.0, 2), 0.0)) AS s,
+         w0, {', '.join(f'w{j}' for j in range(1, TSM_L))}
+  FROM seq WHERE w{TSM_L - 1} IS NOT NULL
+)
+SELECT user_id, pos, round({dist}, 6) AS zdist
+FROM stats
+WHERE s > 1e-9
+ORDER BY round({dist}, 6), user_id, pos
+LIMIT {TSM_TOPK}
+"""
+
+
+@register("ts_pattern_match", _tsm_sql())
+def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TSM_TOPK} best matches of a z-normalized query pattern (a
+    rising ramp) across every user's value series, at every position —
+    sliding-window similarity search with scale/offset invariance (the
+    UCR-suite formulation). One user-keyed window pass produces the
+    {TSM_L} lead columns; mean/std/z-distance are flat column algebra
+    inside whole-stage codegen (no arrays, no UDFs); the top-k is a
+    TakeOrderedAndProject on the ROUNDED distance with a deterministic
+    (user, pos) tiebreak. At 100 TB: one shuffle on user_id, per-row
+    O(L) arithmetic, output fixed at k."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cols = [F.col("value").alias("w0")] + [
+        F.lead("value", j).over(w).alias(f"w{j}") for j in range(1, TSM_L)
+    ]
+    seq = events.select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("int").alias("pos"),
+        *cols,
+    ).filter(F.col(f"w{TSM_L - 1}").isNotNull())
+    ws = [F.col(f"w{j}") for j in range(TSM_L)]
+    m = sum(ws[1:], ws[0]) / float(TSM_L)
+    sq = sum((c * c for c in ws[1:]), ws[0] * ws[0]) / float(TSM_L)
+    s = F.sqrt(F.greatest(sq - m * m, F.lit(0.0)))
+    stats = seq.select(
+        "user_id", "pos", m.alias("m"), s.alias("s"), *ws
+    ).filter(F.col("s") > 1e-9)
+    dist = None
+    for j in range(TSM_L):
+        term = F.pow((F.col(f"w{j}") - F.col("m")) / F.col("s") - _TSM_QZ[j], 2)
+        dist = term if dist is None else dist + term
+    return (
+        stats.select("user_id", "pos", F.round(dist, 6).alias("zdist"))
+        .orderBy("zdist", "user_id", "pos")
+        .limit(TSM_TOPK)
+    )
