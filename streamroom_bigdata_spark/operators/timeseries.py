@@ -184,3 +184,68 @@ def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zdist", "user_id", "pos")
         .limit(TSM_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential smoothing (round-7): bounded-window EWMA
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_K = 16  # truncation window: (1-α)^16 ≈ 0.003 — <0.4% tail mass
+
+
+def _ewma_sql() -> str:
+    # finite-K EWMA as flat lag algebra (identical formulas both engines):
+    # ewma_t = Σ_{j<K} α(1-α)^j x_{t-j} / Σ_{j<K over available} α(1-α)^j.
+    # The denominator renormalizes at series heads (fewer than K lags), so
+    # early rows are exact truncated-EWMA too, not NULL.
+    lags = ",\n         ".join(
+        f"lag(value, {j}) OVER w AS x{j}" for j in range(1, EWMA_K)
+    )
+    num = " + ".join(
+        f"coalesce(x{j} * {EWMA_ALPHA * (1 - EWMA_ALPHA) ** j!r}, 0.0)"
+        for j in range(EWMA_K)
+    )
+    den = " + ".join(
+        f"CASE WHEN x{j} IS NOT NULL THEN {EWMA_ALPHA * (1 - EWMA_ALPHA) ** j!r} ELSE 0.0 END"
+        for j in range(EWMA_K)
+    )
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_id, value AS x0,
+         {lags}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       round(({num}) / ({den}), 6) AS ewma
+FROM seq
+"""
+
+
+@register("ewma_values", _ewma_sql())
+def ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event exponentially-weighted moving average of ``value``
+    (α={EWMA_ALPHA}), truncated at K={EWMA_K} lags ((1-α)^K ≈ 0.3% tail
+    mass) and head-renormalized — the smoothing/anomaly-baseline operator.
+    A true infinite-memory EWMA is a sequential recurrence no engine's
+    window algebra expresses; the truncated form is ONE user-keyed window
+    pass producing K lag columns folded by flat codegen arithmetic —
+    portable to the SQL oracle as the identical formulas, and
+    embarrassingly parallel at 100 TB (shuffle on user_id only)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_cols = [F.col("value").alias("x0")] + [
+        F.lag("value", j).over(w).alias(f"x{j}") for j in range(1, EWMA_K)
+    ]
+    seq = events.select("user_id", "event_id", *lag_cols)
+    num, den = None, None
+    for j in range(EWMA_K):
+        wgt = EWMA_ALPHA * (1 - EWMA_ALPHA) ** j
+        t_num = F.coalesce(F.col(f"x{j}") * wgt, F.lit(0.0))
+        t_den = F.when(F.col(f"x{j}").isNotNull(), F.lit(wgt)).otherwise(0.0)
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return seq.select(
+        "user_id", "event_id", F.round(num / den, 6).alias("ewma")
+    )
