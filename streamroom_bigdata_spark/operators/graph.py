@@ -355,10 +355,11 @@ def local_clustering(pairs: DataFrame) -> DataFrame:
     """(doc_id, degree, n_triangles, clustering_coeff) over canonical
     pairs — the composable core behind :func:`clustering_coefficient`."""
     tri, deg = _triangles(pairs)
-    corner = (
-        tri.select(F.col("ta").alias("u"))
-        .unionAll(tri.select(F.col("tb").alias("u")))
-        .unionAll(tri.select(F.col("tc").alias("u")))
+    # ONE enumeration pass: a 3-way union of projections would re-execute
+    # the wedge join per branch (ReuseExchange shares shuffle data, not
+    # join compute) — explode emits all three corners from a single run
+    corner = tri.select(
+        F.explode(F.array("ta", "tb", "tc")).alias("u")
     )
     tcount = corner.groupBy("u").agg(F.count("*").alias("n_tri"))
     return (

@@ -648,7 +648,7 @@ WITH toks AS (
 )
 SELECT t.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(sum(ln(v.c / tt.n)) / count(*), 6) AS avg_logprob
+       round(CAST(sum(CAST(ln(v.c / tt.n) AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS avg_logprob
 FROM nonempty t
 JOIN vocab v USING (tok), total tt
 GROUP BY t.doc_id
@@ -677,8 +677,15 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
+            # each log term quantized to DECIMAL(18,9) before the sum: the
+            # per-token log doubles are engine-identical, the SUM ORDER is
+            # not — decimal accumulation makes it order-independent
             F.round(
-                F.sum(F.log(F.col("c") / F.col("n"))) / F.count("*"), 6
+                F.sum(
+                    F.log(F.col("c") / F.col("n")).cast("decimal(18,9)")
+                ).cast("double")
+                / F.count("*"),
+                6,
             ).alias("avg_logprob"),
         )
     )

@@ -37,9 +37,9 @@ from ..sources import load_table
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
            round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
            round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                    AS avg_qty,
-           round(avg(l_extendedprice), 4)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -59,9 +59,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price.cast("decimal(18,6)")).cast("double"), 2).alias("sum_disc_price"),
             F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")).cast("double"), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -94,7 +94,7 @@ def usage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT max(l_quantity)                        AS max_qty,
            min(l_quantity)                        AS min_qty,
-           round(avg(l_extendedprice), 4)         AS avg_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
            round(stddev_samp(l_extendedprice), 4) AS std_price,
            round(sqrt(avg(power(l_discount - l_tax, 2))), 6) AS rms_disc_tax,
            count(DISTINCT l_partkey)              AS distinct_parts,
@@ -110,7 +110,7 @@ def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.max("l_quantity").alias("max_qty"),
         F.min("l_quantity").alias("min_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
         F.round(
             F.sqrt(F.avg(F.pow(F.col("l_discount") - F.col("l_tax"), 2))), 6

@@ -49,7 +49,7 @@ WITH ordered AS (
 SELECT user_id, session_idx,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
 FROM numbered
 GROUP BY user_id, session_idx
 """
@@ -89,5 +89,5 @@ def sessionize(events: DataFrame, gap_ms: int = _GAP_MS) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value"),
     )

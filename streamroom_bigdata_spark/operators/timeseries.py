@@ -149,11 +149,11 @@ LIMIT {TSM_TOPK}
 
 @register("ts_pattern_match", _tsm_sql())
 def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TSM_TOPK} best matches of a z-normalized query pattern (a
+    """Top-20 best matches of a z-normalized query pattern (a
     rising ramp) across every user's value series, at every position —
     sliding-window similarity search with scale/offset invariance (the
     UCR-suite formulation). One user-keyed window pass produces the
-    {TSM_L} lead columns; mean/std/z-distance are flat column algebra
+    TSM_L=8 lead columns; mean/std/z-distance are flat column algebra
     inside whole-stage codegen (no arrays, no UDFs); the top-k is a
     TakeOrderedAndProject on the ROUNDED distance with a deterministic
     (user, pos) tiebreak. At 100 TB: one shuffle on user_id, per-row
@@ -226,7 +226,7 @@ FROM seq
 @register("ewma_values", _ewma_sql())
 def ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event exponentially-weighted moving average of ``value``
-    (α={EWMA_ALPHA}), truncated at K={EWMA_K} lags ((1-α)^K ≈ 0.3% tail
+    (α=EWMA_ALPHA=0.3), truncated at K=EWMA_K=16 lags ((1-α)^K ≈ 0.3% tail
     mass) and head-renormalized — the smoothing/anomaly-baseline operator.
     A true infinite-memory EWMA is a sequential recurrence no engine's
     window algebra expresses; the truncated form is ONE user-keyed window

@@ -110,13 +110,21 @@ class JsonlCommitDataSource(DataSource):
 
 
 def read_committed(path: str) -> list[dict]:
-    """Rows from COMMITTED files only, in file-then-line order — orphaned
-    staging files from failed/speculative attempts are invisible."""
+    """Rows from COMMITTED files only — orphaned staging files from
+    failed/speculative attempts are invisible. Manifests replay in commit
+    order (mtime, name tiebreak): within a job, file-then-line order;
+    across jobs, earlier commits first. Streaming manifests additionally
+    carry the zero-padded batch id in their name."""
+    manifests = [
+        e for e in os.listdir(path) if e.startswith("_committed-")
+    ]
+    manifests.sort(
+        key=lambda e: (os.path.getmtime(os.path.join(path, e)), e)
+    )
     files: list[str] = []
-    for entry in sorted(os.listdir(path)):
-        if entry.startswith("_committed-"):
-            with open(os.path.join(path, entry)) as f:
-                files.extend(json.load(f)["files"])
+    for entry in manifests:
+        with open(os.path.join(path, entry)) as f:
+            files.extend(json.load(f)["files"])
     rows: list[dict] = []
     for name in files:
         with open(os.path.join(path, name)) as f:

@@ -47,7 +47,7 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
     """T8 tumbling: non-overlapping 1-hour buckets × event_type."""
     out = events.groupBy(F.window("ts", TUMBLE), "event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("sum_value"),
     )
     return _flatten_window(out)
 
@@ -70,7 +70,7 @@ def session_agg(events: DataFrame) -> DataFrame:
         F.session_window("ts", SESSION_GAP), "user_id"
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("sum_value"),
     )
     return _flatten_window(out, "session_window")
 
@@ -82,7 +82,7 @@ def session_agg(events: DataFrame) -> DataFrame:
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
            event_type,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -134,7 +134,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(ts) + INTERVAL {SESSION_GAP} AS window_end,
            user_id,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
     FROM numbered
     GROUP BY user_id, session_no
     """,
