@@ -328,3 +328,52 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("last_view_value")).alias("last_view_value"),
         F.when(fresh, F.col("last_view_ts")).alias("last_view_ts"),
     )
+
+
+def asof_backward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    on: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Generic BACKWARD as-of join (round-7 composable core): every left
+    row picks the right row with the greatest ``on`` <= its own, within
+    the same ``by`` group — ``right_cols`` arrive null when nothing
+    precedes. The union-window pattern: both sides union into one frame
+    (right rows sort BEFORE left rows at equal ``on``, giving <=
+    semantics), ONE window pass carries the latest right payload forward,
+    left rows filter out. One shuffle on ``by`` total — the sorted-merge
+    cost shape at 100 TB; ties among right rows at the same ``on`` resolve
+    deterministically by payload-struct order (fuzz-tested against
+    DuckDB's native ASOF JOIN on tie-free right sides)."""
+    r_payload = F.struct(*[F.col(c) for c in right_cols])
+    rw = right.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(0).alias("_side"),
+        r_payload.alias("_r"),
+    )
+    l_payload = F.struct(*[F.col(c) for c in left.columns])
+    lw = left.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rw.schema["_r"].dataType).alias("_r"),
+        l_payload.alias("_lpay"),
+    )
+    u = rw.withColumn(
+        "_lpay", F.lit(None).cast(lw.schema["_lpay"].dataType)
+    ).unionByName(lw)
+    win = (
+        Window.partitionBy("_by")
+        .orderBy("_on", "_side", "_r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        u.withColumn("_m", F.last("_r", ignorenulls=True).over(win))
+        .filter(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_lpay.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_m.{c}").alias(f"right_{c}") for c in right_cols]
+    return matched.select(*out_cols)

@@ -405,3 +405,97 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         "degree",
     ).agg(F.count("*").alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (round-7): iterative peel
+# ---------------------------------------------------------------------------
+
+_KCORE_DRIVER_MAX_EDGES = 2_000_000  # same Arrow-collect bound as pagerank
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int,
+    max_rounds: int = 100,
+    small_graph_threshold: int = _KCORE_DRIVER_MAX_EDGES,
+) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph where every node has degree
+    ≥ k) as (id, core_degree), over canonical (a < b) pairs. Iterative
+    PEEL: drop all nodes below degree k, recompute, repeat to fixpoint —
+    the third iterative-algorithm shape next to connected_components and
+    pagerank, with the same contract: per-round lineage truncation, one
+    degree aggregation + two anti-joins per round, rounds bounded by the
+    peel depth (≤ nodes, raises past ``max_rounds``). Bounded graphs take
+    an Arrow-fed driver peel (vectorized numpy degree counting).
+
+    No SQL oracle: the peel runs a DATA-DEPENDENT number of rounds, which
+    recursive SQL cannot express with aggregation — covered by known-graph
+    and path-equivalence tests instead (tests/test_graph.py)."""
+    spark = pairs.sparkSession
+    edges = (
+        pairs.toDF("u", "v")
+        .unionByName(
+            pairs.toDF("u", "v").select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return spark.createDataFrame([], "id long, core_degree long")
+    if n_edges <= small_graph_threshold:
+        return _driver_k_core(edges, k)
+
+    for _ in range(max_rounds):
+        deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+        bad = deg.filter(F.col("d") < k).select("u")
+        if bad.isEmpty():
+            return deg.select(
+                F.col("u").alias("id"), F.col("d").alias("core_degree")
+            )
+        edges = (
+            edges.join(bad, "u", "left_anti")
+            .join(bad.select(F.col("u").alias("v")), "v", "left_anti")
+            .localCheckpoint()
+        )
+        if edges.isEmpty():
+            return spark.createDataFrame([], "id long, core_degree long")
+    raise RuntimeError(
+        f"k_core: peel did not converge within {max_rounds} rounds"
+    )
+
+
+def _driver_k_core(edges: DataFrame, k: int) -> DataFrame:
+    """Bounded-graph peel on the driver: Arrow transfer + numpy degree
+    recount per round (each round strictly removes nodes, so rounds are
+    bounded by the peel depth; work per round is one boolean mask)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    pdf = edges.toPandas()
+    u = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    v = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    ids = np.unique(u)
+    ui = np.searchsorted(ids, u)
+    vi = np.searchsorted(ids, v)
+    alive_edge = np.ones(len(u), dtype=bool)
+    while True:
+        deg = np.bincount(ui[alive_edge], minlength=len(ids))
+        bad = (deg < k) & (deg > 0)
+        if not bad.any():
+            break
+        alive_edge &= ~(bad[ui] | bad[vi])
+    spark = edges.sparkSession
+    deg = np.bincount(ui[alive_edge], minlength=len(ids))
+    survivors = [
+        (int(ids[i]), int(deg[i])) for i in np.nonzero(deg >= k)[0]
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("core_degree", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(survivors, schema)

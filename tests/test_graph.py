@@ -132,3 +132,46 @@ def test_local_clustering_known_graphs(spark):
     assert rows[4].degree == 4 and rows[4].clustering_coeff == 0.5
     assert rows[50].clustering_coeff == 0.0  # pendant, degree 1
     assert rows[100].clustering_coeff == 0.0 and rows[100].degree == 5  # hub
+
+
+def test_k_core_known_graphs(spark):
+    """K5 survives as its own 4-core; a chain has no 2-core; K4 with a
+    pendant tail peels the tail then keeps exactly K4."""
+    import itertools
+
+    k5 = sorted(itertools.combinations(range(5), 2))
+    chain = [(100 + i, 101 + i) for i in range(10)]
+    k4_tail = sorted(itertools.combinations([20, 21, 22, 23], 2)) + [
+        (23, 24), (24, 25)
+    ]
+    edges = spark.createDataFrame(
+        k5 + chain + k4_tail, "doc_a long, doc_b long"
+    )
+    core3 = {r.id: r.core_degree for r in graph.k_core(edges, 3).collect()}
+    assert set(core3) == set(range(5)) | {20, 21, 22, 23}
+    assert all(core3[n] == 4 for n in range(5))      # K5 internal degree
+    assert all(core3[n] == 3 for n in (20, 21, 22, 23))
+    # chain nodes all peel at k=2 (endpoints cascade inward)
+    core2_ids = {r.id for r in graph.k_core(edges, 2).collect()}
+    assert not core2_ids & set(range(100, 111))
+
+
+def test_k_core_paths_agree(spark):
+    import itertools
+
+    pairs = sorted(itertools.combinations(range(8), 2))[:20] + [
+        (50 + i, 51 + i) for i in range(6)
+    ]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    fast = sorted(map(tuple, graph.k_core(edges, 3).collect()))
+    dist = sorted(
+        map(tuple, graph.k_core(edges, 3, small_graph_threshold=0).collect())
+    )
+    assert fast == dist
+
+
+def test_k_core_empty_and_full(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert graph.k_core(empty, 2).count() == 0
+    one = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    assert graph.k_core(one, 5).count() == 0  # everything peels
