@@ -108,3 +108,57 @@ def sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(GLOBAL_K)
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (round-7): A-ES / Efraimidis-
+# Spirakis — key_i = u_i^(1/w_i) with u_i a deterministic uniform, top-k
+# by key. Inclusion probability scales with weight; the whole draw is one
+# TakeOrderedAndProject over per-row arithmetic, so it is reproducible
+# across runs/engines/cluster sizes like every sampler here.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_K = 100
+_U_MOD = 1 << 30  # uniform resolution; (h mod M + 1) / (M + 1) ∈ (0, 1]
+
+weighted_sample_oracle = f"""
+WITH keyed AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         pow(({sql_hash_mod('CAST(o_orderkey AS VARCHAR)', _U_MOD)} + 1.0)
+             / {_U_MOD + 1}.0,
+             1.0 / o_totalprice) AS es_key
+  FROM orders
+  WHERE o_totalprice > 0.0
+)
+SELECT o_orderkey, o_custkey, o_totalprice, round(es_key, 10) AS es_key
+FROM keyed
+ORDER BY es_key DESC, o_orderkey
+LIMIT {WEIGHTED_K}
+"""
+
+
+@register("weighted_sample", weighted_sample_oracle)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{WEIGHTED_K} weighted sample of orders, weight ∝ o_totalprice
+    (A-ES): P(inclusion) rises with weight, no replacement, and the draw
+    is a pure function of the data — the deterministic uniform comes from
+    the portable hash, so the SAME rows are drawn on any engine or
+    cluster layout. Plan: per-row pow + TakeOrderedAndProject (partial
+    top-k per partition, k·P-row driver merge — no full sort at 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0.0
+    )
+    u = (
+        portable_hash_mod(F.col("o_orderkey").cast("string"), _U_MOD) + 1.0
+    ) / float(_U_MOD + 1)
+    es_key = F.pow(u, 1.0 / F.col("o_totalprice"))
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(es_key, 10).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "o_orderkey")
+        .limit(WEIGHTED_K)
+    )

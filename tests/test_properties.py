@@ -208,3 +208,24 @@ def test_connected_components_match_union_find(spark, edges):
         x: min(xs) for root, xs in members.items() for x in xs
     }
     assert got == expected
+
+
+def test_weighted_sample_overrepresents_heavy_rows(spark):
+    """A-ES weighted sampling: the drawn sample's mean weight exceeds the
+    population mean (weight-proportional inclusion), keys are valid, and
+    the draw is deterministic across invocations."""
+    from streamroom_bigdata_spark.operators.sampling import weighted_sample
+
+    sf = "/root/testdata/sf0.01"
+    a = weighted_sample(spark, sf).collect()
+    b = weighted_sample(spark, sf).collect()
+    assert [r.o_orderkey for r in a] == [r.o_orderkey for r in b]
+    assert len(a) == 100
+    assert all(0.0 < r.es_key <= 1.0 for r in a)
+    from streamroom_bigdata_spark.sources import load_table
+
+    pop_mean = (
+        load_table(spark, sf, "orders").agg({"o_totalprice": "avg"}).collect()[0][0]
+    )
+    sample_mean = sum(r.o_totalprice for r in a) / len(a)
+    assert sample_mean > pop_mean
