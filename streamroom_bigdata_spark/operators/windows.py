@@ -326,3 +326,43 @@ def event_zscore_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("event_type", "event_id", "value").groupBy(
         "event_type"
     ).applyInPandas(zscore, "event_type string, event_id long, zscore double")
+
+
+rank_surface_ext_oracle = """
+SELECT event_id, event_type,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(event_id) OVER w AS first_id,
+       last_value(event_id) OVER (
+         PARTITION BY event_type ORDER BY value, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_id,
+       nth_value(event_id, 3) OVER (
+         PARTITION BY event_type ORDER BY value, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS third_id
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+@register("rank_surface_extended", rank_surface_ext_oracle)
+def rank_surface_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the W1 ranking surface in one pass: percent_rank,
+    cume_dist, first/last/nth_value — last/nth over the full-partition
+    frame (the default growing frame would return the CURRENT row for
+    last_value, the classic window gotcha). Unique event_id closes the
+    (value) ordering into a total order, so every output is deterministic
+    cross-engine. One event_type-keyed shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return events.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(wf).alias("last_id"),
+        F.nth_value("event_id", 3).over(wf).alias("third_id"),
+    )
