@@ -801,3 +801,38 @@ def salted_join_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_uses"),
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
     )
+
+
+stat_aggregates_oracle = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       round(var_samp(l_quantity), 6) AS qty_var,
+       round(var_samp(l_extendedprice), 2) AS price_var
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("stat_aggregates", stat_aggregates_oracle)
+def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate surface (A6 completion): correlation,
+    sample covariance and variance per group — single-pass streaming
+    moments (Welford-style partials merge associatively, so map-side
+    combine works exactly as for sum/count). corr/covar are RATIOS of
+    centered sums, so accumulation-order noise cancels to ~1e-12 relative
+    and the round-6 outputs are stable cross-engine (unlike the raw
+    sum-then-round sites swept to decimal earlier — skewness/kurtosis are
+    excluded: Spark computes population g1/g2 where DuckDB applies the
+    sample correction, a genuine semantic difference, not noise)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
+    )
