@@ -648,3 +648,26 @@ def ngrams_udtf():
                 yield (i, *window, " ".join(window))
 
     return NGrams
+
+
+token_positions_oracle = """
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT)
+         AS pos,
+       unnest(string_split(text, ' ')) AS tok
+FROM documents
+WHERE doc_id < 100
+"""
+
+
+@register("token_positions", token_positions_oracle)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (F-surface completion): ``posexplode`` emits
+    (pos, tok) preserving array order — the lateral-with-ordinality shape
+    (DuckDB spells it generate_subscripts; WITH ORDINALITY is
+    unimplemented there). Output is token-count-sized; the doc_id filter
+    pushes to the scan."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
