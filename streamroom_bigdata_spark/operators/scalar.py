@@ -332,3 +332,42 @@ def try_cast_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").try_cast("int").alias("type_as_int"),
         F.coalesce(k, F.lit(-1)).alias("k_or_default"),
     )
+
+
+props_map_oracle = """
+WITH kv AS (
+  SELECT event_type, k,
+         CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
+  FROM (
+    SELECT event_type, props, unnest(json_keys(props)) AS k FROM events
+  )
+)
+SELECT event_type, k AS prop_key,
+       count(*) AS n,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS avg_value
+FROM kv
+GROUP BY event_type, k
+"""
+
+
+@register("props_map_explode", props_map_oracle)
+def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (F10 completion): parse the props JSON into a
+    ``map<string,string>``, EXPLODE it into (key, value) rows — generic
+    over whatever keys appear — and aggregate per (event_type, key). The
+    oracle explodes the same maps via json_keys + json_extract_string
+    (DuckDB has no json_each table function). Integer value sums keep the
+    average exact and order-independent."""
+    events = load_table(spark, sf_dir, "events")
+    kv = events.select(
+        "event_type",
+        F.explode(
+            F.from_json("props", "map<string,string>")
+        ).alias("prop_key", "v"),
+    )
+    return kv.groupBy("event_type", "prop_key").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("v").cast("bigint")).cast("double") / F.count("*"), 4
+        ).alias("avg_value"),
+    )
