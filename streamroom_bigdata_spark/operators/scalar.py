@@ -371,3 +371,53 @@ def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v").cast("bigint")).cast("double") / F.count("*"), 4
         ).alias("avg_value"),
     )
+
+
+hof_surface_oracle = """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos,
+       round(CAST(list_aggregate(
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'sum'
+       ) AS DOUBLE), 4) AS l1_norm,
+       round(CAST(list_aggregate(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0), 'sum'
+       ) AS DOUBLE), 4) AS doubled_sum
+FROM embeddings
+WHERE vec_id < 200
+"""
+
+
+@register("hof_surface", hof_surface_oracle)
+def hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface (F-EXT): transform / filter /
+    aggregate lambdas over the embedding arrays — the declarative
+    array-algebra door (Spark HOFs ≡ DuckDB list_* lambdas). Folds run in
+    ARRAY order on both engines, so the float sums are deterministic
+    without decimal tricks (unlike group aggregates, whose partial order
+    is engine-chosen). HOF lambdas evaluate interpreted per element —
+    fine on this cold path; the hot-path vector math lives in
+    functions/vector.py as codegen column algebra (BASELINE.md round-2
+    scorer decision)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return emb.select(
+        "vec_id",
+        F.size(
+            F.filter("embedding", lambda e: e > 0.0)
+        ).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda e: F.abs(e.cast("double"))),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ),
+            4,
+        ).alias("l1_norm"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda e: e.cast("double") * 2.0),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ),
+            4,
+        ).alias("doubled_sum"),
+    )
