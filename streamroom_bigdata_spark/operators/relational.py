@@ -35,8 +35,8 @@ from ..sources import load_table
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                    AS sum_qty,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
            round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
@@ -57,8 +57,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price.cast("decimal(18,6)")).cast("double"), 2).alias("sum_disc_price"),
-            F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")).cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price.cast("decimal(18,6)")), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")), 2).cast("double").alias("sum_charge"),
             F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("l_quantity"), 4).alias("avg_qty"),
             F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count("l_discount"), 4).alias("avg_disc"),
@@ -232,7 +232,7 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "star_join_revenue",
     """
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -271,9 +271,9 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                         "decimal(18,6)"
                     )
-                ).cast("double"),
+                ),
                 2,
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -283,7 +283,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "star_join_bucketed",
     """
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -327,9 +327,9 @@ def star_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                         "decimal(18,6)"
                     )
-                ).cast("double"),
+                ),
                 2,
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -695,8 +695,8 @@ WITH rev AS (
   -- each product to DECIMAL(18,6) before summing makes the sum exact and
   -- order-independent.
   SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS yr,
-         round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+         CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
   FROM {lineitem} l JOIN {orders} o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey

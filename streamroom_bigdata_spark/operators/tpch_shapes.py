@@ -147,3 +147,325 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --- Q7: cross-nation trade volume by ship year ----------------------------
+
+q7_oracle = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS yr,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY supp_nation, cust_nation, yr
+"""
+
+
+@register("q7_volume_shipping", q7_oracle)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape (volume shipping): discounted revenue flowing between every
+    ordered pair of DISTINCT nations, by ship year. Two independent dim
+    chains hang off the fact — supplier→nation on l_suppkey and
+    orders→customer→nation on l_orderkey. All dims are AQE-broadcast, so
+    the only exchange is the final (supp, cust, yr)-keyed aggregate, and
+    map-side partials collapse the fact scan to ≤ |nations|²·|years| rows
+    per task. DECIMAL accumulation of the double product keeps the sum
+    engine-exact (the product itself is one IEEE multiply — deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+# --- Q8: nation market share within a region -------------------------------
+
+q8_oracle = """
+SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+       round(
+         CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18, 6))
+                       ELSE CAST(0 AS DECIMAL(18, 6)) END) AS DOUBLE)
+         / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18, 6))) AS DOUBLE),
+         6) AS mkt_share
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = cn.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+WHERE p.p_type = 'PROMO' AND r.r_name = 'EUROPE'
+GROUP BY yr
+"""
+
+
+@register("q8_market_share", q8_oracle)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (national market share): NATION_3's share of PROMO-part
+    revenue sold into EUROPE, per order year. The share is a conditional
+    sum over the same joined fact — ONE aggregate computes numerator and
+    denominator together (no second scan, no self-join). Selective dim
+    filters (p_type, r_name) reach the dim scans as pushed filters and
+    prune the fact via the broadcast hash joins' runtime side. Both sums
+    are exact DECIMAL; the final divide is one IEEE double op, rounded to
+    stabilize the last ulp across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(r, F.col("cn_region") == F.col("r_regionkey"))
+        .join(s := load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"), li.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --- Q17: small-quantity-order revenue (correlated scalar subquery) --------
+
+q17_oracle = """
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@register("q17_small_qty_revenue", q17_oracle)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (small-quantity revenue): lineitems of one brand whose
+    quantity is below 20% of that part's average quantity. The correlated
+    scalar subquery decorrelates into a per-part aggregate joined back on
+    partkey — expressed directly as groupBy + join, which is exactly the
+    plan a decorrelating optimizer produces. The threshold is computed
+    over ALL lineitems of the part (matching the subquery's scope), and
+    brand filtering happens via the part-dim join. Quantities are
+    integer-valued doubles, so the avg is exact under any summation order
+    — the 0.2× threshold compares identically on both engines.
+
+    100 TB note: the per-part avg shuffles (partkey, partial sum/count)
+    pairs — map-side combine makes that part-sized, and AQE broadcasts the
+    filtered brand dim. One partkey-keyed shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(brand, li.l_partkey == brand.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# --- Q18: large-volume orders (HAVING subquery) ----------------------------
+
+q18_oracle = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c.c_name, o.o_orderkey,
+       CAST(year(o.o_orderdate) AS INT) AS yr,
+       o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o   ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("q18_large_orders", q18_oracle)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (large-volume orders): orders whose total quantity tops
+    250 (≈ the 99th percentile), with their customer. The classic spelling
+    is an IN-subquery with HAVING; the idiomatic plan computes the
+    per-order sums ONCE, filters them (HAVING → post-agg filter), and
+    joins the survivors to orders/customer — the quantity total rides
+    along instead of being recomputed by a second lineitem scan.
+    Quantities are integer-valued doubles → the sum is order-insensitive
+    exact. The HAVING filter cuts the agg output to ~1% of orders before
+    either join, so both joins are broadcast-sized at any SF where orders
+    ≫ survivors."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+# --- Q21: the lone-late-supplier shape (EXISTS + NOT EXISTS) ---------------
+
+# Adapted to the fixture schema: no commit/receipt dates, so "late" is a
+# ship-vs-order-date gap over 365 days. The oracle keeps the textbook
+# EXISTS / NOT EXISTS correlated spelling; the Spark side is the
+# decorrelated one-pass form (per-order supplier/late counts), which is
+# the plan a decorrelating optimizer reaches — same semantics, one fact
+# aggregation instead of three correlated rescans.
+q21_oracle = """
+WITH sl AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM sl t JOIN supplier s ON s.s_suppkey = t.l_suppkey
+WHERE t.late = 1
+  AND EXISTS (SELECT 1 FROM sl u
+              WHERE u.l_orderkey = t.l_orderkey
+                AND u.l_suppkey <> t.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM sl v
+                  WHERE v.l_orderkey = t.l_orderkey
+                    AND v.l_suppkey <> t.l_suppkey AND v.late = 1)
+GROUP BY s.s_name
+"""
+
+
+@register("q21_late_solo_supplier", q21_oracle)
+def q21_late_solo_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): per supplier, how
+    many multi-supplier orders were late SOLELY because of them. The
+    EXISTS ("another supplier participated") and NOT EXISTS ("no other
+    supplier was late") decorrelate into one per-order aggregate over the
+    (order, supplier, late) table: n_supp > 1 ∧ n_late = 1 ∧ I'm-the-late-
+    one. `max(late_supp) when n_late = 1` is well-defined (the max over a
+    single element), so one orderkey-keyed aggregate replaces both
+    correlated subqueries; the supplier-name roll-up is supplier-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late_flag = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"),
+        1,
+    ).otherwise(0)
+    sl = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_flag).alias("late"))
+    )
+    per_order = sl.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    culprits = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    ).select("late_supp")
+    return (
+        culprits.join(s, culprits.late_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
