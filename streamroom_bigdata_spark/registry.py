@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "streamroom_bigdata_spark.operators.multimodal",
     "streamroom_bigdata_spark.operators.behavior",
     "streamroom_bigdata_spark.operators.changes",
+    "streamroom_bigdata_spark.operators.fuzzyjoin",
     "streamroom_bigdata_spark.operators.graph",
     "streamroom_bigdata_spark.operators.tpch_shapes",
     "streamroom_bigdata_spark.operators.quality",
