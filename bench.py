@@ -68,6 +68,10 @@ HEADLINE = [
     "simhash_near_dup",       # L2± fingerprint banding + Hamming verify
     "pagerank_transactions",  # G1 iterative (8 rounds / driver fast path)
     "funnel_conversion",      # B1 behavioral analytics
+    # round-7 second wave (same like-for-like subtraction rule):
+    "q7_volume_shipping",     # Q7 two-dim-chain star, 1 exchange
+    "scd2_type_history",      # SCD2 change compression, exchange-reused windows
+    "rolling_active_users",   # bounded-explode rolling distinct
 ]
 
 SF1_DIR = "/tmp/sf1_synth"

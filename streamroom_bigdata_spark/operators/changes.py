@@ -307,3 +307,76 @@ def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("top_type"), "cnt")
     )
+
+
+# --- Chi-square independence test (categorical association) -----------------
+
+chi_square_oracle = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INT) AS dow,
+         count(*) AS obs
+  FROM events GROUP BY 1, 2
+), rowt AS (
+  SELECT event_type, sum(obs) AS r FROM cells GROUP BY 1
+), colt AS (
+  SELECT dow, sum(obs) AS c FROM cells GROUP BY 1
+), tot AS (
+  SELECT sum(obs) AS n FROM cells
+)
+SELECT ce.event_type, ce.dow, ce.obs,
+       round(CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+             / CAST(t.n AS DOUBLE), 6) AS expected,
+       round(pow(CAST(ce.obs AS DOUBLE)
+                 - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                   / CAST(t.n AS DOUBLE), 2)
+             / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                / CAST(t.n AS DOUBLE)), 6) AS contrib
+FROM cells ce
+JOIN rowt r USING (event_type)
+JOIN colt c USING (dow)
+CROSS JOIN tot t
+"""
+
+
+@register("chi_square_type_dow", chi_square_oracle)
+def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and ISO weekday
+    — the categorical-association check behind seasonality/affinity
+    monitoring. Emits the PER-CELL (observed, expected, (O−E)²/E)
+    contingency table rather than the scalar statistic: the statistic is
+    the trivial sum, the cells show WHERE the dependence lives, and
+    per-cell output sidesteps cross-engine float-summation order entirely
+    (each cell's arithmetic is the identical IEEE expression over
+    identical integer marginals on both engines).
+
+    One event-scan aggregate builds the cell counts; row/column/grand
+    totals are cell-sized re-aggregates broadcast back — nothing after
+    the first aggregate touches event-sized data."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.weekday(F.col("ts").cast("timestamp")).cast("int").alias("dow"),
+    ).agg(F.count("*").alias("obs"))
+    rowt = cells.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    colt = cells.groupBy("dow").agg(F.sum("obs").alias("c"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    expected = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    return (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "dow")
+        .join(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "obs",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("obs").cast("double") - expected, 2) / expected, 6
+            ).alias("contrib"),
+        )
+    )

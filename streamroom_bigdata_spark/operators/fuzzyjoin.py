@@ -14,15 +14,18 @@ i.e. the cross join back again. Interleaved bands mix prefix characters
 with the high-entropy digit positions, so bucket sizes track true
 similarity rather than shared formatting.
 
-Candidate generation reuses the hot-bucket-aware LSH machinery
-(operators/dedup.py lsh_candidate_pairs) with the cap disabled —
-exactness is part of this operator's contract, and on this data the
-candidate volume is output-bound (measured ~2× the true-pair count).
+Exactness is part of this module's contract (no hot-bucket caps): on
+dense ID data the candidate volume is output-bound (measured ~3.6× the
+true-pair count at sf0.1), and the true result is itself large.
 
 Edit-distance variants need shift-tolerant blocking (PassJoin-style
 positional segments) because insertions move characters across band
 boundaries; for equal-length ID/typo workloads Hamming is the right
 semantic and bands stay position-aligned.
+
+Also here: the exact set-similarity join with AllPairs prefix filtering
+(jaccard_prefix_pairs) — same family, token sets instead of character
+positions.
 """
 
 from __future__ import annotations
@@ -217,3 +220,147 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     but over the candidate set (≈2× output), not n²."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return hamming_self_join(cust, "c_custkey", "c_name", HAMMING_K)
+
+
+# --- Exact set-similarity join with prefix filtering (AllPairs) -------------
+
+# Threshold as an exact fraction: float ceil(0.6*n) can land on either side
+# of an integer boundary per engine/build; integer arithmetic can't.
+JAC_T_NUM, JAC_T_DEN = 3, 5  # Jaccard >= 0.6
+JAC_NGRAM = 5
+
+jaccard_prefix_oracle = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {JAC_NGRAM} THEN
+           list_distinct(list_transform(range(0, len(toks) - {JAC_NGRAM - 1}),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                  || ' ' || toks[i+4] || ' ' || toks[i+5]))
+         ELSE [text] END AS sh
+  FROM toks
+), exploded AS (
+  SELECT doc_id, unnest(sh) AS s FROM shingled
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.n_common AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN shingled sa ON i.doc_a = sa.doc_id
+JOIN shingled sb ON i.doc_b = sb.doc_id
+WHERE i.n_common * {JAC_T_DEN}
+      >= (len(sa.sh) + len(sb.sh) - i.n_common) * {JAC_T_NUM}
+"""
+
+
+def jaccard_prefix_self_join(
+    docs: DataFrame,
+    t_num: int = JAC_T_NUM,
+    t_den: int = JAC_T_DEN,
+) -> DataFrame:
+    """Exact Jaccard ≥ t_num/t_den self-join over (doc_id, shingles arrays)
+    using AllPairs PREFIX FILTERING — the refinement over the plain
+    inverted-index join (ngram_jaccard_pairs): instead of pairing on EVERY
+    shared token, order all tokens by ascending document frequency (rare
+    first) and pair only on tokens inside each document's prefix of length
+    n − ⌈t·n⌉ + 1. Lossless: a qualifying pair shares ≥ ⌈t·n⌉ tokens, so
+    the shared set cannot fit entirely in the (⌈t·n⌉ − 1)-sized suffix of
+    either side — with one global order, the smallest shared token lies in
+    BOTH prefixes. Rare-first ordering makes prefix buckets the SMALLEST
+    buckets of the index, attacking exactly the hot-bucket quadratic term
+    (a stopword-shingle bucket never generates candidates unless it is
+    someone's rarest evidence).
+
+    100 TB plan: df-count (token-sized, map-combined) → token-keyed join
+    back → per-doc sort+slice (doc-keyed) → prefix-token self-join →
+    pair-distinct → array_intersect verify on id-joined shingle arrays.
+    All shuffles keyed; candidates are prefix-bucket-bound; the verify is
+    candidate-sized."""
+    n_docs = docs  # (doc_id, sh: array<string>)
+    sized = n_docs.select(
+        "doc_id", "sh", F.size("sh").alias("n")
+    )
+    exploded = sized.select("doc_id", "n", F.explode("sh").alias("s"))
+    df_counts = exploded.groupBy("s").agg(F.count("*").alias("df"))
+    # per-doc prefix: rare-first global order (df, token), length
+    # n - ceil(t*n) + 1 computed in exact integer arithmetic
+    p_len = F.col("n") - F.floor(
+        (F.lit(t_num) * F.col("n") + t_den - 1) / t_den
+    ).cast("int") + 1
+    prefix = (
+        exploded.join(df_counts, "s")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("df", "s"))
+                ),
+                1,
+                p_len,
+            ).alias("pref")
+        )
+        .select(
+            "doc_id", "n", F.explode("pref.s").alias("ptok")
+        )
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # length filter: t*n_a <= n_b (wlog via symmetry both directions)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") * t_den >= F.col("a.n") * t_num)
+            & (F.col("a.n") * t_den >= F.col("b.n") * t_num),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sized.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = sized.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", inter)
+        .filter(F.col("n_common") * t_den >= union * t_num)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double") / union, 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register("jaccard_prefix_pairs", jaccard_prefix_oracle)
+def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with exact 5-gram-shingle Jaccard ≥ 0.6 via AllPairs
+    prefix filtering (see :func:`jaccard_prefix_self_join`). The exact
+    high-threshold twin of the MinHash-LSH scale path (near_dup_pairs) and
+    the prefix-filtered refinement of the full inverted-index join
+    (ngram_jaccard_pairs)."""
+    from .dedup import shingle_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingle_col(JAC_NGRAM).alias("sh")
+    )
+    return jaccard_prefix_self_join(docs)

@@ -91,3 +91,47 @@ def test_long_strings_use_interpreted_fallback_correctly(spark):
         for r in hamming_self_join(df, "id", "s", HAMMING_K).collect()
     }
     assert got == _brute(rows, HAMMING_K)
+
+
+def test_jaccard_prefix_filter_is_lossless(spark):
+    """AllPairs prefix filtering vs brute-force Jaccard on random token
+    sets with planted overlaps — losslessness is the theorem under test
+    (prefix length n - ceil(t*n) + 1, rare-first global order)."""
+    from streamroom_bigdata_spark.operators.fuzzyjoin import (
+        JAC_T_DEN,
+        JAC_T_NUM,
+        jaccard_prefix_self_join,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"tok{i}" for i in range(60)]
+    sets, rows = [], []
+    for i in range(50):
+        base = rng.sample(vocab, rng.randint(4, 14))
+        sets.append((i, set(base)))
+        rows.append((i, sorted(set(base))))
+    # planted: high-overlap copies (drop/add one token)
+    nid = 50
+    for i in range(0, 50, 5):
+        mod = set(rows[i][1])
+        mod.discard(next(iter(mod)))
+        mod.add(rng.choice(vocab))
+        sets.append((nid, mod))
+        rows.append((nid, sorted(mod)))
+        nid += 1
+
+    expected = set()
+    for i, (ida, sa) in enumerate(sets):
+        for idb, sb in sets[i + 1 :]:
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter * JAC_T_DEN >= union * JAC_T_NUM:
+                lo, hi = min(ida, idb), max(ida, idb)
+                expected.add((lo, hi, round(inter / union, 6)))
+
+    df = spark.createDataFrame([Row(doc_id=i, sh=s) for i, s in rows])
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_prefix_self_join(df).collect()
+    }
+    assert got == expected
