@@ -293,3 +293,98 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# --- Market-basket co-occurrence (association mining) -----------------------
+
+market_basket_oracle = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), part_totals AS (
+  SELECT l_partkey, count(*) AS n_part FROM items GROUP BY 1
+), orders_total AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+)
+SELECT p.part_a, p.part_b, p.n_both,
+       round(CAST(p.n_both AS DOUBLE) / CAST(t.n_orders AS DOUBLE), 6)
+         AS support,
+       round(CAST(p.n_both AS DOUBLE) * CAST(t.n_orders AS DOUBLE)
+             / (CAST(ta.n_part AS DOUBLE) * CAST(tb.n_part AS DOUBLE)), 6)
+         AS lift
+FROM pair_counts p
+JOIN part_totals ta ON ta.l_partkey = p.part_a
+JOIN part_totals tb ON tb.l_partkey = p.part_b
+CROSS JOIN orders_total t
+WHERE p.n_both >= 3
+"""
+
+
+@register("market_basket_pairs", market_basket_oracle)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs: parts co-occurring in >= 3 orders,
+    with support (pair frequency) and lift (observed vs independence).
+    The pair enumeration self-joins the deduped (order, part) items on
+    orderkey — work is Σ_orders basket², bounded by the basket size (~7
+    items), i.e. LINEAR in orders, never parts². The min-support filter
+    runs on the pair aggregate BEFORE the lift joins, so the per-part
+    totals join only the surviving pairs; totals and the 1-row order
+    count are broadcast.
+
+    This (counting + two hash joins) is the A-priori support/lift core;
+    at 100 TB the same plan holds because every shuffle is keyed on
+    orderkey or the pair, and hot orders are capped by basket size."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    part_totals = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    ta = part_totals.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    tb = part_totals.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(ta), "part_a")
+        .join(F.broadcast(tb), "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / F.col("n_orders").cast("double"),
+                6,
+            ).alias("support"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -380,3 +380,50 @@ def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contrib"),
         )
     )
+
+
+# --- Month-over-month revenue growth ----------------------------------------
+
+mom_growth_oracle = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE)
+           AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18, 2))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       round(
+         (revenue - lag(revenue) OVER (ORDER BY month))
+         / lag(revenue) OVER (ORDER BY month), 6) AS mom_growth
+FROM monthly
+"""
+
+
+@register("mom_revenue_growth", mom_growth_oracle)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the reporting composite of
+    date_trunc bucketing, exact DECIMAL revenue, and a lag ratio. The
+    growth window is UNPARTITIONED by design: its input is the monthly
+    aggregate (month-count-bounded — ~80 rows for the fixture's 7-year
+    span, ≤ a few thousand for any real horizon), so one task holding the
+    whole relation is the bounded-case exception the plan audit
+    allowlists, same as ntile_quartiles. The event-sized work (the
+    aggregate) is fully parallel."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+        .cast("date")
+        .alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )

@@ -421,3 +421,36 @@ def hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("doubled_sum"),
     )
+
+
+# --- LISTAGG / string_agg surface -------------------------------------------
+
+listagg_oracle = """
+SELECT n.n_name,
+       string_agg(s.s_name, ',' ORDER BY s.s_name) AS supplier_csv,
+       count(*) AS n_suppliers
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("listagg_suppliers", listagg_oracle)
+def listagg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg parity: per-nation CSV of supplier names in a
+    DETERMINISTIC order. collect_list's element order is partition-arrival
+    order (nondeterministic under retries/AQE), so the portable spelling
+    sorts the collected array before joining — same contract as SQL's
+    string_agg(... ORDER BY). Group state is bounded by suppliers-per-
+    nation; for unbounded groups prefer exploded rows over giant strings."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias(
+                "supplier_csv"
+            ),
+            F.count("*").alias("n_suppliers"),
+        )
+    )

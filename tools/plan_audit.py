@@ -36,6 +36,9 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     "ntile_quartiles": 1,
     "recommend_rooms": 1,
     "recommend_rmse": 1,
+    # lag over the monthly aggregate: input is month-count-bounded (~80
+    # rows/decade), the event-sized aggregate below it is fully parallel
+    "mom_revenue_growth": 1,
 }
 
 HEADER = (
