@@ -36,10 +36,10 @@ WITH ordered AS (
 )
 SELECT user_id, event_type, valid_from_ms,
        lead(valid_from_ms) OVER (
-         PARTITION BY user_id ORDER BY valid_from_ms
+         PARTITION BY user_id ORDER BY valid_from_ms, event_type
        ) AS valid_to_ms,
        CAST(lead(valid_from_ms) OVER (
-         PARTITION BY user_id ORDER BY valid_from_ms
+         PARTITION BY user_id ORDER BY valid_from_ms, event_type
        ) IS NULL AS INT) AS is_current
 FROM changes
 """
@@ -76,7 +76,10 @@ def scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_ms("ts").alias("valid_from_ms"),
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from_ms")
+    # event_type tiebreaker: two change rows CAN share a millisecond (A→B→A
+    # within one ms); their types necessarily differ, so (ms, type) is a
+    # total order and lead() is deterministic on both engines
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_ms", "event_type")
     valid_to = F.lead("valid_from_ms").over(w2)
     return changes.select(
         "user_id",
