@@ -367,9 +367,12 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = part_totals.select(
         F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
     )
+    # ta/tb are PART-cardinality — small here, but 10^7+ rows at real
+    # scale; no forced broadcast, AQE decides from the measured size.
+    # n_orders is one row at any scale — that hint is justified.
     return (
-        pair_counts.join(F.broadcast(ta), "part_a")
-        .join(F.broadcast(tb), "part_b")
+        pair_counts.join(ta, "part_a")
+        .join(tb, "part_b")
         .join(F.broadcast(n_orders))
         .select(
             "part_a",

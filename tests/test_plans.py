@@ -117,6 +117,16 @@ _ALLOWED_FACT_BROADCASTS = {
     "embedding_near_dup": 1,
     # Misra-Gries candidates: ≤ partitions × capacity rows by construction
     "heavy_hitter_tokens": 1,
+    # round-7 second wave — every broadcast side is an aggregate bounded
+    # by an enum-sized key domain or a single row, at ANY data scale:
+    # chi-square marginals: event_type-sized + 7-weekday-sized + 1-row N
+    "chi_square_type_dow": 3,
+    # PSI: 1-row epoch bounds + 1-row totals (+ the bounds join reused)
+    "drift_psi_event_types": 3,
+    # market basket: 1-row order count (part totals deliberately unhinted)
+    "market_basket_pairs": 1,
+    # rolling actives: observed-day list (calendar-bounded)
+    "rolling_active_users": 1,
 }
 
 
