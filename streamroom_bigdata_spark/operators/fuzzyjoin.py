@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -259,62 +259,56 @@ WHERE i.n_common * {JAC_T_DEN}
 
 
 def jaccard_prefix_self_join(
-    docs: DataFrame,
+    tokens: DataFrame,
     t_num: int = JAC_T_NUM,
     t_den: int = JAC_T_DEN,
 ) -> DataFrame:
-    """Exact Jaccard ≥ t_num/t_den self-join over (doc_id, shingles arrays)
-    using AllPairs PREFIX FILTERING — the refinement over the plain
-    inverted-index join (ngram_jaccard_pairs): instead of pairing on EVERY
-    shared token, order all tokens by ascending document frequency (rare
-    first) and pair only on tokens inside each document's prefix of length
-    n − ⌈t·n⌉ + 1. Lossless: a qualifying pair shares ≥ ⌈t·n⌉ tokens, so
-    the shared set cannot fit entirely in the (⌈t·n⌉ − 1)-sized suffix of
-    either side — with one global order, the smallest shared token lies in
-    BOTH prefixes. Rare-first ordering makes prefix buckets the SMALLEST
-    buckets of the index, attacking exactly the hot-bucket quadratic term
-    (a stopword-shingle bucket never generates candidates unless it is
+    """Exact Jaccard ≥ t_num/t_den self-join over DISTINCT (doc_id, s)
+    token rows, using AllPairs PREFIX FILTERING — the refinement over the
+    plain inverted-index join (ngram_jaccard_pairs): order all tokens by
+    ascending document frequency (rare first) and pair only on tokens
+    inside each document's prefix of length n − ⌈t·n⌉ + 1. Lossless: a
+    qualifying pair shares ≥ ⌈t·n⌉ tokens, so the shared set cannot fit
+    entirely in the (⌈t·n⌉ − 1)-sized suffix of either side — with one
+    global order, the smallest shared token lies in BOTH prefixes.
+    Rare-first ordering makes prefix buckets the SMALLEST buckets of the
+    index, attacking exactly the hot-bucket quadratic term (a
+    stopword-shingle bucket never generates candidates unless it is
     someone's rarest evidence).
 
-    100 TB plan: df-count (token-sized, map-combined) → token-keyed join
-    back → per-doc sort+slice (doc-keyed) → prefix-token self-join →
-    pair-distinct → array_intersect verify on id-joined shingle arrays.
-    All shuffles keyed; candidates are prefix-bucket-bound; the verify is
-    candidate-sized."""
-    n_docs = docs  # (doc_id, sh: array<string>)
-    sized = n_docs.select(
-        "doc_id", "sh", F.size("sh").alias("n")
-    )
-    exploded = sized.select("doc_id", "n", F.explode("sh").alias("s"))
-    df_counts = exploded.groupBy("s").agg(F.count("*").alias("df"))
-    # per-doc prefix: rare-first global order (df, token), length
-    # n - ceil(t*n) + 1 computed in exact integer arithmetic
+    The interface is FLAT (exploded token rows, not per-doc arrays), and
+    so is every stage: df counts and doc sizes are aggregates, the
+    prefix is a doc-keyed row_number window (no collect_list /
+    array_sort), and the verify is a join-count over the candidates'
+    token rows (no array_intersect). An earlier array-based formulation
+    spent 22 s warm at sf0.1 INSIDE the interpreted array lambdas and
+    single-split shingle build; this one holds whole-stage codegen
+    end-to-end. All shuffles are token- or doc-keyed; candidates are
+    prefix-bucket-bound; verify work is Σ|candidate docs' tokens|."""
+    ex = tokens  # distinct (doc_id, s) rows
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_counts = ex.groupBy("s").agg(F.count("*").alias("df"))
     p_len = F.col("n") - F.floor(
         (F.lit(t_num) * F.col("n") + t_den - 1) / t_den
     ).cast("int") + 1
-    prefix = (
-        exploded.join(df_counts, "s")
-        .groupBy("doc_id", "n")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct("df", "s"))
-                ),
-                1,
-                p_len,
-            ).alias("pref")
-        )
-        .select(
-            "doc_id", "n", F.explode("pref.s").alias("ptok")
+    ranked = (
+        ex.join(df_counts, "s")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
         )
     )
+    prefix = ranked.filter(F.col("r") <= p_len).select("doc_id", "n", "s")
     a, b = prefix.alias("a"), prefix.alias("b")
-    # length filter: t*n_a <= n_b (wlog via symmetry both directions)
     cand = (
         a.join(
             b,
-            (F.col("a.ptok") == F.col("b.ptok"))
+            (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: compatible sizes can't differ by more than t
             & (F.col("b.n") * t_den >= F.col("a.n") * t_num)
             & (F.col("a.n") * t_den >= F.col("b.n") * t_num),
         )
@@ -324,22 +318,21 @@ def jaccard_prefix_self_join(
         )
         .distinct()
     )
-    sa = sized.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        F.col("n").alias("n_a"),
+    # verify: |A∩B| as a join-count over the candidates' token rows
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
     )
-    sb = sized.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-        F.col("n").alias("n_b"),
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     union = F.col("n_a") + F.col("n_b") - F.col("n_common")
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_common", inter)
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .filter(F.col("n_common") * t_den >= union * t_num)
         .select(
             "doc_a",
@@ -357,10 +350,31 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix filtering (see :func:`jaccard_prefix_self_join`). The exact
     high-threshold twin of the MinHash-LSH scale path (near_dup_pairs) and
     the prefix-filtered refinement of the full inverted-index join
-    (ngram_jaccard_pairs)."""
-    from .dedup import shingle_col
+    (ngram_jaccard_pairs).
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingle_col(JAC_NGRAM).alias("sh")
+    Shingles are built in the dedup module's explode-first codegen
+    formulation (position explode + flat concat — HOF transform lambdas
+    are interpreted per element), deduped per doc, with the same
+    input-split parallelism guard (the fixture parquet is one row
+    group)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_default = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n_default:
+        docs = docs.repartition(n_default, "doc_id")
+    toks = docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+    n = JAC_NGRAM
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array(F.lit(-1)))
+    s = F.when(
+        F.col("i") >= 0,
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)]
+        ),
+    ).otherwise(F.col("text"))
+    tokens = (
+        toks.select("doc_id", "text", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", s.alias("s"))
+        .distinct()
     )
-    return jaccard_prefix_self_join(docs)
+    return jaccard_prefix_self_join(tokens)

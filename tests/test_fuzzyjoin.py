@@ -129,9 +129,11 @@ def test_jaccard_prefix_filter_is_lossless(spark):
                 lo, hi = min(ida, idb), max(ida, idb)
                 expected.add((lo, hi, round(inter / union, 6)))
 
-    df = spark.createDataFrame([Row(doc_id=i, sh=s) for i, s in rows])
+    tokens = spark.createDataFrame(
+        [Row(doc_id=i, s=tok) for i, toks in rows for tok in toks]
+    )
     got = {
         (r.doc_a, r.doc_b, r.jaccard)
-        for r in jaccard_prefix_self_join(df).collect()
+        for r in jaccard_prefix_self_join(tokens).collect()
     }
     assert got == expected
