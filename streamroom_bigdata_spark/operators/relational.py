@@ -201,6 +201,39 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey,
+             'retailprice' AS metric, p_retailprice AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    ) t
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of pivot_status): wide measure columns
+    to long (key, metric, value) rows via ``DataFrame.unpivot`` — the
+    Spark 3.4+ native operator, which generates an Expand node (each input
+    row emitted once per measure inside the scan stage, no join, no
+    shuffle). The oracle spells it as the portable UNION ALL; DuckDB's
+    UNPIVOT syntax sugar expands to the same shape. Values are cast to a
+    common type up front — unpivot requires it and implicit casts differ
+    per engine."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
     "approx_distinct",
     """
     SELECT o_orderstatus,
