@@ -617,3 +617,63 @@ def cosine_to_anchor_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine_to_anchor"
         ),
     )
+
+
+@register(
+    "vector_norms_arrow",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def vector_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms through ``mapInArrow`` (D-surface completion): the
+    zero-copy sibling of mapInPandas — the UDF receives raw
+    ``pyarrow.RecordBatch``es, skipping the Arrow→pandas Series
+    conversion entirely (list columns become ListArray offsets + one flat
+    values buffer, not per-row Python lists).
+
+    Precision contract: per-row sums come from DIFFERENCES OF A
+    SEQUENTIAL PREFIX SUM over the flat buffer. That is not bit-identical
+    to a per-row left fold (the prefix accumulates across rows, and the
+    subtraction cancels), but the absolute error is bounded by
+    prefix-magnitude × ulp ≈ 1e-11 for 10k-row batches — five orders
+    below the round(…, 6) the oracle hash compares at. numpy's default
+    ``sum``/``dot`` (pairwise/SIMD grouping) would carry the same class
+    of sub-round noise; the prefix form is chosen because it vectorizes
+    the ragged rows in one pass. Agreement with the codegen twin
+    (``vector_norms``) is the test; the shared DuckDB oracle is the
+    arbiter."""
+    import pyarrow as pa_mod
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+
+    def norms(batches):
+        for batch in batches:
+            tbl = pa_mod.Table.from_batches([batch]).combine_chunks()
+            col = tbl.column("emb").chunk(0)
+            flat = np.asarray(col.values, dtype=np.float64)
+            offsets = np.asarray(col.offsets, dtype=np.int64)
+            widths = np.diff(offsets)
+            sq = flat * flat
+            # per-row sums without materializing row Python objects:
+            # sequential prefix sum of the flat buffer, differenced at the
+            # row boundaries (error ≪ the 1e-6 output round; see docstring)
+            csum = np.concatenate(([0.0], np.add.accumulate(sq)))
+            norm = np.sqrt(csum[offsets[1:]] - csum[offsets[:-1]])
+            # guard: ragged rows are fine (offsets-driven), empty rows → 0
+            norm = np.where(widths > 0, norm, 0.0)
+            yield pa_mod.RecordBatch.from_arrays(
+                [
+                    tbl.column("vec_id").chunk(0),
+                    tbl.column("label").chunk(0),
+                    pa_mod.array(np.round(norm, 6), type=pa_mod.float64()),
+                ],
+                names=["vec_id", "label", "l2_norm"],
+            )
+
+    return emb.mapInArrow(norms, "vec_id long, label int, l2_norm double")

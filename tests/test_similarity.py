@@ -252,3 +252,26 @@ def test_semantic_dedup_clusters_consistent_with_pair_graph(spark, sf_dir):
     comps = {rep for rep, _ in labels.values()}
     keeps = {v for v, (rep, keep) in labels.items() if keep}
     assert keeps == comps
+
+
+def test_arrow_and_codegen_norms_agree(spark):
+    """mapInArrow twin returns the same rounded norms as the HOF/codegen
+    vector_norms path (shared DuckDB oracle is the cross-engine arbiter;
+    this pins the two in-repo paths to each other)."""
+    from streamroom_bigdata_spark.operators.similarity import (
+        vector_norms,
+        vector_norms_arrow,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {
+        (r.vec_id, r.label, r.l2_norm)
+        for r in vector_norms_arrow(spark, sf).collect()
+    }
+    b = {
+        (r.vec_id, r.label, r.l2_norm)
+        for r in vector_norms(spark, sf).select(
+            "vec_id", "label", "l2_norm"
+        ).collect()
+    }
+    assert a == b
