@@ -244,3 +244,72 @@ def test_incremental_agg_matches_recompute(spark, tmp_path):
     want = {(r.grp, r.n, r.sx) for r in recomputed.collect()}
     assert got == want
     assert not any(r[0] == "c" for r in got)  # emptied group dropped
+
+
+def test_incremental_join_matches_recompute(spark, tmp_path):
+    """Maintaining V = orders ⋈ customers under change feeds on BOTH
+    sides (inserts, updates, deletes, including changes to both sides in
+    the same commit window) must equal recomputing the join from the new
+    generations — the δA⋈B + A⋈δB + δA⋈δB signed delta rule."""
+    ad = str(tmp_path / "orders")
+    bd = str(tmp_path / "custs")
+    a0 = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 2.0), (4, 30, 9.0)],
+        "oid long, cid long, amt double",
+    )
+    b0 = spark.createDataFrame(
+        [(10, "gold"), (20, "silver"), (40, "bronze")],
+        "cid long, tier string",
+    )
+    mt.manifest_write(spark, ad, a0)
+    mt.manifest_write(spark, bd, b0)
+
+    view = mt.manifest_read(spark, ad).join(mt.manifest_read(spark, bd), "cid")
+
+    # window 1: both sides change together — order update (2: amt 7->8),
+    # order insert referencing an ALSO-new customer (5 -> cid 40... and a
+    # customer update (10 gold->plat) touching existing orders, plus a
+    # customer delete (20) that kills order 3's pair, and an order delete (4)
+    mt.manifest_upsert(
+        spark, ad,
+        spark.createDataFrame([(2, 10, 8.0), (5, 40, 1.0)],
+                              "oid long, cid long, amt double"),
+        "oid",
+    )
+    mt.manifest_delete(spark, ad, spark.createDataFrame([(4,)], "oid long"), "oid")
+    mt.manifest_upsert(
+        spark, bd,
+        spark.createDataFrame([(10, "plat")], "cid long, tier string"),
+        "cid",
+    )
+    mt.manifest_delete(spark, bd, spark.createDataFrame([(20,)], "cid long"), "cid")
+
+    a_to = mt.manifest_generation(spark, ad)
+    b_to = mt.manifest_generation(spark, bd)
+    maintained = mt.manifest_incremental_join(
+        spark, ad, bd, view, 0, a_to, 0, b_to, ["cid"]
+    )
+    recomputed = mt.manifest_read(spark, ad).join(
+        mt.manifest_read(spark, bd), "cid"
+    )
+    cols = sorted(recomputed.columns)
+    got = {tuple(r[c] for c in cols) for r in maintained.collect()}
+    want = {tuple(r[c] for c in cols) for r in recomputed.collect()}
+    assert got == want
+
+    # window 2: maintain AGAIN on top of the maintained view (chaining)
+    mt.manifest_upsert(
+        spark, ad,
+        spark.createDataFrame([(6, 40, 3.0)], "oid long, cid long, amt double"),
+        "oid",
+    )
+    a_to2 = mt.manifest_generation(spark, ad)
+    maintained2 = mt.manifest_incremental_join(
+        spark, ad, bd, maintained, a_to, a_to2, b_to, b_to, ["cid"]
+    )
+    recomputed2 = mt.manifest_read(spark, ad).join(
+        mt.manifest_read(spark, bd), "cid"
+    )
+    got2 = {tuple(r[c] for c in cols) for r in maintained2.collect()}
+    want2 = {tuple(r[c] for c in cols) for r in recomputed2.collect()}
+    assert got2 == want2
