@@ -391,3 +391,144 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event transition matrix (sequence mining)
+# ---------------------------------------------------------------------------
+
+markov_oracle = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_trans,
+       round(CAST(n_trans AS DOUBLE) /
+             CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE),
+             6) AS p_next
+FROM pairs
+"""
+
+
+@register("markov_transitions", markov_oracle)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (sequence mining): P(next event type | previous event type).
+
+    One user_id-keyed shuffle produces the lag pairs (the same exchange
+    shape as sessionization); the transition counts then collapse to a
+    types²-sized aggregate, and the row-normalization window runs over
+    that tiny output — its cost is independent of the event count. The
+    ordering ties on equal timestamps are broken by the unique event_id,
+    so the lag sequence (hence the exact counts) is deterministic on both
+    engines. At 100 TB: shuffle #1 scales with events (unavoidable — the
+    sequence lives per user), everything after is O(|types|^2)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_trans"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(wp).cast("double"),
+            6,
+        ).alias("p_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment read-out (two-proportion z-test)
+# ---------------------------------------------------------------------------
+
+_ARM_SQL = "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2"
+
+ab_test_oracle = f"""
+WITH arms AS (
+  SELECT sum(CASE WHEN {_ARM_SQL} = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN {_ARM_SQL} = 1 THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN {_ARM_SQL} = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS conv_a,
+         sum(CASE WHEN {_ARM_SQL} = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS conv_b
+  FROM events
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       round(
+         (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / sqrt(
+             (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+           ),
+         6) AS z_score
+FROM arms
+"""
+
+
+@register("ab_test_proportions", ab_test_oracle)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic hash-split experiment:
+    exposure units are assigned to arm A/B by the portable md5 hash of
+    the event id (the same split every engine reproduces — no RNG state
+    to ship), success = the event converting to a 'purchase', and the
+    read-out is the pooled two-proportion z statistic. (Per-user
+    assignment is the production norm; on this fixture every user fires
+    every event type, so the per-unit split is what keeps 0 < p < 1 —
+    swap the hash column for user_id to cluster-randomize.)
+
+    Plan shape: ONE single-row conditional aggregate holds all four
+    counts — map-side partials collapse the scan to one row per task, and
+    the z algebra runs on that row, so both engines do identical double
+    arithmetic on identical integers and the value hash matches exactly.
+    At 100 TB there is no shuffle of data at all: a billion events reduce
+    to ONE row before any statistics happen."""
+    from ..functions.hashing import portable_hash64
+
+    events = load_table(spark, sf_dir, "events")
+    arm = F.pmod(portable_hash64(F.col("event_id").cast("string")), F.lit(2))
+    is_conv = F.col("event_type") == "purchase"
+    arms = events.agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when((arm == 0) & is_conv, 1).otherwise(0)).alias("conv_a"),
+        F.sum(F.when((arm == 1) & is_conv, 1).otherwise(0)).alias("conv_b"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    conv_a = F.col("conv_a").cast("double")
+    conv_b = F.col("conv_b").cast("double")
+    pooled = (conv_a + conv_b) / (n_a + n_b)
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(conv_a / n_a, 6).alias("rate_a"),
+        F.round(conv_b / n_b, 6).alias("rate_b"),
+        F.round(
+            (conv_a / n_a - conv_b / n_b)
+            / F.sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b)),
+            6,
+        ).alias("z_score"),
+    )

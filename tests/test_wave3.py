@@ -1,0 +1,127 @@
+"""Round-7 third-wave operators: winnowing fingerprints, FastSS ED<=1
+join, Markov transitions, A/B z-test.
+
+The DuckDB oracles already pin exact results on the fixtures; these tests
+pin the ALGORITHMIC guarantees the fixtures can't exercise — the winnowing
+detection theorem on planted shared runs, and FastSS losslessness on
+insert/delete pairs (every c_name has the same length, so the registered
+query only ever sees substitutions).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.operators.fuzzyjoin import ed1_self_join
+from streamroom_bigdata_spark.operators.text import (
+    WINNOW_K,
+    WINNOW_W,
+    _with_winnow_fps,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_winnowing_detects_planted_shared_run(spark):
+    """Winnowing theorem: any shared substring of length >= w + k - 1
+    yields at least one common fingerprint, wherever it sits."""
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    shared = "".join(rng.choice(alphabet) for _ in range(WINNOW_K + WINNOW_W - 1))
+    rows = []
+    for doc_id in range(20):
+        pre = "".join(rng.choice(alphabet) for _ in range(rng.randint(20, 120)))
+        post = "".join(rng.choice(alphabet) for _ in range(rng.randint(20, 120)))
+        rows.append((doc_id, pre + shared + post))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in _with_winnow_fps(df).select("doc_id", "fps").collect()
+    }
+    common = set.intersection(*fps.values())
+    assert common, "planted shared run must produce a shared fingerprint"
+
+
+def test_winnowing_density(spark):
+    """Selected fingerprints are a small fraction of the gram count
+    (expected ~2/(w+1) before dedup) — the compression that makes the
+    index shippable."""
+    rng = random.Random(11)
+    text = "".join(rng.choice("abcdefgh ") for _ in range(2000))
+    df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    row = _with_winnow_fps(df).select(F.size("fps").alias("n")).collect()[0]
+    n_grams = len(text) - WINNOW_K + 1
+    assert row["n"] < n_grams * 0.75
+
+
+def test_ed1_join_lossless_with_insertions(spark):
+    """FastSS blocking finds EVERY ED<=1 pair on a workload with
+    substitutions, insertions, and deletions (brute force is the truth)."""
+    rng = random.Random(3)
+    base = [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(4, 9)))
+        for _ in range(40)
+    ]
+    mutated = []
+    for s in base:
+        p = rng.randrange(len(s))
+        mutated.append(s[:p] + rng.choice("abcde") + s[p:])      # insertion
+        mutated.append(s[:p] + s[p + 1 :])                        # deletion
+        mutated.append(s[:p] + rng.choice("xyz") + s[p + 1 :])    # substitution
+    names = sorted(set(base + mutated) - {""})
+    df = spark.createDataFrame([(s,) for s in names], "s string")
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in ed1_self_join(df, "s").collect()
+    }
+    want = {
+        (a, b, _levenshtein(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if _levenshtein(a, b) <= 1
+    }
+    assert got == want
+
+
+def test_markov_rows_normalize(spark):
+    from streamroom_bigdata_spark.operators.behavior import markov_transitions
+
+    out = markov_transitions(spark, SF)
+    sums = (
+        out.groupBy("prev_type")
+        .agg(F.sum("p_next").alias("s"), F.sum("n_trans").alias("n"))
+        .collect()
+    )
+    assert sums
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-4, r
+
+
+def test_ab_test_counts_consistent(spark):
+    from streamroom_bigdata_spark.operators.behavior import ab_test_proportions
+
+    row = ab_test_proportions(spark, SF).collect()[0]
+    total = (
+        spark.read.parquet(f"{SF}/events.parquet").count()
+    )
+    assert row["n_a"] + row["n_b"] == total
+    assert 0 < row["conv_a"] < row["n_a"]
+    assert 0 < row["conv_b"] < row["n_b"]
+    assert row["z_score"] is not None
