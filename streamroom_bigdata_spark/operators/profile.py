@@ -87,3 +87,141 @@ def union_sketch_estimate(sketches: DataFrame) -> DataFrame:
     return sketches.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (point-query frequency estimation)
+# ---------------------------------------------------------------------------
+
+#: sketch depth (independent hash rows) and width (buckets per row).
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+#: tokens whose frequency the registered query estimates (the point
+#: queries); estimates are compared against the exact counts in-plan.
+CMS_QUERY_TOKENS = ("join", "hash", "vector", "stream", "window", "spark")
+
+_CMS_TOKENS_SQL = ", ".join(f"'{t}'" for t in CMS_QUERY_TOKENS)
+
+
+def _cms_bucket_sql(expr: str, seed: int) -> str:
+    from ..functions.hashing import sql_hash64
+
+    seeded = f"concat('s{seed}:', {expr})"
+    return f"({sql_hash64(seeded)} % {CMS_WIDTH})"
+
+
+count_min_oracle = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), cells AS (
+  SELECT u.seed,
+         CASE u.seed
+           {" ".join(f"WHEN {s} THEN {_cms_bucket_sql('tok', s)}" for s in range(CMS_DEPTH))}
+         END AS bucket,
+         count(*) AS cell
+  FROM toks, (SELECT unnest([{", ".join(str(s) for s in range(CMS_DEPTH))}]) AS seed) u
+  GROUP BY u.seed, bucket
+), queries AS (
+  SELECT q.tok, s.seed,
+         CASE s.seed
+           {" ".join(f"WHEN {s} THEN {_cms_bucket_sql('q.tok', s)}" for s in range(CMS_DEPTH))}
+         END AS bucket
+  FROM (SELECT unnest([{_CMS_TOKENS_SQL}]) AS tok) q,
+       (SELECT unnest([{", ".join(str(s) for s in range(CMS_DEPTH))}]) AS seed) s
+), est AS (
+  SELECT q.tok, min(c.cell) AS est_count
+  FROM queries q JOIN cells c ON c.seed = q.seed AND c.bucket = q.bucket
+  GROUP BY q.tok
+), truth AS (
+  SELECT tok, count(*) AS true_count FROM toks
+  WHERE tok IN ({_CMS_TOKENS_SQL})
+  GROUP BY tok
+)
+SELECT t.tok, t.true_count, e.est_count,
+       e.est_count - t.true_count AS overestimate
+FROM truth t JOIN est e USING (tok)
+"""
+
+
+@register("count_min_tokens", count_min_oracle)
+def count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over the token stream
+    (Cormode/Muthukrishnan): DEPTH independent portable-hash rows of
+    WIDTH counters; a point query reads one counter per row and takes the
+    min — overestimate-only error bounded by ~2N/WIDTH with probability
+    1 - 2^-DEPTH.
+
+    The sketch is DETERMINISTIC given the hash family, so the whole
+    operator (build + point queries + comparison against exact counts) is
+    DuckDB-oracle-checkable — unlike HLL, whose estimator is engine-
+    specific (that one is property-tested instead, see
+    distinct_sketch_by_group).
+
+    Scale: the build is one (seed, bucket)-keyed aggregate over the
+    exploded tokens — map-side partials collapse every task's stream to
+    <= DEPTH×WIDTH cells, the exchange carries only those partials, and
+    the finished sketch is a 1024-row relation ANY stream size reduces
+    to (the mergeability that makes it a streaming/pre-agg natural).
+    Point queries broadcast-join the sketch."""
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    def bucket(col, seed: int):
+        return F.pmod(
+            portable_hash64(F.concat(F.lit(f"s{seed}:"), col)),
+            F.lit(CMS_WIDTH),
+        )
+
+    seeded = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        bucket(F.col("tok"), s).alias("bucket"),
+                    )
+                    for s in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("sb")
+    ).select("sb.seed", "sb.bucket")
+    cells = seeded.groupBy("seed", "bucket").agg(F.count("*").alias("cell"))
+
+    q_rows = [
+        (tok, s)
+        for tok in CMS_QUERY_TOKENS
+        for s in range(CMS_DEPTH)
+    ]
+    queries = docs.sparkSession.createDataFrame(
+        q_rows, "tok string, seed int"
+    )
+    # per-seed bucket must use the row's own seed: branch via CASE
+    bucket_expr = None
+    for s in range(CMS_DEPTH):
+        clause = bucket(F.col("tok"), s)
+        bucket_expr = (
+            F.when(F.col("seed") == s, clause)
+            if bucket_expr is None
+            else bucket_expr.when(F.col("seed") == s, clause)
+        )
+    queries = queries.select("tok", "seed", bucket_expr.alias("bucket"))
+
+    est = (
+        queries.join(cells, ["seed", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cell").alias("est_count"))
+    )
+    truth = (
+        toks.filter(F.col("tok").isin(*CMS_QUERY_TOKENS))
+        .groupBy("tok")
+        .agg(F.count("*").alias("true_count"))
+    )
+    return truth.join(est, "tok").select(
+        "tok",
+        "true_count",
+        "est_count",
+        (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+    )

@@ -125,3 +125,79 @@ def test_ab_test_counts_consistent(spark):
     assert 0 < row["conv_a"] < row["n_a"]
     assert 0 < row["conv_b"] < row["n_b"]
     assert row["z_score"] is not None
+
+
+def test_bm25_matches_python_reference(spark):
+    """Exact replication: BM25 top-k recomputed in pure Python from the
+    token lists must equal the distributed result (scores to 6 dp)."""
+    import math
+
+    from streamroom_bigdata_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        BM25_TOPK,
+        QUERY_TERMS,
+        bm25_search,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in QUERY_TERMS
+    }
+    scores = {}
+    for doc_id, toks in docs.items():
+        s = 0.0
+        for t in QUERY_TERMS:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks) / avgdl)
+            )
+        if s > 0:
+            scores[doc_id] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+    got = [
+        (r["doc_id"], r["score"]) for r in bm25_search(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_rrf_fuses_both_modalities(spark):
+    from streamroom_bigdata_spark.operators.retrieval import (
+        RRF_TOPK,
+        rrf_hybrid_search,
+    )
+
+    rows = rrf_hybrid_search(spark, SF).collect()
+    assert len(rows) == RRF_TOPK
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a doc present in both top-100 lists scores at least 2/(60+100)
+    assert scores[0] > 1.0 / 160
+
+
+def test_count_min_overestimates_only(spark):
+    from streamroom_bigdata_spark.operators.profile import (
+        CMS_WIDTH,
+        count_min_tokens,
+    )
+
+    rows = count_min_tokens(spark, SF).collect()
+    assert rows
+    total_tokens = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split("text", " ")))
+        .count()
+    )
+    for r in rows:
+        assert r["overestimate"] >= 0, r
+        # CMS error bound: overestimate <= 2N/w with prob 1 - 2^-depth;
+        # allow 4x slack so the test never flakes on the fixture
+        assert r["overestimate"] <= 4 * 2 * total_tokens / CMS_WIDTH, r
