@@ -72,6 +72,9 @@ HEADLINE = [
     "q7_volume_shipping",     # Q7 two-dim-chain star, 1 exchange
     "scd2_type_history",      # SCD2 change compression, exchange-reused windows
     "rolling_active_users",   # bounded-explode rolling distinct
+    # round-7 third wave (same like-for-like subtraction rule):
+    "bm25_search",            # IR1 ranked retrieval (posting-list tf + top-k)
+    "winnow_overlap_pairs",   # WIN2 contamination pairs (fp equi-join, df cap)
 ]
 
 SF1_DIR = "/tmp/sf1_synth"

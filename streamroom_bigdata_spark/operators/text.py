@@ -677,105 +677,127 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Winnowing (MOSS-style local fingerprints) — contamination detection
 # ---------------------------------------------------------------------------
 
-#: k-gram width (characters) and winnowing window (grams). Any shared
-#: substring of length >= WINNOW_W + WINNOW_K - 1 chars is GUARANTEED to
-#: contribute at least one common fingerprint (the winnowing theorem).
-WINNOW_K = 12
+#: shingle width (TOKENS) and winnowing window (shingles). Any shared run
+#: of >= WINNOW_K + WINNOW_W - 1 consecutive tokens is GUARANTEED to
+#: contribute at least one common fingerprint (the winnowing theorem) —
+#: the token-n-gram overlap protocol LLM decontamination uses (GPT-3's
+#: 13-gram spelling), with winnowing compressing the index ~2/(w+1).
+WINNOW_K = 5
 WINNOW_W = 4
 
 #: fingerprints appearing in more than this many documents are boilerplate
-#: (the char-gram analogue of stopwords) and are excluded from pairing.
+#: (the shingle analogue of stopwords) and are excluded from pairing.
 WINNOW_MAX_DF = 50
 #: minimum shared fingerprints for a reported overlap pair.
-WINNOW_MIN_SHARED = 8
+WINNOW_MIN_SHARED = 3
 
-_GRAMS_SQL = f"""
-  list_transform(generate_series(1, length(text) - {WINNOW_K - 1}),
-                 i -> {sql_hash_mod(f"substr(text, i, {WINNOW_K})")})
-"""
-
-_FPS_SQL = f"""
-  list_distinct(
-    list_transform(generate_series(1, len(grams) - {WINNOW_W - 1}),
-                   j -> list_min(grams[j:j+{WINNOW_W - 1}])))
+# shared long-format fingerprint CTE: shingle starts exploded per doc,
+# hashed flat, sliding-window min per position, distinct per doc. The
+# window frame is ROWS [CURRENT, W-1 FOLLOWING] in BOTH engines, so the
+# trailing partial windows select identical suffix minima.
+_FP_ROWS_SQL = f"""
+  toks AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  ), sh AS (
+    SELECT doc_id,
+           unnest(generate_series(0, len(toks) - {WINNOW_K})) AS pos,
+           toks
+    FROM toks WHERE len(toks) >= {WINNOW_K}
+  ), hashed AS (
+    SELECT doc_id, pos,
+           {sql_hash_mod(f"array_to_string(toks[pos+1:pos+{WINNOW_K}], ' ')")} AS h
+    FROM sh
+  ), wmin AS (
+    SELECT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+             AS fp
+    FROM hashed
+  ), fp AS (
+    SELECT DISTINCT doc_id, fp FROM wmin
+  )
 """
 
 winnow_oracle = f"""
-WITH g AS (
-  SELECT doc_id, {_GRAMS_SQL} AS grams
-  FROM documents
-  WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
-)
+WITH {_FP_ROWS_SQL}
 SELECT doc_id,
-       CAST(len({_FPS_SQL}) AS INT) AS n_fps,
-       list_sort({_FPS_SQL}) AS fps
-FROM g
+       CAST(len(list_sort(list(fp))) AS INT) AS n_fps,
+       list_sort(list(fp)) AS fps
+FROM fp GROUP BY doc_id
 """
 
 
-def _with_winnow_fps(docs: DataFrame) -> DataFrame:
-    """Adds a sorted distinct winnowing-fingerprint array column ``fps``:
-    rolling k-gram portable hashes, then the min of every w-gram window.
+def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
+    """Distinct winnowing fingerprints in long format (doc_id, fp):
+    WINNOW_K-token shingles, hashed, min of every WINNOW_W-shingle window.
 
-    Formulation note (the load-bearing perf decision): the obvious
-    two-stage spelling — build the m-element gram array, then slice a
-    w-window min out of it per window — is quadratic in Spark whenever
-    the optimizer inlines the gram array into the per-window lambda
-    (CollapseProject does exactly that under a Generate), because HOF
-    lambdas get no common-subexpression elimination: all m gram hashes
-    re-evaluate for each of the m windows — measured 117 s vs 1.5 s at
-    sf0.01. Instead each window computes its own w=4 hashes directly
-    (``least`` over w substrings): w× duplicate hashing, but LINEAR and
-    immune to whatever the optimizer does with the projection."""
-    text = F.col("text")
+    Shape (the load-bearing perf decision): shingle positions are
+    EXPLODED and hashed as a flat whole-stage-codegen projection, then
+    the window min is a doc-keyed sliding frame aggregate — the repo's
+    round-1 lesson that md5/conv chains inside higher-order-function
+    lambdas run interpreted per element (an array-algebra spelling of
+    this operator measured 20+ s at sf0.1; this shape runs the same data
+    in ~2 s). One doc_id exchange for the frame, one (doc_id, fp)
+    exchange for the dedup — both carry shingle-count-sized flat rows."""
+    from pyspark.sql import Window
 
-    def gram_hash(pos: Column) -> Column:
-        return portable_hash_mod(text.substr(pos, F.lit(WINNOW_K)))
-
-    fps = F.transform(
-        F.sequence(
-            F.lit(1), F.length(text) - (WINNOW_K + WINNOW_W - 2)
-        ),
-        lambda j: F.least(*[gram_hash(j + t) for t in range(WINNOW_W)]),
+    toks = F.split("text", " ")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - WINNOW_K),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, WINNOW_K)
+                ),
+            )
+        ).alias("pos", "shingle"),
     )
-    return docs.withColumn("fps", F.array_sort(F.array_distinct(fps)))
+    hashed = sh.select(
+        "doc_id", "pos", portable_hash_mod(F.col("shingle")).alias("h")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    return (
+        hashed.select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
+    )
 
 
 @register("winnowing_fingerprints", winnow_oracle)
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
-    algorithm): rolling-hash every WINNOW_K-char gram, then keep the minimum
-    hash of each WINNOW_W-gram window. Unlike the whole-document rolling
-    hash (`doc_fingerprints`), the selected set is LOCAL — two documents
-    sharing any run of >= w+k-1 characters share a fingerprint regardless
-    of where the run sits — which is what train/test contamination
-    detection needs.
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm) over token shingles: hash every WINNOW_K-token
+    shingle, keep the minimum of each WINNOW_W-window. Unlike the
+    whole-document rolling hash (`doc_fingerprints`), the selected set is
+    LOCAL — two documents sharing any run of >= k+w-1 consecutive tokens
+    share a fingerprint wherever the run sits — the property train/test
+    contamination detection needs (`contamination_trigrams` is the exact
+    full-index variant; winnowing ships ~2/(w+1) of it).
 
-    Plan: per-row array algebra only (sequence/transform/slice/array_min),
-    JVM-side, no shuffle, no UDF; output is ~2/(w+1) of the gram count per
-    doc. At 100 TB this is a pure map stage — it scales embarrassingly."""
+    Plan: explode → codegen hash → one doc-keyed sliding-frame min →
+    distinct + per-doc collect; at 100 TB every stage carries
+    shingle-count-sized flat rows and partitions by doc or (doc, fp)."""
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= WINNOW_K + WINNOW_W - 1
+        F.size(F.split("text", " ")) >= WINNOW_K
     )
-    return _with_winnow_fps(docs).select(
-        "doc_id",
-        F.size("fps").alias("n_fps"),
-        "fps",
+    fps = _winnow_fp_rows(docs)
+    return fps.groupBy("doc_id").agg(
+        F.size(F.sort_array(F.collect_set("fp"))).alias("n_fps"),
+        F.sort_array(F.collect_set("fp")).alias("fps"),
     )
 
 
 winnow_overlap_oracle = f"""
-WITH g AS (
-  SELECT doc_id, {_GRAMS_SQL} AS grams
-  FROM documents
-  WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
-), fp AS (
-  SELECT doc_id, unnest({_FPS_SQL}) AS fp
-  FROM g
-), rare AS (
-  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
-), fpr AS (
-  SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)
+WITH {_FP_ROWS_SQL}, fpr AS (
+  SELECT doc_id, fp
+  FROM (SELECT doc_id, fp,
+               count(*) OVER (PARTITION BY fp) AS df
+        FROM fp)
+  WHERE df <= {WINNOW_MAX_DF}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        count(*) AS n_shared
@@ -790,26 +812,28 @@ HAVING count(*) >= {WINNOW_MIN_SHARED}
 def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document contamination pairs from shared winnowing
     fingerprints: document pairs sharing >= WINNOW_MIN_SHARED selected
-    fingerprints, candidates generated by a fingerprint-keyed equi-self-
-    join — never all pairs.
+    fingerprints, candidates generated by a fingerprint-keyed
+    equi-self-join — never all pairs.
 
     Boilerplate guard: fingerprints present in more than WINNOW_MAX_DF
-    documents (license headers, templates — the char-gram stopwords) are
+    documents (license headers, templates — the shingle stopwords) are
     dropped BEFORE pairing, which bounds each bucket's pair contribution
     at C(MAX_DF, 2) and keeps the join output-bound (the same hot-bucket
-    discipline as the MinHash LSH path). All joins are fp-keyed shuffles;
-    at 100 TB the df-filter is the difference between linear and
-    quadratic."""
+    discipline as the MinHash LSH path). The document-frequency filter is
+    a count-over-window on the SAME fp-keyed exchange the self-join
+    needs, so both join inputs are one reusable subtree. At 100 TB the
+    df-filter is the difference between linear and quadratic."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= WINNOW_K + WINNOW_W - 1
+        F.size(F.split("text", " ")) >= WINNOW_K
     )
-    fp = _with_winnow_fps(docs).select(
-        "doc_id", F.explode("fps").alias("fp")
+    fp = _winnow_fp_rows(docs)
+    fpr = (
+        fp.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .drop("df")
     )
-    rare = fp.groupBy("fp").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= WINNOW_MAX_DF
-    ).select("fp")
-    fpr = fp.join(rare, "fp")
     a = fpr.alias("a")
     b = fpr.alias("b")
     return (

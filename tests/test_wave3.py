@@ -19,7 +19,7 @@ from streamroom_bigdata_spark.operators.fuzzyjoin import ed1_self_join
 from streamroom_bigdata_spark.operators.text import (
     WINNOW_K,
     WINNOW_W,
-    _with_winnow_fps,
+    _winnow_fp_rows,
 )
 
 SF = "/root/testdata/sf0.01"
@@ -40,35 +40,36 @@ def _levenshtein(a: str, b: str) -> int:
 
 
 def test_winnowing_detects_planted_shared_run(spark):
-    """Winnowing theorem: any shared substring of length >= w + k - 1
-    yields at least one common fingerprint, wherever it sits."""
+    """Winnowing theorem: any shared run of >= w + k - 1 consecutive
+    tokens yields at least one common fingerprint, wherever it sits."""
     rng = random.Random(7)
-    alphabet = "abcdefghijklmnopqrstuvwxyz "
-    shared = "".join(rng.choice(alphabet) for _ in range(WINNOW_K + WINNOW_W - 1))
+    vocab = [f"v{i}" for i in range(500)]
+    shared = [rng.choice(vocab) for _ in range(WINNOW_K + WINNOW_W - 1)]
     rows = []
     for doc_id in range(20):
-        pre = "".join(rng.choice(alphabet) for _ in range(rng.randint(20, 120)))
-        post = "".join(rng.choice(alphabet) for _ in range(rng.randint(20, 120)))
-        rows.append((doc_id, pre + shared + post))
+        pre = [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        post = [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        rows.append((doc_id, " ".join(pre + shared + post)))
     df = spark.createDataFrame(rows, "doc_id int, text string")
-    fps = {
-        r["doc_id"]: set(r["fps"])
-        for r in _with_winnow_fps(df).select("doc_id", "fps").collect()
-    }
+    fps: dict[int, set] = {}
+    for r in _winnow_fp_rows(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
     common = set.intersection(*fps.values())
     assert common, "planted shared run must produce a shared fingerprint"
 
 
 def test_winnowing_density(spark):
-    """Selected fingerprints are a small fraction of the gram count
-    (expected ~2/(w+1) before dedup) — the compression that makes the
-    index shippable."""
+    """Selected distinct fingerprints are a small fraction of the shingle
+    count (expected ~2/(w+1) before dedup) — the compression that makes
+    the index shippable."""
     rng = random.Random(11)
-    text = "".join(rng.choice("abcdefgh ") for _ in range(2000))
-    df = spark.createDataFrame([(0, text)], "doc_id int, text string")
-    row = _with_winnow_fps(df).select(F.size("fps").alias("n")).collect()[0]
-    n_grams = len(text) - WINNOW_K + 1
-    assert row["n"] < n_grams * 0.75
+    toks = [f"v{rng.randrange(400)}" for _ in range(2000)]
+    df = spark.createDataFrame(
+        [(0, " ".join(toks))], "doc_id int, text string"
+    )
+    n = _winnow_fp_rows(df).count()
+    n_shingles = len(toks) - WINNOW_K + 1
+    assert n < n_shingles * 0.75
 
 
 def test_ed1_join_lossless_with_insertions(spark):
