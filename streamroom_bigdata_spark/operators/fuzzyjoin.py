@@ -442,8 +442,11 @@ def ed1_self_join(df: DataFrame, col: str) -> DataFrame:
         name.alias("_s"), F.explode(variants).alias("variant")
     )
     a, b = v.alias("a"), v.alias("b")
+    # the variant table is (len+1)x the input — LINEAR in data, so a
+    # broadcast (AQE chose one at 40 MiB on sf0.1) is a scale hazard;
+    # pin the shuffle-hash join the 100 TB plan needs
     cand = (
-        a.join(b, "variant")
+        a.hint("shuffle_hash").join(b, "variant")
         .filter(F.col("a._s") < F.col("b._s"))
         .select(
             F.col("a._s").alias("name_a"),

@@ -836,8 +836,12 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = fpr.alias("a")
     b = fpr.alias("b")
+    # pin the shuffle-hash self-join: an AQE broadcast of one side (8 MiB
+    # at sf0.1) re-evaluates the winnowing subtree for the build side and
+    # grows linearly with the corpus; the pinned join keeps both sides on
+    # the ONE fp-keyed exchange (ReuseExchange) at any scale
     return (
-        a.join(b, "fp")
+        a.hint("shuffle_hash").join(b, "fp")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
