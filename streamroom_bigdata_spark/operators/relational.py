@@ -869,3 +869,38 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated-subquery surface (F11 completion)
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register("lateral_top_orders", _LATERAL_SQL)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (the second spark.sql surface next to
+    sql_revenue_share): each BUILDING-segment customer's top-3 orders by
+    price, written as a per-row dependent subquery — the SAME portable
+    SQL text runs through Catalyst and through DuckDB as its own oracle.
+
+    Catalyst decorrelates the lateral into the window top-k plan the
+    DataFrame spelling (`topk_per_brand`) would produce — per-key rank
+    over one customer-keyed exchange, never an N-subquery loop; the
+    deterministic (price, orderkey) ordering makes the kept rows
+    engine-identical."""
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

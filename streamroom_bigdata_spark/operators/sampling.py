@@ -162,3 +162,64 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), "o_orderkey")
         .limit(WEIGHTED_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled quantiles (the deterministic-sample scale path for percentiles)
+# ---------------------------------------------------------------------------
+
+SQ_SAMPLE_MOD = 10  # keep hash(key) % 10 == 0 → deterministic ~10% sample
+SQ_PCTS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+_SQ_KEY = "concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))"
+
+sampled_quantiles_oracle = f"""
+WITH s AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS price
+  FROM lineitem
+  WHERE {sql_hash_mod(_SQ_KEY, SQ_SAMPLE_MOD)} = 0
+)
+SELECT l_returnflag,
+       count(*) AS n_sampled,
+       {", ".join(
+           f"round(quantile_cont(price, {p}), 2) AS p{int(p * 100)}"
+           for p in SQ_PCTS
+       )}
+FROM s GROUP BY l_returnflag
+"""
+
+
+@register("sampled_quantiles", sampled_quantiles_oracle)
+def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles over a DETERMINISTIC hash sample — the third quantile
+    strategy next to the exact sort-based percentile (`quantile_summary`)
+    and the GK sketch (percentile_approx, property-tested): sample with
+    the portable hash (reproducible across engines/cluster sizes/retries,
+    unlike rand()), then run the exact interpolated percentile on the
+    sample. At 100 TB the sample filter is pushed into the scan and the
+    exact percentile sorts 1/mod of the data — the classic trade when a
+    sketch's rank guarantee isn't portable but a seeded sample's is.
+    Sampling error vs the full-data quantiles is property-tested
+    (tests/test_wave3.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    s = li.filter(portable_hash_mod(key, SQ_SAMPLE_MOD) == 0).select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    pcts = F.array(*[F.lit(p) for p in SQ_PCTS])
+    agg = s.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_sampled"),
+        F.percentile("price", pcts).alias("qs"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_sampled",
+        *[
+            F.round(F.col("qs")[i], 2).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(SQ_PCTS)
+        ],
+    )

@@ -202,3 +202,59 @@ def test_count_min_overestimates_only(spark):
         # CMS error bound: overestimate <= 2N/w with prob 1 - 2^-depth;
         # allow 4x slack so the test never flakes on the fixture
         assert r["overestimate"] <= 4 * 2 * total_tokens / CMS_WIDTH, r
+
+
+def test_sampled_quantiles_error_bound(spark):
+    """The deterministic 10% sample's quantiles track the full-data exact
+    quantiles (loose DKW-style tolerance on this fixture)."""
+    from streamroom_bigdata_spark.operators.sampling import (
+        SQ_PCTS,
+        sampled_quantiles,
+    )
+
+    got = {r["l_returnflag"]: r for r in sampled_quantiles(spark, SF).collect()}
+    pcts = list(SQ_PCTS)
+    full = {
+        r["l_returnflag"]: r["qs"]
+        for r in spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                F.col("l_extendedprice").cast("double"),
+                F.array(*[F.lit(p) for p in pcts]),
+            ).alias("qs")
+        )
+        .collect()
+    }
+    for flag, row in got.items():
+        assert row["n_sampled"] > 100
+        for i, p in enumerate(pcts):
+            exact = full[flag][i]
+            sampled = row[f"p{int(p * 100)}"]
+            assert abs(sampled - exact) / exact < 0.15, (flag, p, sampled, exact)
+
+
+def test_lateral_matches_window_topk(spark):
+    """Catalyst's decorrelated LATERAL equals the window top-k spelling."""
+    from pyspark.sql import Window
+
+    from streamroom_bigdata_spark.operators.relational import lateral_top_orders
+
+    got = {
+        (r["c_custkey"], r["o_orderkey"]) for r in lateral_top_orders(spark, SF).collect()
+    }
+    cust = spark.read.parquet(f"{SF}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    want = {
+        (r["o_custkey"], r["o_orderkey"])
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert got == want
