@@ -469,3 +469,270 @@ def q21_late_solo_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# --- Q2: minimum-unit-price supplier (correlated min subquery) -------------
+
+q2_oracle = """
+WITH offers AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         min(CAST(l.l_extendedprice AS DOUBLE)
+             / CAST(l.l_quantity AS DOUBLE)) AS unit_price
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey, l.l_suppkey
+)
+SELECT p.p_partkey, p.p_brand, s.s_name,
+       round(o.unit_price, 6) AS unit_price
+FROM part p
+JOIN offers o   ON o.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+WHERE p.p_size <= 10
+  AND o.unit_price = (SELECT min(o2.unit_price) FROM offers o2
+                      WHERE o2.l_partkey = p.p_partkey)
+"""
+
+
+@register("q2_min_price_supplier", q2_oracle)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier, adapted — the fixture has no
+    partsupp, so 'cost' is the best unit price a EUROPE supplier ever
+    shipped the part at): a correlated min subquery selects, per part,
+    the supplier(s) achieving the per-part minimum.
+
+    The oracle keeps the textbook correlated spelling; here the
+    decorrelation is explicit — a per-part min window over the SAME
+    (part, supplier) aggregate the offer table needs, so the min
+    join-back rides the exchange that already exists. min/= on doubles
+    is engine-exact (no summation order involved)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_brand"
+    )
+    offers = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double")
+            ).alias("unit_price")
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("min_price", F.min("unit_price").over(w)).filter(
+        F.col("unit_price") == F.col("min_price")
+    )
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(
+            load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
+            best.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round("unit_price", 6).alias("unit_price"),
+        )
+    )
+
+
+# --- Q11: important parts (global-scalar HAVING threshold) -----------------
+
+q11_oracle = """
+WITH pv AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 6)))
+           AS val
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
+FROM pv
+WHERE val * 10000 > (SELECT sum(val) FROM pv) * 7
+"""
+
+
+@register("q11_important_parts", q11_oracle)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock, adapted to the revenue fact): parts
+    whose total revenue exceeds 0.07% of ALL revenue (the fixture spreads revenue over 2000 parts, so the TPC-H 0.01% spelling would keep everything and 0.1% nothing) — a per-group
+    aggregate compared against a global scalar of the same aggregate.
+
+    The threshold comparison stays in exact DECIMAL arithmetic
+    (``val * 10000 > total * 7``, no float fraction), so the kept-set is
+    engine-identical even at boundary values — the round-7 precision
+    rule. The global total is a 1-row broadcast over the SAME part-keyed
+    aggregate (computed once; Spark reuses the exchange), so the plan is
+    one fact-sized shuffle + an output-sized filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    pv = li.groupBy("l_partkey").agg(F.sum(rev).alias("val"))
+    total = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("val") * 10000 > F.col("total") * 7)
+        .select(
+            "l_partkey",
+            F.round("val", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+# --- Q15: top supplier (aggregate view + global max) -----------------------
+
+q15_oracle = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18, 6))), 2) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE year(l_shipdate) = 1997
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", q15_oracle)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (top supplier): revenue-per-supplier view over one ship
+    year, returning the supplier(s) whose revenue equals the view's max.
+    The year predicate uses year() (not a timestamp literal) so NTZ/LTZ
+    parsing differences can't shift the window. Equality is on the
+    ROUNDED revenue — ties keep every argmax row deterministically on
+    both engines. The max is a 1-row broadcast; the revenue view's
+    supplier-keyed exchange is computed once and reused."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q19: disjunctive-predicate revenue ------------------------------------
+
+q19_oracle = """
+SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 30)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 40)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@register("q19_disjunctive_revenue", q19_oracle)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (disjunctive pushdown): an OR of three conjunctive
+    (brand, size, quantity) range clauses across the join. Catalyst
+    splits the disjunction: the union of per-side implications
+    (brand IN (...) on part, quantity ranges on lineitem) pushes into
+    BOTH scans while the full predicate evaluates after the join —
+    the scan reads a fraction of each table even though no single
+    conjunct applies globally. One broadcast join + a single-row
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    clause = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & q.between(1, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & q.between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & q.between(20, 50)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return joined.filter(clause).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue")
+    )
+
+
+# --- Q20: dominant suppliers (nested aggregate EXISTS) ---------------------
+
+q20_oracle = """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DOUBLE)) AS qty
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+), pt AS (
+  SELECT l_partkey, sum(qty) AS total_qty FROM sp GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM sp JOIN pt ON pt.l_partkey = sp.l_partkey
+  WHERE sp.l_suppkey = s.s_suppkey AND sp.qty * 100 > pt.total_qty * 15
+)
+"""
+
+
+@register("q20_dominant_suppliers", q20_oracle)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (suppliers holding excess share, adapted): suppliers who
+    shipped more than 15% of some part's total quantity — an EXISTS over
+    a two-level aggregation. The oracle keeps the correlated EXISTS; here
+    it is a semi join against the qualifying (supplier, part) rows.
+
+    Precision: per-(supplier, part) quantity sums are sums of small
+    integers stored as doubles — exact in IEEE well past this scale
+    (< 2^53) and reorder-safe, so the 15% comparison (spelled with
+    integer multipliers, no float division) is engine-identical. The
+    part-total is a second aggregate OVER the first (sp is
+    part-partitionable), and the semi join output is supplier-sized."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("double")).alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    qualifying = sp.withColumn(
+        "total_qty", F.sum("qty").over(w)
+    ).filter(F.col("qty") * 100 > F.col("total_qty") * 15)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        qualifying.select(F.col("l_suppkey").alias("s_suppkey")),
+        "s_suppkey",
+        "left_semi",
+    )
