@@ -736,3 +736,360 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         "left_semi",
     )
+
+
+# --- Q3: shipping-priority top-10 (join + top-k on aggregated revenue) -----
+
+q3_oracle = """
+SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", q3_oracle)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape (shipping priority, adapted — open status stands in for
+    the missing shipdate cutoffs): top-10 open BUILDING-segment orders by
+    discounted revenue. Customer filter pushes to its scan and broadcasts;
+    the only fact-sized exchange is the per-order aggregate;
+    TakeOrderedAndProject keeps 10 with (rounded revenue, orderkey)
+    deterministic order."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- Q4: order-priority checking (EXISTS late line) ------------------------
+
+q4_oracle = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("q4_priority_check", q4_oracle)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (order-priority checking): orders having at least one
+    line shipped after the order date, counted per priority. The EXISTS
+    is a LEFT SEMI join on orderkey with the non-equi ship-late predicate
+    in the join condition — one orderkey-keyed shuffle pair, then a
+    priority-sized aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --- Q5: local-supplier volume (region-closed star) ------------------------
+
+q5_oracle = """
+SELECT n.n_name, CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(18, 6))), 2) AS DOUBLE)
+                   AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA' AND year(CAST(o.o_orderdate AS TIMESTAMP)) = 1997
+GROUP BY n.n_name
+"""
+
+
+@register("q5_local_volume", q5_oracle)
+def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape (local supplier volume): revenue where the supplier and
+    the customer share a nation inside one region — the star join whose
+    distinguishing feature is the EXTRA equality (s_nationkey =
+    c_nationkey) closing the snowflake into a cycle. Dims broadcast; the
+    nation-closure predicate rides the supplier join condition so no
+    post-join filter materializes the open pairs."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year(F.col("o_orderdate").cast("timestamp")) == 1997
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+# --- Q6: forecast-revenue change (pure scan aggregate) ---------------------
+
+q6_oracle = """
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                           AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE year(l_shipdate) = 1997
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", q6_oracle)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape (forecast revenue change): the pure predicate-pushdown
+    aggregate — three range filters reach the parquet scan (min/max row-
+    group pruning territory at 100 TB) and the single-row DECIMAL sum
+    collapses map-side. No join, no data-sized shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1997)
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --- Q9: product-type profit (cost-proxy profit by nation/year) ------------
+
+q9_oracle = """
+SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS yr,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - 0.6 * p.p_retailprice * l.l_quantity
+                           AS DECIMAL(18, 6))), 2) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, yr
+"""
+
+
+@register("q9_product_profit", q9_oracle)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit, adapted — no partsupp, so unit cost
+    is proxied as 60% of p_retailprice): per supplier-nation per ship
+    year, profit on red parts. The selective p_name LIKE filter pushes
+    to the part scan and shrinks the broadcast; one fact-sized exchange
+    for the (nation, yr) aggregate, DECIMAL accumulation throughout."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+# --- Q10: returned-item losses (top-20 customers) --------------------------
+
+q10_oracle = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R' AND year(CAST(o.o_orderdate AS TIMESTAMP)) = 1997
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", q10_oracle)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape (returned-item report): the 20 customers losing the most
+    revenue to returns in one order year. Return-flag filter pushes to
+    the fact scan; customer-keyed aggregate then top-20 via
+    TakeOrderedAndProject on (rounded revenue, custkey)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year(F.col("o_orderdate").cast("timestamp")) == 1997
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- Q12: late-line priority mix (conditional aggregation) -----------------
+
+q12_oracle = """
+SELECT CAST(year(l.l_shipdate) AS INT) AS ship_yr,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate
+GROUP BY ship_yr
+"""
+
+
+@register("q12_late_priority_mix", q12_oracle)
+def q12_late_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipmode/priority mix, adapted — ship year stands in
+    for the missing shipmode): for late-shipped lines, how many belong to
+    high- vs low-priority orders, per ship year. The non-equi lateness
+    predicate evaluates inside the join; both CASE branches come out of
+    ONE conditional aggregate pass (the Q8 trick)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+        )
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_yr"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- Q14: promo revenue share (conditional / total ratio) ------------------
+
+q14_oracle = """
+SELECT CAST(round(
+         100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                         AS DECIMAL(18, 6))
+                               ELSE CAST(0 AS DECIMAL(18, 6)) END) AS DOUBLE)
+         / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18, 6))) AS DOUBLE),
+       4) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE year(l.l_shipdate) = 1997
+"""
+
+
+@register("q14_promo_share", q14_oracle)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape (promotion effect): PROMO-part revenue as a percentage
+    of total revenue in one ship year — numerator and denominator from
+    ONE conditional aggregate (no second scan or self-join), both
+    accumulated in exact DECIMAL and divided once as doubles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    agg = li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("promo"),
+        F.sum(rev).alias("total"),
+    )
+    return agg.select(
+        F.round(
+            100.0 * F.col("promo").cast("double") / F.col("total").cast("double"),
+            4,
+        )
+        .cast("double")
+        .alias("promo_revenue_pct")
+    )
