@@ -430,3 +430,51 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive month spine (the Spark 4 WITH RECURSIVE surface)
+# ---------------------------------------------------------------------------
+
+_MONTH_SPINE_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(min(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) AS DATE) AS mn,
+         CAST(max(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) AS DATE) AS mx
+  FROM orders
+), months AS (
+  SELECT mn AS m, mx FROM bounds
+  UNION ALL
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE), mx FROM months
+  WHERE m < mx
+), per_month AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS m,
+         count(*) AS n_orders
+  FROM orders GROUP BY m
+)
+SELECT months.m AS month, coalesce(p.n_orders, 0) AS n_orders
+FROM months LEFT JOIN per_month p ON p.m = months.m
+"""
+
+
+@register("recursive_month_spine", _MONTH_SPINE_SQL)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill via the Spark 4 ``WITH RECURSIVE`` surface: a
+    month spine generated recursively from the data's own [min, max]
+    bounds, left-joined to per-month order counts so EMPTY months appear
+    as explicit zero rows (the property a time-series chart or
+    month-over-month join needs and a bare GROUP BY can't give). The
+    IDENTICAL SQL text runs through Catalyst and through DuckDB as its
+    own oracle.
+
+    Spark 4 recursive CTEs only support UNION ALL (no fixpoint dedup), so
+    the correct demo is a recursion whose row count is structurally
+    bounded — here one row per month of data span, regardless of data
+    size. (A cyclic-graph transitive closure under UNION ALL enumerates
+    PATHS, not nodes — exponential; the iterative `connected_components`
+    operator remains the graph-closure path.) The bounds are a 1-row
+    aggregate; the spine is driver-light and joins against an
+    output-sized per-month aggregate."""
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MONTH_SPINE_SQL)

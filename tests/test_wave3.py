@@ -258,3 +258,20 @@ def test_lateral_matches_window_topk(spark):
         .collect()
     }
     assert got == want
+
+
+def test_recursive_month_spine_continuity(spark):
+    """The recursive spine is gapless month-by-month, covers the data's
+    span exactly, and its counts reconcile with the total order count."""
+    from streamroom_bigdata_spark.operators.changes import recursive_month_spine
+
+    rows = sorted(
+        recursive_month_spine(spark, SF).collect(), key=lambda r: r["month"]
+    )
+    months = [r["month"] for r in rows]
+    for a, b in zip(months, months[1:]):
+        nxt = (a.year + (a.month == 12), a.month % 12 + 1)
+        assert (b.year, b.month) == nxt, (a, b)
+    total = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == total
+    assert any(r["n_orders"] == 0 for r in rows) or len(months) >= 12
