@@ -722,7 +722,7 @@ winnow_oracle = f"""
 WITH {_FP_ROWS_SQL}
 SELECT doc_id,
        CAST(len(list_sort(list(fp))) AS INT) AS n_fps,
-       list_sort(list(fp)) AS fps
+       array_to_string(list_sort(list(fp)), ',') AS fps
 FROM fp GROUP BY doc_id
 """
 
@@ -785,9 +785,11 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")) >= WINNOW_K
     )
     fps = _winnow_fp_rows(docs)
+    # fps serialized as a joined string: the driver comparator hashes
+    # scalar columns only (registry contract test)
     return fps.groupBy("doc_id").agg(
         F.size(F.sort_array(F.collect_set("fp"))).alias("n_fps"),
-        F.sort_array(F.collect_set("fp")).alias("fps"),
+        F.array_join(F.sort_array(F.collect_set("fp")), ",").alias("fps"),
     )
 
 

@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "streamroom_bigdata_spark.operators.tpch_shapes",
     "streamroom_bigdata_spark.operators.quality",
     "streamroom_bigdata_spark.operators.retrieval",
+    "streamroom_bigdata_spark.operators.kmeans",
     "streamroom_bigdata_spark.operators.bloom",
     "streamroom_bigdata_spark.streaming.queries",
 )

@@ -275,3 +275,18 @@ def test_recursive_month_spine_continuity(spark):
     total = spark.read.parquet(f"{SF}/orders.parquet").count()
     assert sum(r["n_orders"] for r in rows) == total
     assert any(r["n_orders"] == 0 for r in rows) or len(months) >= 12
+
+
+def test_kmeans_assignment_sane(spark):
+    """Every vector assigned exactly once to one of K clusters with a
+    nonnegative distance; multiple clusters survive 5 iterations."""
+    from streamroom_bigdata_spark.operators.kmeans import KM_K, kmeans_clusters
+
+    rows = kmeans_clusters(spark, SF).collect()
+    n_emb = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(rows) == n_emb
+    assert len({r["vec_id"] for r in rows}) == n_emb
+    clusters = {r["cluster"] for r in rows}
+    assert clusters <= set(range(KM_K))
+    assert len(clusters) >= 2
+    assert all(r["sq_dist"] >= 0 for r in rows)
