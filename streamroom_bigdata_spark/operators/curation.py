@@ -99,3 +99,76 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(non_representatives, "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# v3: + benchmark decontamination (winnowing fingerprints)
+# ---------------------------------------------------------------------------
+
+#: documents with doc_id < this bound stand in for the held-out benchmark
+#: (eval) set the corpus must not leak.
+BENCHMARK_MAX_ID = 20
+#: shared-fingerprint threshold above which a corpus doc is contaminated.
+CONTAM_MIN_SHARED = 3
+
+
+def _v3_oracle() -> str:
+    from .text import _FP_ROWS_SQL
+
+    return f"""
+WITH base AS (
+  {curation_pipeline_oracle}
+), fp_all AS (
+  WITH {_FP_ROWS_SQL}
+  SELECT doc_id, fp FROM fp
+), bench AS (
+  SELECT DISTINCT fp FROM fp_all WHERE doc_id < {BENCHMARK_MAX_ID}
+), contaminated AS (
+  SELECT f.doc_id
+  FROM fp_all f JOIN bench USING (fp)
+  WHERE f.doc_id >= {BENCHMARK_MAX_ID}
+  GROUP BY f.doc_id
+  HAVING count(*) >= {CONTAM_MIN_SHARED}
+)
+SELECT b.doc_id, b.lang, b.source
+FROM base b
+WHERE b.doc_id >= {BENCHMARK_MAX_ID}
+  AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+@register("curation_pipeline_v3", _v3_oracle())
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation flagship with the stage every pretraining run added
+    after the benchmark-leak papers: quality gate → exact-dup
+    representative → near-dup cluster representative → BENCHMARK
+    DECONTAMINATION — corpus documents sharing >= CONTAM_MIN_SHARED
+    winnowing fingerprints with any held-out benchmark document (here the
+    doc_id < 20 set) are dropped, and the benchmark docs themselves never
+    enter the corpus.
+
+    Composition stays one declarative plan: the contamination stage is a
+    fingerprint-keyed join of the SAME `_winnow_fp_rows` relation used by
+    `winnow_overlap_pairs`, anti-joined back — at 100 TB it adds one
+    shingle-sized exchange on top of the v1 pipeline, and the benchmark
+    fingerprint side is tiny (eval sets are thousands of docs, so it
+    broadcasts on measured size)."""
+    from .text import _winnow_fp_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = curation_pipeline(spark, sf_dir).filter(
+        F.col("doc_id") >= BENCHMARK_MAX_ID
+    )
+    fps = _winnow_fp_rows(docs)
+    bench_fps = fps.filter(F.col("doc_id") < BENCHMARK_MAX_ID).select(
+        "fp"
+    ).distinct()
+    contaminated = (
+        fps.filter(F.col("doc_id") >= BENCHMARK_MAX_ID)
+        .join(bench_fps, "fp")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+        .select("doc_id")
+    )
+    return base.join(contaminated, "doc_id", "left_anti")
