@@ -104,8 +104,12 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KM_ITERS):
         e = emb_long.alias("e")
         c = cents.alias("c")
+        # no forced broadcast: the centroid side is K×DIM rows (512) at any
+        # corpus size, and AQE broadcasts it from measured stats — a hint
+        # here would also multiply through the unrolled-lineage plan (the
+        # iteration chain embeds earlier iterations' subtrees)
         dist = (
-            e.join(F.broadcast(c), F.col("e.pos") == F.col("c.pos"))
+            e.join(c, F.col("e.pos") == F.col("c.pos"))
             .groupBy(F.col("e.vec_id").alias("vec_id"), F.col("c.cid").alias("cid"))
             .agg(
                 F.round(

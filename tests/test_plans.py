@@ -127,6 +127,14 @@ _ALLOWED_FACT_BROADCASTS = {
     "market_basket_pairs": 1,
     # rolling actives: observed-day list (calendar-bounded)
     "rolling_active_users": 1,
+    # round-7 third wave — bounded-by-design broadcast sides:
+    # BM25: df_t is |QUERY_TERMS| rows, corpus stats are 1 row, at ANY scale
+    "bm25_search": 2,
+    # RRF: the two BM25 sides above + the 1-row anchor embedding
+    "rrf_hybrid_search": 3,
+    # global-scalar threshold / argmax: one row crosses
+    "q11_important_parts": 1,
+    "q15_top_supplier": 1,
 }
 
 
