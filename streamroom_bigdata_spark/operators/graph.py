@@ -499,3 +499,96 @@ def _driver_k_core(edges: DataFrame, k: int) -> DataFrame:
         ]
     )
     return spark.createDataFrame(survivors, schema)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous, fixed rounds)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"""
+WITH e AS (
+  SELECT doc_a, doc_b FROM ({simhash_near_dup_oracle})
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM e
+  UNION ALL SELECT doc_b, doc_a FROM e
+), l0 AS (
+  SELECT DISTINCT u AS id, u AS lbl FROM sym
+)"""
+    ]
+    for i in range(LPA_ROUNDS):
+        parts.append(
+            f""", t{i} AS (
+  SELECT s.u, l.lbl, count(*) AS c
+  FROM sym s JOIN l{i} l ON l.id = s.v
+  GROUP BY s.u, l.lbl
+), l{i + 1} AS (
+  SELECT u AS id, lbl FROM (
+    SELECT u, lbl,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+    FROM t{i}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community,
+       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM l{LPA_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+@register("label_propagation_communities", _lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the simhash near-dup graph — the fourth iterative
+    graph shape next to pagerank, k-core, and connected components.
+    Unlike connected components (which merges everything reachable), LPA
+    splits a component along its dense regions: each round every node
+    adopts the most frequent label among its neighbors.
+
+    Determinism (the reason this float-free algorithm hash-matches an
+    unrolled oracle exactly): synchronous rounds (all nodes update from
+    the SAME previous labeling — no order-dependent async drift), fixed
+    LPA_ROUNDS, and argmax ties broken by (count DESC, label ASC)
+    row_number on both engines.
+
+    Scale: each round is one edge-sized join against the (node, label)
+    relation plus a (node, label)-keyed count — label propagation is
+    exactly the shuffle pattern of one pagerank round; at real scale the
+    round loop adds lineage checkpoints as `connected_components` does
+    (at 3 unrolled rounds the plan stays shallow)."""
+    from pyspark.sql import Window
+
+    pairs = simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        tallies = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("u").orderBy(F.col("c").desc(), "lbl")
+        labels = (
+            tallies.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("id"), "lbl")
+        )
+    wsz = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").cast("bigint").alias("community"),
+        F.count("*").over(wsz).cast("bigint").alias("community_size"),
+    )
