@@ -377,3 +377,155 @@ def asof_backward(
     out_cols = [F.col(f"_lpay.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"_m.{c}").alias(f"right_{c}") for c in right_cols]
     return matched.select(*out_cols)
+
+
+_ASOF_FWD_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('view', 'purchase')
+), w AS (
+  SELECT *,
+         last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER win
+           AS next_view_value,
+         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER win
+           AS next_view_ts
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts DESC, side, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       value AS purchase_value, next_view_value, next_view_ts
+FROM w WHERE side = 1
+"""
+
+
+@register("asof_join_forward", _ASOF_FWD_ORACLE)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (J6 completion): for each purchase, the
+    EARLIEST view by the same user at-or-after the purchase time — the
+    mirror of `asof_join` (same union-frame pattern, time-descending
+    scan). Views sort before purchases at equal timestamps in the
+    descending order too, so an exactly-simultaneous view matches both
+    directions consistently; ties among equal-ts views resolve to the
+    LOWEST event_id. Still ONE user-keyed shuffle."""
+    u = _asof_inputs(spark, sf_dir)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "side", F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_value = F.when(F.col("side") == 0, F.col("value"))
+    view_ts = F.when(F.col("side") == 0, F.col("ts"))
+    return (
+        u.withColumn("next_view_value", F.last(view_value, ignorenulls=True).over(win))
+        .withColumn("next_view_ts", F.last(view_ts, ignorenulls=True).over(win))
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+            "next_view_value",
+            "next_view_ts",
+        )
+    )
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('view', 'purchase')
+), w AS (
+  SELECT *,
+         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER back
+           AS back_ts,
+         last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER back
+           AS back_value
+  FROM u
+  WINDOW back AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), w2 AS (
+  SELECT *,
+         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER fwd
+           AS fwd_ts,
+         last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER fwd
+           AS fwd_value
+  FROM w
+  WINDOW fwd AS (PARTITION BY user_id ORDER BY ts DESC, side, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CASE
+         WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+         WHEN fwd_ts IS NULL THEN 'backward'
+         WHEN back_ts IS NULL THEN 'forward'
+         WHEN epoch_ms(ts) - epoch_ms(back_ts)
+              <= epoch_ms(fwd_ts) - epoch_ms(ts) THEN 'backward'
+         ELSE 'forward'
+       END AS direction,
+       CASE
+         WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+         WHEN fwd_ts IS NULL THEN back_value
+         WHEN back_ts IS NULL THEN fwd_value
+         WHEN epoch_ms(ts) - epoch_ms(back_ts)
+              <= epoch_ms(fwd_ts) - epoch_ms(ts) THEN back_value
+         ELSE fwd_value
+       END AS nearest_view_value
+FROM w2 WHERE side = 1
+"""
+
+
+@register("asof_join_nearest", _ASOF_NEAREST_ORACLE)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (J6 completion): each purchase matches its
+    temporally closest view in either direction, ties to the backward
+    match (the pandas ``merge_asof(direction='nearest')`` semantic).
+    Both direction scans run over the SAME user-keyed exchange (one
+    shuffle, two sorts); the pick is pure column algebra on epoch
+    milliseconds (NTZ/LTZ-tolerant via the shared ``epoch_ms``)."""
+    u = _asof_inputs(spark, sf_dir)
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "side", F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_value = F.when(F.col("side") == 0, F.col("value"))
+    view_ts = F.when(F.col("side") == 0, F.col("ts"))
+    d = (
+        u.withColumn("back_ts", F.last(view_ts, ignorenulls=True).over(back))
+        .withColumn("back_value", F.last(view_value, ignorenulls=True).over(back))
+        .withColumn("fwd_ts", F.last(view_ts, ignorenulls=True).over(fwd))
+        .withColumn("fwd_value", F.last(view_value, ignorenulls=True).over(fwd))
+        .filter(F.col("side") == 1)
+    )
+    back_closer = (
+        epoch_ms(F.col("ts")) - epoch_ms(F.col("back_ts"))
+    ) <= (epoch_ms(F.col("fwd_ts")) - epoch_ms(F.col("ts")))
+    direction = (
+        F.when(F.col("back_ts").isNull() & F.col("fwd_ts").isNull(), F.lit(None).cast("string"))
+        .when(F.col("fwd_ts").isNull(), F.lit("backward"))
+        .when(F.col("back_ts").isNull(), F.lit("forward"))
+        .when(back_closer, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    nearest_value = (
+        F.when(F.col("back_ts").isNull() & F.col("fwd_ts").isNull(), F.lit(None).cast("double"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_value"))
+        .when(F.col("back_ts").isNull(), F.col("fwd_value"))
+        .when(back_closer, F.col("back_value"))
+        .otherwise(F.col("fwd_value"))
+    )
+    return d.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        direction.alias("direction"),
+        nearest_value.alias("nearest_view_value"),
+    )

@@ -202,3 +202,24 @@ def click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "error"),
     )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join (the lookup-table pattern): a
+    streaming event frame joined to a STATIC dimension — Spark plans the
+    static side as a normal batch relation re-resolved every micro-batch
+    (a broadcast for a small dim), no watermark or state needed (unlike
+    stream-stream joins). Output: per-(segment) running counts/sums in
+    update mode — the enriched rollup a dashboard consumes.
+
+    ``dim`` must carry (user_id, segment). At 100 TB the static side is
+    whatever the cluster can broadcast or shuffle per micro-batch; for
+    mutable dims the manifest-table change feed (sources/manifest_table)
+    is the refresh path."""
+    enriched = events.join(dim, "user_id")
+    return enriched.groupBy("segment").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
