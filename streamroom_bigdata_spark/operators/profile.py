@@ -225,3 +225,58 @@ def count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_count",
         (F.col("est_count") - F.col("true_count")).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-partition balance diagnostic
+# ---------------------------------------------------------------------------
+
+from ..functions.hashing import sql_hash64  # noqa: E402
+
+PB_BUCKETS = 32
+
+partition_balance_oracle = f"""
+WITH b AS (
+  SELECT ({sql_hash64("CAST(l_orderkey AS VARCHAR)")} % {PB_BUCKETS}) AS bucket,
+         count(*) AS n_rows
+  FROM lineitem GROUP BY bucket
+)
+SELECT CAST(count(*) AS INT) AS n_buckets,
+       CAST(min(n_rows) AS BIGINT) AS min_rows,
+       CAST(max(n_rows) AS BIGINT) AS max_rows,
+       round(avg(CAST(n_rows AS DOUBLE)), 4) AS avg_rows,
+       round(CAST(max(n_rows) AS DOUBLE)
+             / avg(CAST(n_rows AS DOUBLE)), 4) AS max_over_avg
+FROM b
+"""
+
+
+@register("partition_balance", partition_balance_oracle)
+def partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-space balance diagnostic: how evenly a candidate shuffle key
+    spreads over PB_BUCKETS hash buckets — the question to ask BEFORE
+    keying a 100 TB shuffle on a column (`max_over_avg` near 1.0 = safe;
+    large = a hot key, reach for `functions/skew`). Uses the portable
+    hash so the diagnostic itself is oracle-exact; Spark's real
+    partitioner (murmur3) differs in constants but not in the balance
+    this measures for a high-cardinality key. One bucket-sized aggregate
+    + a single-row summary."""
+    from ..functions.hashing import portable_hash64
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.pmod(
+            portable_hash64(F.col("l_orderkey").cast("string")),
+            F.lit(PB_BUCKETS),
+        ).alias("bucket")
+    ).agg(F.count("*").alias("n_rows"))
+    n = F.col("n_rows").cast("double")
+    return b.agg(
+        F.count("*").cast("int").alias("n_buckets"),
+        F.min("n_rows").alias("min_rows"),
+        F.max("n_rows").alias("max_rows"),
+        F.round(F.avg(n), 4).alias("avg_rows"),
+        F.round(F.max("n_rows").cast("double") / F.avg(n), 4).alias(
+            "max_over_avg"
+        ),
+    )
