@@ -409,9 +409,9 @@ WITH ordered AS (
   GROUP BY prev_type, next_type
 )
 SELECT prev_type, next_type, n_trans,
-       round(CAST(n_trans AS DOUBLE) /
-             CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE),
-             6) AS p_next
+       CAST(round(CAST(CAST(n_trans AS DOUBLE) /
+             CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE)
+             AS DECIMAL(18, 8)), 6) AS DOUBLE) AS p_next
 FROM pairs
 """
 
@@ -448,11 +448,17 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         "n_trans",
+        # integer-ratio doubles can land on an exact half at the 6th
+        # decimal (the q2 precision class) — round via DECIMAL(18,8)
         F.round(
-            F.col("n_trans").cast("double")
-            / F.sum("n_trans").over(wp).cast("double"),
+            (
+                F.col("n_trans").cast("double")
+                / F.sum("n_trans").over(wp).cast("double")
+            ).cast("decimal(18,8)"),
             6,
-        ).alias("p_next"),
+        )
+        .cast("double")
+        .alias("p_next"),
     )
 
 

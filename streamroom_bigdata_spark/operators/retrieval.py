@@ -261,11 +261,18 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_top.join(vec_top, "doc_id", "full_outer")
         .select(
             "doc_id",
+            # reciprocal-of-integer sums are terminating binaries that
+            # can tie exactly at the 6th decimal (1/128 = .0078125) —
+            # round via DECIMAL so both engines break the tie HALF_UP
             F.round(
-                F.coalesce(1.0 / (RRF_K + F.col("r_text")), F.lit(0.0))
-                + F.coalesce(1.0 / (RRF_K + F.col("r_vec")), F.lit(0.0)),
+                (
+                    F.coalesce(1.0 / (RRF_K + F.col("r_text")), F.lit(0.0))
+                    + F.coalesce(1.0 / (RRF_K + F.col("r_vec")), F.lit(0.0))
+                ).cast("decimal(18,10)"),
                 6,
-            ).alias("rrf_score"),
+            )
+            .cast("double")
+            .alias("rrf_score"),
         )
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOPK)

@@ -486,7 +486,8 @@ WITH offers AS (
   GROUP BY l.l_partkey, l.l_suppkey
 )
 SELECT p.p_partkey, p.p_brand, s.s_name,
-       round(o.unit_price, 6) AS unit_price
+       CAST(round(CAST(o.unit_price AS DECIMAL(18, 8)), 6) AS DOUBLE)
+         AS unit_price
 FROM part p
 JOIN offers o   ON o.l_partkey = p.p_partkey
 JOIN supplier s ON s.s_suppkey = o.l_suppkey
@@ -545,7 +546,9 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_brand",
             "s_name",
-            F.round("unit_price", 6).alias("unit_price"),
+            F.round(F.col("unit_price").cast("decimal(18,8)"), 6)
+            .cast("double")
+            .alias("unit_price"),
         )
     )
 
