@@ -283,3 +283,62 @@ def funnel_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold alert latch with hysteresis (T10 family)
+# ---------------------------------------------------------------------------
+
+ALERT_HIGH = 8.0   # value >= HIGH arms an alert (once, until reset)
+ALERT_LOW = 4.0    # value <= LOW resets the latch
+
+ALERT_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, alert_value double, n_alerts long"
+)
+ALERT_STATE_SCHEMA = "latched boolean, n_alerts long"
+
+
+def _update_latch(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    latched, n_alerts = state.get if state.exists else (False, 0)
+    out = []
+    for pdf in pdfs:
+        # ordering within the batch: event time then id — deterministic
+        for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+            v = float(row.value)
+            if not latched and v >= ALERT_HIGH:
+                latched = True
+                n_alerts += 1
+                out.append((key[0], int(row.event_id), v, n_alerts))
+            elif latched and v <= ALERT_LOW:
+                latched = False
+    state.update((latched, int(n_alerts)))
+    state.setTimeoutDuration(3600 * 1000)
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "alert_value", "n_alerts"]
+        )
+
+
+def alert_latch_stateful(events: DataFrame) -> DataFrame:
+    """Per-key threshold alarm with HYSTERESIS — the alert-latch shape the
+    module docstring promises: one alert row the moment a key's value
+    crosses ALERT_HIGH, then silence (however high values go) until the
+    value falls back through ALERT_LOW re-arming the latch. Plain
+    streaming filters can't express this (whether a row alerts depends on
+    the key's history); the state is two scalars per key, expired after
+    an idle hour — bounded at any key cardinality. Emits only alert rows
+    (update mode): output traffic scales with ALERTS, not events."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_latch,
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
