@@ -904,3 +904,128 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Conditional distinct aggregation (FILTER-clause surface)
+# ---------------------------------------------------------------------------
+
+filtered_distinct_oracle = """
+SELECT n.n_name,
+       CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT c.c_custkey)
+              FILTER (WHERE o.o_orderstatus = 'O') AS BIGINT)
+         AS n_open_customers,
+       CAST(count(DISTINCT o.o_orderkey)
+              FILTER (WHERE o.o_totalprice > 200000) AS BIGINT)
+         AS n_big_orders
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("filtered_distinct_counts", filtered_distinct_oracle)
+def filtered_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional DISTINCT aggregation — the FILTER-clause surface: three
+    distinct counts under different predicates out of ONE grouped pass
+    (Spark plans multiple distinct aggregates via a single Expand, not
+    one scan per aggregate; conditions become null-ing projections). The
+    left join keeps customers with no orders in n_customers. One
+    customer-keyed join + one nation-sized aggregate."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count_distinct(
+                F.when(F.col("o_orderstatus") == "O", F.col("c_custkey"))
+            ).alias("n_open_customers"),
+            F.count_distinct(
+                F.when(F.col("o_totalprice") > 200000, F.col("o_orderkey"))
+            ).alias("n_big_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent hierarchy shares (nation within region within total)
+# ---------------------------------------------------------------------------
+
+share_of_parent_oracle = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18, 6))) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name,
+       CAST(round(val, 2) AS DOUBLE) AS revenue,
+       round(CAST(val AS DOUBLE)
+             / CAST(sum(val) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+         AS share_of_region,
+       round(CAST(sum(val) OVER (PARTITION BY r_name) AS DOUBLE)
+             / CAST(sum(val) OVER () AS DOUBLE), 6) AS region_share_of_total
+FROM rev
+"""
+
+
+@register("share_of_parent", share_of_parent_oracle)
+def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level percent-of-parent rollup (the hierarchy-share report):
+    each nation's share of its region and each region's share of the
+    total, from ONE (region, nation)-keyed aggregate — both share windows
+    run over the nations-sized output, so their cost is independent of
+    the fact size. Shares divide two doubles cast from the SAME exact
+    DECIMAL sums, so numerator/denominator are engine-identical before
+    the one rounded division (non-terminating ratios — outside the
+    integer-ratio half-tie class). The full-relation window is over a
+    bounded (region × nation) relation — allowlist-rationale territory,
+    enforced by the plan audit."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    agg = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).alias("val"))
+    )
+    wr = Window.partitionBy("r_name")
+    wt = Window.partitionBy()
+    v = F.col("val").cast("double")
+    return agg.select(
+        "r_name",
+        "n_name",
+        F.round("val", 2).cast("double").alias("revenue"),
+        F.round(v / F.sum("val").over(wr).cast("double"), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("val").over(wr).cast("double")
+            / F.sum("val").over(wt).cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    )

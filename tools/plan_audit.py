@@ -39,6 +39,10 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # lag over the monthly aggregate: input is month-count-bounded (~80
     # rows/decade), the event-sized aggregate below it is fully parallel
     "mom_revenue_growth": 1,
+    # grand-total share window over the (region × nation) aggregate —
+    # dimension-bounded (= |nations|) at any fact size; the fact-sized
+    # aggregate below it is fully parallel
+    "share_of_parent": 1,
 }
 
 HEADER = (
