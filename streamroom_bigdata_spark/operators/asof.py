@@ -529,3 +529,50 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction.alias("direction"),
         nearest_value.alias("nearest_view_value"),
     )
+
+
+def asof_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    on: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Generic FORWARD as-of join: every left row picks the right row with
+    the SMALLEST ``on`` >= its own within the ``by`` group — the mirror of
+    :func:`asof_backward` (same union-window pattern, time-descending
+    scan; right rows still sort before left rows at equal ``on`` so the
+    boundary is inclusive). Ties among right rows at the same ``on``
+    resolve deterministically by payload-struct order. One shuffle on
+    ``by``; fuzz-tested against DuckDB's native ASOF JOIN (<= direction)
+    on tie-free right sides."""
+    r_payload = F.struct(*[F.col(c) for c in right_cols])
+    rw = right.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(0).alias("_side"),
+        r_payload.alias("_r"),
+    )
+    l_payload = F.struct(*[F.col(c) for c in left.columns])
+    lw = left.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rw.schema["_r"].dataType).alias("_r"),
+        l_payload.alias("_lpay"),
+    )
+    u = rw.withColumn(
+        "_lpay", F.lit(None).cast(lw.schema["_lpay"].dataType)
+    ).unionByName(lw)
+    win = (
+        Window.partitionBy("_by")
+        .orderBy(F.col("_on").desc(), "_side", F.col("_r").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        u.withColumn("_m", F.last("_r", ignorenulls=True).over(win))
+        .filter(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_lpay.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_m.{c}").alias(f"right_{c}") for c in right_cols]
+    return matched.select(*out_cols)

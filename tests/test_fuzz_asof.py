@@ -84,3 +84,38 @@ def test_asof_backward_unmatched_left_gets_nulls(spark):
     rdf = spark.createDataFrame([(0, 5, 1.0)], "grp long, t long, px double")
     rows = asof_backward(ldf, rdf, by="grp", on="t", right_cols=["px"]).collect()
     assert rows[0].right_px is None
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=rows_strategy)
+def test_asof_forward_matches_duckdb_native(spark, data):
+    from streamroom_bigdata_spark.operators.asof import asof_forward
+
+    right_rows, left_rows = data
+    right = [(g, t, float(100 * g + t)) for g, t in right_rows]
+    left = [(i, g, t) for i, (g, t) in enumerate(left_rows)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r (grp BIGINT, t BIGINT, px DOUBLE)")
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", right) if right else None
+    con.execute("CREATE TABLE l (id BIGINT, grp BIGINT, t BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", left)
+    want = sorted(
+        con.execute(
+            "SELECT l.id, r.px FROM l ASOF LEFT JOIN r "
+            "ON l.grp = r.grp AND l.t <= r.t"
+        ).fetchall()
+    )
+
+    ldf = spark.createDataFrame(left, "id long, grp long, t long")
+    rdf = spark.createDataFrame(right or [], "grp long, t long, px double")
+    got = sorted(
+        (row.id, row.right_px)
+        for row in asof_forward(ldf, rdf, by="grp", on="t",
+                                right_cols=["px"]).collect()
+    )
+    assert got == want
