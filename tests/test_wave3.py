@@ -290,3 +290,30 @@ def test_kmeans_assignment_sane(spark):
     assert clusters <= set(range(KM_K))
     assert len(clusters) >= 2
     assert all(r["sq_dist"] >= 0 for r in rows)
+
+
+def test_curation_v3_decontamination_invariants(spark):
+    """v3 output: no benchmark docs, no doc sharing >= CONTAM_MIN_SHARED
+    fingerprints with the benchmark set, and v3 ⊆ v1 minus benchmark."""
+    from streamroom_bigdata_spark.operators.curation import (
+        BENCHMARK_MAX_ID,
+        CONTAM_MIN_SHARED,
+        curation_pipeline,
+        curation_pipeline_v3,
+    )
+    from streamroom_bigdata_spark.operators.text import _winnow_fp_rows
+
+    v3 = {r["doc_id"] for r in curation_pipeline_v3(spark, SF).collect()}
+    v1 = {r["doc_id"] for r in curation_pipeline(spark, SF).collect()}
+    assert all(d >= BENCHMARK_MAX_ID for d in v3)
+    assert v3 <= v1
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fps: dict[int, set] = {}
+    for r in _winnow_fp_rows(docs).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    bench_fps = set().union(
+        *[fps.get(d, set()) for d in range(BENCHMARK_MAX_ID)]
+    )
+    for d in v3:
+        assert len(fps.get(d, set()) & bench_fps) < CONTAM_MIN_SHARED, d
