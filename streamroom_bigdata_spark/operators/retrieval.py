@@ -187,8 +187,12 @@ text_top AS (
   ORDER BY round(score, 6) DESC, doc_id LIMIT {RRF_CAND}
 ), fused AS (
   SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
-         round(coalesce(1.0 / ({RRF_K} + r_text), 0.0)
-               + coalesce(1.0 / ({RRF_K} + r_vec), 0.0), 6) AS rrf_score
+         -- mirror the Spark side's DECIMAL(18,10) detour exactly so a
+         -- double sitting ~5e-11 below a 6th-decimal half boundary is
+         -- first snapped HALF_UP at the 10th decimal in BOTH engines
+         round(CAST(coalesce(1.0 / ({RRF_K} + r_text), 0.0)
+               + coalesce(1.0 / ({RRF_K} + r_vec), 0.0)
+               AS DECIMAL(18,10)), 6) AS rrf_score
   FROM text_top t FULL OUTER JOIN vec_top v ON t.doc_id = v.doc_id
 )
 SELECT doc_id, rrf_score

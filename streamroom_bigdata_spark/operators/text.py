@@ -738,10 +738,18 @@ def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
     lambdas run interpreted per element (an array-algebra spelling of
     this operator measured 20+ s at sf0.1; this shape runs the same data
     in ~2 s). One doc_id exchange for the frame, one (doc_id, fp)
-    exchange for the dedup — both carry shingle-count-sized flat rows."""
+    exchange for the dedup — both carry shingle-count-sized flat rows.
+
+    Docs shorter than WINNOW_K tokens are filtered HERE (not only at call
+    sites) because ``F.sequence(0, size - K)`` auto-negates its step when
+    ``size < K`` and counts DOWN, feeding ``F.slice`` negative starts —
+    the same hazard documented in fuzzyjoin.py. The DuckDB oracle
+    (_FP_ROWS_SQL) applies the identical ``len(toks) >= K`` predicate, so
+    every caller agrees with its oracle regardless of input corpus."""
     from pyspark.sql import Window
 
     toks = F.split("text", " ")
+    docs = docs.filter(F.size(toks) >= WINNOW_K)
     sh = docs.select(
         "doc_id",
         F.posexplode(

@@ -175,3 +175,105 @@ def test_k_core_empty_and_full(spark):
     assert graph.k_core(empty, 2).count() == 0
     one = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     assert graph.k_core(one, 5).count() == 0  # everything peels
+
+
+# ---------------------------------------------------------------------------
+# Reliable-checkpoint option (round 8): same results both materialization
+# paths, and the checkpoint dir actually receives data — mirrors
+# test_connected_components_reliable_checkpoint.
+# ---------------------------------------------------------------------------
+
+
+def _ckdir_used(path):
+    import os
+
+    return os.path.isdir(path) and any(os.scandir(path))
+
+
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    """pagerank(checkpoint_dir=...) on the distributed path: identical
+    ranks vs localCheckpoint, and the reliable dir is written."""
+    pairs = [(i, (i * 7 + 3) % 40 + 100) for i in range(60)] + [
+        (i, (i + 1) % 20) for i in range(20)
+    ]
+    edges = _sym(spark, pairs)
+    ckdir = str(tmp_path / "pr_ckpt")
+    local = {
+        r.id: r.rank
+        for r in graph.pagerank(edges, small_graph_threshold=0).collect()
+    }
+    reliable = {
+        r.id: r.rank
+        for r in graph.pagerank(
+            edges, small_graph_threshold=0, checkpoint_dir=ckdir
+        ).collect()
+    }
+    assert set(local) == set(reliable)
+    assert all(abs(local[k] - reliable[k]) < 1e-12 for k in local)
+    assert _ckdir_used(ckdir), "reliable checkpoint dir is empty"
+
+
+def test_k_core_reliable_checkpoint_matches_local(spark, tmp_path):
+    import itertools
+
+    pairs = sorted(itertools.combinations(range(8), 2))[:20] + [
+        (50 + i, 51 + i) for i in range(6)
+    ]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    ckdir = str(tmp_path / "kc_ckpt")
+    local = sorted(
+        map(tuple, graph.k_core(edges, 3, small_graph_threshold=0).collect())
+    )
+    reliable = sorted(
+        map(
+            tuple,
+            graph.k_core(
+                edges, 3, small_graph_threshold=0, checkpoint_dir=ckdir
+            ).collect(),
+        )
+    )
+    assert local == reliable and len(local) > 0
+    assert _ckdir_used(ckdir), "reliable checkpoint dir is empty"
+
+
+def test_local_clustering_reliable_checkpoint_matches_local(spark, tmp_path):
+    import itertools
+
+    pairs = sorted(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5), (5, 6)]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    ckdir = str(tmp_path / "tri_ckpt")
+    local = sorted(map(tuple, graph.local_clustering(edges).collect()))
+    reliable = sorted(
+        map(
+            tuple,
+            graph.local_clustering(edges, checkpoint_dir=ckdir).collect(),
+        )
+    )
+    assert local == reliable and len(local) > 0
+    assert _ckdir_used(ckdir), "reliable checkpoint dir is empty"
+
+
+def test_label_propagation_reliable_checkpoint_matches_local(spark, tmp_path):
+    """8 rounds so the _PR_CKPT_EVERY cadence actually fires on both
+    paths; two K4 cliques bridged by one edge keep two communities."""
+    import itertools
+
+    c1 = sorted(itertools.combinations([0, 1, 2, 3], 2))
+    c2 = sorted(itertools.combinations([10, 11, 12, 13], 2))
+    edges = spark.createDataFrame(
+        c1 + c2 + [(3, 10)], "doc_a long, doc_b long"
+    )
+    ckdir = str(tmp_path / "lpa_ckpt")
+    local = sorted(
+        map(tuple, graph.label_propagation(edges, rounds=8).collect())
+    )
+    reliable = sorted(
+        map(
+            tuple,
+            graph.label_propagation(
+                edges, rounds=8, checkpoint_dir=ckdir
+            ).collect(),
+        )
+    )
+    assert local == reliable and len(local) > 0
+    assert _ckdir_used(ckdir), "reliable checkpoint dir is empty"
