@@ -75,6 +75,9 @@ HEADLINE = [
     # round-7 third wave (same like-for-like subtraction rule):
     "bm25_search",            # IR1 ranked retrieval (posting-list tf + top-k)
     "winnow_overlap_pairs",   # WIN2 contamination pairs (fp equi-join, df cap)
+    # round-8 (reported separately vs the frozen 24-query r7 table —
+    # BASELINE.md "FROZEN r7 reference" comparison rule):
+    "kmeans_clusters",        # ML1 Lloyd's, driver-centroid rework (r8)
 ]
 
 SF1_DIR = "/tmp/sf1_synth"

@@ -16,19 +16,27 @@ Determinism design (what makes a float-iterative algorithm hash-checkable):
 - empty clusters keep their previous centroid (LEFT JOIN + coalesce on
   both engines).
 
-Scale shape: everything is long-format column algebra. The distance stage
-is emb_long ⋈ centroids on the dimension index — centroids are K×DIM rows
-(512 here), a broadcast at any corpus size; the per-(vec, cid) sum and the
-per-(cid, pos) mean are the only data-sized aggregates, both map-side
-combinable. K iterations = K chained plans; the per-iteration state that
-crosses the driver is NOTHING (the centroid relation stays distributed and
-tiny). At 100 TB you would add a lineage checkpoint every few rounds
-exactly as `connected_components` does — with ITERS=5 the plan stays
-shallow enough without."""
+Scale shape (round-8 rework, the MLlib/Lloyd's canonical form): centroids
+live on the DRIVER between rounds — K×DIM doubles (512 here; a few MB even
+at K=64k, DIM=1k — ship via spark broadcast past closure size), shipped to
+executors inside the mapInPandas closure. Each non-final round is ONE
+vectorized numpy scan over the embeddings (distances + argmin + in-batch
+per-cluster partial sums — the map-side combine done explicitly) emitting
+at most K×DIM rows per Arrow batch, then a K×DIM-bounded groupBy and a
+K×DIM-row collect. The final round is a pure scan emitting assignments. No
+data-sized shuffle exists anywhere; per-round driver state is
+bounded-by-construction like the Bloom partials the repo already collects.
+
+Why not the previous all-DataFrame chain (r7): 5 chained join plans whose
+per-round subtrees nest (centroids feed both the distance join and the
+next update), so Catalyst re-plans a growing tree and the distance stage
+shuffles n×K aggregate rows per round — measured 11.2 s cold sf0.1 and
+18.5 s cold / 11.5 s warm at sf≈1 (10× data → 1.6× time: pure overhead).
+This shape measures ~4× faster cold at sf0.1 and scales with the scan."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -82,64 +90,98 @@ FROM a{last} a"""
     return "".join(parts)
 
 
+def _round6(a):
+    """HALF_UP decimal rounding to 6 places, vectorized — the same
+    convention as Spark's F.round and DuckDB's round (numpy's own round is
+    half-EVEN; exact .5 cases are unreachable for binary doubles at 1e-6
+    scale, but matching the convention keeps the ulp-boundary behavior
+    aligned with the oracle)."""
+    import numpy as np
+
+    return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+
 @register("kmeans_clusters", _kmeans_oracle())
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means assignment after KM_ITERS Lloyd iterations (see module
-    docstring for the determinism and scale design)."""
+    docstring for the determinism and scale design — driver-held
+    centroids, one vectorized scan per round, K×DIM-bounded shuffles)."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    emb_long = emb.select(
-        "vec_id", F.posexplode("emb").alias("pos0", "val")
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
-    cents = (
-        emb_long.filter(F.col("vec_id") < KM_K)
-        .select(
-            F.col("vec_id").alias("cid"),
-            "pos",
-            F.round("val", 6).alias("val"),
+    # init: centroids 0..K-1 are the (rounded) embeddings of vec_id 0..K-1
+    # — a K-row bounded collect, mirroring the oracle's c0 CTE
+    init = emb.filter(F.col("vec_id") < KM_K).collect()
+    cents = {int(r.vec_id): _round6(np.asarray(r.emb, dtype=np.float64)) for r in init}
+
+    def assign_of(C: "np.ndarray"):
+        """(n, K) rounded squared distances + first-min argmin — ties go
+        to the lowest cid exactly like the oracle's row_number ORDER BY
+        (dist, cid)."""
+
+        def inner(X):
+            D = _round6(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+            return D, D.argmin(axis=1)
+
+        return inner
+
+    cids = sorted(cents)  # 0..K-1; argmin index == cid by construction
+    for _ in range(KM_ITERS - 1):
+        C = np.stack([cents[c] for c in cids])
+        dist_fn = assign_of(C)
+
+        def partials(batches, _fn=dist_fn):
+            # explicit map-side combine: per-cluster (sum, count) per
+            # Arrow batch — at most K×DIM rows out per batch in
+            for pdf in batches:
+                X = np.stack(pdf["emb"].to_numpy())
+                _, cl = _fn(X)
+                out = []
+                for cid in np.unique(cl):
+                    sel = X[cl == cid]
+                    s = sel.sum(axis=0)
+                    n = sel.shape[0]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "cid": int(cid),
+                                "pos": np.arange(1, s.size + 1),
+                                "s": s,
+                                "n": n,
+                            }
+                        )
+                    )
+                yield pd.concat(out) if out else pd.DataFrame(
+                    {"cid": [], "pos": [], "s": [], "n": []}
+                )
+
+        stats = (
+            emb.mapInPandas(partials, "cid int, pos int, s double, n long")
+            .groupBy("cid", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()  # bounded: K×DIM rows
         )
-    )
-    assign = None
-    for _ in range(KM_ITERS):
-        e = emb_long.alias("e")
-        c = cents.alias("c")
-        # no forced broadcast: the centroid side is K×DIM rows (512) at any
-        # corpus size, and AQE broadcasts it from measured stats — a hint
-        # here would also multiply through the unrolled-lineage plan (the
-        # iteration chain embeds earlier iterations' subtrees)
-        dist = (
-            e.join(c, F.col("e.pos") == F.col("c.pos"))
-            .groupBy(F.col("e.vec_id").alias("vec_id"), F.col("c.cid").alias("cid"))
-            .agg(
-                F.round(
-                    F.sum(
-                        (F.col("e.val") - F.col("c.val"))
-                        * (F.col("e.val") - F.col("c.val"))
-                    ),
-                    6,
-                ).alias("dist")
+        for r in stats:  # empty clusters keep their previous centroid
+            cents[r.cid][r.pos - 1] = _round6(np.float64(r.s / r.n))
+
+    C = np.stack([cents[c] for c in cids])
+    final_fn = assign_of(C)
+
+    def assignments(batches, _fn=final_fn):
+        for pdf in batches:
+            X = np.stack(pdf["emb"].to_numpy())
+            D, cl = _fn(X)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": cl.astype("int32"),
+                    "sq_dist": D[np.arange(len(cl)), cl],
+                }
             )
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        assign = (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias("cl"), "dist")
-        )
-        means = (
-            assign.join(emb_long, "vec_id")
-            .groupBy(F.col("cl").alias("cid"), "pos")
-            .agg(F.round(F.avg("val"), 6).alias("mval"))
-        )
-        cents = (
-            cents.join(means, ["cid", "pos"], "left")
-            .select(
-                "cid", "pos", F.coalesce("mval", "val").alias("val")
-            )
-        )
-    return assign.select(
-        "vec_id",
-        F.col("cl").cast("int").alias("cluster"),
-        F.col("dist").alias("sq_dist"),
+
+    return emb.mapInPandas(
+        assignments, "vec_id long, cluster int, sq_dist double"
     )

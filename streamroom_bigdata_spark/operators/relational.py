@@ -985,16 +985,17 @@ FROM rev
 def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level percent-of-parent rollup (the hierarchy-share report):
     each nation's share of its region and each region's share of the
-    total, from ONE (region, nation)-keyed aggregate — both share windows
-    run over the nations-sized output, so their cost is independent of
-    the fact size. Shares divide two doubles cast from the SAME exact
-    DECIMAL sums, so numerator/denominator are engine-identical before
-    the one rounded division (non-terminating ratios — outside the
-    integer-ratio half-tie class). The full-relation window is over a
-    bounded (region × nation) relation — allowlist-rationale territory,
-    enforced by the plan audit."""
-    from pyspark.sql import Window
+    total, from ONE (region, nation)-keyed aggregate. Shares divide two
+    doubles cast from the SAME exact DECIMAL sums, so numerator/
+    denominator are engine-identical before the one rounded division
+    (non-terminating ratios — outside the integer-ratio half-tie class).
 
+    Round-8 spelling: the region and grand totals are AGGREGATES of the
+    nations-sized relation joined back with broadcast hints — not window
+    functions — so no Exchange SinglePartition exists in the plan at all
+    (this query used to carry the plan audit's ``share_of_parent``
+    allowlist entry; DECIMAL sums are exact, so regrouping cannot change
+    a value and the oracle hash is untouched)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -1013,19 +1014,20 @@ def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(F.sum(rev).alias("val"))
     )
-    wr = Window.partitionBy("r_name")
-    wt = Window.partitionBy()
-    v = F.col("val").cast("double")
-    return agg.select(
-        "r_name",
-        "n_name",
-        F.round("val", 2).cast("double").alias("revenue"),
-        F.round(v / F.sum("val").over(wr).cast("double"), 6).alias(
-            "share_of_region"
-        ),
-        F.round(
-            F.sum("val").over(wr).cast("double")
-            / F.sum("val").over(wt).cast("double"),
-            6,
-        ).alias("region_share_of_total"),
+    region_tot = agg.groupBy("r_name").agg(F.sum("val").alias("rtot"))
+    total = agg.agg(F.sum("val").alias("gtot"))
+    return (
+        agg.join(F.broadcast(region_tot), "r_name")
+        .join(F.broadcast(total))
+        .select(
+            "r_name",
+            "n_name",
+            F.round("val", 2).cast("double").alias("revenue"),
+            F.round(
+                F.col("val").cast("double") / F.col("rtot").cast("double"), 6
+            ).alias("share_of_region"),
+            F.round(
+                F.col("rtot").cast("double") / F.col("gtot").cast("double"), 6
+            ).alias("region_share_of_total"),
+        )
     )

@@ -63,7 +63,9 @@ WHERE rnk <= {TOP_K}
 
 
 @register("cosine_topk", cosine_topk_oracle)
-def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cosine_topk(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
     """Brute-force cosine top-k (L3 baseline): exact nearest neighbors for a
     fixed query set.
 
@@ -74,7 +76,11 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once — the broadcast-join pair shape ships it once PER QUERY,
     which measured slower at every batch size (BASELINE.md "vector scorer").
     At 100 TB this stays a single partition-parallel scan with k·|Q| rows
-    surviving per partition after the window's partial top-k."""
+    surviving per partition after the window's partial top-k.
+
+    ``k`` widens the cut past the registered TOP_K (used by
+    tools/ann_recall.py to build a recall@50 ground truth)."""
+    k = TOP_K if k is None else k
     corpus = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
@@ -113,7 +119,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
 
@@ -190,25 +196,38 @@ WHERE rnk <= {TOP_K}
 
 
 @register("ann_lsh_cosine", ann_lsh_oracle)
-def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_radius: int = 1,
+    k: int | None = None,
+) -> DataFrame:
     """Approximate NN (L3 scale path): sign-LSH bucketing, candidates share
     the query's bucket, exact cosine re-rank inside the bucket. The
     candidate join is an equi-join on bucket — shuffle keyed on ~2^N buckets
     instead of an all-pairs compare. The hyperplanes are fixed constants,
     so the DuckDB oracle replays the exact algorithm with them inlined
-    (see ann_lsh_oracle); recall vs brute force is property-tested."""
+    (see ann_lsh_oracle); recall vs brute force is property-tested AND
+    published as recall@50 numbers in BASELINE.md (tools/ann_recall.py).
+
+    ``probe_radius``: probe every bucket within this Hamming distance of
+    the query's bucket (0 = own bucket only; the registered default 1 =
+    flip each hyperplane bit once — the multi-probe that recovers most of
+    single-bucket LSH's recall loss; 2 adds all two-bit flips). ``k``
+    widens the per-query cut past TOP_K."""
+    import itertools
+
+    k = TOP_K if k is None else k
     # not cached: caching array<double> columns hits Spark's slow nested-type
     # columnar cache path — recomputing the projection is cheaper
     bucketed = lsh_bucket_df(spark, sf_dir)
-    # multi-probe: each query probes its own bucket plus every bucket at
-    # Hamming distance 1 (flip one hyperplane bit) — recall recovers most of
-    # what single-bucket LSH loses, while candidates stay an equi-join
+    masks = [0] + [
+        sum(1 << j for j in combo)
+        for r in range(1, probe_radius + 1)
+        for combo in itertools.combinations(range(N_HYPERPLANES), r)
+    ]
     probes = F.array(
-        F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << j))
-            for j in range(N_HYPERPLANES)
-        ],
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
     )
     queries = (
         bucketed.filter(F.col("vec_id").isin(*QUERY_IDS))
@@ -234,7 +253,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine"),
         )
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= k)
     )
 
 
@@ -292,7 +311,12 @@ WHERE rnk <= {TOP_K}
 
 
 @register("ann_ivf_cosine", ann_ivf_oracle)
-def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
     """Approximate NN, IVF flavor (L3 scale path #2): a coarse quantizer
     (per-label centroids) partitions the corpus into inverted lists; each
     vector joins the list of its NEAREST centroid; a query scans only its
@@ -303,7 +327,11 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation is an equi-join on list id. Compare cost drops from
     n² to n·(N_PROBE/k). The quantizer is deterministic (label-seeded
     centroids), so the DuckDB oracle replays the full algorithm; recall vs
-    brute force is property-tested."""
+    brute force is property-tested AND published as recall@50 numbers in
+    BASELINE.md (tools/ann_recall.py). ``n_probe`` overrides the
+    registered N_PROBE list fan-out; ``k`` widens the per-query cut."""
+    n_probe = N_PROBE if n_probe is None else n_probe
+    k = TOP_K if k is None else k
     corpus = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
@@ -340,7 +368,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "query_id",
         "q_emb",
-        keep=N_PROBE,
+        keep=n_probe,
     )
     cand = assigned.join(
         F.broadcast(queries), ["list_id"]
@@ -353,7 +381,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine"),
         )
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= k)
     )
 
 

@@ -63,14 +63,15 @@ def recommend_rooms(
         F.max(F.when(F.col("l_returnflag") == "R", 1)).alias("is_booked"),
     )
 
-    # global max usage stays in-plan as a window over the AGGREGATED frame
-    # (bounded by the part-dimension cardinality, so the single-partition
-    # exchange moves dimension-sized data, not fact-sized) — replaces both
-    # the driver-side .first() (processing.scala:88) and the extra 1-row
-    # aggregate branch that cost a second fact scan.
-    usage = usage.withColumn(
-        "max_usage", F.max("usage_count").over(Window.partitionBy())
-    )
+    # global max usage stays in-plan as a 1-ROW AGGREGATE of the grouped
+    # frame, broadcast-cross-joined back — replaces the driver-side
+    # .first() (processing.scala:88). Both consumers read the SAME
+    # l_partkey shuffle (ReusedExchange), so lineitem is still scanned
+    # once; unlike the earlier Window.partitionBy() spelling there is no
+    # unpartitioned Window in the plan at all (this query used to carry a
+    # plan-audit allowlist entry).
+    mx = usage.agg(F.max("usage_count").alias("max_usage"))
+    usage = usage.join(F.broadcast(mx))
 
     requests = spark.createDataFrame(
         [(s,) for s in request_sizes], "request_size int"

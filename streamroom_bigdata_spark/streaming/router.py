@@ -33,6 +33,7 @@ def route_batch(
     base_dir: str,
     dedup_within_batch: bool = True,
     single_pass: bool = False,
+    batch_id: int | None = None,
 ) -> None:
     """Route one micro-batch into the per-entity bronze store.
 
@@ -40,7 +41,17 @@ def route_batch(
     (one shuffle-free job; readers prune partitions). ``single_pass=False``
     writes one parquet dir per entity with that entity's columns only —
     the reference's per-collection layout (consumer.scala:60-94) — off a
-    persisted batch so the source is scanned once, not six times."""
+    persisted batch so the source is scanned once, not six times.
+
+    ``batch_id`` (round-8 exactly-once upgrade): when set, each entity's
+    rows land in a ``batch_id=<id>`` partition directory written with
+    OVERWRITE — foreachBatch is only at-least-once (a crash mid-batch
+    replays the batch after restart, and plain appends would then
+    duplicate every entity dir already written), but an overwrite keyed on
+    the checkpoint's monotonic batch id makes the replay IDEMPOTENT: the
+    second attempt replaces the partial first attempt byte-for-byte.
+    Readers see a ``batch_id`` partition column (prunable; harmless to
+    entity projections)."""
     if single_pass:
         batch_df.write.mode("append").partitionBy("source_type").parquet(
             os.path.join(base_dir, "bronze")
@@ -58,7 +69,12 @@ def route_batch(
             )
             if dedup_within_batch:
                 entity = entity.dropDuplicates([key])
-            entity.write.mode("append").parquet(os.path.join(base_dir, name))
+            if batch_id is None:
+                entity.write.mode("append").parquet(os.path.join(base_dir, name))
+            else:
+                entity.write.mode("overwrite").parquet(
+                    os.path.join(base_dir, name, f"batch_id={batch_id}")
+                )
 
         # the six writes are independent jobs over the persisted batch —
         # submit them concurrently so executor slots stay busy (the
@@ -76,15 +92,27 @@ def start_router(
     checkpoint_dir: str,
     single_pass: bool = False,
     trigger_once: bool = False,
+    idempotent: bool = False,
 ) -> StreamingQuery:
     """The consumer entry point: parsed wire stream → bronze store under
     ``foreachBatch``, checkpointed (the reference has no checkpoint —
-    consumer.scala:57-97; ours restarts exactly-once-ish)."""
+    consumer.scala:57-97; ours restarts exactly-once-ish).
+
+    ``idempotent=True`` upgrades "exactly-once-ish" to exactly-once for
+    the bronze files: each entity write lands in a ``batch_id=<epoch>``
+    partition with overwrite semantics, so a batch REPLAYED after a
+    mid-batch crash replaces its own partial output instead of appending
+    a duplicate (see :func:`route_batch`)."""
     writer = (
         wire_stream.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
-            lambda df, _id: route_batch(df, base_dir, single_pass=single_pass)
+            lambda df, bid: route_batch(
+                df,
+                base_dir,
+                single_pass=single_pass,
+                batch_id=bid if idempotent else None,
+            )
         )
     )
     if trigger_once:

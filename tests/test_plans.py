@@ -135,6 +135,10 @@ _ALLOWED_FACT_BROADCASTS = {
     # global-scalar threshold / argmax: one row crosses
     "q11_important_parts": 1,
     "q15_top_supplier": 1,
+    # round-8 window→aggregate respelling: region totals (≤ |nations|
+    # rows) + 1-row grand total broadcast back — the two relations that
+    # used to be unpartitioned-window allowlist entries
+    "share_of_parent": 2,
 }
 
 

@@ -990,3 +990,155 @@ def test_stateful_funnel_agrees_with_batch_semantics(spark, tmp_path):
     ms = lambda s: int(pd.Timestamp(s).value // 10**6)  # noqa: E731
     assert funnel_depth((ms("2024-01-01T00:10:00"), ms("2024-01-01T02:00:00"),
                          ms("2024-01-01T03:00:00"), ms("2024-01-01T01:00:00"))) == 3
+
+
+def _wire_booking_line(bid, start="08:00:00"):
+    """One wire-format JSON line (what the file source reads: a JSON
+    object with a `value` field holding the entity JSON string)."""
+    import json
+
+    v = {
+        "booking_id": bid,
+        "section_id": "S1",
+        "classroom_id": "C1",
+        "date": "2024-01-01",
+        "start_time": start,
+        "end_time": "10:00:00",
+        "students": 30,
+        "source_type": "fixed_booking",
+        "ingestion_timestamp": "2024-01-01 00:00:00",
+        "ingestion_date": "2024-01-01",
+    }
+    return json.dumps({"value": json.dumps(v)})
+
+
+def test_router_crash_recovery_restart_from_checkpoint(spark, tmp_path):
+    """Crash-recovery (round-8 verdict item #5): run the checkpointed
+    router, STOP it between micro-batches, restart from the same
+    checkpoint, and assert the bronze store equals the uninterrupted run —
+    no duplicates, no loss. maxFilesPerTrigger=1 + distinct mtimes keep
+    batch boundaries deterministic; a long processingTime trigger opens a
+    wide idle window so the stop lands between batches, not mid-batch."""
+    import time
+
+    wire = tmp_path / "wire"
+    wire.mkdir()
+    base = 1_700_000_000
+    for i in range(3):
+        p = wire / f"batch_{i}.json"
+        p.write_text(
+            _wire_booking_line(f"B{2 * i + 1}")
+            + "\n"
+            + _wire_booking_line(f"B{2 * i + 2}")
+            + "\n"
+        )
+        os.utime(p, (base + i, base + i))
+
+    def src():
+        return parse_wire(
+            stream_file_source(
+                spark, str(wire), "value string", fmt="json",
+                maxFilesPerTrigger=1,
+            )
+        )
+
+    # reference: uninterrupted availableNow run
+    q = start_router(
+        src(), str(tmp_path / "bronze_ref"), str(tmp_path / "ckpt_ref"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    ref = sorted(
+        r.booking_id
+        for r in spark.read.parquet(
+            str(tmp_path / "bronze_ref" / "fixed_booking")
+        ).collect()
+    )
+    assert ref == [f"B{i}" for i in range(1, 7)]
+
+    # crashed run: first batch commits, then the query is stopped in the
+    # inter-batch idle window
+    bronze, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+    q1 = (
+        src()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _id: route_batch(df, bronze))
+        .trigger(processingTime="60 seconds")
+        .start()
+    )
+    deadline = time.time() + 90
+    seen = set()
+    while time.time() < deadline:
+        try:
+            seen = {
+                r.booking_id
+                for r in spark.read.parquet(
+                    f"{bronze}/fixed_booking"
+                ).collect()
+            }
+        except Exception:
+            seen = set()
+        if seen >= {"B1", "B2"}:
+            break
+        time.sleep(0.5)
+    assert seen >= {"B1", "B2"}, f"first batch never committed: {seen}"
+    q1.stop()
+    q1.awaitTermination(60)
+
+    # restart from the SAME checkpoint: only unprocessed batches replay
+    q2 = start_router(src(), bronze, ckpt, trigger_once=True)
+    q2.awaitTermination(120)
+    got = sorted(
+        r.booking_id
+        for r in spark.read.parquet(f"{bronze}/fixed_booking").collect()
+    )
+    assert got == ref, f"restart diverged from no-crash run: {got} vs {ref}"
+
+
+def test_route_batch_idempotent_replay(spark, tmp_path):
+    """Exactly-once upgrade: replaying the same micro-batch (what
+    foreachBatch does after a mid-batch crash) with batch_id set REPLACES
+    the first attempt instead of appending — bronze holds each row once.
+    Without batch_id the same replay duplicates (the documented
+    at-least-once baseline)."""
+    import json
+
+    line = json.loads(_wire_booking_line("B1"))["value"]
+    rows = parse_wire(spark.createDataFrame([(line,)], "value string"))
+    idem = str(tmp_path / "idem")
+    route_batch(rows, idem, batch_id=3)
+    route_batch(rows, idem, batch_id=3)  # replay
+    got = spark.read.parquet(f"{idem}/fixed_booking")
+    assert got.count() == 1
+    assert [r.batch_id for r in got.collect()] == [3]
+
+    plain = str(tmp_path / "plain")
+    route_batch(rows, plain)
+    route_batch(rows, plain)  # replay duplicates without the batch_id key
+    assert spark.read.parquet(f"{plain}/fixed_booking").count() == 2
+
+
+def test_start_router_idempotent_end_to_end(spark, tmp_path):
+    """idempotent=True end-to-end: the checkpointed router writes
+    batch_id partitions; a restart with no new data appends nothing."""
+    wire = tmp_path / "wire"
+    wire.mkdir()
+    (wire / "b0.json").write_text(
+        _wire_booking_line("B1") + "\n" + _wire_booking_line("B2") + "\n"
+    )
+
+    def src():
+        return parse_wire(
+            stream_file_source(spark, str(wire), "value string", fmt="json")
+        )
+
+    for _ in range(2):  # second run restarts from the same checkpoint
+        q = start_router(
+            src(), str(tmp_path / "bronze"), str(tmp_path / "ckpt"),
+            trigger_once=True, idempotent=True,
+        )
+        q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "bronze" / "fixed_booking"))
+    assert sorted(r.booking_id for r in got.collect()) == ["B1", "B2"]
+    assert "batch_id" in got.columns

@@ -26,23 +26,21 @@ sys.path.insert(0, ".")
 SF_DIR = next((a for a in sys.argv[1:] if not a.startswith("-")), "/root/testdata/sf0.01")
 WRITE = "--write" in sys.argv
 
-# Every allowlisted unpartitioned window sits over a BOUNDED relation:
-#  - ntile_quartiles: the deliberately-kept small-relation oracle form; its
-#    scale path is quartiles_distributed (0 single-part exchanges).
-#  - recommend_rooms / recommend_rmse: global-max window over an already
-#    dimension-bounded aggregate (plans/recommend.py — rows ≤ |rooms|),
-#    never over a fact-sized relation.
+# Every allowlisted unpartitioned window sits over a BOUNDED relation.
+# Round-8 shrink: recommend_rooms / recommend_rmse (global max) and
+# share_of_parent (grand-total share) were re-spelled as 1-row/dimension
+# aggregates broadcast-joined back — no unpartitioned Window exists in
+# those plans anymore. The two survivors are genuinely order-dependent:
 ALLOWED_UNPARTITIONED_WINDOWS = {
+    # the deliberately-kept small-relation oracle form; its scale path is
+    # quartiles_distributed (0 single-part exchanges)
     "ntile_quartiles": 1,
-    "recommend_rooms": 1,
-    "recommend_rmse": 1,
-    # lag over the monthly aggregate: input is month-count-bounded (~80
-    # rows/decade), the event-sized aggregate below it is fully parallel
+    # lag(revenue) = previous PRESENT month: a month-1 self-join would
+    # silently change semantics on gapped months, so the exact-lag window
+    # stays — its input is the monthly aggregate (month-count-bounded,
+    # ~80 rows/decade); the event-sized aggregate below it is fully
+    # parallel
     "mom_revenue_growth": 1,
-    # grand-total share window over the (region × nation) aggregate —
-    # dimension-bounded (= |nations|) at any fact size; the fact-sized
-    # aggregate below it is fully parallel
-    "share_of_parent": 1,
 }
 
 HEADER = (
