@@ -317,3 +317,32 @@ def test_curation_v3_decontamination_invariants(spark):
     )
     for d in v3:
         assert len(fps.get(d, set()) & bench_fps) < CONTAM_MIN_SHARED, d
+
+
+def test_round6_matches_decimal_half_up():
+    """kmeans' vectorized HALF_UP rounding helper agrees with the exact
+    decimal HALF_UP reference (what Spark's F.round and DuckDB's round
+    implement) across magnitudes, signs, and near-boundary values —
+    hypothesis-style sweep without the Spark session."""
+    import decimal
+    import random
+
+    import numpy as np
+
+    from streamroom_bigdata_spark.operators.kmeans import _round6
+
+    def ref(x: float) -> float:
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    rng = random.Random(1234)
+    cases = [0.0, 1e-7, -1e-7, 0.1234565, -0.1234565, 123.4567894999]
+    cases += [rng.uniform(-100, 100) for _ in range(5000)]
+    # values engineered near the 6th-decimal boundary
+    cases += [round(rng.uniform(0, 1), 6) + 4.9e-7 for _ in range(2000)]
+    got = _round6(np.array(cases))
+    for x, g in zip(cases, got):
+        assert f"{g:.6f}" == f"{ref(x):.6f}", (x, g, ref(x))
