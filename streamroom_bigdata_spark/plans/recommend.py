@@ -63,13 +63,20 @@ def recommend_rooms(
         F.max(F.when(F.col("l_returnflag") == "R", 1)).alias("is_booked"),
     )
 
-    # global max usage stays in-plan as a 1-ROW AGGREGATE of the grouped
-    # frame, broadcast-cross-joined back — replaces the driver-side
-    # .first() (processing.scala:88). Both consumers read the SAME
-    # l_partkey shuffle (ReusedExchange), so lineitem is still scanned
-    # once; unlike the earlier Window.partitionBy() spelling there is no
-    # unpartitioned Window in the plan at all (this query used to carry a
-    # plan-audit allowlist entry).
+    # global max usage stays in-plan as a 1-ROW AGGREGATE broadcast-
+    # cross-joined back — replaces the driver-side .first()
+    # (processing.scala:88). Plan tradeoff, measured from the executed
+    # plan: Catalyst column-prunes this branch to a ONE-COLUMN
+    # (l_partkey) scan + map-side partial counts, so the subtree differs
+    # from the usage branch and ReuseExchange does NOT kick in — the fact
+    # is scanned twice. That is deliberately accepted over the previous
+    # Window.partitionBy() spelling, which scanned once but funneled the
+    # ENTIRE part-cardinality aggregate through one task (at 100 TB,
+    # ~10^8 part keys through a single partition — the real bottleneck;
+    # this query used to carry a plan-audit allowlist entry for it). Here
+    # the SinglePartition exchange moves one partial-max row per
+    # partition, and the second scan reads one int column with partial
+    # aggregation — fully parallel at any scale.
     mx = usage.agg(F.max("usage_count").alias("max_usage"))
     usage = usage.join(F.broadcast(mx))
 

@@ -78,10 +78,15 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        path = f"{SF_DIR}/{t}.parquet"
+        # Spark-written tables (e.g. the synthetic sf≈1 fixtures) are
+        # DIRECTORIES of part files; DuckDB needs the glob form for those
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = registry.queries()
     oracles = registry.oracle_sql()
