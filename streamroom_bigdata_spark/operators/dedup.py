@@ -334,12 +334,11 @@ def counted_bands(
     hot path + size lookups). ``checkpoint_dir``: use a RELIABLE checkpoint
     instead, so a lost executor doesn't abort the run (see
     :func:`connected_components`)."""
+    from ..functions.reliability import make_checkpointer
+
     w = Window.partitionBy("band_id", "band_key")
     counted = bands.withColumn("_bucket_n", F.count("*").over(w))
-    if checkpoint_dir is not None:
-        bands.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        return counted.checkpoint()
-    return counted.localCheckpoint()
+    return make_checkpointer(bands.sparkSession, checkpoint_dir)(counted)
 
 
 def lsh_candidate_pairs(
@@ -791,13 +790,9 @@ def connected_components(
     union-find (:func:`_driver_union_find`) — identical labels, none of the
     per-round planning overhead. Set to 0 to force the distributed path."""
     spark = pairs.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    from ..functions.reliability import make_checkpointer
 
-    def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=eager)
-        return df.localCheckpoint(eager=eager)
+    ckpt = make_checkpointer(spark, checkpoint_dir)
 
     # Materialize the PAIR table (half the symmetrized edge table) — the
     # pair pipeline runs once, and symmetrization below is a lazy union of

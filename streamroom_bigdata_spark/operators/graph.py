@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.reliability import make_checkpointer
 from ..registry import register
 from ..sources import load_table
 from .dedup import simhash_near_dup, simhash_near_dup_oracle
@@ -25,26 +26,10 @@ PR_DAMPING = 0.85
 _PR_CKPT_EVERY = 4
 
 
-def _checkpointer(spark, checkpoint_dir: str | None):
-    """Materialization strategy for the iterative loops, shared contract
-    with :func:`..operators.dedup.connected_components`: when
-    ``checkpoint_dir`` is set, rounds truncate lineage with RELIABLE
-    ``df.checkpoint()`` into that directory (survives executor loss — at
-    100 TB a lost executor must not abort round 7 of 8); when ``None``
-    (the default), ``localCheckpoint`` keeps the executor-local fast path.
-    Measured on connected_components at sf0.1: reliable vs local is noise
-    (1.39 s vs 1.37 s warm median) because the per-round tables are
-    output-sized, not corpus-sized — the same argument holds for the rank,
-    oriented-edge, and peeled-edge tables here."""
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-
-    def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=eager)
-        return df.localCheckpoint(eager=eager)
-
-    return ckpt
+# shared local-vs-reliable materialization strategy (see the module
+# docstring of functions/reliability.py for the contract and the measured
+# reliable-mode overhead)
+_checkpointer = make_checkpointer
 
 
 def _edges_sql() -> str:
