@@ -553,6 +553,98 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Containment / overlap-coefficient dedup (L2 directional variant)
+# ---------------------------------------------------------------------------
+
+#: overlap-coefficient cut: |A∩B| / min(|A|,|B|) ≥ this ⇒ the smaller
+#: shingle set is (near-)contained in the larger
+CONTAINMENT_THRESHOLD = 0.8
+
+containment_oracle = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), shingled AS (
+  SELECT doc_id, list_distinct({sql_shingles(NGRAM_EXACT_N)}) AS shingles
+  FROM toks
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM shingled
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM exploded a JOIN exploded b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common::DOUBLE / least(len(sa.shingles), len(sb.shingles)), 6)
+         AS containment,
+       round(i.n_common::DOUBLE
+             / (len(sa.shingles) + len(sb.shingles) - i.n_common), 6)
+         AS jaccard
+FROM inter i
+JOIN shingled sa ON i.doc_a = sa.doc_id
+JOIN shingled sb ON i.doc_b = sb.doc_id
+WHERE i.n_common::DOUBLE / least(len(sa.shingles), len(sb.shingles))
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("containment_dup_pairs", containment_oracle)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-dup detection by the OVERLAP COEFFICIENT
+    |A∩B| / min(|A|,|B|) over DISTINCT 5-gram shingle sets — the
+    subset-duplication case symmetric Jaccard structurally under-scores:
+    a short document quoted whole inside a long one has containment ≈ 1
+    while its Jaccard ≈ |A|/|B| can sit far below any dedup threshold.
+    Standard kit in LLM-corpus curation next to MinHash (quote/boilerplate
+    inclusion, truncated re-crawls of the same page).
+
+    Plan shape = :func:`ngram_jaccard_pairs`' inverted-index join (docs
+    sharing ≥1 shingle, never n²) on SET semantics (``array_distinct``
+    before explode, so the coefficient is bounded by 1 even with repeated
+    shingles); both the containment and the Jaccard ride out so a caller
+    can see WHICH regime flagged the pair. Scale path: the same LSH band
+    candidates (lsh_candidate_pairs) bound the pair set; this registered
+    form is the exact oracle twin."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(shingle_col(NGRAM_EXACT_N)).alias("shingles"),
+    )
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    # sizes unhinted for the same reason as ngram_jaccard_pairs: one row
+    # per document is corpus-sized at scale; AQE broadcasts iff small
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (L2 fingerprint variant)
 # ---------------------------------------------------------------------------
 

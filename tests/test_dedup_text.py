@@ -359,3 +359,27 @@ def test_counted_bands_reliable_checkpoint_matches_local(spark, tmp_path):
         map(tuple, counted_bands(bands, checkpoint_dir=str(tmp_path / "ck")).collect())
     )
     assert local == reliable and len(local) > 0
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark, tmp_path):
+    """A short doc quoted whole inside a long one: containment ≈ 1 while
+    Jaccard sits far below the near-dup threshold — the regime this
+    operator exists for. Build a tiny corpus parquet and run the
+    registered query against it."""
+    short = " ".join(f"tok{i}" for i in range(12))
+    long_ = short + " " + " ".join(f"pad{i}" for i in range(80))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    spark.createDataFrame(
+        [(0, short, "en", "web"), (1, long_, "en", "web"), (2, other, "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.doc_a, r.doc_b): (r.containment, r.jaccard)
+        for r in dedup.containment_dup_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in got, got
+    cont, jac = got[(0, 1)]
+    assert cont == 1.0  # every shingle of the short doc is in the long one
+    assert jac < 0.2    # symmetric jaccard would never flag this pair
+    assert all(2 not in pair for pair in got)
