@@ -274,31 +274,6 @@ def _band_exprs() -> list[str]:
     ]
 
 
-near_dup_oracle = f"""
-WITH {_sql_minhash_cte()}, bands AS (
-  {" UNION ALL ".join(
-      f"SELECT doc_id, {b} AS band_id, {expr} AS band_key FROM sigs"
-      for b, expr in enumerate(_band_exprs())
-  )}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
-), pairs AS (
-  SELECT c.doc_a, c.doc_b,
-         len(list_intersect(sa.hs, sb.hs))::DOUBLE
-           / len(list_distinct(list_concat(sa.hs, sb.hs)))
-           AS jaccard
-  FROM cand c
-  JOIN sigs sa ON c.doc_a = sa.doc_id
-  JOIN sigs sb ON c.doc_b = sb.doc_id
-)
-SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
-FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
-"""
-
-
 # Hot-bucket cap (VERDICT r1 #5): a band bucket shared by many documents —
 # a stop-phrase shingle, or a template duplicated thousands of times — makes
 # the bucket self-join quadratic. Buckets over the cap switch from all-pairs
@@ -312,6 +287,50 @@ FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
 # cluster membership is preserved when hub-member pairs verify, which
 # near-identical template copies do).
 NEAR_DUP_MAX_BUCKET = 1_000
+
+# Cap-aware candidate generation (round 8): replays lsh_candidate_pairs'
+# hot-bucket star-link EXACTLY — buckets over NEAR_DUP_MAX_BUCKET
+# contribute their spanning star on the min doc_id instead of all pairs —
+# so the oracle matches at EVERY scale, including the sf≈1 quasi-clique
+# corpus where the cap engages. At test scales the hot branch is empty and
+# the SQL degenerates to the previous uncapped form (hashes unchanged).
+near_dup_oracle = f"""
+WITH {_sql_minhash_cte()}, bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, {expr} AS band_key FROM sigs"
+      for b, expr in enumerate(_band_exprs())
+  )}
+), counted AS (
+  SELECT doc_id, band_id, band_key,
+         count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+  FROM bands
+), cold AS (
+  SELECT * FROM counted WHERE bucket_n <= {NEAR_DUP_MAX_BUCKET}
+), hot AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY band_id, band_key) AS hub
+  FROM counted WHERE bucket_n > {NEAR_DUP_MAX_BUCKET}
+), cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM cold a JOIN cold b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT hub AS doc_a, doc_id AS doc_b FROM hot WHERE doc_id <> hub
+  )
+), pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.hs, sb.hs))::DOUBLE
+           / len(list_distinct(list_concat(sa.hs, sb.hs)))
+           AS jaccard
+  FROM cand c
+  JOIN sigs sa ON c.doc_a = sa.doc_id
+  JOIN sigs sb ON c.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
 
 
 def hot_bucket_report(bands: DataFrame, max_bucket_size: int) -> DataFrame:
@@ -722,6 +741,10 @@ HAM_MAX = 3
 # documented near_dup trade.
 SIMHASH_ND_MAX_BUCKET = 1000
 
+# Cap-aware like near_dup_oracle (round 8): hot band buckets star-link on
+# the min doc_id exactly as lsh_candidate_pairs does, so the oracle stays
+# exact at quasi-clique scales; empty hot branch (→ identical SQL result)
+# at test scales.
 simhash_near_dup_oracle = f"""
 WITH sims AS (
   {_simhash_sql(SIMHASH_ND_BITS)}
@@ -730,12 +753,30 @@ WITH sims AS (
          (simhash // CAST(power(2, b.b * {_SIMHASH_BAND_W}) AS BIGINT))
            % {1 << _SIMHASH_BAND_W} AS band_val
   FROM sims, range(0, {SIMHASH_ND_BANDS}) b(b)
+), counted AS (
+  SELECT doc_id, simhash, band, band_val,
+         count(*) OVER (PARTITION BY band, band_val) AS bucket_n
+  FROM bands
+), cold AS (
+  SELECT * FROM counted WHERE bucket_n <= {SIMHASH_ND_MAX_BUCKET}
+), hot AS (
+  SELECT doc_id, simhash,
+         min(doc_id) OVER (PARTITION BY band, band_val) AS hub
+  FROM counted WHERE bucket_n > {SIMHASH_ND_MAX_BUCKET}
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM cold a JOIN cold b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT h.hub, h.doc_id, s.simhash, h.simhash
+  FROM hot h JOIN sims s ON s.doc_id = h.hub
+  WHERE h.doc_id <> h.hub
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAM_MAX}
+SELECT DISTINCT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {HAM_MAX}
 """
 
 
