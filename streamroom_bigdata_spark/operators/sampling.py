@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash_mod, sql_hash_mod
+from ..functions.hashing import (
+    portable_hash64,
+    portable_hash_mod,
+    sql_hash64,
+    sql_hash_mod,
+)
 from ..registry import register
 from ..sources import load_table
 
@@ -222,4 +227,60 @@ def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("qs")[i], 2).alias(f"p{int(p * 100)}")
             for i, p in enumerate(SQ_PCTS)
         ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (training-data ordering)
+# ---------------------------------------------------------------------------
+
+#: shards per epoch — at 100 TB this would be O(10k) so each shard's window
+#: partition holds ~corpus/N_SHARDS rows and shards map 1:1 to output files
+EPOCH_SHARDS = 8
+#: epoch seed folded into the hash: changing it re-deals every document to a
+#: new (shard, position) without any RNG state
+EPOCH_SEED = "epoch-1"
+
+_EPOCH_KEY = f"concat(CAST(doc_id AS VARCHAR), '|{EPOCH_SEED}')"
+
+epoch_shard_order_oracle = f"""
+WITH h AS (
+  SELECT doc_id, {sql_hash64(_EPOCH_KEY)} AS h FROM documents
+)
+SELECT doc_id,
+       h % {EPOCH_SHARDS} AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY h % {EPOCH_SHARDS} ORDER BY h, doc_id
+            ) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@register("epoch_shard_order", epoch_shard_order_oracle)
+def epoch_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for a training epoch: every document
+    gets a (shard, position) from the portable hash of (doc_id, epoch seed)
+    — the exact order a data loader would stream, reproducible across runs,
+    engines, and cluster sizes, with NO RNG state to coordinate. Changing
+    ``EPOCH_SEED`` re-deals the whole corpus (a fresh permutation per
+    epoch); a seeded ``rand()`` cannot promise that under repartitioning or
+    task retries.
+
+    Plan: one codegen hash projection → one shuffle on ``shard`` → per-shard
+    window ``row_number`` ordered by (hash, doc_id). Shards are the unit of
+    parallelism AND the output layout (shard = output file), so at 100 TB
+    EPOCH_SHARDS is set O(10k) to bound each window partition at
+    corpus/N_SHARDS rows; no global sort is ever paid. Reference has no
+    ordering operator (435-LoC scope, SURVEY §0)."""
+    h = portable_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f"|{EPOCH_SEED}"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", h.alias("h"), F.pmod(h, F.lit(EPOCH_SHARDS)).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return docs.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
     )

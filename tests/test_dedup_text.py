@@ -383,3 +383,53 @@ def test_containment_catches_subset_dup_jaccard_misses(spark, tmp_path):
     assert cont == 1.0  # every shingle of the short doc is in the long one
     assert jac < 0.2    # symmetric jaccard would never flag this pair
     assert all(2 not in pair for pair in got)
+
+
+def test_block_dup_stats_planted_blocks(spark, tmp_path):
+    """Doc A and doc B share one block-ALIGNED 8-token run; doc C is unique;
+    doc D is shorter than one block (excluded); doc E repeats a block within
+    itself only (within-doc repeats are NOT cross-doc dups)."""
+    common = " ".join(f"c{i}" for i in range(8))
+    self_rep = " ".join(f"e{i}" for i in range(8))
+    rows = [
+        (0, common + " " + " ".join(f"a{i}" for i in range(8))),
+        (1, " ".join(f"b{i}" for i in range(8)) + " " + common
+            + " " + " ".join(f"b{i + 8}" for i in range(8))),
+        (2, " ".join(f"u{i}" for i in range(16))),
+        (3, " ".join(f"d{i}" for i in range(7))),          # no full block
+        (4, self_rep + " " + self_rep),                     # within-doc only
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: (r.n_blocks, r.dup_blocks, r.dup_frac)
+        for r in dedup.block_dup_stats(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (2, 1, 0.5)
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (2, 0, 0.0)
+    assert 3 not in got
+    assert got[4] == (2, 0, 0.0)
+
+
+def test_block_dup_stats_unaligned_share_not_flagged(spark, tmp_path):
+    """The same 8 tokens at a NON-block-aligned offset hash into different
+    blocks — the documented fixed-grid tradeoff (winnowing fingerprints are
+    the shift-robust alternative)."""
+    common = " ".join(f"c{i}" for i in range(8))
+    rows = [
+        (0, common + " " + " ".join(f"a{i}" for i in range(8))),
+        (1, "shift " + common + " " + " ".join(f"b{i}" for i in range(7))),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.dup_blocks
+        for r in dedup.block_dup_stats(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 0, 1: 0}

@@ -76,3 +76,29 @@ def test_sessionize_boundary_gap_is_same_session(spark):
         rows, "user_id int, event_id int, ts timestamp, value double"
     )
     assert sessionize(df).count() == 1
+
+
+def test_epoch_shard_order_is_a_permutation(spark, sf_dir):
+    """Every document appears exactly once; positions are dense 1..n per
+    shard; shards are in [0, EPOCH_SHARDS); re-running yields the identical
+    assignment (determinism is the operator's whole contract)."""
+    from streamroom_bigdata_spark.operators.sampling import (
+        EPOCH_SHARDS,
+        epoch_shard_order,
+    )
+
+    out = epoch_shard_order(spark, sf_dir)
+    rows = out.collect()
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < EPOCH_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    again = {(r.doc_id, r.shard, r.pos) for r in epoch_shard_order(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
