@@ -431,7 +431,18 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEAR_DUP_COSINE. The `<` theta-join broadcasts one side (vectors are
     small); O(n²) compare — correct reference for the LSH variant below,
     which is the one to run at corpus scale. Guarded: raises past
-    EMBEDDING_NEAR_DUP_MAX_ROWS rather than submitting a quadratic plan."""
+    EMBEDDING_NEAR_DUP_MAX_ROWS rather than submitting a quadratic plan.
+
+    Two O(n²)-lens optimizations (caught by the sf≈1 oracle pass, where the
+    naive plan sat on ONE task for 45+ min):
+    - the probe side is spread to defaultParallelism first — a
+      BroadcastNestedLoopJoin parallelizes over PROBE partitions, and a
+      small parquet input arrives as fewer splits than cores, so without
+      the spread the whole n² compare runs on one core;
+    - per-vector norms are computed ONCE per row before the join instead
+      of once per PAIR (3 interpreted HOF aggregations per pair → 1);
+      dot/(na·nb) is the same double-arithmetic expression tree, so
+      results stay bit-identical to the fused form."""
     c = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
@@ -442,10 +453,19 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"exceeds the {EMBEDDING_NEAR_DUP_MAX_ROWS}-row guard. Use "
             "embedding_near_dup_lsh (bucketed equi-join) at this scale."
         )
-    b = c.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    b = c.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        l2_norm("emb").alias("nb"),
+    )
+    npart = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < npart:
+        c = c.repartition(npart)
+    probe = c.withColumn("na", l2_norm("emb"))
+    cos = dot("emb", "emb_b") / (F.col("na") * F.col("nb"))
     return (
-        c.join(F.broadcast(b), F.col("vec_id") < F.col("vec_b"))
-        .withColumn("cosine", cosine(F.col("emb"), F.col("emb_b")))
+        probe.join(F.broadcast(b), F.col("vec_id") < F.col("vec_b"))
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
         .select(
             F.col("vec_id").alias("vec_a"),
