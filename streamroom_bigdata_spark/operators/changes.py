@@ -385,6 +385,74 @@ def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Mutual information / PMI (categorical dependence strength) -------------
+
+mutual_information_oracle = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2
+), rowt AS (
+  SELECT lang, sum(obs) AS r FROM cells GROUP BY 1
+), colt AS (
+  SELECT source, sum(obs) AS c FROM cells GROUP BY 1
+), tot AS (
+  SELECT sum(obs) AS n FROM cells
+)
+SELECT ce.lang, ce.source, ce.obs,
+       round(ln(CAST(ce.obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+                / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE))), 6) AS pmi,
+       round(CAST(ce.obs AS DOUBLE) / CAST(t.n AS DOUBLE)
+             * ln(CAST(ce.obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+                  / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE))), 6)
+         AS mi_contrib
+FROM cells ce
+JOIN rowt r USING (lang)
+JOIN colt c USING (source)
+CROSS JOIN tot t
+"""
+
+
+@register("mutual_information_lang_source", mutual_information_oracle)
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information per (lang, source) cell plus each
+    cell's contribution to the mutual information I(lang; source) — the
+    dependence-strength profile behind corpus-mix audits ("is German
+    over-represented in the web crawl?"). Emits the per-cell table rather
+    than the scalar I (= trivial sum of ``mi_contrib``) for the same
+    reason as :func:`chi_square_type_dow`: the cells show WHERE the
+    dependence lives, and per-cell arithmetic over identical integer
+    marginals is the identical IEEE expression on both engines — no
+    cross-engine float-summation order anywhere.
+
+    One doc-scan aggregate builds the cells; marginals are cell-sized
+    re-aggregates broadcast back — nothing after the first aggregate
+    touches corpus-sized data."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("obs"))
+    rowt = cells.groupBy("lang").agg(F.sum("obs").alias("r"))
+    colt = cells.groupBy("source").agg(F.sum("obs").alias("c"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    pmi = F.log(
+        F.col("obs").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("r").cast("double") * F.col("c").cast("double"))
+    )
+    return (
+        cells.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .join(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "obs",
+            F.round(pmi, 6).alias("pmi"),
+            F.round(
+                F.col("obs").cast("double") / F.col("n").cast("double") * pmi,
+                6,
+            ).alias("mi_contrib"),
+        )
+    )
+
+
 # --- Month-over-month revenue growth ----------------------------------------
 
 mom_growth_oracle = """

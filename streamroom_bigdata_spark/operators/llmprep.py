@@ -399,6 +399,71 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# temperature-weighted source mixing (rates derived from corpus counts)
+# --------------------------------------------------------------------------
+
+#: target sample size — the epoch's document budget
+MIX_TARGET = 300
+#: temperature α=0.5 → weight per source ∝ sqrt(n_s): upweights small
+#: sources relative to proportional sampling (the n^α mixing rule)
+
+_TMIX_KEY = "concat(CAST(doc_id AS VARCHAR), '|tmix')"
+
+temperature_mix_sample_oracle = f"""
+WITH n AS (
+  SELECT source, count(*)::DOUBLE AS n_s FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(sqrt(n_s)) AS sw FROM n
+), r AS (
+  SELECT source,
+         least(1.0, {MIX_TARGET} * sqrt(n_s) / (SELECT sw FROM tot) / n_s)
+           AS rate
+  FROM n
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE {sql_hash_mod(_TMIX_KEY, 1000000)} < floor(r.rate * 1000000)
+"""
+
+
+@register("temperature_mix_sample", temperature_mix_sample_oracle)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing: per-source keep rates are
+    DERIVED IN-PLAN from the corpus itself — source s is sampled toward a
+    share ∝ n_s^0.5 of a MIX_TARGET-document budget (the n^α mixing rule
+    LLM pretraining recipes use to upweight small high-quality sources
+    against proportional sampling), capped at keeping the whole source.
+    Unlike :func:`source_mix_sample` (static rate table), the rates here
+    track the corpus: re-running after ingest re-derives them.
+
+    Plan: tiny per-source count agg → 1-row sqrt-sum → broadcast the
+    source→rate table back onto the scan → deterministic salted-hash
+    Bernoulli filter at floor(rate·1e6) precision. One data-sized scan,
+    dimension-bounded aggregates, no data-sized shuffle — the derived-rate
+    broadcast pattern scales to any corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(
+        F.count("*").cast("double").alias("n_s")
+    )
+    tot = cnt.agg(F.sum(F.sqrt("n_s")).alias("sw"))
+    rates = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(MIX_TARGET) * F.sqrt("n_s") / F.col("sw") / F.col("n_s"),
+        ).alias("rate"),
+    )
+    keep = portable_hash_mod(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|tmix")), 1_000_000
+    ) < F.floor(F.col("rate") * 1_000_000)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(keep)
+        .select("doc_id", "source")
+    )
+
+
+# --------------------------------------------------------------------------
 # cross-source dedup with source priority
 # --------------------------------------------------------------------------
 

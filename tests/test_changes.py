@@ -122,3 +122,37 @@ def test_mode_is_argmax_with_lexicographic_ties(spark):
             per_user.items(), key=lambda kv: (-kv[1], kv[0])
         )  # max count, then lexicographically first
         assert (r.top_type, r.cnt) == best
+
+
+def test_mutual_information_independent_and_dependent(spark, tmp_path):
+    """Exactly independent (lang, source) counts ⇒ every PMI is 0; a
+    diagonal (lang determines source, equal mass) ⇒ Σ mi_contrib = ln 2."""
+    from streamroom_bigdata_spark.operators.changes import (
+        mutual_information_lang_source,
+    )
+
+    # independent: counts are the exact product of marginals (40 = 2x2 grid
+    # with 10 docs per cell x marginal shares 1:1)
+    rows, i = [], 0
+    for lang in ("en", "de"):
+        for src in ("web", "book"):
+            for _ in range(10):
+                rows.append((i, f"t {i}", lang, src, 5))
+                i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = mutual_information_lang_source(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    assert all(r.pmi == 0.0 and r.mi_contrib == 0.0 for r in out)
+
+    # perfectly dependent diagonal: I(lang; source) = ln 2
+    rows = [(i, f"t {i}", "en", "web", 5) for i in range(20)] + [
+        (20 + i, f"t {20 + i}", "de", "book", 5) for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = mutual_information_lang_source(spark, str(tmp_path)).collect()
+    assert len(out) == 2
+    assert abs(sum(r.mi_contrib for r in out) - math.log(2)) < 1e-5

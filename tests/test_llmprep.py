@@ -188,3 +188,36 @@ def test_polymorphic_udtf_schema_follows_argument(spark):
     assert [r.gram for r in three.orderBy("pos").collect()] == [
         "a b c", "b c d"
     ]
+
+
+def test_temperature_mix_upweights_small_sources(spark, tmp_path):
+    """α=0.5 mixing: the keep RATE of a small source must exceed that of a
+    large one (that's the whole point vs proportional sampling), and with
+    a budget larger than the corpus every rate caps at 1.0 (everything
+    kept)."""
+    rows = [(i, f"text {i}", "en", "big" if i < 450 else "small", 10)
+            for i in range(500)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    kept = llmprep.temperature_mix_sample(spark, str(tmp_path)).collect()
+    n_kept = {"big": 0, "small": 0}
+    for r in kept:
+        n_kept[r.source] += 1
+    rate_big, rate_small = n_kept["big"] / 450, n_kept["small"] / 50
+    assert rate_small > rate_big, (n_kept, rate_big, rate_small)
+    # determinism: identical output on a second run
+    again = {(r.doc_id, r.source) for r in
+             llmprep.temperature_mix_sample(spark, str(tmp_path)).collect()}
+    assert again == {(r.doc_id, r.source) for r in kept}
+
+
+def test_temperature_mix_budget_above_corpus_keeps_all(spark, tmp_path):
+    """MIX_TARGET ≥ |corpus| ⇒ every source rate hits the least(1.0, ...)
+    cap and the sample is the whole corpus."""
+    rows = [(i, f"text {i}", "en", f"s{i % 3}", 10) for i in range(60)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    assert llmprep.temperature_mix_sample(spark, str(tmp_path)).count() == 60
