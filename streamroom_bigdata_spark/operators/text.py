@@ -10,7 +10,7 @@ plus property-tested.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import FP_MOD, portable_hash_mod, sql_hash_mod
@@ -115,6 +115,64 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stopword_ratio_col(), 6).alias("stopword_ratio"),
         F.round(unique_ratio_col(), 6).alias("unique_ratio"),
         is_quality_col().alias("is_quality"),
+    )
+
+
+#: keep the top KEEP_NUM/KEEP_DEN of each language's docs by quality score
+QP_KEEP_NUM, QP_KEEP_DEN = 3, 10
+
+quality_percentile_keep_oracle = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_distinct(toks))::DOUBLE / len(toks) AS uniq
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+), ranked AS (
+  SELECT doc_id, lang, uniq,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY uniq DESC, doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM scored
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS q_rank,
+       round(uniq, 6) AS unique_ratio
+FROM ranked WHERE rn * {QP_KEEP_DEN} <= cnt * {QP_KEEP_NUM}
+"""
+
+
+@register("quality_percentile_keep", quality_percentile_keep_oracle)
+def quality_percentile_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-percentile curation: keep each language's top
+    30% of documents by vocabulary diversity. Filtering by a WITHIN-LANG
+    percentile instead of a global score threshold is how multilingual
+    curation avoids high-resource languages (whose score distributions
+    differ) crowding out the rest of the mix.
+
+    The cut is pure integer arithmetic (rn·10 ≤ cnt·3) — no float
+    percentile boundary to diverge across engines; score ties break on
+    doc_id so the kept set is deterministic. Plan: one scan computing the
+    score in codegen → one lang-partitioned window. At 100 TB a per-lang
+    full sort is the honest cost of an EXACT percentile; the cheap variant
+    swaps the window for a per-lang `percentile_approx` threshold joined
+    back as a filter (same shape as `sampled_quantiles`), trading
+    exactness at the cut line for a sort-free plan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", unique_ratio_col().alias("uniq")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("uniq"), "doc_id")
+    cw = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "uniq",
+            F.row_number().over(w).cast("long").alias("q_rank"),
+            F.count("*").over(cw).alias("cnt"),
+        )
+        .filter(F.col("q_rank") * QP_KEEP_DEN <= F.col("cnt") * QP_KEEP_NUM)
+        .select(
+            "doc_id", "lang", "q_rank", F.round("uniq", 6).alias("unique_ratio")
+        )
     )
 
 

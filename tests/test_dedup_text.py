@@ -433,3 +433,29 @@ def test_block_dup_stats_unaligned_share_not_flagged(spark, tmp_path):
         for r in dedup.block_dup_stats(spark, str(tmp_path)).collect()
     }
     assert got == {0: 0, 1: 0}
+
+
+def test_quality_percentile_keep_is_per_language(spark, tmp_path):
+    """The 30% cut applies WITHIN each language: a low-diversity language
+    still keeps its top docs even when every score is below the other
+    language's floor — the property a global threshold lacks."""
+    # lang 'hi' docs: all-distinct tokens (uniq = 1.0); lang 'lo': heavy
+    # repetition (uniq ~ 0.2) — 10 docs each => 3 kept per language
+    rows = []
+    for i in range(10):
+        rows.append((i, " ".join(f"a{i}_{j}" for j in range(10)), "hi", "s", 10))
+    for i in range(10):
+        toks = [f"b{i}"] * 8 + [f"c{i}", f"d{i}"]
+        rows.append((100 + i, " ".join(toks), "lo", "s", 10))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = text.quality_percentile_keep(spark, str(tmp_path)).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang["hi"]) == 3 and len(by_lang["lo"]) == 3
+    assert all(r.q_rank <= 3 for r in out)
+    # ties in 'hi' (all uniq=1.0) broke on doc_id: lowest three ids kept
+    assert sorted(r.doc_id for r in by_lang["hi"]) == [0, 1, 2]
