@@ -280,3 +280,127 @@ def partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_over_avg"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — cross-source corpus overlap
+# ---------------------------------------------------------------------------
+
+#: sketch size per source; estimator std-error ~ 1/sqrt(K)
+KMV_K = 256
+
+
+def _kmv_sql() -> str:
+    from ..functions.hashing import sql_hash64
+
+    from .dedup import SHINGLE_N, sql_shingles
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents
+), expl AS (
+  SELECT source, unnest({sql_shingles(SHINGLE_N)}) AS s FROM toks
+), sh AS (
+  SELECT DISTINCT source, {sql_hash64('s')} AS h FROM expl
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM sh
+  ) WHERE rn <= {KMV_K}
+), srcs AS (
+  SELECT DISTINCT source FROM sk
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+), u AS (
+  SELECT p.sa, p.sb, s1.h FROM pairs p JOIN sk s1 ON s1.source = p.sa
+  UNION
+  SELECT p.sa, p.sb, s2.h FROM pairs p JOIN sk s2 ON s2.source = p.sb
+), m AS (
+  SELECT sa, sb, h FROM (
+    SELECT sa, sb, h,
+           row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= {KMV_K}
+)
+SELECT m.sa AS source_a, m.sb AS source_b,
+       CAST(sum(CASE WHEN k1.h IS NOT NULL AND k2.h IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_in_sketch,
+       round(sum(CASE WHEN k1.h IS NOT NULL AND k2.h IS NOT NULL
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS jaccard_est
+FROM m
+LEFT JOIN sk k1 ON k1.source = m.sa AND k1.h = m.h
+LEFT JOIN sk k2 ON k2.source = m.sb AND k2.h = m.h
+GROUP BY 1, 2
+"""
+
+
+@register("kmv_source_overlap", _kmv_sql())
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap by KMV (k-minimum-values) sketch: each
+    source's shingle-set is summarized by its KMV_K smallest portable
+    shingle hashes, and for every source pair the Jaccard is estimated as
+    |both-sketches ∩ merged-sketch| / |merged-sketch| — the data-governance
+    question ("how much does the new crawl overlap what we have?") answered
+    WITHOUT a corpus-sized pairwise compare, with std-error ~1/√K. When the
+    true union is smaller than K the estimator degrades gracefully to the
+    EXACT Jaccard (the merged sketch IS the union).
+
+    Data-sized work = one distinct (source, shingle-hash) exchange plus a
+    per-source bottom-K window; everything after the sketch is K·|sources|
+    rows. At 100 TB the bottom-K window's per-source sort is the honest
+    exact cost — the two-phase cheap path (per-partition K-smallest heap
+    via mapPartitions, then merge) trades that for an extra tiny shuffle.
+    Sketches are mergeable (min of mins), so per-shard sketches roll up —
+    same property the HLL family above exploits."""
+    from pyspark.sql import Window
+
+    from .dedup import SHINGLE_N, shingle_col
+
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(shingle_col(SHINGLE_N)).alias("s")
+    )
+    sh = docs.select("source", portable_hash64("s").alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        sh.select("source", "h", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+    )
+    s1 = sk.select(F.col("source").alias("sa"), "h")
+    s2 = sk.select(F.col("source").alias("sb"), "h")
+    u = (
+        pairs.join(s1, "sa").select("sa", "sb", "h")
+        .union(pairs.join(s2, "sb").select("sa", "sb", "h"))
+        .distinct()
+    )
+    wm = Window.partitionBy("sa", "sb").orderBy("h")
+    m = (
+        u.select("sa", "sb", "h", F.row_number().over(wm).alias("rn"))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    k1 = sk.select(F.col("source").alias("sa"), "h", F.lit(1).alias("in_a"))
+    k2 = sk.select(F.col("source").alias("sb"), "h", F.lit(1).alias("in_b"))
+    both = F.sum(
+        F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        m.join(k1, ["sa", "h"], "left")
+        .join(k2, ["sb", "h"], "left")
+        .groupBy(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"))
+        .agg(
+            both.cast("long").alias("n_shared_in_sketch"),
+            F.round(both.cast("double") / F.count("*"), 6).alias("jaccard_est"),
+        )
+    )

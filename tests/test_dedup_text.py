@@ -459,3 +459,53 @@ def test_quality_percentile_keep_is_per_language(spark, tmp_path):
     assert all(r.q_rank <= 3 for r in out)
     # ties in 'hi' (all uniq=1.0) broke on doc_id: lowest three ids kept
     assert sorted(r.doc_id for r in by_lang["hi"]) == [0, 1, 2]
+
+
+def test_kmv_source_overlap_estimates_jaccard(spark, tmp_path):
+    """Planted overlap: sources A and B share half their docs; C is
+    disjoint. The KMV estimate must approximate the exact shingle-set
+    Jaccard (computed brute-force here), and pairs with a union smaller
+    than K are EXACT by construction."""
+    from streamroom_bigdata_spark.operators.profile import kmv_source_overlap
+    from streamroom_bigdata_spark.operators.dedup import SHINGLE_N
+
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def doc(seed):
+        r = random.Random(seed)
+        return " ".join(r.choice(vocab) for _ in range(40))
+
+    shared = [doc(1000 + i) for i in range(30)]
+    rows = []
+    did = 0
+    for t in shared + [doc(i) for i in range(30)]:          # A: 30 shared + 30 own
+        rows.append((did, t, "en", "A", len(t))); did += 1
+    for t in shared + [doc(500 + i) for i in range(30)]:    # B: 30 shared + 30 own
+        rows.append((did, t, "en", "B", len(t))); did += 1
+    for t in [doc(9000 + i) for i in range(20)]:            # C: disjoint docs
+        rows.append((did, t, "en", "C", len(t))); did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    est = {
+        (r.source_a, r.source_b): r.jaccard_est
+        for r in kmv_source_overlap(spark, str(tmp_path)).collect()
+    }
+    assert set(est) == {("A", "B"), ("A", "C"), ("B", "C")}
+
+    # brute-force exact shingle-set jaccard per source
+    def shingles(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i:i + SHINGLE_N])
+            for i in range(len(toks) - SHINGLE_N + 1)
+        }
+    sets = {}
+    for _, t, _, s, _ in rows:
+        sets.setdefault(s, set()).update(shingles(t))
+    for (a, b), e in est.items():
+        true = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert abs(e - true) < 0.08, (a, b, e, true)
