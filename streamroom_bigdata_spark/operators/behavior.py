@@ -12,7 +12,7 @@ tiny stage/cohort/bucket cardinality after that.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.timeutil import epoch_ms
@@ -537,4 +537,73 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b)),
             6,
         ).alias("z_score"),
+    )
+
+
+# --- Weighted median (quantity-weighted price per return flag) --------------
+
+weighted_median_oracle = """
+WITH cum AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DOUBLE) AS price,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY CAST(l_extendedprice AS DOUBLE), l_orderkey, l_linenumber
+         ) AS cumw,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+         ) AS totw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(min(price), 2) AS weighted_median_price,
+       CAST(max(totw) AS BIGINT) AS total_weight
+FROM cum
+WHERE 2 * cumw >= totw
+GROUP BY l_returnflag
+"""
+
+
+@register("weighted_median_price", weighted_median_oracle)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag — the 50%-of-
+    VOLUME price point ("half the quantity shipped traded at or below
+    this"), which an unweighted median misstates whenever cheap items ship
+    in bulk. Weighted percentiles have no Spark/DuckDB builtin, so both
+    engines run the identical definition: order each group by price, take
+    the first row whose running weight reaches half the group total.
+
+    All weight arithmetic is INTEGER (quantities cast to bigint; the cut
+    is 2·cumw ≥ totw) — no float summation order to diverge across
+    engines. Plan: one group-partitioned ordered window for the running
+    weight (+ the group-total window over the same exchange) and a tiny
+    final agg; one shuffle on l_returnflag total. At 100 TB the per-group
+    ordered window is the honest exact cost; the sort-free approximation
+    is a weight-expanded percentile_approx."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wo).alias("cumw"),
+        F.sum("w").over(wt).alias("totw"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median_price"),
+            F.max("totw").cast("long").alias("total_weight"),
+        )
     )

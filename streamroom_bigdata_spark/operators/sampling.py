@@ -284,3 +284,65 @@ def epoch_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contiguous global IDs without a global sort
+# ---------------------------------------------------------------------------
+
+GID_SHARDS = 8
+_GID_KEY = "concat(CAST(doc_id AS VARCHAR), '|gid')"
+
+contiguous_global_ids_oracle = f"""
+WITH h AS (
+  SELECT doc_id, {sql_hash64(_GID_KEY)} AS h FROM documents
+)
+SELECT doc_id,
+       h % {GID_SHARDS} AS shard,
+       CAST(row_number() OVER (ORDER BY h % {GID_SHARDS}, h, doc_id)
+            AS BIGINT) AS global_id
+FROM h
+"""
+
+
+@register("contiguous_global_ids", contiguous_global_ids_oracle)
+def contiguous_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1..N global sample numbering WITHOUT a global sort — the
+    classic at-scale replacement for `row_number() OVER (ORDER BY ...)`
+    (single-partition funnel) and `monotonically_increasing_id` (gaps):
+    hash-shard the rows, number within each shard, then add each shard's
+    cumulative offset computed from a GID_SHARDS-row count table. The
+    oracle states the SEMANTICS as the naive global row_number; the plan
+    never materializes that sort.
+
+    Offsets come from a tiny shard×shard triangular self-join (≤ S² rows)
+    instead of an unpartitioned window, so no stage — not even a
+    bounded-input one — funnels through one partition. At 100 TB:
+    S=O(10k) shards bounds every per-shard window at corpus/S rows, the
+    offset table stays thousands of rows, and the whole numbering costs
+    one shard shuffle + one broadcast join."""
+    h = portable_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|gid"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", h.alias("h"), F.pmod(h, F.lit(GID_SHARDS)).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    numbered = docs.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+    cnts = docs.groupBy("shard").agg(F.count("*").alias("cnt"))
+    a = cnts.select(F.col("shard"), F.col("cnt"))
+    b = cnts.select(
+        F.col("shard").alias("b_shard"), F.col("cnt").alias("b_cnt")
+    )
+    offsets = (
+        a.join(b, F.col("b_shard") < F.col("shard"), "left")
+        .groupBy("shard")
+        .agg(F.coalesce(F.sum("b_cnt"), F.lit(0)).alias("offset"))
+    )
+    return numbered.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        "shard",
+        (F.col("offset") + F.col("pos")).alias("global_id"),
+    )

@@ -171,3 +171,29 @@ def test_funnel_depth_semantics_property(spark):
         assert funnel_depth(ts) == ref_depth(ts)
 
     check()
+
+
+def test_weighted_median_price_respects_weights(spark, tmp_path):
+    """Bulk-shipped cheap items drag the weighted median below the
+    unweighted one: prices [10 w1, 20 w1, 30 w10] → half the 12 units sit
+    at 30, so the weighted median is 30; flag 'B' puts the bulk at the
+    cheap end instead → weighted median 10."""
+    from streamroom_bigdata_spark.operators.behavior import (
+        weighted_median_price,
+    )
+
+    rows = [
+        ("A", 10.0, 1.0, 1, 1), ("A", 20.0, 1.0, 1, 2), ("A", 30.0, 10.0, 2, 1),
+        ("B", 10.0, 10.0, 3, 1), ("B", 20.0, 1.0, 3, 2), ("B", 30.0, 1.0, 4, 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_extendedprice double, l_quantity double,"
+        " l_orderkey long, l_linenumber long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        r.l_returnflag: (r.weighted_median_price, r.total_weight)
+        for r in weighted_median_price(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (30.0, 12), "B": (10.0, 12)}

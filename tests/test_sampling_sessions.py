@@ -102,3 +102,26 @@ def test_epoch_shard_order_is_a_permutation(spark, sf_dir):
         assert sorted(positions) == list(range(1, len(positions) + 1))
     again = {(r.doc_id, r.shard, r.pos) for r in epoch_shard_order(spark, sf_dir).collect()}
     assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_contiguous_global_ids_dense_and_order_consistent(spark, sf_dir):
+    """global_id is a dense 1..N permutation and equals the naive global
+    row_number over (shard, h, doc_id) — the semantics the shard-offset
+    plan replaces without the single-partition sort."""
+    from streamroom_bigdata_spark.operators.sampling import (
+        contiguous_global_ids,
+    )
+
+    rows = contiguous_global_ids(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.global_id for r in rows) == list(range(1, n + 1))
+    assert len({r.doc_id for r in rows}) == n
+    # within a shard, ids are contiguous; shard blocks are ordered
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.global_id)
+    prev_end = 0
+    for shard in sorted(by_shard):
+        ids = sorted(by_shard[shard])
+        assert ids[0] == prev_end + 1 and ids[-1] == prev_end + len(ids)
+        prev_end = ids[-1]
