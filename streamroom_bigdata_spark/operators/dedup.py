@@ -1169,3 +1169,84 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         [(n, comp_min[find(n)]) for n in parent], schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster representatives (keep-the-best-copy curation step)
+# ---------------------------------------------------------------------------
+
+cluster_representatives_oracle = f"""
+WITH RECURSIVE pairs AS (
+  {near_dup_oracle}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+), scored AS (
+  SELECT c.component, c.doc_id,
+         len(list_distinct(string_split(d.text, ' ')))::DOUBLE
+           / len(string_split(d.text, ' ')) AS uniq
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+), ranked AS (
+  SELECT component, doc_id, uniq,
+         row_number() OVER (
+           PARTITION BY component ORDER BY uniq DESC, doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY component) AS cluster_size
+  FROM scored
+)
+SELECT component, doc_id AS rep_doc_id,
+       round(uniq, 6) AS rep_unique_ratio,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("cluster_representatives", cluster_representatives_oracle)
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of a near-dup pipeline: for every duplicate CLUSTER,
+    keep the BEST copy — highest vocabulary-diversity score, doc_id
+    tiebreak — not the arbitrary min-id copy `dedup_clusters` labels with.
+    Real curation keeps the cleanest crawl of a page (others are
+    truncations or boilerplate-wrapped rewraps), so representative choice
+    is quality-driven.
+
+    Plan: the connected components of :func:`dedup_clusters` (pointer-
+    doubling, output-sized graph) joined back to the docs for the score,
+    then one component-partitioned window. The join back to `documents`
+    is keyed on doc_id — at 100 TB this is a shuffle of the CLUSTERED
+    subset only (dup clusters are a small fraction of the corpus), never
+    all docs."""
+    from .text import unique_ratio_col
+
+    comp = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", unique_ratio_col().alias("uniq")
+    )
+    scored = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("uniq"), "doc_id")
+    cw = Window.partitionBy("component")
+    return (
+        scored.select(
+            "component",
+            "doc_id",
+            "uniq",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(cw).cast("long").alias("cluster_size"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.round("uniq", 6).alias("rep_unique_ratio"),
+            "cluster_size",
+        )
+    )

@@ -509,3 +509,25 @@ def test_kmv_source_overlap_estimates_jaccard(spark, tmp_path):
     for (a, b), e in est.items():
         true = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
         assert abs(e - true) < 0.08, (a, b, e, true)
+
+
+def test_cluster_representatives_pick_best_quality_not_min_id(spark, tmp_path):
+    """Doc 0 is the min-id member but a degraded copy (repeated filler
+    tokens lower its vocabulary diversity); doc 1 is the clean copy. The
+    representative must be doc 1 — quality-driven, not min-id."""
+    degraded = BASE + " the the the the the the"
+    rows = [
+        (0, degraded, "en", "srcA", len(degraded)),
+        (1, BASE, "en", "srcB", len(BASE)),
+        (3, UNRELATED, "en", "srcD", len(UNRELATED)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    reps = dedup.cluster_representatives(spark, str(tmp_path)).collect()
+    assert len(reps) == 1  # one near-dup cluster; the unrelated doc is no cluster
+    r = reps[0]
+    assert r.component == 0          # labeled by min doc_id
+    assert r.rep_doc_id == 1         # but represented by the CLEAN copy
+    assert r.cluster_size == 2
