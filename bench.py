@@ -78,6 +78,8 @@ HEADLINE = [
     # round-8 (reported separately vs the frozen 24-query r7 table —
     # BASELINE.md "FROZEN r7 reference" comparison rule):
     "kmeans_clusters",        # ML1 Lloyd's, driver-centroid rework (r8)
+    "block_dup_stats",        # L2b sub-document (line-wise) dedup signal (r8)
+    "kmv_source_overlap",     # SK5 KMV sketch cross-source overlap (r8)
 ]
 
 SF1_DIR = "/tmp/sf1_synth"

@@ -139,6 +139,14 @@ _ALLOWED_FACT_BROADCASTS = {
     # rows) + 1-row grand total broadcast back — the two relations that
     # used to be unpartitioned-window allowlist entries
     "share_of_parent": 2,
+    # round-8 — bounded-by-design broadcast sides:
+    # MI marginals, same shape as chi_square: |lang|-sized + |source|-sized
+    # + 1-row N, at ANY data scale
+    "mutual_information_lang_source": 3,
+    # temperature mixing: 1-row sqrt-weight sum + |sources|-row rate table
+    "temperature_mix_sample": 2,
+    # shard offset table: GID_SHARDS rows by construction
+    "contiguous_global_ids": 1,
 }
 
 
