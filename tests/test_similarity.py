@@ -275,3 +275,44 @@ def test_arrow_and_codegen_norms_agree(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_decode_wav_chunk_walk_and_signed_samples():
+    """The parser must WALK chunks (a LIST chunk before fmt), unpack
+    signed int16 (negative samples), and refuse non-PCM — no Spark
+    needed, the decoder is plain Python."""
+    import struct
+
+    import pytest
+
+    from streamroom_bigdata_spark.operators.multimodal import decode_wav
+
+    samples = [100, -200, 32767, -32768]
+    data = struct.pack("<4h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    list_chunk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(list_chunk) + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + list_chunk
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    out = decode_wav(payload)
+    assert out["n_samples"] == 4 and out["sample_rate"] == 8000
+    assert out["peak_abs"] == 32768
+    abs_sum = 100 + 200 + 32767 + 32768
+    assert out["mean_abs_micro"] == abs_sum * 1_000_000 // 4
+    assert out["duration_micro"] == 4 * 1_000_000 // 8000
+
+    bad_fmt = struct.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)  # MP3 tag
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(bad)
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"OggS" + bytes(40))
