@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1030,4 +1030,68 @@ def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rtot").cast("double") / F.col("gtot").cast("double"), 6
             ).alias("region_share_of_total"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles by DOMAIN COUNTING (the 4th quantile strategy)
+# ---------------------------------------------------------------------------
+
+counting_median_oracle = """
+WITH cnts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, qty, c,
+         sum(c) OVER (
+           PARTITION BY l_returnflag ORDER BY qty
+         ) AS cumc,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM cnts
+)
+SELECT l_returnflag,
+       CAST(min(CASE WHEN 2 * cumc >= n     THEN qty END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN 4 * cumc >= n     THEN qty END) AS BIGINT) AS p25,
+       CAST(min(CASE WHEN 4 * cumc >= 3 * n THEN qty END) AS BIGINT) AS p75,
+       CAST(max(n) AS BIGINT) AS n
+FROM cum
+GROUP BY l_returnflag
+"""
+
+
+@register("counting_median", counting_median_oracle)
+def counting_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles by DOMAIN COUNTING — the 4th quantile
+    strategy next to the sort-based exact (`quantile_summary`), the GK
+    sketch (percentile_approx), and the deterministic sample
+    (`sampled_quantiles`): when the value domain is small (quantities,
+    star ratings, ages, bucketed scores), aggregate to (group, value)
+    counts FIRST, then take running sums over the domain-sized count
+    table. At 100 TB the data-sized stage is one combinable groupBy —
+    the window runs over ≤|domain| rows per group, so the exact
+    percentile costs no sort of the data, ever. All arithmetic is
+    integer (cuts at 2·cum ≥ n, 4·cum ≥ n, 4·cum ≥ 3n — lower-median
+    convention), so both engines agree exactly."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    cnts = li.groupBy("l_returnflag", "qty").agg(F.count("*").alias("c"))
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("l_returnflag")
+    cum = cnts.select(
+        "l_returnflag",
+        "qty",
+        F.sum("c").over(wc).alias("cumc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    pick = lambda cond: F.min(F.when(cond, F.col("qty")))  # noqa: E731
+    return cum.groupBy("l_returnflag").agg(
+        pick(2 * F.col("cumc") >= F.col("n")).alias("p50"),
+        pick(4 * F.col("cumc") >= F.col("n")).alias("p25"),
+        pick(4 * F.col("cumc") >= 3 * F.col("n")).alias("p75"),
+        F.max("n").alias("n"),
     )

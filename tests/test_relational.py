@@ -194,3 +194,32 @@ def test_registry_driver_contract():
     assert set(oracles) <= set(qs)
     assert all(callable(f) for f in qs.values())
     assert len(qs) >= 80
+
+
+def test_counting_median_matches_lower_percentile_definition(spark, tmp_path):
+    """Domain-counting percentiles equal the brute-force lower-percentile
+    (smallest value with cum ≥ p·n) on a planted skewed group."""
+    from streamroom_bigdata_spark.operators.relational import counting_median
+
+    qtys = {"A": [1, 1, 1, 5, 9, 9, 10, 10], "B": [7]}
+    rows = []
+    for flag, qs in qtys.items():
+        rows += [(flag, float(q)) for q in qs]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    def brute(vals, num, den):
+        s = sorted(vals)
+        n = len(s)
+        return next(v for i, v in enumerate(s) if den * (i + 1) >= num * n)
+
+    got = {
+        r.l_returnflag: (r.p25, r.p50, r.p75, r.n)
+        for r in counting_median(spark, str(tmp_path)).collect()
+    }
+    for flag, vals in qtys.items():
+        exp = (
+            brute(vals, 1, 4), brute(vals, 2, 4), brute(vals, 3, 4), len(vals)
+        )
+        assert got[flag] == exp, (flag, got[flag], exp)
