@@ -172,3 +172,99 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return base.join(contaminated, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# v4: + sub-document boilerplate gate + temperature-mix budget
+# ---------------------------------------------------------------------------
+
+#: drop survivors whose duplicated-block fraction exceeds this (docs with
+#: no full block carry no signal and pass)
+V4_MAX_DUP_BLOCK_FRAC = 0.5
+#: document budget for the final temperature-mixed sample
+V4_MIX_TARGET = 200
+
+_V4_KEY = "concat(CAST(doc_id AS VARCHAR), '|tmix4')"
+
+
+def _v4_oracle() -> str:
+    from ..functions.hashing import sql_hash_mod
+    from .dedup import block_dup_oracle
+
+    return f"""
+WITH v3 AS (
+  {_v3_oracle()}
+), bstats AS (
+  {block_dup_oracle}
+), surv AS (
+  SELECT v3.doc_id, v3.lang, v3.source
+  FROM v3 LEFT JOIN bstats b ON b.doc_id = v3.doc_id
+  WHERE b.doc_id IS NULL OR b.dup_frac <= {V4_MAX_DUP_BLOCK_FRAC}
+), n AS (
+  SELECT source, count(*)::DOUBLE AS n_s FROM surv GROUP BY source
+), tot AS (
+  SELECT sum(sqrt(n_s)) AS sw FROM n
+), r AS (
+  SELECT source,
+         least(1.0, {V4_MIX_TARGET} * sqrt(n_s) / (SELECT sw FROM tot) / n_s)
+           AS rate
+  FROM n
+)
+SELECT s.doc_id, s.lang, s.source
+FROM surv s JOIN r USING (source)
+WHERE {sql_hash_mod(_V4_KEY, 1000000)} < floor(r.rate * 1000000)
+"""
+
+
+@register("curation_pipeline_v4", _v4_oracle())
+def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-stack curation flagship, v3 plus the round-8 stages:
+
+    5. sub-document boilerplate gate — survivors whose duplicated-BLOCK
+       fraction (block_dup_stats, corpus-wide counts) exceeds
+       V4_MAX_DUP_BLOCK_FRAC are dropped: a page can survive doc-level
+       dedup while half its lines are nav/footer boilerplate.
+    6. temperature-mix budget — the final training sample is drawn from
+       the survivors with per-source rates derived from the SURVIVING
+       counts via the n^0.5 mixing rule, so the mix reacts to what the
+       earlier stages removed rather than to raw ingest proportions.
+
+    Still one declarative composition: the block stats add the two
+    16-byte-hash-shuffle stages of block_dup_stats; the mix adds only
+    dimension-bounded aggregates broadcast back. The DuckDB oracle
+    recomputes every stage (recursive-CTE components included), so the
+    six-stage composition is hash-checked end to end."""
+    from ..functions.hashing import portable_hash_mod
+    from .dedup import block_dup_stats
+    from .llmprep import temperature_mix_sample  # noqa: F401  (doc xref)
+
+    surv = (
+        curation_pipeline_v3(spark, sf_dir)
+        .join(
+            block_dup_stats(spark, sf_dir).select("doc_id", "dup_frac"),
+            "doc_id",
+            "left",
+        )
+        .filter(
+            F.col("dup_frac").isNull()
+            | (F.col("dup_frac") <= V4_MAX_DUP_BLOCK_FRAC)
+        )
+        .select("doc_id", "lang", "source")
+    )
+    cnt = surv.groupBy("source").agg(F.count("*").cast("double").alias("n_s"))
+    tot = cnt.agg(F.sum(F.sqrt("n_s")).alias("sw"))
+    rates = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(V4_MIX_TARGET) * F.sqrt("n_s") / F.col("sw") / F.col("n_s"),
+        ).alias("rate"),
+    )
+    keep = portable_hash_mod(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|tmix4")), 1_000_000
+    ) < F.floor(F.col("rate") * 1_000_000)
+    return (
+        surv.join(F.broadcast(rates), "source")
+        .filter(keep)
+        .select("doc_id", "lang", "source")
+    )

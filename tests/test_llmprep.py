@@ -221,3 +221,22 @@ def test_temperature_mix_budget_above_corpus_keeps_all(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     assert llmprep.temperature_mix_sample(spark, str(tmp_path)).count() == 60
+
+
+def test_curation_v4_subset_and_budget(spark, sf_dir):
+    """v4 ⊆ v3 (the new stages only REMOVE), the mixed sample respects the
+    V4_MIX_TARGET budget scale, and the draw is deterministic."""
+    from streamroom_bigdata_spark.operators.curation import (
+        V4_MIX_TARGET,
+        curation_pipeline_v3,
+        curation_pipeline_v4,
+    )
+
+    v3_ids = {r.doc_id for r in curation_pipeline_v3(spark, sf_dir).collect()}
+    v4 = curation_pipeline_v4(spark, sf_dir).collect()
+    v4_ids = {r.doc_id for r in v4}
+    assert v4_ids <= v3_ids
+    # Bernoulli draw against a target: allow wide slack, reject blowups
+    assert len(v4) <= 2 * V4_MIX_TARGET
+    again = {r.doc_id for r in curation_pipeline_v4(spark, sf_dir).collect()}
+    assert again == v4_ids

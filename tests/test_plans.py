@@ -147,6 +147,9 @@ _ALLOWED_FACT_BROADCASTS = {
     "temperature_mix_sample": 2,
     # shard offset table: GID_SHARDS rows by construction
     "contiguous_global_ids": 1,
+    # v4 mix stage: 1-row weight sum + |sources|-row rate table (the
+    # temperature_mix_sample pair, over the curated survivor set)
+    "curation_pipeline_v4": 2,
 }
 
 
