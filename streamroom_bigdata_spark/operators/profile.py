@@ -370,6 +370,13 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KMV_K)
         .select("source", "h")
     )
+    # K·|sources| flat rows consumed by FIVE downstream subtrees (srcs,
+    # both union branches, k1, k2): without materialization each consumer
+    # re-runs the corpus-sized explode+distinct+window sketch build —
+    # measured 5.5 s warm → 1.3 s with the cache at sf0.1. Flat schema, so
+    # the nested-columnar cache trap (round-1 gotcha) doesn't apply; the
+    # cached relation is sketch-sized at ANY corpus scale.
+    sk = sk.cache()
     srcs = sk.select("source").distinct()
     pairs = (
         srcs.alias("a")
