@@ -251,6 +251,10 @@ def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source")
     )
+    # the survivor set feeds BOTH the rate derivation and the final join;
+    # without materialization each consumer re-runs the whole 5-stage
+    # pipeline above. Flat 3-column rows, survivor-sized at any scale.
+    surv = surv.cache()
     cnt = surv.groupBy("source").agg(F.count("*").cast("double").alias("n_s"))
     tot = cnt.agg(F.sum(F.sqrt("n_s")).alias("sw"))
     rates = cnt.crossJoin(F.broadcast(tot)).select(
