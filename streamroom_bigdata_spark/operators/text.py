@@ -918,3 +918,110 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build + token-id encoding (tokenizer-prep infrastructure)
+# ---------------------------------------------------------------------------
+
+#: vocabulary size; tokens outside the top-VOCAB_MAX map to OOV id 0
+VOCAB_MAX = 256
+
+_VOCAB_CTE = f"""
+tf AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS freq FROM tf GROUP BY tok
+), top AS (
+  SELECT tok, freq FROM cnt ORDER BY freq DESC, tok LIMIT {VOCAB_MAX}
+), vocab AS (
+  SELECT a.tok, a.freq,
+         1 + (SELECT count(*) FROM top b
+              WHERE b.freq > a.freq OR (b.freq = a.freq AND b.tok < a.tok))
+           AS id
+  FROM top a
+)"""
+
+vocab_top_tokens_oracle = f"""
+WITH {_VOCAB_CTE}
+SELECT tok, CAST(freq AS BIGINT) AS freq, CAST(id AS BIGINT) AS id FROM vocab
+"""
+
+
+def _vocab_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = cnt.orderBy(F.desc("freq"), "tok").limit(VOCAB_MAX)
+    b = top.select(
+        F.col("tok").alias("b_tok"), F.col("freq").alias("b_freq")
+    )
+    before = (F.col("b_freq") > F.col("freq")) | (
+        (F.col("b_freq") == F.col("freq")) & (F.col("b_tok") < F.col("tok"))
+    )
+    return (
+        top.join(b, before, "left")
+        .groupBy("tok", "freq")
+        .agg((1 + F.count("b_tok")).alias("id"))
+    )
+
+
+@register("vocab_top_tokens", vocab_top_tokens_oracle)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vocabulary build: the VOCAB_MAX most frequent corpus
+    tokens, id = frequency rank with lexicographic tiebreak — the
+    reproducible token→id table a tokenizer-prep pipeline derives from its
+    own corpus. The data-sized stage is one combinable token-count
+    aggregate; the top-K is TakeOrderedAndProject (per-partition heads,
+    K·P-row driver merge, no global sort), and ranking within the K
+    survivors is a K²-pair triangular join — NO unpartitioned window
+    anywhere, so nothing funnels through one task at any corpus scale."""
+    return _vocab_frame(spark, sf_dir).select(
+        "tok", "freq", F.col("id").cast("long").alias("id")
+    )
+
+
+vocab_encode_docs_oracle = f"""
+WITH {_VOCAB_CTE}, toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks FROM toks
+), tok_pos AS (
+  SELECT doc_id, pos, toks[CAST(pos + 1 AS BIGINT)] AS tok FROM pos
+)
+SELECT t.doc_id,
+       list(CAST(coalesce(v.id, 0) AS BIGINT) ORDER BY t.pos) AS ids
+FROM tok_pos t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
+@register("vocab_encode_docs", vocab_encode_docs_oracle)
+def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding: every document becomes its array of vocabulary
+    ids in token order, out-of-vocabulary tokens mapping to the OOV bucket
+    (id 0) — the step that turns a curated text corpus into the integer
+    sequences a training pipeline packs (see `pack_sequences`). Plan:
+    posexplode preserves positions, the token→id map joins on (AQE
+    broadcasts the VOCAB_MAX-row side on measured size — no forced hint),
+    and per-doc order is restored with array_sort over (pos, id) structs —
+    deterministic, unlike bare collect_list. One doc-keyed shuffle for the
+    reassembly; ids are ints, so the shuffled bytes are a fraction of the
+    text they encode."""
+    vocab = _vocab_frame(spark, sf_dir).select("tok", "id")
+    docs = load_table(spark, sf_dir, "documents")
+    tok_pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    enc = tok_pos.join(vocab, "tok", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).cast("long").alias("id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "id"))),
+            lambda s: s["id"],
+        ).alias("ids")
+    )

@@ -531,3 +531,41 @@ def test_cluster_representatives_pick_best_quality_not_min_id(spark, tmp_path):
     assert r.component == 0          # labeled by min doc_id
     assert r.rep_doc_id == 1         # but represented by the CLEAN copy
     assert r.cluster_size == 2
+
+
+def test_vocab_build_and_encode_roundtrip(spark, tmp_path):
+    """Vocab: most frequent token gets id 1, frequency ties break
+    lexicographically; encode: ids preserve token order and tokens beyond
+    the VOCAB_MAX cut map to OOV id 0."""
+    from streamroom_bigdata_spark.operators.text import (
+        VOCAB_MAX,
+        vocab_encode_docs,
+        vocab_top_tokens,
+    )
+
+    # 300 distinct rare tokens (freq 1 each) + 'bb' x5 + 'aa'/'ab' x3 each
+    rare = [f"r{i:03d}" for i in range(300)]
+    texts = {
+        0: "bb bb bb aa ab",
+        1: "bb bb aa ab " + " ".join(rare[:150]),
+        2: "aa ab " + " ".join(rare[150:]),
+    }
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    vocab = {r.tok: (r.id, r.freq) for r in vocab_top_tokens(spark, str(tmp_path)).collect()}
+    assert len(vocab) == VOCAB_MAX  # 303 distinct tokens -> top 256 kept
+    assert vocab["bb"][0] == 1                      # freq 5
+    assert vocab["aa"][0] == 2 and vocab["ab"][0] == 3  # freq-3 tie, lex order
+    in_vocab_rare = [t for t in rare if t in vocab]
+    assert len(in_vocab_rare) == VOCAB_MAX - 3      # freq-1 tie, lex order
+    assert in_vocab_rare == sorted(rare)[: VOCAB_MAX - 3]
+
+    enc = {r.doc_id: r.ids for r in vocab_encode_docs(spark, str(tmp_path)).collect()}
+    assert enc[0] == [1, 1, 1, 2, 3]
+    # doc 2's tail contains the lexicographically-last rare tokens -> OOV 0
+    assert enc[2][0] == 2 and enc[2][1] == 3
+    assert enc[2][-1] == 0  # 'r299' is past the cut
+    assert len(enc[2]) == 2 + 150
