@@ -366,3 +366,62 @@ def rank_surface_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_id").over(wf).alias("last_id"),
         F.nth_value("event_id", 3).over(wf).alias("third_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window (time-interval trailing aggregate) — W3 extension
+# ---------------------------------------------------------------------------
+
+ROLL_DAYS = 6  # frame = [day - 6, day] → a 7-day trailing window
+
+rolling_revenue_range_oracle = f"""
+WITH d AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day,
+         o_totalprice
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, CAST(day AS BIGINT) AS day,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              PARTITION BY o_custkey ORDER BY day
+              RANGE BETWEEN {ROLL_DAYS} PRECEDING AND CURRENT ROW
+            ), 2) AS DOUBLE) AS trailing_7d_revenue
+FROM d
+"""
+
+
+@register("rolling_revenue_range", rolling_revenue_range_oracle)
+def rolling_revenue_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue per customer via a RANGE frame — the window
+    surface rows-frames can't express: the frame is bounded by the ORDER
+    VALUE (orders within the last 6 days), not a row count, so sparse and
+    bursty customers both get calendar-correct trailing sums, and same-day
+    peers are all included regardless of intra-day order (which also makes
+    the result deterministic without an intra-day tiebreak). Revenue sums
+    in DECIMAL(18,2) — exact, engine-independent. One customer-keyed
+    shuffle; the per-customer frame scan is linear (Spark maintains a
+    sliding aggregate over the sorted partition)."""
+    d = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        )
+        .cast("long")
+        .alias("day"),
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-ROLL_DAYS, 0)
+    )
+    return d.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("trailing_7d_revenue"),
+    )

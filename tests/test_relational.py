@@ -223,3 +223,32 @@ def test_counting_median_matches_lower_percentile_definition(spark, tmp_path):
             brute(vals, 1, 4), brute(vals, 2, 4), brute(vals, 3, 4), len(vals)
         )
         assert got[flag] == exp, (flag, got[flag], exp)
+
+
+def test_rolling_revenue_range_is_calendar_bounded(spark, tmp_path):
+    """RANGE frame vs rows frame: a 10-day-old order falls OUT of the
+    7-day trailing sum even though it is the previous ROW, and same-day
+    orders are mutual peers (both include both)."""
+    from streamroom_bigdata_spark.operators.windows import (
+        rolling_revenue_range,
+    )
+    import datetime as dt
+
+    base = dt.datetime(1995, 1, 20)
+    rows = [
+        (1, 7, base - dt.timedelta(days=10), 100.0),  # outside the frame
+        (2, 7, base - dt.timedelta(days=3), 10.0),    # inside
+        (3, 7, base, 1.0),
+        (4, 7, base, 2.0),                            # same-day peer of 3
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.o_orderkey: r.trailing_7d_revenue
+        for r in rolling_revenue_range(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == 100.0
+    assert got[2] == 10.0          # the 10-day-old row is out of range
+    assert got[3] == 13.0 and got[4] == 13.0  # same-day peers symmetric
