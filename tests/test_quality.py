@@ -125,3 +125,27 @@ def test_observe_counts_ride_the_consuming_job(spark, sf_dir):
     assert got["rows_seen"] == marked.count()
     assert got["rows_violating"] == marked.filter(F.size("dq_reasons") > 0).count()
     assert kept == got["rows_seen"] - got["rows_violating"]
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """df.observe: the metrics surface from the SAME action that consumes
+    the frame — values match an independent recomputation, with no second
+    scan coded anywhere."""
+    from streamroom_bigdata_spark.functions.telemetry import (
+        observed_quality_metrics,
+    )
+    from streamroom_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    inst, obs = observed_quality_metrics(orders, "o_totalprice")
+    written = inst.filter(F.col("o_totalprice") >= 0).count()  # ONE action
+    got = obs.get
+    ref = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("nn"),
+        F.sum(F.col("o_totalprice").cast("double")).alias("t"),
+    ).collect()[0]
+    assert got["n_rows"] == ref["n"] >= written
+    assert got["n_nulls"] == ref["nn"]
+    assert abs(got["total"] - ref["t"]) < 1e-6 * abs(ref["t"])
