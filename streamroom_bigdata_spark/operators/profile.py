@@ -356,14 +356,35 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     same property the HLL family above exploits."""
     from pyspark.sql import Window
 
-    from .dedup import SHINGLE_N, shingle_col
+    from .dedup import SHINGLE_N
 
     from ..functions.hashing import portable_hash64
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", F.explode(shingle_col(SHINGLE_N)).alias("s")
+    # explode-THEN-build-THEN-hash as flat codegen projections: shingle
+    # strings assembled inside an F.transform lambda run INTERPRETED per
+    # element (the round-1 perf trap exploded_shingles_of documents) —
+    # measured here 57 s → 11 s cold at sf≈1 for the same result. The
+    # global distinct on (source, h) subsumes shingle_col's per-doc
+    # distinct; the sentinel -1 branch reproduces its short-doc whole-text
+    # fallback, so the hash set is identical to the oracle's.
+    n = SHINGLE_N
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", "text", F.split("text", " ").alias("toks")
     )
-    sh = docs.select("source", portable_hash64("s").alias("h")).distinct()
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array(F.lit(-1)))
+    s = F.when(
+        F.col("i") >= 0,
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)]
+        ),
+    ).otherwise(F.col("text"))
+    sh = (
+        toks.select("source", "text", "toks", F.explode(idx).alias("i"))
+        .select("source", portable_hash64(s).alias("h"))
+        .distinct()
+    )
     w = Window.partitionBy("source").orderBy("h")
     sk = (
         sh.select("source", "h", F.row_number().over(w).alias("rn"))
