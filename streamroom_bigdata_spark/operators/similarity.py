@@ -725,3 +725,76 @@ def vector_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(norms, "vec_id long, label int, l2_norm double")
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss, deterministic ±1 variant)
+# ---------------------------------------------------------------------------
+
+JL_IN_DIM = 64
+JL_OUT_DIM = 16
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1 from the portable hash family — the projection
+    matrix is a pure function of (i, j), so every engine, run, and cluster
+    derives the identical matrix with no RNG state to ship."""
+    import hashlib
+
+    h = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+_JL_SIGNS = [
+    [_jl_sign(i, j) for j in range(JL_IN_DIM)] for i in range(JL_OUT_DIM)
+]
+_JL_SCALE = JL_OUT_DIM ** 0.5
+
+
+def _jl_sql() -> str:
+    outs = []
+    for i in range(JL_OUT_DIM):
+        terms = " + ".join(
+            f"({s} * emb[{j + 1}])" for j, s in enumerate(_JL_SIGNS[i])
+        )
+        outs.append(f"round(({terms}) / {_JL_SCALE!r}, 6) AS r{i}")
+    cols = ",\n       ".join(outs)
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+)
+SELECT vec_id,
+       {cols}
+FROM c
+"""
+
+
+@register("random_projection_jl", _jl_sql())
+def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims with the
+    deterministic sparse ±1 (Achlioptas) matrix — the dimensionality-
+    reduction step an embedding pipeline runs before ANN indexing to cut
+    index size and probe cost while approximately preserving pairwise
+    distances. The matrix is a pure function of (row, col) via the
+    portable hash, so there is NO RNG state to broadcast and the oracle
+    derives the identical matrix.
+
+    Each output dim is a flat 64-term multiply-add chain over the array
+    elements — whole-stage codegen, left-associative in BOTH engines (the
+    identical IEEE expression tree, so results hash-match), one scan, zero
+    shuffles at any scale."""
+    from functools import reduce
+
+    c = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    outs = []
+    for i in range(JL_OUT_DIM):
+        term = reduce(
+            lambda acc, js: acc
+            + F.lit(_JL_SIGNS[i][js]) * F.element_at("emb", js + 1),
+            range(1, JL_IN_DIM),
+            F.lit(_JL_SIGNS[i][0]) * F.element_at("emb", 1),
+        )
+        outs.append(F.round(term / F.lit(_JL_SCALE), 6).alias(f"r{i}"))
+    return c.select("vec_id", *outs)

@@ -316,3 +316,36 @@ def test_decode_wav_chunk_walk_and_signed_samples():
         decode_wav(bad)
     with pytest.raises(NotImplementedError):
         decode_wav(b"OggS" + bytes(40))
+
+
+def test_random_projection_jl_is_linear_and_norm_preserving(spark, tmp_path):
+    """JL projection: exact linearity (proj(a+b) = proj(a)+proj(b) — it's a
+    fixed matrix) and norm concentration (projected norms within a broad
+    band of the original) on planted vectors."""
+    import numpy as np
+
+    from streamroom_bigdata_spark.operators.similarity import (
+        JL_IN_DIM,
+        random_projection_jl,
+    )
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(JL_IN_DIM)
+    b = rng.standard_normal(JL_IN_DIM)
+    rows = [
+        (0, [float(x) for x in a]),
+        (1, [float(x) for x in b]),
+        (2, [float(x) for x in a + b]),
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.vec_id: np.array(r[1:]) for r in
+           random_projection_jl(spark, str(tmp_path)).collect()}
+    # linearity to rounding precision
+    assert np.allclose(out[0] + out[1], out[2], atol=3e-6)
+    # norm concentration: E[|proj|^2] = |x|^2 for the ±1/sqrt(k) matrix
+    for vid, orig in ((0, a), (1, b)):
+        # float32 storage loses ~1e-7 relative precision; band is generous
+        ratio = np.linalg.norm(out[vid]) / np.linalg.norm(orig)
+        assert 0.3 < ratio < 3.0, (vid, ratio)
