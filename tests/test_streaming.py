@@ -1142,3 +1142,48 @@ def test_start_router_idempotent_end_to_end(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "bronze" / "fixed_booking"))
     assert sorted(r.booking_id for r in got.collect()) == ["B1", "B2"]
     assert "batch_id" in got.columns
+
+
+def test_streaming_observe_metrics_per_micro_batch(spark, tmp_path):
+    """The streaming half of the T16 telemetry surface: the SAME
+    DataFrame.observe() call that powers batch Observation emits
+    per-micro-batch observedMetrics through the progress stream — row
+    counts per batch with no second pass over the data."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from streamroom_bigdata_spark.sources.readers import stream_file_source
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, n in enumerate((3, 5)):
+        p = src / f"f{i}.json"
+        p.write_text("\n".join(_json.dumps({"v": j}) for j in range(n)))
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    stream = stream_file_source(
+        spark, str(src), "v long", fmt="json", maxFilesPerTrigger=1
+    ).observe("batch_stats", F.count(F.lit(1)).alias("n_rows"),
+              F.sum("v").alias("v_sum"))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("obs_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        seen = [
+            p.observedMetrics["batch_stats"]
+            for p in (q.recentProgress or [])
+            if p.observedMetrics and "batch_stats" in p.observedMetrics
+        ]
+    finally:
+        q.stop()
+    counts = sorted(m["n_rows"] for m in seen)
+    assert counts == [3, 5], seen
+    assert sum(m["v_sum"] for m in seen) == sum(range(3)) + sum(range(5))
+    assert spark.table("obs_sink").count() == 8
