@@ -197,3 +197,44 @@ def test_weighted_median_price_respects_weights(spark, tmp_path):
         for r in weighted_median_price(spark, str(tmp_path)).collect()
     }
     assert got == {"A": (30.0, 12), "B": (10.0, 12)}
+
+
+def test_cuped_reduces_variance_when_pre_predicts_post(spark, tmp_path):
+    """Planted users whose post-period metric strongly tracks their
+    pre-period metric: the CUPED-adjusted per-user metric must have much
+    smaller variance than the raw one, and the adjustment must not move
+    the overall mean (unbiasedness: mean_adjusted ≈ mean_post pooled)."""
+    import datetime as dt
+    import random
+
+    from streamroom_bigdata_spark.operators.behavior import (
+        CUPED_SPLIT,
+        cuped_ab_adjusted,
+    )
+
+    rng = random.Random(11)
+    split = dt.datetime(2024, 1, 15)
+    rows = []
+    for u in range(200):
+        base = rng.uniform(1, 100)            # user-level propensity
+        noise = rng.uniform(-1, 1)
+        rows.append((u, "t", split - dt.timedelta(days=1), base))
+        rows.append((u, "t", split + dt.timedelta(days=1), base + noise))
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {r.arm: r for r in cuped_ab_adjusted(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    # theta ~ 1 for this construction; adjusted means of the two arms are
+    # far closer together than the raw means (variance reduction)
+    raw_gap = abs(out[0].mean_post - out[1].mean_post)
+    adj_gap = abs(out[0].mean_adjusted - out[1].mean_adjusted)
+    assert adj_gap < raw_gap / 3, (raw_gap, adj_gap)
+    # pooled unbiasedness: the weighted adjusted mean equals the raw one
+    n0, n1 = out[0].n_users, out[1].n_users
+    pooled_raw = (out[0].mean_post * n0 + out[1].mean_post * n1) / (n0 + n1)
+    pooled_adj = (
+        out[0].mean_adjusted * n0 + out[1].mean_adjusted * n1
+    ) / (n0 + n1)
+    assert abs(pooled_raw - pooled_adj) < 1e-6 * max(1.0, abs(pooled_raw))

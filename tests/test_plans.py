@@ -150,6 +150,8 @@ _ALLOWED_FACT_BROADCASTS = {
     # v4 mix stage: 1-row weight sum + |sources|-row rate table (the
     # temperature_mix_sample pair, over the curated survivor set)
     "curation_pipeline_v4": 2,
+    # CUPED: 1-row pooled theta/pre-mean broadcast back over the user table
+    "cuped_ab_adjusted": 1,
 }
 
 
