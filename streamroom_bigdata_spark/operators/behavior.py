@@ -687,3 +687,61 @@ def cuped_ab_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("theta"), 6).alias("theta"),
         )
     )
+
+
+# --- Winsorized mean (robust location, clip-at-percentiles) ------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+winsorized_oracle = f"""
+WITH pct AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO}) AS lo,
+         quantile_cont(value, {WINSOR_HI}) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(least(greatest(e.value, p.lo), p.hi)
+                           AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+         AS winsorized_mean,
+       round(max(p.lo), 4) AS p05,
+       round(max(p.hi), 4) AS p95
+FROM events e JOIN pct p USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register("winsorized_means", winsorized_oracle)
+def winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type — the third robust-location
+    estimator next to median/MAD (`mad_outliers`) and the z-score family:
+    values are CLIPPED to the group's [p05, p95] before averaging, so a
+    handful of extreme readings can't drag the mean while (unlike
+    trimming) every observation still contributes. Exact group
+    percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`); the
+    clipped sum goes through DECIMAL(18,6) — exact, order-independent —
+    so both engines average identically. Two passes over events (the
+    honest cost of exact percentiles, same as mad_outliers); the
+    percentile table is group-sized and AQE-broadcast back."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pct = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    clipped = ev.join(pct, "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+        .cast("decimal(18,6)")
+        .alias("c"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c").cast("double") / F.count("*"), 4).alias(
+            "winsorized_mean"
+        ),
+        F.round(F.max("lo"), 4).alias("p05"),
+        F.round(F.max("hi"), 4).alias("p95"),
+    )

@@ -238,3 +238,24 @@ def test_cuped_reduces_variance_when_pre_predicts_post(spark, tmp_path):
         out[0].mean_adjusted * n0 + out[1].mean_adjusted * n1
     ) / (n0 + n1)
     assert abs(pooled_raw - pooled_adj) < 1e-6 * max(1.0, abs(pooled_raw))
+
+
+def test_winsorized_mean_resists_outliers(spark, tmp_path):
+    """One wild outlier moves the raw mean far but barely moves the
+    winsorized mean (it gets clipped to p95)."""
+    import datetime as dt
+
+    from streamroom_bigdata_spark.operators.behavior import winsorized_means
+
+    t = dt.datetime(2024, 1, 5)
+    vals = [float(v) for v in range(1, 100)] + [100000.0]
+    rows = [(i, "click", t, v) for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = winsorized_means(spark, str(tmp_path)).collect()[0]
+    raw_mean = sum(vals) / len(vals)          # ~1049
+    assert raw_mean > 1000
+    assert out.winsorized_mean < 60           # clipped: stays near 50
+    assert out.n == 100
