@@ -260,3 +260,29 @@ def test_dynamic_partition_pruning_triggers_on_dim_join(spark, tmp_path):
     # and the query still computes the right answer
     expected = orders.filter(F.col("month") < cutoff).count()
     assert j.collect()[0]["count"] == expected > 0
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Lakehouse schema evolution: a column added mid-stream must be
+    readable across old and new files in one scan — mergeSchema unifies
+    the footers, old files surface NULL for the new column, and a reader
+    pinning the OLD schema still works against new files (column
+    pruning drops the extra column at the scan)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.parquet(d)
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+
+    pinned = spark.read.schema("id long, v string").parquet(d)
+    assert pinned.count() == 3 and set(pinned.columns) == {"id", "v"}
+    assert pinned.filter(F.col("id") == 3).collect()[0].v == "c"
