@@ -1,0 +1,505 @@
+"""Statistical-inference surface over events/lineitem (round-8 additions).
+
+The reference's product loop stops at point aggregates (`processing.scala:
+116-127` — mean usage, max normalization); the questions the same team asks
+next are inferential: is usage TRENDING, do groups DIFFER, does the revenue
+ledger look FABRICATED. Each query here is the in-plan Spark spelling of a
+classical test, built only from associative aggregates (counts, second
+moments) so map-side combine applies and nothing bigger than the group
+cardinality crosses a shuffle — the same discipline as `stat_aggregates`
+and `ab_test_proportions`.
+
+Float discipline (repo convention, see stat_aggregates): every reported
+statistic is a RATIO of centered sums or of integer counts, so cross-engine
+accumulation-order noise cancels to ~1e-12 relative and round-6 outputs are
+hash-stable. Constants that enter a formula (Benford expectations) are
+computed ONCE in Python and embedded as identical literals in both the
+Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import epoch_ms
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Per-group linear trend (regr_slope / regr_intercept / regr_r2)
+# ---------------------------------------------------------------------------
+
+regression_trend_oracle = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, epoch_ms(CAST(ts AS TIMESTAMP)) / 86400000.0), 6)
+         AS slope_per_day,
+       round(regr_intercept(value, epoch_ms(CAST(ts AS TIMESTAMP)) / 86400000.0), 4)
+         AS intercept,
+       round(regr_r2(value, epoch_ms(CAST(ts AS TIMESTAMP)) / 86400000.0), 6)
+         AS r2
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("regression_trend", regression_trend_oracle)
+def regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time (days since
+    epoch): slope, intercept, R² via the SQL-standard ``regr_*`` family —
+    single-pass streaming second moments, so the whole test is one
+    group-cardinality shuffle regardless of data size. Slope/R² are ratios
+    of centered sums (accumulation-order noise cancels, round-6 stable);
+    the reference has no trend surface at all — its usage statistics are
+    static means (`processing.scala:116-127`)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (epoch_ms(F.col("ts").cast("timestamp")) / F.lit(86400000.0)).alias("x")
+    return (
+        ev.select("event_type", F.col("value").alias("y"), x)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile (ledger-fabrication audit)
+# ---------------------------------------------------------------------------
+
+#: Benford expected frequencies log10(1 + 1/d), embedded as IDENTICAL
+#: literals in the Spark plan and the oracle so no transcendental function
+#: is evaluated by either engine.
+_BENFORD_EXPECTED = {d: round(math.log10(1.0 + 1.0 / d), 10) for d in range(1, 10)}
+
+_benford_case_sql = " ".join(
+    f"WHEN {d} THEN {_BENFORD_EXPECTED[d]}" for d in range(1, 10)
+)
+
+benford_oracle = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem
+  WHERE l_extendedprice > 0
+), counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+), tot AS (SELECT sum(n) AS total FROM counts)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / total, 6) AS observed_freq,
+       CAST(CASE digit {_benford_case_sql} END AS DOUBLE) AS expected_freq,
+       round(pow(n - total * (CASE digit {_benford_case_sql} END), 2)
+             / (total * (CASE digit {_benford_case_sql} END)), 6) AS chi2_term
+FROM counts, tot
+"""
+
+
+@register("benford_digit_profile", benford_oracle)
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of extended price vs Benford's
+    law, with per-digit χ² contributions — the classic fabricated-ledger
+    audit. The digit is extracted through exact integer cents (string head
+    of a BIGINT), never ``log10`` — a price that sits on a power of ten
+    would make the logarithm's last-ulp behaviour engine-dependent, while
+    integer→string is identical everywhere. One scan → 9-row aggregate;
+    the grand total joins back as a 1-row cross join (broadcast for free).
+    Expected frequencies are Python-computed literals shared with the
+    oracle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    digit = (
+        F.substring(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = li.select(digit).groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.col("digit")
+    exp_expr = None
+    for d in range(1, 10):
+        lit = F.lit(_BENFORD_EXPECTED[d])
+        exp_expr = (
+            F.when(expected == d, lit)
+            if exp_expr is None
+            else exp_expr.when(expected == d, lit)
+        )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+            "observed_freq"
+        ),
+        exp_expr.alias("expected_freq"),
+        F.round(
+            F.pow(F.col("n") - F.col("total") * exp_expr, 2)
+            / (F.col("total") * exp_expr),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (F test) across event types
+# ---------------------------------------------------------------------------
+
+anova_oracle = """
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         avg(value) AS mean_v,
+         var_samp(value) AS var_v
+  FROM events GROUP BY event_type
+), grand AS (
+  SELECT sum(n) AS n_total, CAST(count(*) AS BIGINT) AS k,
+         sum(n * mean_v) / sum(n) AS grand_mean
+  FROM g
+), parts AS (
+  SELECT sum(n * pow(mean_v - grand_mean, 2)) AS ssb,
+         sum((n - 1) * var_v) AS ssw,
+         any_value(k) AS k, any_value(n_total) AS n_total
+  FROM g, grand
+)
+SELECT k AS k_groups, n_total,
+       round(ssb / (k - 1) / (ssw / (n_total - k)), 6) AS f_stat,
+       round(ssb / (ssb + ssw), 6) AS eta_squared
+FROM parts
+"""
+
+
+@register("anova_f_oneway", anova_oracle)
+def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types: F statistic and
+    effect size η² from per-group (n, mean, sample variance) — the
+    between/within decomposition needs ONLY associative second moments, so
+    the plan is one group-cardinality shuffle, a k-row broadcast of the
+    grand mean, and a 1-row reduce. Complements the categorical χ²
+    (`chi_square_type_dow`) and the two-arm z test (`ab_test_proportions`)
+    with the k-group continuous-response case. F and η² are ratios of
+    centered sums → round-6 hash-stable cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mean_v"),
+        F.var_samp("value").alias("var_v"),
+    )
+    grand = g.agg(
+        F.sum("n").alias("n_total"),
+        F.count("*").alias("k"),
+        (F.sum(F.col("n") * F.col("mean_v")) / F.sum("n")).alias("grand_mean"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(grand))
+        .agg(
+            F.sum(F.col("n") * F.pow(F.col("mean_v") - F.col("grand_mean"), 2)).alias(
+                "ssb"
+            ),
+            F.sum((F.col("n") - 1) * F.col("var_v")).alias("ssw"),
+            F.any_value("k").alias("k"),
+            F.any_value("n_total").alias("n_total"),
+        )
+    )
+    return parts.select(
+        F.col("k").alias("k_groups"),
+        "n_total",
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_squared"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test — distributed tie-aware ranking
+# ---------------------------------------------------------------------------
+
+MW_GROUP_A = "purchase"
+MW_GROUP_B = "click"
+
+mann_whitney_oracle = f"""
+WITH vals AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = '{MW_GROUP_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a_cnt,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE event_type IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+  GROUP BY value
+), ranked AS (
+  SELECT a_cnt, cnt,
+         COALESCE(sum(cnt) OVER (ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM vals
+), s AS (
+  SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a,
+         CAST(sum(cnt) - sum(a_cnt) AS BIGINT) AS n_b,
+         sum(a_cnt * (cum_before + (cnt + 1) / 2.0)) AS r_a,
+         sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_sum
+  FROM ranked
+)
+SELECT n_a, n_b,
+       round(r_a - n_a * (n_a + 1) / 2.0, 1) AS u_stat,
+       round((r_a - n_a * (n_a + 1) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                    * ((n_a + n_b + 1)
+                       - tie_sum / (CAST(n_a + n_b AS DOUBLE)
+                                    * (n_a + n_b - 1.0)))), 6) AS z_score,
+       round(1.0 - 2.0 * (r_a - n_a * (n_a + 1) / 2.0)
+                   / (CAST(n_a AS DOUBLE) * n_b), 6) AS rank_biserial
+FROM s
+"""
+
+
+@register("mann_whitney_u", mann_whitney_oracle)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test of `value` between two
+    event-type samples, with tie-corrected normal approximation — the
+    nonparametric complement to the parametric arm tests (z / CUPED /
+    ANOVA): no distributional assumption, robust to the heavy-tailed
+    values `winsorized_means` clips.
+
+    Distributed ranking WITHOUT a global sort: observations collapse to
+    per-distinct-value counts first (one combinable groupBy — the only
+    data-sized exchange), then the COLLAPSED table is range-partitioned
+    and locally rank-summed, with O(P) per-partition totals collected and
+    broadcast back as rank offsets (`quartiles_distributed` pattern).
+    Equal values land in one range partition, so tie groups are never
+    split and the average-rank arithmetic stays exact: every average rank
+    is a multiple of 0.5 below 2^52, so the rank-sum is bit-identical
+    cross-engine, not merely round-stable."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B))
+        .select(
+            "value",
+            (F.col("event_type") == MW_GROUP_A).cast("long").alias("is_a"),
+        )
+    )
+    vals = ev.groupBy("value").agg(
+        F.sum("is_a").alias("a_cnt"), F.count("*").alias("cnt")
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        vals.repartitionByRange(n_parts, "value")
+        .withColumn("pid", F.spark_partition_id())
+        # pin pid assignment across the two consumers (quartiles_distributed
+        # rationale: a re-sampled range boundary after the offsets were
+        # collected would silently skew global ranks)
+        .localCheckpoint()
+    )
+    counts = sorted(
+        ranged.groupBy("pid").agg(F.sum("cnt").alias("tot")).collect(),
+        key=lambda r: r.pid,
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r.pid, acc))
+        acc += r.tot
+    offsets_df = spark.createDataFrame(offsets, "pid int, rank_offset long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        ranged.withColumn("cum_local", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .join(F.broadcast(offsets_df), "pid")
+        .select(
+            "a_cnt",
+            "cnt",
+            (F.col("rank_offset") + F.col("cum_local")).alias("cum_before"),
+        )
+    )
+    s = ranked.agg(
+        F.sum("a_cnt").alias("n_a"),
+        (F.sum("cnt") - F.sum("a_cnt")).alias("n_b"),
+        F.sum(
+            F.col("a_cnt") * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+        ).alias("r_a"),
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie_sum"),
+    )
+    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    n_a_d = F.col("n_a").cast("double")
+    n_b_d = F.col("n_b").cast("double")
+    n_tot = F.col("n_a") + F.col("n_b")
+    var = (
+        n_a_d
+        * n_b_d
+        / 12.0
+        * (
+            (n_tot + 1)
+            - F.col("tie_sum") / (n_tot.cast("double") * (n_tot - 1.0))
+        )
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - n_a_d * n_b_d / 2.0) / F.sqrt(var), 6).alias("z_score"),
+        F.round(1.0 - 2.0 * u / (n_a_d * n_b_d), 6).alias("rank_biserial"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (time-to-conversion with right-censoring)
+# ---------------------------------------------------------------------------
+
+#: a purchase with value above this converts the user (the event under study)
+KM_VALUE_THRESHOLD = 100
+
+kaplan_meier_oracle = f"""
+WITH pu AS (
+  SELECT user_id,
+         epoch_ms(CAST(min(ts) AS TIMESTAMP)) AS first_ms,
+         epoch_ms(CAST(min(CASE WHEN event_type = 'purchase'
+                                 AND value > {KM_VALUE_THRESHOLD}
+                                THEN ts END) AS TIMESTAMP)) AS hit_ms
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT max(epoch_ms(CAST(ts AS TIMESTAMP))) AS end_ms FROM events
+), marked AS (
+  SELECT CAST(floor((COALESCE(hit_ms, end_ms) - first_ms) / 86400000.0)
+              AS BIGINT) AS t_days,
+         CASE WHEN hit_ms IS NOT NULL THEN 1 ELSE 0 END AS converted
+  FROM pu, horizon
+), lt AS (
+  SELECT t_days,
+         CAST(sum(converted) AS BIGINT) AS d,
+         CAST(count(*) - sum(converted) AS BIGINT) AS c
+  FROM marked GROUP BY t_days
+), tot AS (SELECT sum(d + c) AS n_users FROM lt),
+risk AS (
+  SELECT t_days, d, c,
+         n_users - COALESCE(sum(d + c) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM lt, tot
+), surv AS (
+  SELECT t_days, d, c, n_at_risk,
+         CASE WHEN max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              THEN 0.0
+              ELSE exp(sum(CASE WHEN d > 0 AND d < n_at_risk
+                                THEN ln((n_at_risk - d) / CAST(n_at_risk AS DOUBLE))
+                                ELSE 0.0 END)
+                       OVER (ORDER BY t_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         END AS s
+  FROM risk
+)
+SELECT t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS n_converted,
+       c AS n_censored, round(s, 6) AS survival
+FROM surv WHERE d > 0
+"""
+
+
+@register("kaplan_meier_conversion", kaplan_meier_oracle)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve: per user, days from first
+    activity to the first high-value purchase (value > threshold); users
+    who never convert are right-CENSORED at the end of the observation
+    window — S(t) = Π_(u≤t) (n_u − d_u)/n_u is the estimator that uses
+    censored users correctly (they stay in the at-risk denominator until
+    their censor time), which the naive "conversion rate by day" readout
+    gets wrong.
+
+    Scale shape: the data-sized stage is ONE combinable user groupBy; the
+    KM recursion then runs over the duration-DOMAIN table, bounded by the
+    corpus day span (≤ a few hundred rows at any data size) — the
+    `counting_median` domain-count strategy applied to survival. The
+    cumulative product is spelled exp(Σ ln) over an ordered running frame
+    (deterministic accumulation order in both engines, round-6 stable);
+    d = n terminal rows short-circuit to exactly 0 through a running flag
+    so ln(0) is never evaluated (Spark returns NULL there, DuckDB −inf —
+    the one spelling the engines disagree on). Censored-at-t users stay
+    at risk for conversions at t (standard KM tie convention). The two
+    unpartitioned windows sit over the day-span-bounded domain table
+    (plan-audit allowlisted, `mom_revenue_growth` precedent)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        epoch_ms(F.min("ts").cast("timestamp")).alias("first_ms"),
+        epoch_ms(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > KM_VALUE_THRESHOLD),
+                    F.col("ts"),
+                )
+            ).cast("timestamp")
+        ).alias("hit_ms"),
+    )
+    horizon = ev.agg(epoch_ms(F.max("ts").cast("timestamp")).alias("end_ms"))
+    marked = pu.crossJoin(F.broadcast(horizon)).select(
+        F.floor(
+            (F.coalesce(F.col("hit_ms"), F.col("end_ms")) - F.col("first_ms"))
+            / 86400000.0
+        )
+        .cast("bigint")
+        .alias("t_days"),
+        F.col("hit_ms").isNotNull().cast("long").alias("converted"),
+    )
+    lt = marked.groupBy("t_days").agg(
+        F.sum("converted").alias("d"),
+        (F.count("*") - F.sum("converted")).alias("c"),
+    )
+    tot = lt.agg(F.sum(F.col("d") + F.col("c")).alias("n_users"))
+    w_before = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = lt.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "d",
+        "c",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_before), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    zero_seen = (
+        F.max((F.col("d") >= F.col("n_at_risk")).cast("int")).over(w_run) == 1
+    )
+    log_term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
+        F.log(
+            (F.col("n_at_risk") - F.col("d")) / F.col("n_at_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    surv = risk.select(
+        "t_days",
+        "d",
+        "c",
+        "n_at_risk",
+        F.when(zero_seen, F.lit(0.0))
+        .otherwise(F.exp(F.sum(log_term).over(w_run)))
+        .alias("s"),
+    )
+    return surv.filter(F.col("d") > 0).select(
+        "t_days",
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("n_converted"),
+        F.col("c").alias("n_censored"),
+        F.round("s", 6).alias("survival"),
+    )

@@ -1,0 +1,144 @@
+"""Statistical-inference operators (regression trend, Benford, ANOVA,
+Mann-Whitney, Kaplan-Meier) — planted-data checks beyond the DuckDB
+oracle equivalence."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from streamroom_bigdata_spark.operators import stats
+
+
+def _ev(spark, rows):
+    """rows: (user_id, event_type, day, hour, value)"""
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, h), u, t, float(v), "{}")
+            for i, (u, t, d, h, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _patch(monkeypatch, df):
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.stats.load_table",
+        lambda spark_, sf_, name: df,
+    )
+
+
+def test_regression_trend_recovers_planted_line(spark, monkeypatch):
+    """Values on an exact line value = 2*day + 5 → slope 2/day, R² = 1."""
+    rows = [(1, "click", d, 0, 2 * d + 5) for d in range(1, 11)]
+    _patch(monkeypatch, _ev(spark, rows))
+    out = stats.regression_trend(spark, "ignored").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 10
+    assert r.slope_per_day == pytest.approx(2.0, abs=1e-5)
+    assert r.r2 == pytest.approx(1.0, abs=1e-6)
+
+
+def test_benford_uses_exact_first_digit_not_log(spark, monkeypatch):
+    """Prices 100.00 / 19.99 / 0.05 → digits 1, 1, 5 (integer-cents path,
+    power-of-ten boundary included on purpose); frequencies sum to 1."""
+    li = spark.createDataFrame(
+        [(100.00,), (19.99,), (0.05,), (900.01,)],
+        "l_extendedprice double",
+    )
+    _patch(monkeypatch, li)
+    rows = {r.digit: r for r in stats.benford_digit_profile(spark, "x").collect()}
+    assert rows[1].n == 2 and rows[5].n == 1 and rows[9].n == 1
+    assert sum(r.observed_freq for r in rows.values()) == pytest.approx(1.0)
+    assert rows[1].expected_freq == pytest.approx(math.log10(2), abs=1e-9)
+
+
+def test_anova_f_zero_when_groups_identical(spark, monkeypatch):
+    """Same values in every group → SSB = 0 → F = 0; planted mean shift
+    on one group → F large."""
+    same = [(u, t, 1, u, v) for t in ("a", "b", "c")
+            for u, v in ((1, 10.0), (2, 20.0), (3, 30.0))]
+    _patch(monkeypatch, _ev(spark, same))
+    r = stats.anova_f_oneway(spark, "x").collect()[0]
+    assert r.k_groups == 3 and r.n_total == 9
+    assert r.f_stat == pytest.approx(0.0, abs=1e-9)
+
+    shifted = [(u, t, 1, u, v + (1000.0 if t == "c" else 0.0))
+               for t in ("a", "b", "c")
+               for u, v in ((1, 10.0), (2, 20.0), (3, 30.0))]
+    _patch(monkeypatch, _ev(spark, shifted))
+    r2 = stats.anova_f_oneway(spark, "x").collect()[0]
+    assert r2.f_stat > 100
+
+
+def test_mann_whitney_symmetric_and_separated(spark, monkeypatch):
+    """Identical samples → U = n²/2, z = 0; fully separated samples →
+    U = 0 (every A below every B) and rank_biserial = +1."""
+    a, b = stats.MW_GROUP_A, stats.MW_GROUP_B
+    sym = [(1, a, 1, 1, v) for v in (1, 2, 3, 4)] + [
+        (2, b, 1, 1, v) for v in (1, 2, 3, 4)
+    ]
+    _patch(monkeypatch, _ev(spark, sym))
+    r = stats.mann_whitney_u(spark, "x").collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert r.u_stat == pytest.approx(8.0)  # n_a*n_b/2 with all-tie pairs
+    assert r.z_score == pytest.approx(0.0, abs=1e-9)
+
+    sep = [(1, a, 1, 1, v) for v in (1, 2, 3, 4)] + [
+        (2, b, 1, 1, v) for v in (10, 11, 12, 13)
+    ]
+    _patch(monkeypatch, _ev(spark, sep))
+    r2 = stats.mann_whitney_u(spark, "x").collect()[0]
+    assert r2.u_stat == pytest.approx(0.0)
+    assert r2.rank_biserial == pytest.approx(1.0)
+    assert r2.z_score < -2.0
+
+
+def test_mann_whitney_tie_groups_share_average_rank(spark, monkeypatch):
+    """A = {1, 2}, B = {2, 3}: the tied 2s take average rank 2.5 →
+    R_A = 1 + 2.5 = 3.5 → U = 0.5 (one half-tie pair)."""
+    a, b = stats.MW_GROUP_A, stats.MW_GROUP_B
+    data = [(1, a, 1, 1, 1), (1, a, 1, 2, 2), (2, b, 1, 3, 2), (2, b, 1, 4, 3)]
+    _patch(monkeypatch, _ev(spark, data))
+    r = stats.mann_whitney_u(spark, "x").collect()[0]
+    assert r.u_stat == pytest.approx(0.5)
+
+
+def test_kaplan_meier_hand_computed_curve(spark, monkeypatch):
+    """4 users starting day 1: conversions at +1d (u1) and +2d (u2);
+    u3, u4 never convert (censored at the horizon).
+
+    KM: S(1) = 3/4; S(2) = 3/4 · 2/3 = 1/2. Censored users stay in the
+    at-risk denominator until the horizon."""
+    thr = stats.KM_VALUE_THRESHOLD
+    rows = [
+        (1, "signup", 1, 0, 0), (1, "purchase", 2, 0, thr + 1),
+        (2, "signup", 1, 0, 0), (2, "purchase", 3, 0, thr + 1),
+        (3, "signup", 1, 0, 0), (3, "purchase", 5, 0, thr - 1),  # low value
+        (4, "signup", 1, 0, 0), (4, "click", 9, 0, 0),  # horizon = day 9
+    ]
+    _patch(monkeypatch, _ev(spark, rows))
+    out = {r.t_days: r for r in stats.kaplan_meier_conversion(spark, "x").collect()}
+    assert set(out) == {1, 2}  # only conversion times appear
+    assert out[1].n_at_risk == 4 and out[1].n_converted == 1
+    assert out[1].survival == pytest.approx(0.75)
+    assert out[2].n_at_risk == 3 and out[2].n_converted == 1
+    assert out[2].survival == pytest.approx(0.5)
+
+
+def test_kaplan_meier_terminal_full_conversion_hits_zero(spark, monkeypatch):
+    """When the last at-risk users all convert, survival reaches exactly
+    0.0 (the ln(0) short-circuit path)."""
+    thr = stats.KM_VALUE_THRESHOLD
+    rows = [
+        (1, "signup", 1, 0, 0), (1, "purchase", 2, 0, thr + 1),
+        (2, "signup", 1, 0, 0), (2, "purchase", 3, 0, thr + 1),
+    ]
+    _patch(monkeypatch, _ev(spark, rows))
+    out = {r.t_days: r for r in stats.kaplan_meier_conversion(spark, "x").collect()}
+    assert out[2].survival == 0.0
+    assert out[1].survival == pytest.approx(0.5)

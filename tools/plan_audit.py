@@ -41,6 +41,10 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # ~80 rows/decade); the event-sized aggregate below it is fully
     # parallel
     "mom_revenue_growth": 1,
+    # KM recursion (at-risk running sum + survival running product) over
+    # the duration-DOMAIN table — bounded by the corpus day span, never
+    # data-sized (counting_median domain-count strategy)
+    "kaplan_meier_conversion": 2,
 }
 
 HEADER = (
