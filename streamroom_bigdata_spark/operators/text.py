@@ -993,7 +993,8 @@ WITH {_VOCAB_CTE}, toks AS (
   SELECT doc_id, pos, toks[CAST(pos + 1 AS BIGINT)] AS tok FROM pos
 )
 SELECT t.doc_id,
-       list(CAST(coalesce(v.id, 0) AS BIGINT) ORDER BY t.pos) AS ids
+       array_to_string(list(CAST(coalesce(v.id, 0) AS BIGINT)
+                            ORDER BY t.pos), ' ') AS ids
 FROM tok_pos t LEFT JOIN vocab v ON v.tok = t.tok
 GROUP BY t.doc_id
 """
@@ -1020,8 +1021,11 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pos", F.coalesce("id", F.lit(0)).cast("long").alias("id")
     )
     return enc.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "id"))),
-            lambda s: s["id"],
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"].cast("string"),
+            ),
+            " ",
         ).alias("ids")
     )

@@ -563,7 +563,10 @@ def test_vocab_build_and_encode_roundtrip(spark, tmp_path):
     assert len(in_vocab_rare) == VOCAB_MAX - 3      # freq-1 tie, lex order
     assert in_vocab_rare == sorted(rare)[: VOCAB_MAX - 3]
 
-    enc = {r.doc_id: r.ids for r in vocab_encode_docs(spark, str(tmp_path)).collect()}
+    enc = {
+        r.doc_id: [int(x) for x in r.ids.split(" ")]
+        for r in vocab_encode_docs(spark, str(tmp_path)).collect()
+    }
     assert enc[0] == [1, 1, 1, 2, 3]
     # doc 2's tail contains the lexicographically-last rare tokens -> OOV 0
     assert enc[2][0] == 2 and enc[2][1] == 3
