@@ -1,0 +1,127 @@
+"""Physical data-layout operators (round-8): Z-order clustering profile.
+
+At 100 TB the dominant cost of a selective query is how many files its
+predicates can SKIP, and skipping is a property of the write-time sort
+order: min/max column stats per file only prune when rows with similar
+values co-locate. A single-column sort clusters one dimension and destroys
+the other; Morton (Z-order) interleaving clusters BOTH, which is why every
+lakehouse layout engine (Delta OPTIMIZE ZORDER BY, Iceberg sort orders)
+ships it. The reference has no layout surface at all — it writes Mongo
+documents row-at-a-time (`consumer.scala:61-91`).
+
+Everything here is exact integer bit arithmetic, identical across engines
+by construction — the expression trees for Spark and the DuckDB oracle are
+generated from the SAME Python loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+#: bits kept per dimension (two 16-bit dims → 32-bit Morton code)
+Z_BITS = 16
+#: top bits of the Morton code that name a layout bucket (= output file
+#: group at write time); 2^10 buckets
+Z_BUCKET_BITS = 10
+
+
+def _scale_expr_sql(col: str, mn: str, mx: str) -> str:
+    """Map [mn, mx] → [0, 2^Z_BITS - 1]; exact integer-in-double arithmetic
+    (products < 2^53), so floor lands identically in both engines."""
+    top = (1 << Z_BITS) - 1
+    return (
+        f"CAST(floor(({col} - {mn}) * {top} / "
+        f"(CASE WHEN {mx} = {mn} THEN 1 ELSE {mx} - {mn} END)) AS BIGINT)"
+    )
+
+
+def _interleave_sql(x: str, y: str) -> str:
+    """Morton code: bit i of x → bit 2i, bit i of y → bit 2i+1."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def scale_to_bits(col: Column, mn: Column, mx: Column) -> Column:
+    top = (1 << Z_BITS) - 1
+    rng = F.when(mx == mn, F.lit(1)).otherwise(mx - mn)
+    return F.floor((col - mn) * top / rng).cast("bigint")
+
+
+def interleave_bits(x: Column, y: Column) -> Column:
+    """Morton-interleave two Z_BITS-wide codes (flat codegen sum — 64
+    shift/mask terms, no UDF, no loop at runtime)."""
+    acc = None
+    for i in range(Z_BITS):
+        tx = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        acc = tx + ty if acc is None else acc + tx + ty
+    return acc
+
+
+zorder_oracle = f"""
+WITH bounds AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem
+), coded AS (
+  SELECT l_partkey, l_suppkey,
+         {_interleave_sql(
+             _scale_expr_sql('l_partkey', 'pmin', 'pmax'),
+             _scale_expr_sql('l_suppkey', 'smin', 'smax'))}
+           >> {2 * Z_BITS - Z_BUCKET_BITS} AS bucket
+  FROM lineitem, bounds
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       min(l_partkey) AS part_min, max(l_partkey) AS part_max,
+       min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
+FROM coded GROUP BY bucket
+"""
+
+
+@register("zorder_layout", zorder_oracle)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering profile of lineitem on (l_partkey,
+    l_suppkey): each row's two keys are scaled to 16 bits, bit-interleaved,
+    and binned by the Morton code's top {Z_BUCKET_BITS} bits — exactly the
+    bucket a `write.sortBy(z)` layout would place it in. The output is the
+    per-bucket (count, min/max of BOTH dims) stats table, i.e. the file-
+    skipping index such a layout yields: tight rectangles in both
+    dimensions at once, where a partkey-only sort leaves every bucket
+    spanning the full suppkey range (see test_layout.py for the measured
+    contrast). Plan: 1-row bounds aggregate broadcast onto the scan, a
+    64-term flat codegen projection (no UDF), one bucket-keyed combinable
+    aggregate — nothing data-sized crosses the wire. All arithmetic is
+    integer (exact in both engines); at write time the same `z` expression
+    is the sort key for `repartitionByRange(z).sortWithinPartitions(z)`."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    coded = li.crossJoin(F.broadcast(bounds)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.shiftright(
+            interleave_bits(
+                scale_to_bits(F.col("l_partkey"), F.col("pmin"), F.col("pmax")),
+                scale_to_bits(F.col("l_suppkey"), F.col("smin"), F.col("smax")),
+            ),
+            2 * Z_BITS - Z_BUCKET_BITS,
+        ).alias("bucket"),
+    )
+    return coded.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("l_partkey").alias("part_min"),
+        F.max("l_partkey").alias("part_max"),
+        F.min("l_suppkey").alias("supp_min"),
+        F.max("l_suppkey").alias("supp_max"),
+    )

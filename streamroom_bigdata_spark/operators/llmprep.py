@@ -754,3 +754,88 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer token-budget apportionment (largest remainder / Hamilton)
+# ---------------------------------------------------------------------------
+
+#: total token budget to split across sources
+APPORTION_BUDGET = 1_000_000
+
+token_budget_oracle = f"""
+WITH src AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(n_tokens) AS t FROM src),
+quota AS (
+  SELECT source, n_tokens,
+         CAST(({APPORTION_BUDGET} * n_tokens) // t AS BIGINT) AS floor_quota,
+         CAST(({APPORTION_BUDGET} * n_tokens) % t AS BIGINT) AS remainder
+  FROM src, tot
+), leftover AS (
+  SELECT {APPORTION_BUDGET} - sum(floor_quota) AS extra FROM quota
+), ranked AS (
+  SELECT source, n_tokens, floor_quota, remainder,
+         CAST(row_number() OVER (ORDER BY remainder DESC, source) AS BIGINT)
+           AS rk
+  FROM quota
+)
+SELECT source, n_tokens, floor_quota, remainder,
+       CAST(floor_quota + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+         AS allocated
+FROM ranked, leftover
+"""
+
+
+@register("token_budget_apportion", token_budget_oracle)
+def token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split a fixed token budget across corpus sources proportionally to
+    their token counts with EXACT integer quotas (largest-remainder /
+    Hamilton apportionment): floor quotas first, then the leftover units go
+    to the largest fractional remainders (source-name tiebreak). This is
+    the "how many tokens may each source contribute to the training set"
+    governance step that `temperature_mix_sample` samples against — rates
+    there, exact integer quotas here, and Hamilton guarantees the quotas
+    sum to the budget exactly (independent rounding does not).
+
+    Every quantity is INTEGER arithmetic (budget·n < 2^63, DIV/MOD), so
+    both engines agree bit-for-bit — no float apportionment boundary
+    exists. Scale shape: the data-sized stage is one combinable per-source
+    aggregate; everything after runs on the source-cardinality table (the
+    one unpartitioned ranking window is over that ≤O(100)-row relation —
+    allowlisted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    tot = src.agg(F.sum("n_tokens").alias("t"))
+    quota = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"({APPORTION_BUDGET}L * n_tokens) div t").alias("floor_quota"),
+        F.pmod(F.lit(APPORTION_BUDGET) * F.col("n_tokens"), F.col("t")).alias(
+            "remainder"
+        ),
+    )
+    leftover = quota.agg(
+        (F.lit(APPORTION_BUDGET) - F.sum("floor_quota")).alias("extra")
+    )
+    ranked = quota.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("remainder").desc(), "source")
+        ).cast("bigint"),
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "n_tokens",
+        "floor_quota",
+        "remainder",
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("allocated"),
+    )

@@ -1029,3 +1029,96 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("ids")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocation extraction (PMI)
+# ---------------------------------------------------------------------------
+
+#: minimum bigram frequency before PMI is trusted (rare-pair PMI explodes)
+COLLOC_MIN = 5
+#: collocations reported
+COLLOC_K = 50
+
+collocations_oracle = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), bigrams AS (
+  SELECT a.tok AS tok1, b.tok AS tok2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), bc AS (
+  SELECT tok1, tok2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM bigrams GROUP BY tok1, tok2
+), uc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), totals AS (
+  SELECT (SELECT sum(c) FROM uc) AS n_uni, (SELECT sum(c_xy) FROM bc) AS n_bi
+)
+SELECT tok1, tok2, c_xy,
+       round(ln((CAST(c_xy AS DOUBLE) / n_bi)
+                / ((CAST(u1.c AS DOUBLE) / n_uni)
+                   * (CAST(u2.c AS DOUBLE) / n_uni))), 6) AS pmi
+FROM bc JOIN uc u1 ON u1.tok = bc.tok1
+        JOIN uc u2 ON u2.tok = bc.tok2, totals
+WHERE c_xy >= {COLLOC_MIN}
+ORDER BY pmi DESC, tok1, tok2
+LIMIT {COLLOC_K}
+"""
+
+
+@register("bigram_collocations", collocations_oracle)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{COLLOC_K} bigram collocations by pointwise mutual information —
+    token pairs that co-occur far above chance ("new york", "machine
+    learning"), the phrase-mining step a tokenizer-vocabulary or stopword
+    pipeline runs before merges. PMI = ln(P(xy) / (P(x)P(y))) over
+    adjacent-token bigrams, floored at {COLLOC_MIN} occurrences so
+    rare-pair PMI noise never surfaces.
+
+    Plan: one posexplode → doc-keyed lead() for adjacency, combinable
+    bigram/unigram counts (the two data-sized exchanges ride the SAME
+    token-shaped rows), two hash joins of the bigram table against the
+    unigram table (vocabulary-sized, AQE picks broadcast when it fits),
+    1-row totals broadcast, TakeOrderedAndProject for the top-k — no
+    global sort. The PMI double is the same IEEE expression tree both
+    engines evaluate on identical integers; ordering is on the ROUNDED
+    value with a lexicographic tiebreak, so the k-boundary is
+    deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        F.col("tok").alias("tok1"), F.lead("tok").over(w).alias("tok2")
+    ).filter(F.col("tok2").isNotNull())
+    bc = bigrams.groupBy("tok1", "tok2").agg(F.count("*").alias("c_xy"))
+    uc = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = uc.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bc.agg(F.sum("c_xy").alias("n_bi"))
+    )
+    u1 = uc.select(F.col("tok").alias("tok1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("tok").alias("tok2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("c1").cast("double") / F.col("n_uni"))
+                * (F.col("c2").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        bc.filter(F.col("c_xy") >= COLLOC_MIN)
+        .join(u1, "tok1")
+        .join(u2, "tok2")
+        .crossJoin(F.broadcast(totals))
+        .select("tok1", "tok2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "tok1", "tok2")
+        .limit(COLLOC_K)
+    )

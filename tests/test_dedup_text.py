@@ -572,3 +572,26 @@ def test_vocab_build_and_encode_roundtrip(spark, tmp_path):
     assert enc[2][0] == 2 and enc[2][1] == 3
     assert enc[2][-1] == 0  # 'r299' is past the cut
     assert len(enc[2]) == 2 + 150
+
+
+def test_bigram_collocations_rank_true_phrases_first(spark, tmp_path):
+    """'aa bb' always adjacent (high PMI) vs 'xx yy' co-occurring only as
+    often as chance — the glued pair must rank first and score higher."""
+    from streamroom_bigdata_spark.operators.text import bigram_collocations
+
+    # 10 docs: 'aa bb' glued; filler tokens f0..f9 vary; 'xx'/'yy' appear
+    # often but adjacent only sometimes
+    texts = []
+    for i in range(10):
+        texts.append(f"aa bb f{i} xx f{(i+1) % 10} yy xx yy")
+    docs = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = bigram_collocations(spark, str(tmp_path)).collect()
+    assert out, "expected at least one collocation"
+    scores = {(r.tok1, r.tok2): r.pmi for r in out}
+    assert ("aa", "bb") in scores
+    assert scores[("aa", "bb")] == max(scores.values())
+    if ("xx", "yy") in scores:
+        assert scores[("aa", "bb")] > scores[("xx", "yy")]

@@ -240,3 +240,29 @@ def test_curation_v4_subset_and_budget(spark, sf_dir):
     assert len(v4) <= 2 * V4_MIX_TARGET
     again = {r.doc_id for r in curation_pipeline_v4(spark, sf_dir).collect()}
     assert again == v4_ids
+
+
+def test_token_budget_apportion_sums_exactly_and_breaks_ties(spark, tmp_path):
+    """3 sources with token counts 1/1/1 and budget B: floor quotas leave
+    B mod 3 leftover units, which go to the lexicographically-first
+    sources (equal remainders); quotas always sum to the budget exactly."""
+    from streamroom_bigdata_spark.operators.llmprep import (
+        APPORTION_BUDGET,
+        token_budget_apportion,
+    )
+
+    docs = [
+        (0, "a", "en", "s_b", 1),
+        (1, "b", "en", "s_a", 1),
+        (2, "c", "en", "s_c", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.source: r for r in token_budget_apportion(spark, str(tmp_path)).collect()}
+    assert sum(r.allocated for r in rows.values()) == APPORTION_BUDGET
+    # B = 1_000_000, 3 sources x 1 token: floor = 333333, leftover 1 ->
+    # goes to the lexicographically-first source among equal remainders
+    assert rows["s_a"].allocated == 333334
+    assert rows["s_b"].allocated == 333333
+    assert rows["s_c"].allocated == 333333

@@ -45,6 +45,8 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # the duration-DOMAIN table — bounded by the corpus day span, never
     # data-sized (counting_median domain-count strategy)
     "kaplan_meier_conversion": 2,
+    # largest-remainder ranking over the source-cardinality table
+    "token_budget_apportion": 1,
 }
 
 HEADER = (
