@@ -639,3 +639,86 @@ def label_propagation(
         if k % _PR_CKPT_EVERY == 0 and k < rounds:
             labels = ckpt(labels)
     return labels
+
+
+# ---------------------------------------------------------------------------
+# BFS hop-distance distribution (unweighted shortest paths from a seed)
+# ---------------------------------------------------------------------------
+
+#: BFS rounds — the bipartite transaction graph's diameter is tiny (every
+#: supplier trades with many customers), so 6 rounds saturates it
+BFS_ROUNDS = 6
+
+
+def _bfs_oracle() -> str:
+    # same unrolled-iteration spelling as the pagerank oracle: round k
+    # expands ONLY the frontier (dist = k-1) and keeps the min distance
+    ctes = [
+        "d0 AS (SELECT (SELECT min(src) FROM edges) AS id, 0 AS dist)"
+    ]
+    for k in range(1, BFS_ROUNDS + 1):
+        ctes.append(
+            f"""d{k} AS (
+  SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT id, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + 1 AS dist
+    FROM d{k - 1} d JOIN edges e ON e.src = d.id
+    WHERE d.dist = {k - 1}
+  ) GROUP BY id
+)"""
+        )
+    return f"""
+WITH edges AS ({_edges_sql()}),
+{", ".join(ctes)}
+SELECT dist AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+FROM d{BFS_ROUNDS} GROUP BY dist
+"""
+
+
+def bfs_hops(
+    edges_sym: DataFrame,
+    rounds: int = BFS_ROUNDS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Unweighted BFS from the minimum node id over symmetrized edges:
+    returns (id, dist) for every node within ``rounds`` hops. Each round
+    expands only the FRONTIER (nodes first reached last round) — the
+    standard distributed BFS where per-round work is frontier-sized, not
+    graph-sized — then folds into the running min-distance relation.
+    Lineage is cut with the shared graph-family checkpointer (reliable
+    `df.checkpoint` when a dir is given, localCheckpoint otherwise)."""
+    spark = edges_sym.sparkSession
+    ckpt = make_checkpointer(spark, checkpoint_dir)
+    edges = ckpt(edges_sym)
+    seed = edges.agg(F.min("src").alias("id")).select(
+        "id", F.lit(0).cast("bigint").alias("dist")
+    )
+    dist = ckpt(seed)
+    for k in range(1, rounds + 1):
+        frontier = dist.filter(F.col("dist") == k - 1)
+        expanded = frontier.join(edges, frontier.id == edges.src).select(
+            F.col("dst").alias("id"), (F.lit(k)).cast("bigint").alias("dist")
+        )
+        dist = ckpt(
+            dist.unionByName(expanded).groupBy("id").agg(
+                F.min("dist").cast("bigint").alias("dist")
+            )
+        )
+    return dist
+
+
+@register("bfs_hop_distribution", _bfs_oracle())
+def bfs_hop_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance histogram of BFS from the minimum node over the
+    symmetrized customer↔supplier transaction graph — 'how many entities
+    sit k relationship steps away', the reachability readout next to
+    pagerank/k-core/LCC on the same edge set. The oracle unrolls the same
+    {BFS_ROUNDS} frontier-expansion rounds as chained SQL aggregates
+    (pagerank-oracle pattern) — exact value check, not rows-only. All
+    arithmetic is integer; per-round cost is frontier-joined, and the
+    union-fold groupBy is combinable."""
+    dist = bfs_hops(_transaction_edges(spark, sf_dir))
+    return dist.groupBy(F.col("dist").alias("hop")).agg(
+        F.count("*").alias("n_nodes")
+    )

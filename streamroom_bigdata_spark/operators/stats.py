@@ -24,6 +24,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import sql_hash_mod
 from ..functions.timeutil import epoch_ms
 from ..registry import register
 from ..sources import load_table
@@ -502,4 +503,120 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_converted"),
         F.col("c").alias("n_censored"),
         F.round("s", 6).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (deterministic hash randomness)
+# ---------------------------------------------------------------------------
+
+#: bootstrap replicas
+BOOT_REPS = 100
+#: integer thresholds = floor(CDF_Poisson(1)(k) * 1e6) for k = 0..7; a
+#: uniform draw u ∈ [0, 1e6) maps to the weight by ladder walk — ALL-INTEGER
+#: comparisons, so both engines draw identical weights (tail mass beyond 8
+#: truncated: ~1e-5, irrelevant for the interval and identical either way)
+_POIS_CDF_1E6 = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
+
+
+def _pois_ladder_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF_1E6)
+    )
+    return f"CASE {cases} ELSE 8 END"
+
+
+poisson_bootstrap_oracle = f"""
+WITH reps AS (
+  SELECT e.event_id, e.value, r.rep
+  FROM events e CROSS JOIN (SELECT unnest(range(0, {BOOT_REPS})) AS rep) r
+), weighted AS (
+  SELECT rep, value,
+         {_pois_ladder_sql(sql_hash_mod(
+             "concat(CAST(event_id AS VARCHAR), ':', CAST(rep AS VARCHAR))",
+             1_000_000))} AS w
+  FROM reps
+), per_rep AS (
+  SELECT rep, round(sum(w * value) / nullif(sum(w), 0), 6) AS mean_rep
+  FROM weighted GROUP BY rep
+), ranked AS (
+  SELECT mean_rep,
+         row_number() OVER (ORDER BY mean_rep, rep) AS rn
+  FROM per_rep
+)
+SELECT CAST({BOOT_REPS} AS BIGINT) AS n_reps,
+       round(avg(mean_rep), 6) AS boot_mean,
+       round(min(CASE WHEN rn = 3 THEN mean_rep END), 6) AS ci_lower,
+       round(min(CASE WHEN rn = 98 THEN mean_rep END), 6) AS ci_upper
+FROM ranked
+"""
+
+
+@register("poisson_bootstrap_ci", poisson_bootstrap_oracle)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for mean event value via the
+    POISSON bootstrap — the resampling scheme that works on distributed
+    data: instead of drawing n rows with replacement (which needs global
+    coordination), each row enters replica r with weight ~ Poisson(1),
+    drawn DETERMINISTICALLY from the portable hash of (event_id, r). One
+    scan explodes each row into {BOOT_REPS} (rep, weight) contributions;
+    map-side combine collapses them to {BOOT_REPS} partial sums per
+    partition, so the shuffle carries O(reps × partitions) rows at any
+    data size. The CI picks order statistics 3 and 98 of the 100 rounded
+    replica means (2.5%/97.5%, documented convention).
+
+    Determinism: the uniform draw is an integer hash mod 1e6 compared
+    against INTEGER CDF thresholds (no float boundary); replica means are
+    rounded before ranking so the order-statistic cut is cross-engine
+    stable. The explode happens BEFORE hashing, keeping md5 in a flat
+    codegen projection (the round-1 HOF-lambda trap). The one
+    unpartitioned ranking window runs over the {BOOT_REPS}-row replica
+    table (allowlisted)."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash_mod
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    reps = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("rep"),
+    )
+    u = portable_hash_mod(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.col("rep").cast("string"),
+        ),
+        1_000_000,
+    )
+    w_expr = None
+    for k, t in enumerate(_POIS_CDF_1E6):
+        w_expr = (
+            F.when(u < t, k) if w_expr is None else w_expr.when(u < t, k)
+        )
+    w_expr = w_expr.otherwise(8)
+    per_rep = (
+        reps.select("rep", "value", w_expr.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("value"))
+                / F.nullif(F.sum("w"), F.lit(0)),
+                6,
+            ).alias("mean_rep")
+        )
+    )
+    ranked = per_rep.withColumn(
+        "rn", F.row_number().over(Window.orderBy("mean_rep", "rep"))
+    )
+    return ranked.agg(
+        F.lit(BOOT_REPS).cast("bigint").alias("n_reps"),
+        F.round(F.avg("mean_rep"), 6).alias("boot_mean"),
+        F.round(F.min(F.when(F.col("rn") == 3, F.col("mean_rep"))), 6).alias(
+            "ci_lower"
+        ),
+        F.round(F.min(F.when(F.col("rn") == 98, F.col("mean_rep"))), 6).alias(
+            "ci_upper"
+        ),
     )

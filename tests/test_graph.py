@@ -277,3 +277,41 @@ def test_label_propagation_reliable_checkpoint_matches_local(spark, tmp_path):
     )
     assert local == reliable and len(local) > 0
     assert _ckdir_used(ckdir), "reliable checkpoint dir is empty"
+
+
+def test_bfs_hops_path_graph_exact_distances(spark):
+    """Path 1-3-5-7 (odd ids, symmetrized): BFS from min node (1) gives
+    dist 0,1,2,3; node 9 disconnected → absent."""
+    from streamroom_bigdata_spark.operators.graph import bfs_hops
+
+    edges = [(1, 3), (3, 5), (5, 7), (9, 11)]
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    out = {r.id: r.dist for r in bfs_hops(sym).collect()}
+    assert out == {1: 0, 3: 1, 5: 2, 7: 3}
+
+
+def test_bfs_hops_min_distance_wins_on_cycles(spark):
+    """Cycle 1-2-3-4-1: node 3 is reachable both ways; dist must be the
+    MIN (2), not the path order of expansion."""
+    from streamroom_bigdata_spark.operators.graph import bfs_hops
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    out = {r.id: r.dist for r in bfs_hops(sym).collect()}
+    assert out == {1: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_hops_respects_round_budget(spark):
+    """rounds=1 discovers only the seed's direct neighbors."""
+    from streamroom_bigdata_spark.operators.graph import bfs_hops
+
+    edges = [(1, 3), (3, 5)]
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    out = {r.id: r.dist for r in bfs_hops(sym, rounds=1).collect()}
+    assert out == {1: 0, 3: 1}

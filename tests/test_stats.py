@@ -142,3 +142,20 @@ def test_kaplan_meier_terminal_full_conversion_hits_zero(spark, monkeypatch):
     out = {r.t_days: r for r in stats.kaplan_meier_conversion(spark, "x").collect()}
     assert out[2].survival == 0.0
     assert out[1].survival == pytest.approx(0.5)
+
+
+def test_poisson_bootstrap_ci_brackets_true_mean(spark, monkeypatch):
+    """Planted values centered at 50 → the 95% interval contains 50 and
+    is ordered lower <= mean <= upper; repeated runs are identical
+    (hash determinism, no RNG state)."""
+    rows = [(u % 7, "click", 1 + (u % 28), u % 24, 40 + (u % 21))
+            for u in range(400)]
+    _patch(monkeypatch, _ev(spark, rows))
+    r1 = stats.poisson_bootstrap_ci(spark, "x").collect()[0]
+    r2 = stats.poisson_bootstrap_ci(spark, "x").collect()[0]
+    assert r1 == r2
+    assert r1.n_reps == stats.BOOT_REPS
+    assert r1.ci_lower <= r1.boot_mean <= r1.ci_upper
+    assert r1.ci_lower < 50 < r1.ci_upper
+    # interval should be tight around the true mean for n=400
+    assert r1.ci_upper - r1.ci_lower < 5

@@ -47,6 +47,8 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     "kaplan_meier_conversion": 2,
     # largest-remainder ranking over the source-cardinality table
     "token_budget_apportion": 1,
+    # order-statistic cut over the BOOT_REPS-row replica-mean table
+    "poisson_bootstrap_ci": 1,
 }
 
 HEADER = (
