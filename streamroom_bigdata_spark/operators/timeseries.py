@@ -249,3 +249,151 @@ def ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "user_id", "event_id", F.round(num / den, 6).alias("ewma")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (trend + weekly seasonal + residual)
+# ---------------------------------------------------------------------------
+
+seasonal_oracle = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, sum(value) AS y
+  FROM events GROUP BY 1
+), keyed AS (
+  SELECT day, y, CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS dow
+  FROM daily
+), trended AS (
+  SELECT day, dow, y,
+         avg(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS trend
+  FROM keyed
+), seasonal AS (
+  SELECT dow, avg(y - trend) AS s FROM trended GROUP BY dow
+)
+SELECT t.day, CAST(t.dow AS BIGINT) AS dow,
+       round(t.y, 4) AS y,
+       round(t.trend, 4) AS trend,
+       round(s.s, 4) AS seasonal,
+       round(t.y - t.trend - s.s, 4) AS residual
+FROM trended t JOIN seasonal s ON s.dow = t.dow
+"""
+
+
+@register("seasonal_decompose_daily", seasonal_oracle)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series:
+    trend = centered 7-day moving average, weekly seasonal = per-weekday
+    mean of the detrended series, residual = the rest — the anomaly
+    baseline `ewma_values` smooths toward, split into its named parts.
+
+    Scale shape: the data-sized stage is one combinable day groupBy; the
+    decomposition runs on the day-DOMAIN table (bounded by the corpus
+    span — the counting_median domain argument), so the centered-window
+    pass is allowlisted as bounded. The weekday key is (epoch_day mod 7)
+    — pure integer arithmetic, deliberately NOT dayofweek(), whose
+    Sunday-origin differs across engines. Edge days average their
+    available 7-day frame (both engines' frame semantics agree)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("y")
+    )
+    keyed = daily.select(
+        "day",
+        "y",
+        F.pmod(F.datediff("day", F.lit("1970-01-01")).cast("bigint"), F.lit(7)).alias(
+            "dow"
+        ),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = keyed.withColumn("trend", F.avg("y").over(w7))
+    seasonal = trended.groupBy("dow").agg(
+        F.avg(F.col("y") - F.col("trend")).alias("s")
+    )
+    return trended.join(seasonal, "dow").select(
+        "day",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.round("y", 4).alias("y"),
+        F.round("trend", 4).alias("trend"),
+        F.round("s", 4).alias("seasonal"),
+        F.round(F.col("y") - F.col("trend") - F.col("s"), 4).alias("residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on the daily mean
+# ---------------------------------------------------------------------------
+
+cusum_oracle = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, avg(value) AS m
+  FROM events GROUP BY 1
+), mu AS (SELECT avg(m) AS mu FROM daily),
+cusum AS (
+  SELECT day, m,
+         sum(m - mu) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM daily, mu
+), peak AS (
+  SELECT day AS cp_day, round(abs(s), 6) AS cusum_peak
+  FROM cusum ORDER BY round(abs(s), 6) DESC, day LIMIT 1
+)
+SELECT p.cp_day AS changepoint_day, p.cusum_peak,
+       round(avg(CASE WHEN c.day <= p.cp_day THEN c.m END), 6) AS mean_before,
+       round(avg(CASE WHEN c.day >  p.cp_day THEN c.m END), 6) AS mean_after
+FROM cusum c, peak p
+GROUP BY p.cp_day, p.cusum_peak
+"""
+
+
+@register("cusum_changepoint", cusum_oracle)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily mean event value: the running
+    sum of deviations from the grand mean peaks (in absolute value) at the
+    most likely level-shift day; reports that day, the peak, and the mean
+    on each side — the level-shift alarm the per-point z-score queries
+    can't see (a persistent small shift never trips a pointwise
+    threshold).
+
+    Scale shape: one combinable day groupBy, then everything runs on the
+    day-domain table (allowlisted bounded window). The argmax is
+    deterministic cross-engine: ordered by the ROUNDED peak with the day
+    as tiebreak, via a top-1 TakeOrdered, never a full sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("m")
+    )
+    mu = daily.agg(F.avg("m").alias("mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cusum = daily.crossJoin(F.broadcast(mu)).withColumn(
+        "s", F.sum(F.col("m") - F.col("mu")).over(w)
+    )
+    peak = (
+        cusum.select(
+            F.col("day").alias("cp_day"),
+            F.round(F.abs("s"), 6).alias("cusum_peak"),
+        )
+        .orderBy(F.col("cusum_peak").desc(), "cp_day")
+        .limit(1)
+    )
+    return (
+        cusum.crossJoin(F.broadcast(peak))
+        .groupBy("cp_day", "cusum_peak")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("day") <= F.col("cp_day"), F.col("m"))), 6
+            ).alias("mean_before"),
+            F.round(
+                F.avg(F.when(F.col("day") > F.col("cp_day"), F.col("m"))), 6
+            ).alias("mean_after"),
+        )
+        .select(
+            F.col("cp_day").alias("changepoint_day"),
+            "cusum_peak",
+            "mean_before",
+            "mean_after",
+        )
+    )

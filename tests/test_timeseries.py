@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from streamroom_bigdata_spark.operators import timeseries
@@ -51,3 +52,71 @@ def test_resample_ffill_grid_and_fill_semantics(spark, sf_dir):
             else:
                 break
         assert got[g] == want
+
+
+def test_seasonal_decompose_recovers_planted_weekly_pattern(spark, monkeypatch):
+    """Flat trend 100 + weekday bump on dow 0 → seasonal absorbs the bump,
+    residual ~0, decomposition sums back to y."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from streamroom_bigdata_spark.operators import timeseries as ts
+
+    rows = []
+    eid = 0
+    base = dt.date(2024, 1, 1)
+    for d in range(28):
+        day = base + dt.timedelta(days=d)
+        dow = (day - dt.date(1970, 1, 1)).days % 7
+        v = 100.0 + (70.0 if dow == 0 else 0.0)
+        rows.append((eid, dt.datetime.combine(day, dt.time(12)), 1, "click", v, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.timeseries.load_table",
+        lambda s_, d_, n_: df,
+    )
+    out = ts.seasonal_decompose_daily(spark, "x").collect()
+    assert len(out) == 28
+    for r in out:
+        assert r.y == pytest.approx(r.trend + r.seasonal + r.residual, abs=2e-4)
+    mid = [r for r in out if dt.date(2024, 1, 8) <= r.day <= dt.date(2024, 1, 21)]
+    bumped = [r for r in mid if r.dow == 0]
+    flat = [r for r in mid if r.dow != 0]
+    assert all(r.seasonal > 30 for r in bumped)
+    assert all(r.seasonal < 0 for r in flat)  # seasonal means sum ≈ 0
+
+
+def test_cusum_changepoint_finds_planted_level_shift(spark, monkeypatch):
+    """Daily mean 10 for days 1-14, then 20 for days 15-28 → the CUSUM
+    trough sits at the last pre-shift day and the side means recover the
+    two levels."""
+    import datetime as dt
+
+    from streamroom_bigdata_spark.operators import timeseries as ts
+
+    rows = []
+    eid = 0
+    base = dt.date(2024, 1, 1)
+    for d in range(28):
+        day = base + dt.timedelta(days=d)
+        v = 10.0 if d < 14 else 20.0
+        rows.append((eid, dt.datetime.combine(day, dt.time(9)), 1, "click", v, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.timeseries.load_table",
+        lambda s_, d_, n_: df,
+    )
+    r = ts.cusum_changepoint(spark, "x").collect()[0]
+    assert r.changepoint_day == dt.date(2024, 1, 14)
+    assert r.mean_before == pytest.approx(10.0)
+    assert r.mean_after == pytest.approx(20.0)

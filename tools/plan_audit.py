@@ -49,6 +49,11 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     "token_budget_apportion": 1,
     # order-statistic cut over the BOOT_REPS-row replica-mean table
     "poisson_bootstrap_ci": 1,
+    # centered 7-day trend window over the day-DOMAIN table (corpus-span
+    # bounded)
+    "seasonal_decompose_daily": 1,
+    # CUSUM running sum over the day-DOMAIN table
+    "cusum_changepoint": 1,
 }
 
 HEADER = (
