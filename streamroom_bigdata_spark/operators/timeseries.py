@@ -307,11 +307,15 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
-    trended = keyed.withColumn("trend", F.avg("y").over(w7))
-    seasonal = trended.groupBy("dow").agg(
-        F.avg(F.col("y") - F.col("trend")).alias("s")
+    # seasonal as a dow-partitioned window over the SAME trended relation
+    # (not groupBy+join): the trend-window subtree then exists exactly once
+    # in the plan — the r8 audit caught the join form instantiating the
+    # centered-window pass (and its day groupBy) twice (VERDICT r8 #2)
+    wdow = Window.partitionBy("dow")
+    trended = keyed.withColumn("trend", F.avg("y").over(w7)).withColumn(
+        "s", F.avg(F.col("y") - F.col("trend")).over(wdow)
     )
-    return trended.join(seasonal, "dow").select(
+    return trended.select(
         "day",
         F.col("dow").cast("bigint").alias("dow"),
         F.round("y", 4).alias("y"),

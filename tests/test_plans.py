@@ -152,6 +152,25 @@ _ALLOWED_FACT_BROADCASTS = {
     "curation_pipeline_v4": 2,
     # CUPED: 1-row pooled theta/pre-mean broadcast back over the user table
     "cuped_ab_adjusted": 1,
+    # round-8 final wave (statistical/layout) — every broadcast side is a
+    # 1-row or enum-domain-bounded aggregate, safe at ANY data scale:
+    # ANOVA: 1-row grand mean broadcast over the per-group table
+    "anova_f_oneway": 1,
+    # Benford: 1-row total-count broadcast over the 9-digit histogram
+    "benford_digit_profile": 1,
+    # PMI collocations: 1-row total bigram/unigram counts
+    "bigram_collocations": 1,
+    # CUSUM: 1-row target mean + 1-row sigma + 1-row argmax-|S| peak,
+    # each over the bounded day-domain series
+    "cusum_changepoint": 3,
+    # Kaplan-Meier: 1-row cohort size + 1-row horizon + risk-set offsets
+    # over the bounded day-domain event table
+    "kaplan_meier_conversion": 3,
+    # token budget: 1-row corpus total + |sources|-row quota table +
+    # 1-row remainder — Hamilton apportionment scalars
+    "token_budget_apportion": 3,
+    # Z-order: 1-row min/max bounds row for the interleave normalization
+    "zorder_layout": 1,
 }
 
 
