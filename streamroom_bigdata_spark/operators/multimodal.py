@@ -235,7 +235,7 @@ WITH px AS (
          ascii(substr(text, CAST(i + 1 AS BIGINT), 1)) AS b,
          CAST(i % 3 AS INT) AS chan
   FROM documents, range(0, {_IMG_RASTER}) t(i)
-  WHERE length(text) >= {_IMG_RASTER}
+  WHERE length(text) >= {_IMG_RASTER} AND strlen(text) = length(text)
 )
 SELECT doc_id AS asset_id,
        'ppm' AS format,
@@ -265,7 +265,15 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Compressed formats still gate on media libs (see decode_image)."""
     docs = load_table(spark, sf_dir, "documents")
     header = f"P6\n{IMG_W} {IMG_H}\n255\n".encode()
-    assets = docs.filter(F.octet_length("text") >= _IMG_RASTER).select(
+    # all-ASCII guard on BOTH engines (octet_length == length ⟺ every code
+    # point is 1 UTF-8 byte): makes the char-indexed oracle and the
+    # byte-sliced raster agree on membership AND values for any input, not
+    # just an ASCII-only fixture. Non-ASCII docs are excluded identically
+    # on both sides.
+    assets = docs.filter(
+        (F.length("text") >= _IMG_RASTER)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
         F.col("doc_id").alias("asset_id"),
         F.concat(
             F.lit(header),
@@ -434,8 +442,9 @@ WAV_SCHEMA = (
     "duration_micro long, peak_abs int, mean_abs_micro long"
 )
 
-# ASCII fixture bytes are < 128, so every little-endian int16 sample
-# (low + 256*high) is positive and abs() is the identity — the oracle
+# Membership is restricted to all-ASCII docs (strlen = length on both
+# engines), so every byte is < 128, every little-endian int16 sample
+# (low + 256*high) is positive, and abs() is the identity — the oracle
 # replays the amplitude math straight off the characters.
 wav_decode_oracle = f"""
 WITH s AS (
@@ -443,7 +452,7 @@ WITH s AS (
          ascii(substr(text, CAST(2 * i + 1 AS BIGINT), 1))
          + 256 * ascii(substr(text, CAST(2 * i + 2 AS BIGINT), 1)) AS v
   FROM documents, range(0, {WAV_N_SAMPLES}) t(i)
-  WHERE length(text) >= {_WAV_DATA}
+  WHERE length(text) >= {_WAV_DATA} AND strlen(text) = length(text)
 )
 SELECT doc_id AS asset_id,
        CAST({WAV_RATE} AS INT) AS sample_rate,
@@ -472,7 +481,13 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like the image path."""
     docs = load_table(spark, sf_dir, "documents")
     header = _wav_header(_WAV_DATA)
-    assets = docs.filter(F.octet_length("text") >= _WAV_DATA).select(
+    # all-ASCII guard on BOTH engines — see multimodal_image_decode; also
+    # what makes the "< 128 so abs() is the identity" comment above a
+    # checked precondition instead of a fixture assumption.
+    assets = docs.filter(
+        (F.length("text") >= _WAV_DATA)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
         F.col("doc_id").alias("asset_id"),
         F.concat(
             F.lit(header), F.encode(F.substring("text", 1, _WAV_DATA), "UTF-8")

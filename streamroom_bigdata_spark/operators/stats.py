@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import sql_hash_mod
 from ..functions.timeutil import epoch_ms
 from ..registry import register
+from ..session import shuffle_partition_count
 from ..sources import load_table
 
 # ---------------------------------------------------------------------------
@@ -295,7 +296,7 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = ev.groupBy("value").agg(
         F.sum("is_a").alias("a_cnt"), F.count("*").alias("cnt")
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = shuffle_partition_count(spark)
     ranged = (
         vals.repartitionByRange(n_parts, "value")
         .withColumn("pid", F.spark_partition_id())
@@ -541,7 +542,7 @@ WITH reps AS (
   FROM weighted GROUP BY rep
 ), ranked AS (
   SELECT mean_rep,
-         row_number() OVER (ORDER BY mean_rep, rep) AS rn
+         row_number() OVER (ORDER BY mean_rep NULLS LAST, rep) AS rn
   FROM per_rep
 )
 SELECT CAST({BOOT_REPS} AS BIGINT) AS n_reps,
@@ -607,8 +608,15 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_rep")
         )
     )
+    # NULLS LAST spelled explicitly on BOTH engines: a degenerate all-zero-
+    # weight replica makes mean_rep NULL via nullif, and Spark's ascending
+    # default (NULLS FIRST) disagrees with DuckDB's (NULLS LAST) — the
+    # rn=3/rn=98 order-statistic cut would diverge cross-engine there.
     ranked = per_rep.withColumn(
-        "rn", F.row_number().over(Window.orderBy("mean_rep", "rep"))
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("mean_rep").asc_nulls_last(), "rep")
+        ),
     )
     return ranked.agg(
         F.lit(BOOT_REPS).cast("bigint").alias("n_reps"),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.timeutil import epoch_ms
 from ..registry import register
+from ..session import shuffle_partition_count
 from ..sources import load_table
 
 
@@ -245,7 +246,7 @@ def quartiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     while every exchange in the plan is range- or hash-partitioned — nothing
     funnels the full relation through one task at any scale."""
     customer = load_table(spark, sf_dir, "customer")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = shuffle_partition_count(spark)
     ranged = (
         customer.select("c_acctbal", "c_custkey")
         .repartitionByRange(n_parts, "c_acctbal", "c_custkey")

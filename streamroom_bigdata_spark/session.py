@@ -28,6 +28,17 @@ def cpu_count() -> int:
         return os.cpu_count() or 4
 
 
+def shuffle_partition_count(spark: SparkSession, default: int = 200) -> int:
+    """Numeric value of ``spark.sql.shuffle.partitions`` with a safe
+    fallback: runtimes may set the conf to a non-numeric value (e.g.
+    ``"auto"``), and operators that size a ``repartitionByRange`` off it
+    must not throw there."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (ValueError, TypeError):
+        return default
+
+
 def get_spark(
     app_name: str = "streamroom_bigdata_spark",
     cpus: int | None = None,

@@ -53,9 +53,19 @@ def route_batch(
     Readers see a ``batch_id`` partition column (prunable; harmless to
     entity projections)."""
     if single_pass:
-        batch_df.write.mode("append").partitionBy("source_type").parquet(
-            os.path.join(base_dir, "bronze")
-        )
+        if batch_id is None:
+            batch_df.write.mode("append").partitionBy("source_type").parquet(
+                os.path.join(base_dir, "bronze")
+            )
+        else:
+            # same exactly-once contract as the per-entity branch: the
+            # replayed batch OVERWRITES its own batch_id directory instead
+            # of appending a second copy. source_type stays a hive
+            # partition inside it, so readers still prune on it (partition
+            # pruning is order-insensitive across partition columns).
+            batch_df.write.mode("overwrite").partitionBy("source_type").parquet(
+                os.path.join(base_dir, "bronze", f"batch_id={batch_id}")
+            )
         return
     batch_df.persist()
     try:

@@ -160,8 +160,12 @@ _ALLOWED_FACT_BROADCASTS = {
     "benford_digit_profile": 1,
     # PMI collocations: 1-row total bigram/unigram counts
     "bigram_collocations": 1,
-    # CUSUM: 1-row target mean + 1-row sigma + 1-row argmax-|S| peak,
-    # each over the bounded day-domain series
+    # CUSUM: two distinct 1-row hints (target mean, argmax-|S| peak) over
+    # the bounded day-domain series; the count is 3 because the mean-hint
+    # subtree is instantiated twice — the cusum relation is reused under
+    # the peak argmax AND the outer aggregate, and each instantiation
+    # carries its own copy of the hint node (sigma is a plain column, not
+    # a broadcast)
     "cusum_changepoint": 3,
     # Kaplan-Meier: 1-row cohort size + 1-row horizon + risk-set offsets
     # over the bounded day-domain event table

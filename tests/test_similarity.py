@@ -183,7 +183,7 @@ def test_multimodal_image_decode_matches_manual(spark, sf_dir):
     n_checked = 0
     for doc_id, text in docs.items():
         b = text.encode("utf-8")
-        if len(b) < 48:
+        if len(b) < 48 or len(b) != len(text):  # short or non-ASCII: excluded
             assert doc_id not in rows
             continue
         r = rows[doc_id]
@@ -194,6 +194,40 @@ def test_multimodal_image_decode_matches_manual(spark, sf_dir):
         if n_checked >= 20:
             break
     assert n_checked > 0
+
+
+def test_multimodal_non_ascii_excluded_on_both_engines(spark, tmp_path):
+    """Planted non-ASCII regression (r9 ADVICE): a doc whose char length
+    passes the threshold but whose byte length differs (multi-byte UTF-8)
+    must be excluded by BOTH the Spark query and the DuckDB oracle — the
+    old byte-filter/char-oracle pair diverged on exactly this row."""
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a" * 200, "é" * 200, "zz"],  # ascii / non-ascii / short
+            "lang": ["en", "fr", "en"],
+            "source": ["t", "t", "t"],
+            "n_chars": [200, 200, 2],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    for fn, oracle in (
+        (multimodal.multimodal_wav_decode, multimodal.wav_decode_oracle),
+        (multimodal.multimodal_image_decode, multimodal.image_decode_oracle),
+    ):
+        got = {r.asset_id: r for r in fn(spark, str(tmp_path)).collect()}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        want = {r[0]: r for r in con.execute(oracle).fetchall()}
+        con.close()
+        assert set(got) == set(want) == {1}, fn.__name__
+        # values agree on the surviving ASCII doc (last two stat columns)
+        assert tuple(got[1])[-2:] == tuple(want[1])[-2:], fn.__name__
 
 
 def test_pandas_scorers_agree_with_hof(spark):

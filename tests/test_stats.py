@@ -159,3 +159,26 @@ def test_poisson_bootstrap_ci_brackets_true_mean(spark, monkeypatch):
     assert r1.ci_lower < 50 < r1.ci_upper
     # interval should be tight around the true mean for n=400
     assert r1.ci_upper - r1.ci_lower < 5
+
+
+def test_poisson_bootstrap_degenerate_replica_cross_engine(
+    spark, monkeypatch, tmp_path
+):
+    """A 1-event table makes ~37 of 100 replicas all-zero-weight, so their
+    mean_rep is NULL via nullif — and the rn=98 order-statistic cut lands
+    in the NULL tail, exactly where implicit NULL ordering used to diverge
+    (Spark ascending defaults NULLS FIRST, DuckDB NULLS LAST). Both
+    engines must now produce the identical row."""
+    import duckdb
+
+    df = _ev(spark, [(1, "click", 1, 0, 42.0)])
+    _patch(monkeypatch, df)
+    got = stats.poisson_bootstrap_ci(spark, "x").collect()[0]
+    df.toPandas().to_parquet(tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = con.execute(stats.poisson_bootstrap_oracle).fetchone()
+    con.close()
+    assert (got.n_reps, got.boot_mean, got.ci_lower, got.ci_upper) == want
+    assert got.ci_lower == 42.0  # rn=3 sits among the surviving replicas
+    assert got.ci_upper is None  # rn=98 sits in the NULL tail on BOTH engines

@@ -1119,6 +1119,27 @@ def test_route_batch_idempotent_replay(spark, tmp_path):
     assert spark.read.parquet(f"{plain}/fixed_booking").count() == 2
 
 
+def test_route_batch_single_pass_idempotent_replay(spark, tmp_path):
+    """single_pass=True must honor the same exactly-once contract: a
+    replayed micro-batch overwrites its own batch_id partition instead of
+    appending a second copy (the r9 contract gap: single_pass used to
+    ignore batch_id and silently stay at-least-once)."""
+    import json
+
+    line = json.loads(_wire_booking_line("B1"))["value"]
+    rows = parse_wire(spark.createDataFrame([(line,)], "value string"))
+    idem = str(tmp_path / "sp_idem")
+    route_batch(rows, idem, single_pass=True, batch_id=7)
+    route_batch(rows, idem, single_pass=True, batch_id=7)  # replay
+    bronze = spark.read.parquet(f"{idem}/bronze")
+    assert bronze.count() == 1
+    row = bronze.collect()[0]
+    assert row.batch_id == 7 and row.source_type == "fixed_booking"
+    # source_type is still a prunable hive partition inside the batch dir
+    assert (tmp_path / "sp_idem" / "bronze" / "batch_id=7"
+            / "source_type=fixed_booking").exists()
+
+
 def test_start_router_idempotent_end_to_end(spark, tmp_path):
     """idempotent=True end-to-end: the checkpointed router writes
     batch_id partitions; a restart with no new data appends nothing."""
