@@ -342,3 +342,127 @@ def alert_latch_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM level-shift alarm (T10 family): the sequential-detection
+# twin of the retrospective batch scan operators/timeseries.cusum_changepoint
+# ---------------------------------------------------------------------------
+
+CUSUM_TARGET = 5.0     # in-control mean mu_0
+CUSUM_SLACK = 0.5      # k: half the smallest shift worth detecting
+CUSUM_THRESHOLD = 8.0  # h: alarm when either one-sided statistic exceeds it
+
+CUSUM_OUT_SCHEMA = (
+    "user_id long, event_id long, direction string, statistic double, "
+    "n_events long, n_alarms long"
+)
+CUSUM_STATE_SCHEMA = "s_pos double, s_neg double, n_events long, n_alarms long"
+
+
+def cusum_scan(rows, state=(0.0, 0.0, 0, 0)):
+    """Tabular two-sided CUSUM over ``rows`` (iterable of (event_id, value))
+    from ``state`` = (s_pos, s_neg, n_events, n_alarms).
+
+    S+ = max(0, S+ + (x - mu - k)) catches upward level shifts,
+    S- = max(0, S- + (mu - x - k)) downward; crossing h emits an alarm row
+    and RESTARTS both statistics (the standard post-alarm reset, so one
+    sustained shift raises one alarm, not one per subsequent point).
+
+    Pure function shared verbatim by the streaming state update, the batch
+    twin, and the tests' driver-side replay — the agreement is by
+    construction, the tests check the plumbing around it."""
+    s_pos, s_neg, n_events, n_alarms = state
+    alarms = []
+    for eid, v in rows:
+        n_events += 1
+        s_pos = max(0.0, s_pos + (v - CUSUM_TARGET - CUSUM_SLACK))
+        s_neg = max(0.0, s_neg + (CUSUM_TARGET - v - CUSUM_SLACK))
+        if s_pos > CUSUM_THRESHOLD or s_neg > CUSUM_THRESHOLD:
+            up = s_pos > CUSUM_THRESHOLD
+            n_alarms += 1
+            alarms.append(
+                (
+                    int(eid),
+                    "up" if up else "down",
+                    round(s_pos if up else s_neg, 6),
+                    n_events,
+                    n_alarms,
+                )
+            )
+            s_pos = s_neg = 0.0
+    return alarms, (s_pos, s_neg, n_events, n_alarms)
+
+
+def _cusum_rows(pdf: pd.DataFrame):
+    """(event_id, value) pairs in deterministic event-time order."""
+    ordered = pdf.sort_values(["ts", "event_id"])
+    return zip(ordered["event_id"].tolist(), ordered["value"].astype(float).tolist())
+
+
+def _update_cusum(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    cur = tuple(state.get) if state.exists else (0.0, 0.0, 0, 0)
+    alarms = []
+    for pdf in pdfs:
+        batch_alarms, cur = cusum_scan(_cusum_rows(pdf), cur)
+        alarms.extend(batch_alarms)
+    state.update(cur)
+    state.setTimeoutDuration(24 * 3600 * 1000)  # idle keys expire in a day
+    if alarms:
+        yield pd.DataFrame(
+            [(key[0], *a) for a in alarms],
+            columns=[
+                "user_id", "event_id", "direction", "statistic",
+                "n_events", "n_alarms",
+            ],
+        )
+
+
+def cusum_alarm_stateful(events: DataFrame) -> DataFrame:
+    """Per-key streaming CUSUM level-shift alarm via
+    ``applyInPandasWithState``: the monitoring counterpart of the batch
+    ``cusum_changepoint`` scan (which locates a shift retrospectively;
+    this one ALARMS as soon as the running evidence crosses h). The
+    pointwise ``alert_latch_stateful`` cannot see a persistent SMALL
+    shift — CUSUM accumulates it.
+
+    State per key is four scalars regardless of traffic; idle keys expire
+    after a day. Emits only alarm rows (update mode), so output traffic
+    scales with ALARMS, not events. Rows are ordered by event time within
+    a micro-batch; across micro-batches the scan runs in arrival order —
+    the inherent contract of sequential detection (an alarm cannot be
+    un-raised by a late arrival)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def cusum_alarm_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: the SAME ``cusum_scan`` kernel over each key's full
+    history in event-time order via ``applyInPandas`` — one shuffle on the
+    key, per-key work linear and parallel across keys. Used by the
+    agreement test: streaming the same data in event-time-ordered
+    micro-batches must emit exactly these rows."""
+
+    def scan(key, pdf):
+        alarms, _ = cusum_scan(_cusum_rows(pdf))
+        return pd.DataFrame(
+            [(key[0], *a) for a in alarms],
+            columns=[
+                "user_id", "event_id", "direction", "statistic",
+                "n_events", "n_alarms",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandas(scan, CUSUM_OUT_SCHEMA)

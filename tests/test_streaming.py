@@ -992,6 +992,87 @@ def test_stateful_funnel_agrees_with_batch_semantics(spark, tmp_path):
                          ms("2024-01-01T03:00:00"), ms("2024-01-01T01:00:00"))) == 3
 
 
+def test_cusum_alarm_crosses_threshold_across_micro_batches(spark, tmp_path):
+    """T10 CUSUM twin, cross-batch state: user 1 drifts up +1.5/event on
+    the S+ statistic (value 7 vs target 5, slack .5) so the threshold (8)
+    is crossed on event 6 — which arrives in the SECOND micro-batch, so
+    the alarm only fires if (s_pos, s_neg, n_events, n_alarms) genuinely
+    carried across batches. User 2 drifts down (value 2 → +2.5/event on
+    S-) and alarms on their 4th event."""
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    mk = lambda i, u, v: {  # noqa: E731
+        "event_id": i, "ts": f"2024-01-01T00:{i:02d}:00", "user_id": u,
+        "event_type": "metric", "value": v,
+    }
+    b1 = [mk(i, 1, 7.0) for i in range(1, 5)] + [mk(i, 2, 2.0) for i in range(11, 13)]
+    b2 = [mk(i, 1, 7.0) for i in range(5, 7)] + [mk(i, 2, 2.0) for i in range(13, 15)]
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    base = 1_700_000_000
+    for i, rows in enumerate([b1, b2]):
+        p = src / f"b{i}.json"
+        pd.DataFrame(rows).to_json(p, orient="records", lines=True, date_format="iso")
+        os.utime(p, (base + i, base + i))
+    stream = stream_file_source(spark, str(src), ddl, fmt="json", maxFilesPerTrigger=1)
+    _run_to_memory(stateful.cusum_alarm_stateful(stream), "cusum_sink", "update")
+    got = {
+        (r.user_id, r.event_id): r
+    for r in spark.sql("select * from cusum_sink").collect()}
+    assert set(got) == {(1, 6), (2, 14)}
+    up = got[(1, 6)]
+    assert (up.direction, up.statistic, up.n_events, up.n_alarms) == ("up", 9.0, 6, 1)
+    down = got[(2, 14)]
+    assert (down.direction, down.statistic, down.n_events, down.n_alarms) == (
+        "down", 10.0, 4, 1,
+    )
+
+
+def test_cusum_streaming_agrees_with_batch_twin(spark, tmp_path):
+    """Streaming CUSUM over event-time-ordered micro-batches emits exactly
+    the rows of the batch twin (same kernel, full history per key) —
+    including the post-alarm restart (user 1 alarms twice)."""
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    # user 1 S+ walk: 1.5, 5.0, 8.5>h → alarm@102, reset; 0 (dip), 4.0,
+    # 8.0 (not > h, strict), 12.0>h → alarm@106, reset; 0
+    # user 3 S- walk: 3.5, 7.0, 5.5, 9.0>h → alarm@303, reset; then ≤3.5
+    vals = {
+        1: [7.0, 9.0, 9.0, 1.0, 9.5, 9.5, 9.5, 5.0],  # two up alarms
+        2: [5.0, 5.2, 4.9, 5.1, 5.0, 4.8, 5.1, 5.0],  # in control: none
+        3: [1.0, 1.0, 6.0, 1.0, 1.0, 5.0, 5.0, 5.0],  # one down alarm
+    }
+    rows = [
+        {
+            "event_id": u * 100 + i, "ts": f"2024-01-01T0{i}:00:00",
+            "user_id": u, "event_type": "metric", "value": v,
+        }
+        for u, vs in vals.items()
+        for i, v in enumerate(vs)
+    ]
+    src = tmp_path / "cusum_agree_src"
+    src.mkdir()
+    base = 1_700_000_000
+    for i in range(4):  # 4 micro-batches of 2 events per user, time-ordered
+        chunk = [r for r in rows if r["event_id"] % 100 in (2 * i, 2 * i + 1)]
+        p = src / f"b{i}.json"
+        pd.DataFrame(chunk).to_json(p, orient="records", lines=True, date_format="iso")
+        os.utime(p, (base + i, base + i))
+    stream = stream_file_source(spark, str(src), ddl, fmt="json", maxFilesPerTrigger=1)
+    _run_to_memory(stateful.cusum_alarm_stateful(stream), "cusum_agree_sink", "update")
+    streamed = sorted(
+        tuple(r) for r in spark.sql("select * from cusum_agree_sink").collect()
+    )
+    static = spark.createDataFrame(pd.DataFrame(rows)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = sorted(tuple(r) for r in stateful.cusum_alarm_batch(static).collect())
+    assert streamed == batch
+    assert len(batch) == 3  # users 1x2 + 3x1
+    assert [r[0] for r in batch] == [1, 1, 3]
+    # restart-after-alarm: user 1's second alarm re-accumulated from zero
+    a1, a2 = [r for r in batch if r[0] == 1]
+    assert a1[5] == 1 and a2[5] == 2
+
+
 def _wire_booking_line(bid, start="08:00:00"):
     """One wire-format JSON line (what the file source reads: a JSON
     object with a `value` field holding the entity JSON string)."""

@@ -1,0 +1,113 @@
+"""Un-skippable round-closing gate.
+
+One command that a round's closing commit MUST come from:
+
+    python tools/close_round.py <round_number> [--sf1-dir DIR]
+
+It runs, in order, refusing to write ANY artifact on the first red:
+
+1. ``tools/check_oracle.py`` over the FULL registry at sf0.01
+   → ``CHECK_LOCAL_r{N}.json`` (only written if 0 failures)
+2. ``tools/plan_audit.py --write`` (the unpartitioned-window invariant;
+   regenerates PLANS.md at the full registry count)
+3. the two plan-guard pytest modules (``tests/test_plans.py``,
+   ``tests/test_registry_contract.py``)
+4. a registry-vs-artifact count check: every artifact it just wrote must
+   list exactly the registered query count — the drift this tool exists to
+   prevent (rounds 8-9 shipped artifacts 14 queries short of the registry).
+5. optionally (``--sf1-dir``): the full oracle run at a synthetic sf≈1
+   directory (built with ``tools/make_scale.py``) → ``CHECK_SF1_r{N}.json``.
+
+Exit 0 means: artifacts written, counts agree, safe to commit. Any other
+exit means the round is NOT closable; fix the red and re-run — partial
+artifacts are never left behind (writes go to a temp name, renamed at the
+end).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, ".")
+
+USAGE = "usage: python tools/close_round.py <round_number> [--sf1-dir DIR]"
+
+
+def run(desc: str, cmd: list[str]) -> None:
+    print(f"\n=== close_round: {desc}\n    $ {' '.join(cmd)}", flush=True)
+    r = subprocess.run(cmd)
+    if r.returncode != 0:
+        print(f"\nclose_round: RED at '{desc}' (exit {r.returncode}) — "
+              "no artifacts written, round NOT closable")
+        raise SystemExit(r.returncode or 1)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if not args:
+        print(USAGE)
+        return 2
+    rnd = int(args[0])
+    sf1_dir = None
+    if "--sf1-dir" in sys.argv:
+        sf1_dir = sys.argv[sys.argv.index("--sf1-dir") + 1]
+
+    from streamroom_bigdata_spark import registry
+
+    n_registered = len(registry.queries())
+    print(f"close_round: round {rnd}, {n_registered} registered queries")
+
+    local_json = f"CHECK_LOCAL_r{rnd}.json"
+    tmp_local = local_json + ".tmp"
+    run(
+        "full oracle gate at sf0.01",
+        [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.01",
+         "--json", tmp_local],
+    )
+    run("plan audit (+ PLANS.md regeneration)",
+        [sys.executable, "tools/plan_audit.py", "--write"])
+    run("plan-guard pytest modules",
+        [sys.executable, "-m", "pytest", "tests/test_plans.py",
+         "tests/test_registry_contract.py", "-x", "-q"])
+
+    pending = [(tmp_local, local_json)]
+    if sf1_dir:
+        sf1_json = f"CHECK_SF1_r{rnd}.json"
+        tmp_sf1 = sf1_json + ".tmp"
+        run(f"full oracle gate at {sf1_dir}",
+            [sys.executable, "tools/check_oracle.py", sf1_dir,
+             "--json", tmp_sf1])
+        pending.append((tmp_sf1, sf1_json))
+
+    # count check: an artifact short of the registry is the two-round-old
+    # drift this tool exists to prevent
+    for tmp, final in pending:
+        with open(tmp) as f:
+            n = len(json.load(f))
+        if n != n_registered:
+            print(f"close_round: RED — {final} has {n} queries, registry has "
+                  f"{n_registered}; artifact NOT written")
+            os.unlink(tmp)
+            return 1
+    with open("PLANS.md") as f:
+        n_plan_rows = sum(1 for line in f if line.startswith("| ") and
+                          not line.startswith("| query") and
+                          not line.startswith("| ---"))
+    if n_plan_rows != n_registered:
+        print(f"close_round: RED — PLANS.md has {n_plan_rows} rows, registry "
+              f"has {n_registered}")
+        return 1
+
+    for tmp, final in pending:
+        os.replace(tmp, final)
+        print(f"close_round: wrote {final}")
+    print(f"close_round: GREEN — round {rnd} closable "
+          f"({n_registered} queries, all gates passed)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
