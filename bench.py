@@ -80,6 +80,12 @@ HEADLINE = [
     "kmeans_clusters",        # ML1 Lloyd's, driver-centroid rework (r8)
     "block_dup_stats",        # L2b sub-document (line-wise) dedup signal (r8)
     "kmv_source_overlap",     # SK5 KMV sketch cross-source overlap (r8)
+    # round-10: statistical-wave representatives (reported separately vs
+    # the frozen r7 table, same rule as the r8 additions):
+    "mann_whitney_u",         # ST4 distributed tie-corrected ranking (the
+                              # wave's one new exchange shape)
+    "seasonal_decompose_daily",  # TS3 dow-partitioned seasonal split (the
+                              # round-9 re-spelled single-subtree plan)
 ]
 
 SF1_DIR = "/tmp/sf1_synth"

