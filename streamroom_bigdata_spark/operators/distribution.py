@@ -1,0 +1,684 @@
+"""Distributional & concentration analytics (round-10 breadth wave).
+
+The reference's product loop reports point estimates (`processing.scala:
+116-127` — mean usage per room); the questions a data team asks right after
+are DISTRIBUTIONAL: do two samples come from the same distribution (KS,
+Welch), how concentrated is revenue (Gini, HHI), how diverse is a
+categorical profile (Shannon entropy, lexical diversity), is the trend
+robust to outliers (Theil-Sen vs OLS), does the series remember itself
+(autocorrelation), and do two daily series co-move monotonically
+(Spearman).
+
+Scale discipline (same rules as operators/stats.py):
+
+- Every data-sized stage is a combinable aggregate (groupBy on a value,
+  key, or day domain) — map-side partial aggregation applies, so nothing
+  bigger than the group cardinality crosses a shuffle.
+- Day-DOMAIN relations (daily revenue series) are bounded by the corpus
+  calendar span, never by data volume — pairwise/window work over them is
+  O(days²) or O(days), independent of row count (the counting_median /
+  seasonal_decompose precedent).
+- The one data-sized ranking (distributed KS) reuses the
+  ``mann_whitney_u`` machinery: collapse to per-distinct-value counts,
+  range-partition the COLLAPSED table, collect O(P) per-partition totals
+  and broadcast them back as cumulative offsets — no global sort, tie
+  groups never split across partitions.
+- Float discipline: every reported statistic is a ratio of centered sums
+  or integer counts, rounded to 6 decimals; constants entering a formula
+  (ln 24) are computed once in Python and embedded as identical literals
+  in both engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import epoch_ms
+from ..registry import register
+from ..session import shuffle_partition_count
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (unequal-variance two-sample mean comparison)
+# ---------------------------------------------------------------------------
+
+#: the same two arms mann_whitney_u compares, so the parametric and
+#: nonparametric readouts are directly comparable
+WT_GROUP_A = "purchase"
+WT_GROUP_B = "click"
+
+welch_t_oracle = f"""
+WITH s AS (
+  SELECT
+    count(CASE WHEN event_type = '{WT_GROUP_A}' THEN 1 END) AS n_a,
+    count(CASE WHEN event_type = '{WT_GROUP_B}' THEN 1 END) AS n_b,
+    avg(CASE WHEN event_type = '{WT_GROUP_A}' THEN value END) AS m_a,
+    avg(CASE WHEN event_type = '{WT_GROUP_B}' THEN value END) AS m_b,
+    var_samp(CASE WHEN event_type = '{WT_GROUP_A}' THEN value END) AS v_a,
+    var_samp(CASE WHEN event_type = '{WT_GROUP_B}' THEN value END) AS v_b
+  FROM events
+  WHERE event_type IN ('{WT_GROUP_A}', '{WT_GROUP_B}')
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+       round(pow(v_a / n_a + v_b / n_b, 2)
+             / (pow(v_a / n_a, 2) / (n_a - 1)
+                + pow(v_b / n_b, 2) / (n_b - 1)), 2) AS df_welch
+FROM s
+"""
+
+
+@register("welch_t_test", welch_t_oracle)
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of `value` between the purchase and
+    click arms, with the Welch-Satterthwaite effective degrees of freedom —
+    the parametric complement to ``mann_whitney_u`` on the same two arms
+    (and the two-sample complement to ``anova_f_oneway``'s k-sample F).
+    One conditional single-pass aggregate: count/mean/var_samp per arm via
+    CASE projection, so the whole test is one combinable groupBy-less
+    aggregate — a handful of doubles cross the final exchange at any data
+    size. t is a ratio of centered sums (round-6 stable)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(WT_GROUP_A, WT_GROUP_B)
+    )
+    va = F.when(F.col("event_type") == WT_GROUP_A, F.col("value"))
+    vb = F.when(F.col("event_type") == WT_GROUP_B, F.col("value"))
+    s = ev.agg(
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        F.avg(va).alias("m_a"),
+        F.avg(vb).alias("m_b"),
+        F.var_samp(va).alias("v_a"),
+        F.var_samp(vb).alias("v_b"),
+    )
+    se2_a = F.col("v_a") / F.col("n_a")
+    se2_b = F.col("v_b") / F.col("n_b")
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2_a + se2_b), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2_a + se2_b, F.lit(2))
+            / (
+                F.pow(se2_a, F.lit(2)) / (F.col("n_a") - 1)
+                + F.pow(se2_b, F.lit(2)) / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance (distributed, no global sort)
+# ---------------------------------------------------------------------------
+
+KS_GROUP_A = "1-URGENT"
+KS_GROUP_B = "5-LOW"
+
+ks_two_sample_oracle = f"""
+WITH s AS (
+  SELECT o_totalprice AS v,
+         sum(CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END)
+           AS a_cnt,
+         sum(CASE WHEN o_orderpriority = '{KS_GROUP_B}' THEN 1 ELSE 0 END)
+           AS b_cnt
+  FROM orders
+  WHERE o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+  GROUP BY v
+), t AS (
+  SELECT sum(a_cnt) AS n_a, sum(b_cnt) AS n_b FROM s
+), c AS (
+  SELECT sum(a_cnt) OVER (ORDER BY v) AS cum_a,
+         sum(b_cnt) OVER (ORDER BY v) AS cum_b
+  FROM s
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(max(abs(cum_a / CAST(n_a AS DOUBLE)
+                     - cum_b / CAST(n_b AS DOUBLE))), 6) AS ks_stat
+FROM c, t
+GROUP BY n_a, n_b
+"""
+
+
+@register("ks_two_sample_price", ks_two_sample_oracle)
+def ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the order-price
+    distributions of the URGENT and LOW priority classes:
+    D = max over observed values of |F_a(v) - F_b(v)|.
+
+    Distributed empirical-CDF WITHOUT a global sort — the
+    ``mann_whitney_u`` machinery applied to two cumulative counts at once:
+    observations collapse to per-distinct-value (a_cnt, b_cnt) first (the
+    only data-sized exchange, combinable), the COLLAPSED table is
+    range-partitioned, and O(P) per-partition (a, b) totals are collected
+    and broadcast back as per-group cumulative offsets. Equal values land
+    in one range partition, so both CDFs are evaluated exactly at every
+    distinct value; D is a max of integer-count ratios (bit-stable
+    cross-engine before the round)."""
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            (F.col("o_orderpriority") == KS_GROUP_A).cast("long").alias("is_a"),
+        )
+    )
+    vals = od.groupBy("v").agg(
+        F.sum("is_a").alias("a_cnt"),
+        (F.count("*") - F.sum("is_a")).alias("b_cnt"),
+    )
+    n_parts = shuffle_partition_count(spark)
+    ranged = (
+        vals.repartitionByRange(n_parts, "v")
+        .withColumn("pid", F.spark_partition_id())
+        # pin pid assignment across the two consumers (mann_whitney_u
+        # rationale: a re-sampled range boundary after the offsets were
+        # collected would silently skew the cumulative counts)
+        .localCheckpoint()
+    )
+    parts = sorted(
+        ranged.groupBy("pid")
+        .agg(F.sum("a_cnt").alias("ta"), F.sum("b_cnt").alias("tb"))
+        .collect(),
+        key=lambda r: r.pid,
+    )
+    offsets, acc_a, acc_b = [], 0, 0
+    for r in parts:
+        offsets.append((r.pid, acc_a, acc_b))
+        acc_a += r.ta
+        acc_b += r.tb
+    n_a, n_b = acc_a, acc_b
+    offsets_df = spark.createDataFrame(offsets, "pid int, off_a long, off_b long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn("la", F.sum("a_cnt").over(w))
+        .withColumn("lb", F.sum("b_cnt").over(w))
+        .join(F.broadcast(offsets_df), "pid")
+        .agg(
+            F.max(
+                F.abs(
+                    (F.col("off_a") + F.col("la")) / F.lit(float(n_a))
+                    - (F.col("off_b") + F.col("lb")) / F.lit(float(n_b))
+                )
+            ).alias("d")
+        )
+        .select(
+            F.lit(n_a).cast("long").alias("n_a"),
+            F.lit(n_b).cast("long").alias("n_b"),
+            F.round("d", 6).alias("ks_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily revenue series helpers (day-DOMAIN-bounded relations)
+# ---------------------------------------------------------------------------
+
+
+def _daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day order revenue + count: day index = floor(epoch days) of
+    o_orderdate. One combinable groupBy on the day domain — the relation
+    is bounded by the corpus calendar span at ANY data scale."""
+    od = load_table(spark, sf_dir, "orders")
+    d = F.floor(epoch_ms(F.col("o_orderdate").cast("timestamp")) / 86400000).alias(
+        "d"
+    )
+    return od.select(d, "o_totalprice").groupBy("d").agg(
+        F.sum("o_totalprice").alias("rev"), F.count("*").alias("n_orders")
+    )
+
+
+_DAILY_SQL = """
+  SELECT CAST(floor(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000.0)
+              AS BIGINT) AS d,
+         sum(o_totalprice) AS rev,
+         count(*) AS n_orders
+  FROM orders GROUP BY d
+"""
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope (median of pairwise slopes, day-domain-bounded)
+# ---------------------------------------------------------------------------
+
+theil_sen_oracle = f"""
+WITH daily AS ({_DAILY_SQL}),
+pairs AS (
+  SELECT (b.rev - a.rev) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.d > a.d
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(quantile_cont(slope, 0.5), 6) AS ts_slope_per_day
+FROM pairs
+"""
+
+
+@register("theil_sen_daily_trend", theil_sen_oracle)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the median of all pairwise
+    slopes (rev_j - rev_i)/(d_j - d_i), i < j — insensitive to the outlier
+    days that pull ``regression_trend``'s least-squares slope.
+
+    The pairwise stage is O(days²) on the day-DOMAIN table — bounded by
+    the calendar span, independent of row count (2399 days → 2.9M pairs at
+    ANY scale; the data-sized work is the one combinable daily groupBy).
+    The broadcast hint carries the days-bounded side of the non-equi
+    self-join; exact median via `percentile` holds O(days²) doubles in one
+    aggregation buffer (~23 MB at a 2400-day span — calendar-bounded, so
+    this does not grow with data)."""
+    daily = _daily_orders(spark, sf_dir).select("d", "rev")
+    a = daily.select(F.col("d").alias("d1"), F.col("rev").alias("r1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("rev").alias("r2"))
+    pairs = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
+        ((F.col("r2") - F.col("r1")) / (F.col("d2") - F.col("d1")).cast("double"))
+        .alias("slope")
+    )
+    n_days = daily.agg(F.count("*").alias("n_days"))
+    return (
+        pairs.agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+                "ts_slope_per_day"
+            ),
+        )
+        .crossJoin(F.broadcast(n_days))  # 1-row in-plan scalar
+        .select("n_days", "n_pairs", "ts_slope_per_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of daily revenue at lags 1..7
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+acf_oracle = f"""
+WITH daily AS ({_DAILY_SQL}),
+m AS (
+  SELECT avg(rev) AS mu, sum((rev - (SELECT avg(rev) FROM daily)) ^ 2) AS ss
+  FROM daily
+),
+lags AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag),
+prods AS (
+  SELECT l.lag,
+         count(*) AS n_pairs,
+         sum((a.rev - m.mu) * (b.rev - m.mu)) AS num
+  FROM lags l
+  JOIN daily a ON true
+  JOIN daily b ON b.d = a.d + l.lag, m
+  GROUP BY l.lag
+)
+SELECT CAST(p.lag AS INT) AS lag, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       round(p.num / m.ss, 6) AS acf
+FROM prods p, m
+"""
+
+
+@register("acf_daily_revenue", acf_oracle)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1..7:
+    r_k = Σ(x_t - x̄)(x_{{t+k}} - x̄) / Σ(x_t - x̄)² over day pairs present
+    at distance k (calendar gaps simply drop pairs). The series memory
+    readout that motivates ``seasonal_decompose_daily``'s weekly term.
+
+    All work above the one combinable daily groupBy is day-DOMAIN-bounded:
+    the lag spine is a 7-row literal exploded against the daily table, the
+    self-join is an equi-join on day, and the global mean/SS cross as a
+    1-row broadcast (in-plan scalar pattern). acf is a ratio of centered
+    sums — accumulation-order noise cancels, round-6 stable."""
+    daily = _daily_orders(spark, sf_dir).select("d", "rev")
+    # centered SS needs the mean first: two-pass via 1-row broadcast
+    mu = daily.agg(F.avg("rev").alias("mu"))
+    centered = daily.crossJoin(F.broadcast(mu)).select(
+        "d", (F.col("rev") - F.col("mu")).alias("dev")
+    )
+    ss = centered.agg(F.sum(F.pow("dev", F.lit(2))).alias("ss"))
+    lagged = centered.select(
+        "d",
+        "dev",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))
+        ).alias("lag"),
+    )
+    b = centered.select(F.col("d").alias("d2"), F.col("dev").alias("dev2"))
+    prods = (
+        lagged.join(b, F.col("d2") == F.col("d") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("dev") * F.col("dev2")).alias("num"),
+        )
+    )
+    return prods.crossJoin(F.broadcast(ss)).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.round(F.col("num") / F.col("ss"), 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation of two daily series (revenue vs order count)
+# ---------------------------------------------------------------------------
+
+spearman_oracle = f"""
+WITH daily AS ({_DAILY_SQL}),
+ranked AS (
+  SELECT rank() OVER (ORDER BY rev)
+           + (count(*) OVER (PARTITION BY rev) - 1) / 2.0 AS r_rev,
+         rank() OVER (ORDER BY n_orders)
+           + (count(*) OVER (PARTITION BY n_orders) - 1) / 2.0 AS r_cnt
+  FROM daily
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(r_rev, r_cnt), 6) AS spearman_rho
+FROM ranked
+"""
+
+
+@register("spearman_daily_corr", spearman_oracle)
+def spearman_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily revenue and daily order
+    count: Pearson correlation of average ranks (tie groups get the mean
+    of their rank range — rank() + (tie_count-1)/2, the classical
+    mid-rank), answering "do busier days make proportionally more money"
+    without assuming linearity.
+
+    The ranking windows run over the day-DOMAIN table (calendar-bounded,
+    plan-audit allowlisted) — the data-sized stage is the one combinable
+    daily groupBy. Average ranks are multiples of 0.5 below 2^52, so the
+    rank vectors are bit-identical cross-engine; rho is a ratio of
+    centered sums (round-6 stable)."""
+    daily = _daily_orders(spark, sf_dir)
+    w_rev = Window.orderBy("rev")
+    w_cnt = Window.orderBy("n_orders")
+    ranked = daily.select(
+        (
+            F.rank().over(w_rev)
+            + (F.count("*").over(Window.partitionBy("rev")) - 1) / 2.0
+        ).alias("r_rev"),
+        (
+            F.rank().over(w_cnt)
+            + (F.count("*").over(Window.partitionBy("n_orders")) - 1) / 2.0
+        ).alias("r_cnt"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.corr("r_rev", "r_cnt"), 6).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the hour-of-day profile per event type
+# ---------------------------------------------------------------------------
+
+#: ln(24) computed once in Python, embedded as the same literal in both
+#: engines (Benford precedent) — neither engine evaluates a transcendental
+#: of its own for the normalizer
+_LN_24 = round(math.log(24.0), 12)
+
+entropy_hour_oracle = f"""
+WITH h AS (
+  SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hr, count(*) AS cnt
+  FROM events GROUP BY event_type, hr
+), t AS (
+  SELECT event_type, sum(cnt) AS total, count(*) AS n_hours
+  FROM h GROUP BY event_type
+)
+SELECT h.event_type,
+       CAST(t.total AS BIGINT) AS n_events,
+       CAST(t.n_hours AS INT) AS n_hours,
+       round(-sum((h.cnt / CAST(t.total AS DOUBLE))
+                  * ln(h.cnt / CAST(t.total AS DOUBLE))), 6) AS entropy_nats,
+       round(-sum((h.cnt / CAST(t.total AS DOUBLE))
+                  * ln(h.cnt / CAST(t.total AS DOUBLE))) / {_LN_24}, 6)
+         AS norm_entropy
+FROM h JOIN t USING (event_type)
+GROUP BY h.event_type, t.total, t.n_hours
+"""
+
+
+@register("entropy_hour_profile", entropy_hour_oracle)
+def entropy_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each event type's hour-of-day histogram,
+    plus the ln(24)-normalized form in [0, 1]: 1 = uniformly spread around
+    the clock, 0 = concentrated in one hour — the diversity readout behind
+    "is this event type organic or batch-driven". Complements
+    ``chi_square_type_dow`` (dependence test) with a per-type dispersion
+    measure.
+
+    Two combinable aggregates (24·|event_type| histogram cells, then
+    |event_type| rows); the per-type totals join back as an enum-sized
+    broadcast. ln evaluates on count ratios only (unigram_logprob
+    precedent); ln(24) is a shared Python literal."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type", F.hour(F.col("ts").cast("timestamp")).alias("hr")
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = h.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_hours")
+    )
+    p = F.col("cnt") / F.col("total").cast("double")
+    return (
+        h.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "total", "n_hours")
+        .agg((-F.sum(p * F.log(p))).alias("ent"))
+        .select(
+            "event_type",
+            F.col("total").alias("n_events"),
+            F.col("n_hours").cast("int").alias("n_hours"),
+            F.round("ent", 6).alias("entropy_nats"),
+            F.round(F.col("ent") / F.lit(_LN_24), 6).alias("norm_entropy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue per market segment
+# ---------------------------------------------------------------------------
+
+gini_oracle = """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS r
+  FROM orders GROUP BY o_custkey
+), seg AS (
+  SELECT c.c_mktsegment AS segment, rev.r, rev.o_custkey
+  FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+), ranked AS (
+  SELECT segment, r,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY r, o_custkey) AS i
+  FROM seg
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(r), 2) AS total_rev,
+       round(2.0 * sum(i * r) / (count(*) * sum(r))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+GROUP BY segment
+"""
+
+
+@register("gini_customer_revenue", gini_oracle)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each market
+    segment — 0 = every customer spends the same, →1 = one whale carries
+    the segment. The standard rank identity
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending revenue (customer-key
+    tiebreak makes the ranking deterministic cross-engine; ties in revenue
+    change i·xᵢ only within a tie group whose sum is invariant under
+    permutation, so the statistic is tiebreak-stable).
+
+    The data-sized stage is the combinable per-customer revenue groupBy;
+    the ranking window partitions by segment over the CUSTOMER-sized
+    relation (a dimension, orders-of-magnitude below the fact table —
+    the same budget ``topk_per_brand`` spends). No broadcast hints: the
+    customer join is AQE's call."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    seg = rev.join(cust, rev.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("segment").orderBy("r", "o_custkey")
+    ranked = seg.select("segment", "r", F.row_number().over(w).alias("i"))
+    n = F.count("*")
+    return ranked.groupBy("segment").agg(
+        n.cast("long").alias("n_customers"),
+        F.round(F.sum("r"), 2).alias("total_rev"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("r")) / (n * F.sum("r"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration of supplier revenue per nation
+# ---------------------------------------------------------------------------
+
+hhi_oracle = """
+WITH srev AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS r
+  FROM lineitem GROUP BY l_suppkey
+), located AS (
+  SELECT n.n_name AS nation, srev.r
+  FROM srev
+  JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+), tot AS (
+  SELECT nation, sum(r) AS t, count(*) AS n, max(r) AS mr
+  FROM located GROUP BY nation
+)
+SELECT l.nation,
+       CAST(t.n AS BIGINT) AS n_suppliers,
+       round(t.t, 2) AS total_rev,
+       round(sum((l.r / t.t) ^ 2), 6) AS hhi,
+       round(t.mr / t.t, 6) AS top_share
+FROM located l JOIN tot t ON t.nation = l.nation
+GROUP BY l.nation, t.n, t.t, t.mr
+"""
+
+
+@register("hhi_supplier_concentration", hhi_oracle)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation: Σ shareᵢ² over each nation's suppliers (1/n = perfectly even,
+    1 = monopoly), plus the top supplier's share — the market-structure
+    complement to ``gini_customer_revenue`` on the sell side.
+
+    Shape: one combinable per-supplier revenue groupBy (the only
+    data-sized exchange), then supplier/nation dimension joins and a
+    nation-keyed aggregate. Shares are computed against the per-nation
+    total via a second combinable aggregate joined back enum-sized — no
+    window over data-sized input anywhere."""
+    srev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "r"
+            )
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
+    )
+    located = (
+        srev.join(supp, srev.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), "s_nationkey")
+        .select("nation", "r")
+    )
+    totals = located.groupBy("nation").agg(
+        F.sum("r").alias("tot"),
+        F.count("*").alias("n_suppliers"),
+        F.max("r").alias("top_r"),
+    )
+    return (
+        located.join(F.broadcast(totals), "nation")
+        .groupBy("nation", "tot", "n_suppliers", "top_r")
+        .agg(F.sum(F.pow(F.col("r") / F.col("tot"), F.lit(2))).alias("hhi_raw"))
+        .select(
+            "nation",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            F.round("tot", 2).alias("total_rev"),
+            F.round("hhi_raw", 6).alias("hhi"),
+            F.round(F.col("top_r") / F.col("tot"), 6).alias("top_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per document source
+# ---------------------------------------------------------------------------
+
+lexical_diversity_oracle = """
+WITH tf AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT source, tok, count(*) AS c FROM tf GROUP BY source, tok
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+FROM cnt
+GROUP BY source
+"""
+
+
+@register("lexical_diversity", lexical_diversity_oracle)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level lexical diversity per document source: type-token
+    ratio (distinct tokens / total tokens) and hapax-legomenon ratio
+    (fraction of the vocabulary seen exactly once) — the vocabulary-growth
+    signals a pretraining-mix curator reads next to ``text_quality``'s
+    per-document scores (a synthetic or templated source shows collapsed
+    TTR; heavy hapax mass predicts tokenizer OOV pressure).
+
+    Same tokenization as the vocab family (space split). Two combinable
+    aggregates — (source, token) counts, then source-keyed rollup; both
+    statistics are ratios of integer counts (bit-stable before the
+    round)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    hapax = F.sum((F.col("c") == 1).cast("long"))
+    return cnt.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        hapax.alias("n_hapax"),
+        F.round(F.count("*") / F.sum("c").cast("double"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(hapax / F.count("*").cast("double"), 6).alias("hapax_ratio"),
+    )

@@ -1,0 +1,244 @@
+"""Distribution/concentration operators (Welch t, KS, Theil-Sen, ACF,
+Spearman, entropy, Gini, HHI, lexical diversity) — planted-data checks
+beyond the DuckDB oracle equivalence."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from streamroom_bigdata_spark.operators import distribution
+
+
+def _patch_tables(monkeypatch, tables: dict):
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.distribution.load_table",
+        lambda spark_, sf_, name: tables[name],
+    )
+
+
+def _events(spark, rows):
+    """rows: (event_type, hour, value)"""
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1 + i % 3, h), i, t, float(v), "{}")
+            for i, (t, h, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _orders(spark, rows):
+    """rows: (custkey, priority, totalprice, day)"""
+    return spark.createDataFrame(
+        [
+            (i, c, "O", float(p), dt.datetime(2024, 1, 1) + dt.timedelta(days=d), pr)
+            for i, (c, pr, p, d) in enumerate(rows)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+# --- Welch t ---------------------------------------------------------------
+
+
+def test_welch_t_planted_groups(spark, monkeypatch):
+    """A=[10,12,14] (m=12, s²=4), B=[1,2,3] (m=2, s²=1):
+    t = 10/√(4/3+1/3) = 7.745967, Welch df = (5/3)²/((16/9)/2+(1/9)/2)."""
+    ev = _events(
+        spark,
+        [("purchase", 0, v) for v in (10, 12, 14)]
+        + [("click", 0, v) for v in (1, 2, 3)]
+        + [("view", 0, 999)],  # excluded arm
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    r = distribution.welch_t_test(spark, "ignored").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.mean_a == 12.0 and r.mean_b == 2.0
+    assert r.t_stat == pytest.approx(10.0 / math.sqrt(5.0 / 3.0), abs=1e-6)
+    df = (5.0 / 3.0) ** 2 / ((4.0 / 3.0) ** 2 / 2 + (1.0 / 3.0) ** 2 / 2)
+    assert r.df_welch == pytest.approx(df, abs=0.01)
+
+
+# --- KS two-sample ---------------------------------------------------------
+
+
+def test_ks_planted_distributions(spark, monkeypatch):
+    """A={1,2,3}, B={3,4,5}: D = |F_a - F_b| peaks at 2/3 (v=2 and v=3)."""
+    od = _orders(
+        spark,
+        [(1, "1-URGENT", p, 0) for p in (1, 2, 3)]
+        + [(1, "5-LOW", p, 0) for p in (3, 4, 5)]
+        + [(1, "3-MEDIUM", 100, 0)],  # excluded class
+    )
+    _patch_tables(monkeypatch, {"orders": od})
+    r = distribution.ks_two_sample_price(spark, "ignored").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.ks_stat == pytest.approx(2.0 / 3.0, abs=1e-6)
+
+
+def test_ks_identical_distributions_zero(spark, monkeypatch):
+    od = _orders(
+        spark,
+        [(1, "1-URGENT", p, 0) for p in (5, 6, 7)]
+        + [(1, "5-LOW", p, 0) for p in (5, 6, 7)],
+    )
+    _patch_tables(monkeypatch, {"orders": od})
+    r = distribution.ks_two_sample_price(spark, "ignored").collect()[0]
+    assert r.ks_stat == 0.0
+
+
+# --- Theil-Sen -------------------------------------------------------------
+
+
+def test_theil_sen_ignores_outlier_day(spark, monkeypatch):
+    """rev = 10·day for days 1..9 plus one wild day-10 outlier: the median
+    pairwise slope stays 10 where OLS would be dragged up."""
+    od = _orders(
+        spark,
+        [(1, "1-URGENT", 10 * d, d) for d in range(1, 10)]
+        + [(1, "1-URGENT", 100000, 10)],
+    )
+    _patch_tables(monkeypatch, {"orders": od})
+    r = distribution.theil_sen_daily_trend(spark, "ignored").collect()[0]
+    assert r.n_days == 10
+    assert r.n_pairs == 45
+    assert r.ts_slope_per_day == pytest.approx(10.0, abs=1e-6)
+
+
+# --- ACF -------------------------------------------------------------------
+
+
+def test_acf_planted_ramp(spark, monkeypatch):
+    """x = 1..5 on days 0..4: mean 3, SS 10; lag-1 autocovariance sum 4,
+    lag-2 sum -1 → acf(1)=0.4, acf(2)=-0.1 (textbook ramp values)."""
+    od = _orders(spark, [(1, "1-URGENT", v, v - 1) for v in range(1, 6)])
+    _patch_tables(monkeypatch, {"orders": od})
+    rows = {r.lag: r for r in distribution.acf_daily_revenue(spark, "ignored").collect()}
+    assert rows[1].n_pairs == 4 and rows[1].acf == pytest.approx(0.4, abs=1e-6)
+    assert rows[2].n_pairs == 3 and rows[2].acf == pytest.approx(-0.1, abs=1e-6)
+    assert 5 not in rows  # no pairs at lags beyond the span
+
+
+# --- Spearman --------------------------------------------------------------
+
+
+def test_spearman_monotone_is_one(spark, monkeypatch):
+    """Daily revenue strictly increasing with order count → ρ = 1 even
+    though the relation is nonlinear (revenue = count³)."""
+    od = _orders(
+        spark,
+        [
+            (c, "1-URGENT", (d + 1) ** 3 * 100.0 / (d + 1), d)
+            for d in range(6)
+            for c in range(d + 1)
+        ],
+    )
+    _patch_tables(monkeypatch, {"orders": od})
+    r = distribution.spearman_daily_corr(spark, "ignored").collect()[0]
+    assert r.n_days == 6
+    assert r.spearman_rho == pytest.approx(1.0, abs=1e-6)
+
+
+# --- entropy ---------------------------------------------------------------
+
+
+def test_entropy_concentrated_vs_uniform(spark, monkeypatch):
+    ev = _events(
+        spark,
+        [("signup", 5, 1.0)] * 8  # all in one hour → entropy 0
+        + [("view", h, 1.0) for h in (0, 6, 12, 18) for _ in range(2)],  # uniform/4
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    rows = {r.event_type: r for r in distribution.entropy_hour_profile(spark, "ignored").collect()}
+    assert rows["signup"].entropy_nats == 0.0
+    assert rows["signup"].norm_entropy == 0.0
+    assert rows["view"].n_hours == 4
+    assert rows["view"].entropy_nats == pytest.approx(math.log(4), abs=1e-6)
+    assert rows["view"].norm_entropy == pytest.approx(
+        math.log(4) / math.log(24), abs=1e-6
+    )
+
+
+# --- Gini ------------------------------------------------------------------
+
+
+def _customers(spark, rows):
+    """rows: (custkey, segment)"""
+    return spark.createDataFrame(
+        [(c, f"Customer#{c}", 0, 0.0, seg) for c, seg in rows],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+
+
+def test_gini_equal_and_skewed(spark, monkeypatch):
+    """Equal revenues → G = 0; two customers at 1 vs 99 → G = 0.49."""
+    od = _orders(
+        spark,
+        [(c, "1-URGENT", 50.0, 0) for c in (1, 2, 3, 4)]
+        + [(5, "1-URGENT", 1.0, 0), (6, "1-URGENT", 99.0, 0)],
+    )
+    cust = _customers(
+        spark, [(c, "EVEN") for c in (1, 2, 3, 4)] + [(5, "SKEW"), (6, "SKEW")]
+    )
+    _patch_tables(monkeypatch, {"orders": od, "customer": cust})
+    rows = {r.segment: r for r in distribution.gini_customer_revenue(spark, "ignored").collect()}
+    assert rows["EVEN"].gini == 0.0
+    assert rows["SKEW"].n_customers == 2
+    assert rows["SKEW"].gini == pytest.approx(0.49, abs=1e-6)
+
+
+# --- HHI -------------------------------------------------------------------
+
+
+def test_hhi_monopoly_and_duopoly(spark, monkeypatch):
+    li = spark.createDataFrame(
+        [
+            (1, 1, 10, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+            (2, 1, 20, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+            (3, 1, 21, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    supp = spark.createDataFrame(
+        [(10, "S10", 0, 0.0), (20, "S20", 1, 0.0), (21, "S21", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nat = spark.createDataFrame(
+        [(0, "MONO", 0), (1, "DUO", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    _patch_tables(monkeypatch, {"lineitem": li, "supplier": supp, "nation": nat})
+    rows = {r.nation: r for r in distribution.hhi_supplier_concentration(spark, "ignored").collect()}
+    assert rows["MONO"].hhi == 1.0 and rows["MONO"].top_share == 1.0
+    assert rows["DUO"].hhi == 0.5 and rows["DUO"].top_share == 0.5
+
+
+# --- lexical diversity -----------------------------------------------------
+
+
+def test_lexical_diversity_planted_corpus(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "web", 5),
+            (2, "a a a a", "en", "web", 7),
+            (3, "x x", "en", "tmpl", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _patch_tables(monkeypatch, {"documents": docs})
+    rows = {r.source: r for r in distribution.lexical_diversity(spark, "ignored").collect()}
+    web = rows["web"]
+    assert (web.n_tokens, web.n_types, web.n_hapax) == (7, 3, 2)
+    assert web.type_token_ratio == pytest.approx(3 / 7, abs=1e-6)
+    assert web.hapax_ratio == pytest.approx(2 / 3, abs=1e-6)
+    tmpl = rows["tmpl"]
+    assert (tmpl.n_tokens, tmpl.n_types, tmpl.n_hapax) == (2, 1, 0)

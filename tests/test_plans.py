@@ -175,6 +175,19 @@ _ALLOWED_FACT_BROADCASTS = {
     "token_budget_apportion": 3,
     # Z-order: 1-row min/max bounds row for the interleave normalization
     "zorder_layout": 1,
+    # round-10 distribution wave — every broadcast side is a 1-row scalar
+    # or a day/enum-DOMAIN-bounded aggregate, safe at ANY data scale:
+    # Theil-Sen: days-bounded daily side of the non-equi pair join +
+    # 1-row day count
+    "theil_sen_daily_trend": 2,
+    # ACF: 1-row mean hint (instantiated under each reuse of the centered
+    # relation — lag spine, shifted side, and the SS subtree) + the 1-row
+    # SS hint itself
+    "acf_daily_revenue": 4,
+    # entropy: |event_type|-row totals joined back over the 24-hour grid
+    "entropy_hour_profile": 1,
+    # HHI: |nation|-row totals joined back over the supplier relation
+    "hhi_supplier_concentration": 1,
 }
 
 

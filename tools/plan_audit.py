@@ -54,6 +54,10 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     "seasonal_decompose_daily": 1,
     # CUSUM running sum over the day-DOMAIN table
     "cusum_changepoint": 1,
+    # mid-rank windows (rank by revenue, rank by order count) over the
+    # day-DOMAIN table — calendar-bounded, never data-sized; the
+    # data-sized stage is the combinable daily groupBy below them
+    "spearman_daily_corr": 2,
 }
 
 HEADER = (
