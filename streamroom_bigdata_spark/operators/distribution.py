@@ -274,27 +274,75 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pairwise stage is O(days²) on the day-DOMAIN table — bounded by
     the calendar span, independent of row count (2399 days → 2.9M pairs at
     ANY scale; the data-sized work is the one combinable daily groupBy).
-    The broadcast hint carries the days-bounded side of the non-equi
-    self-join; exact median via `percentile` holds O(days²) doubles in one
-    aggregation buffer (~23 MB at a 2400-day span — calendar-bounded, so
-    this does not grow with data)."""
+    The streamed side is round-robin repartitioned so pair generation and
+    the median both run on all cores (AQE otherwise coalesces the tiny
+    daily relation to one task, serializing the whole O(days²) stage —
+    measured 9 s → sub-second at a 2400-day span). Exact median WITHOUT a
+    single-task sort: the `quartiles_distributed` order-statistic
+    machinery — range-partition the slopes, collect O(P) per-partition
+    counts, locate the middle index(es) on the driver, and pick them with
+    a per-partition row_number; the mean of the two central elements for
+    even counts matches `quantile_cont` interpolation at 0.5 exactly."""
+    n_parts = shuffle_partition_count(spark)
     daily = _daily_orders(spark, sf_dir).select("d", "rev")
-    a = daily.select(F.col("d").alias("d1"), F.col("rev").alias("r1"))
+    a = daily.repartition(n_parts).select(
+        F.col("d").alias("d1"), F.col("rev").alias("r1")
+    )
     b = daily.select(F.col("d").alias("d2"), F.col("rev").alias("r2"))
     pairs = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
         ((F.col("r2") - F.col("r1")) / (F.col("d2") - F.col("d1")).cast("double"))
         .alias("slope")
     )
+    ranged = (
+        pairs.repartitionByRange(n_parts, "slope")
+        .withColumn("pid", F.spark_partition_id())
+        # pin pid assignment across the two consumers (quartiles_distributed
+        # rationale)
+        .localCheckpoint()
+    )
+    counts = sorted(
+        ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect(),
+        key=lambda r: r.pid,
+    )
+    m = sum(r.cnt for r in counts)
     n_days = daily.agg(F.count("*").alias("n_days"))
+    if m == 0:  # degenerate single-day corpus: no pairs, NULL slope
+        return F.broadcast(n_days).crossJoin(
+            ranged.agg(
+                F.count("*").alias("n_pairs"),
+                F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+                    "ts_slope_per_day"
+                ),
+            )
+        ).select("n_days", "n_pairs", "ts_slope_per_day")
+    # 1-based global indices of the central element(s): k1 == k2 for odd m
+    targets = []
+    for k in ((m + 1) // 2, m // 2 + 1):
+        acc = 0
+        for r in counts:
+            if acc + r.cnt >= k:
+                targets.append((r.pid, k - acc))
+                break
+            acc += r.cnt
+    picked_pids = sorted({p for p, _ in targets})
+    lw = Window.partitionBy("pid").orderBy("slope")
+    cond = None
+    for p, lk in set(targets):
+        c = (F.col("pid") == p) & (F.col("lr") == lk)
+        cond = c if cond is None else (cond | c)
+    median = (
+        ranged.filter(F.col("pid").isin(picked_pids))
+        .withColumn("lr", F.row_number().over(lw))
+        .filter(cond)
+        .agg(F.round(F.avg("slope"), 6).alias("ts_slope_per_day"))
+    )
     return (
-        pairs.agg(
-            F.count("*").alias("n_pairs"),
-            F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
-                "ts_slope_per_day"
-            ),
+        median.crossJoin(F.broadcast(n_days))  # 1-row in-plan scalar
+        .select(
+            "n_days",
+            F.lit(m).cast("long").alias("n_pairs"),
+            "ts_slope_per_day",
         )
-        .crossJoin(F.broadcast(n_days))  # 1-row in-plan scalar
-        .select("n_days", "n_pairs", "ts_slope_per_day")
     )
 
 

@@ -177,8 +177,9 @@ _ALLOWED_FACT_BROADCASTS = {
     "zorder_layout": 1,
     # round-10 distribution wave — every broadcast side is a 1-row scalar
     # or a day/enum-DOMAIN-bounded aggregate, safe at ANY data scale:
-    # Theil-Sen: days-bounded daily side of the non-equi pair join +
-    # 1-row day count
+    # Theil-Sen: 1-row day count (the days-bounded pair-join side's hint
+    # sits behind the localCheckpoint, invisible to the analyzed plan —
+    # the bound covers both in case the checkpoint boundary moves)
     "theil_sen_daily_trend": 2,
     # ACF: 1-row mean hint (instantiated under each reuse of the centered
     # relation — lag spine, shifted side, and the SS subtree) + the 1-row
