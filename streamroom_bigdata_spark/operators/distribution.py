@@ -730,3 +730,240 @@ def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(hapax / F.count("*").cast("double"), 6).alias("hapax_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator of the Pareto tail index (heavy-tail diagnostics)
+# ---------------------------------------------------------------------------
+
+#: order statistics entering the estimator: the k largest observations
+#: against the (k+1)-th as threshold
+HILL_K = 200
+
+hill_tail_oracle = f"""
+WITH topk AS (
+  SELECT o_totalprice AS x
+  FROM orders ORDER BY o_totalprice DESC LIMIT {HILL_K + 1}
+), thr AS (
+  SELECT min(x) AS x_thr FROM topk
+)
+SELECT CAST({HILL_K} AS INT) AS k,
+       round(x_thr, 2) AS threshold,
+       round(sum(ln(x / x_thr)) / {HILL_K}.0, 6) AS mean_log_excess,
+       round({HILL_K}.0 / sum(ln(x / x_thr)), 6) AS hill_alpha
+FROM topk, thr
+GROUP BY x_thr
+"""
+
+
+@register("hill_tail_index", hill_tail_oracle)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail exponent of the order-price
+    distribution: α̂ = k / Σᵢ ln(x₍ᵢ₎ / x₍ₖ₊₁₎) over the k largest
+    observations — the heavy-tail diagnostic behind ``winsorized_means``'
+    clipping and ``gini_customer_revenue``'s concentration (α ≤ 2 means
+    the variance the parametric tests assume doesn't exist).
+
+    The ONLY data-sized stage is TakeOrderedAndProject for the top k+1
+    rows (per-partition heads, (k+1)·P-row driver merge — no global
+    sort); everything after runs on k+1 rows with the threshold crossing
+    as a 1-row broadcast. Boundary ties are value-identical by
+    construction (any choice among equal x contributes the same ln
+    terms), so the statistic is deterministic cross-engine."""
+    topk = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_totalprice").alias("x"))
+        .orderBy(F.desc("x"))
+        .limit(HILL_K + 1)
+    )
+    thr = topk.agg(F.min("x").alias("x_thr"))
+    log_sum = F.sum(F.log(F.col("x") / F.col("x_thr")))
+    return (
+        topk.crossJoin(F.broadcast(thr))
+        .groupBy("x_thr")
+        .agg(
+            F.round(log_sum / float(HILL_K), 6).alias("mean_log_excess"),
+            F.round(float(HILL_K) / log_sum, 6).alias("hill_alpha"),
+        )
+        .select(
+            F.lit(HILL_K).cast("int").alias("k"),
+            F.round("x_thr", 2).alias("threshold"),
+            "mean_log_excess",
+            "hill_alpha",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fano dispersion of hourly event counts (zero-inclusive bucket spine)
+# ---------------------------------------------------------------------------
+
+fano_oracle = """
+WITH b AS (
+  SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+         date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), grid AS (
+  SELECT t.event_type, h.hr FROM types t, hours h
+), cnt AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), filled AS (
+  SELECT g.event_type, coalesce(cnt.c, 0) AS c
+  FROM grid g
+  LEFT JOIN cnt ON cnt.event_type = g.event_type AND cnt.hr = g.hr
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       round(avg(c), 6) AS mean_per_hour,
+       round(var_pop(c) / avg(c), 6) AS fano,
+       round(sqrt(var_pop(c)) / avg(c), 6) AS cv
+FROM filled
+GROUP BY event_type
+"""
+
+
+@register("fano_dispersion_hourly", fano_oracle)
+def fano_dispersion_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor = var/mean) and coefficient of
+    variation of each event type's hourly arrival counts, over a
+    ZERO-INCLUSIVE hour spine — a Poisson process sits at Fano 1, batch
+    jobs and bursts push it far above; silent hours count (dropping empty
+    buckets silently biases the variance down, which is why the spine is
+    built rather than using observed buckets).
+
+    The data-sized stage is one combinable (type, hour) count; the spine
+    is calendar-bounded (`sequence` between the 1-row min/max bounds) and
+    the grid is |types| × hours — both broadcast-sized at any data
+    scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr"),
+    )
+    bounds = ev.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    cnt = ev.groupBy("event_type", "hr").agg(F.count("*").alias("c"))
+    filled = grid.join(cnt, ["event_type", "hr"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    return filled.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("c").alias("n_events"),
+        F.round(F.avg("c"), 6).alias("mean_per_hour"),
+        F.round(F.var_pop("c") / F.avg("c"), 6).alias("fano"),
+        F.round(F.sqrt(F.var_pop("c")) / F.avg("c"), 6).alias("cv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (effect size of the type × weekday association)
+# ---------------------------------------------------------------------------
+
+cramers_v_oracle = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INT) AS dow,
+         count(*) AS obs
+  FROM events GROUP BY 1, 2
+), rowt AS (
+  SELECT event_type, sum(obs) AS r FROM cells GROUP BY 1
+), colt AS (
+  SELECT dow, sum(obs) AS c FROM cells GROUP BY 1
+), tot AS (
+  SELECT sum(obs) AS n FROM cells
+), obs_part AS (
+  SELECT sum(pow(CAST(ce.obs AS DOUBLE)
+                 - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                   / CAST(t.n AS DOUBLE), 2)
+             / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                / CAST(t.n AS DOUBLE))) AS chi_obs,
+         sum(CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+             / CAST(t.n AS DOUBLE)) AS e_obs
+  FROM cells ce
+  JOIN rowt r USING (event_type)
+  JOIN colt c USING (dow)
+  CROSS JOIN tot t
+), dims AS (
+  SELECT (SELECT count(*) FROM rowt) AS nr,
+         (SELECT count(*) FROM colt) AS nc
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       CAST(d.nr AS INT) AS n_rows,
+       CAST(d.nc AS INT) AS n_cols,
+       round(o.chi_obs + (CAST(t.n AS DOUBLE) - o.e_obs), 4) AS chi2,
+       round(sqrt((o.chi_obs + (CAST(t.n AS DOUBLE) - o.e_obs))
+                  / (CAST(t.n AS DOUBLE) * (least(d.nr, d.nc) - 1))), 6)
+         AS cramers_v
+FROM obs_part o, tot t, dims d
+"""
+
+
+@register("cramers_v_type_dow", cramers_v_oracle)
+def cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event-type × weekday association —
+    the [0, 1] summary that makes ``chi_square_type_dow``'s per-cell χ²
+    contributions comparable across tables of different size and shape.
+    Empty grid cells contribute their full expected count: χ² =
+    Σ_observed (o−e)²/e + (n − Σ_observed e), algebraically identical to
+    summing (0−e)²/e over missing cells without materializing them.
+
+    Same shape as the χ² query: one combinable cell count, enum-sized
+    marginal broadcasts, 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.weekday(F.col("ts").cast("timestamp")).cast("int").alias("dow"),
+    )
+    cells = ev.groupBy("event_type", "dow").agg(F.count("*").alias("obs"))
+    rowt = cells.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    colt = cells.groupBy("dow").agg(F.sum("obs").alias("c"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    e = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    obs_part = (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "dow")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.pow(F.col("obs").cast("double") - e, F.lit(2)) / e).alias(
+                "chi_obs"
+            ),
+            F.sum(e).alias("e_obs"),
+            F.first("n").alias("n"),
+        )
+    )
+    dims = (
+        rowt.agg(F.count("*").alias("nr"))
+        .crossJoin(F.broadcast(colt.agg(F.count("*").alias("nc"))))
+    )
+    chi2 = F.col("chi_obs") + (F.col("n").cast("double") - F.col("e_obs"))
+    return obs_part.crossJoin(F.broadcast(dims)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("nr").cast("int").alias("n_rows"),
+        F.col("nc").cast("int").alias("n_cols"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("n").cast("double")
+                    * (F.least("nr", "nc") - F.lit(1))
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -538,7 +538,10 @@ def _driver_k_core(edges: DataFrame, k: int) -> DataFrame:
 LPA_ROUNDS = 3
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte_chain() -> str:
+    """WITH-chain from the simhash near-dup edges through ``LPA_ROUNDS``
+    synchronous label-propagation rounds (final labeling:
+    ``l{LPA_ROUNDS}``) — shared by the LPA and modularity oracles."""
     parts = [
         f"""
 WITH e AS (
@@ -564,13 +567,17 @@ WITH e AS (
   ) WHERE rn = 1
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _lpa_oracle() -> str:
+    return (
+        _lpa_cte_chain()
+        + f"""
 SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community,
        CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
 FROM l{LPA_ROUNDS}"""
     )
-    return "".join(parts)
 
 
 @register("label_propagation_communities", _lpa_oracle())
@@ -722,3 +729,116 @@ def bfs_hop_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy(F.col("dist").alias("hop")).agg(
         F.count("*").alias("n_nodes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the LPA communities (partition-quality readout)
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    # the LPA chain verbatim, then pure aggregates over its final labeling
+    return (
+        _lpa_cte_chain()
+        + f""", labels AS (
+  SELECT id, lbl FROM l{LPA_ROUNDS}
+), mt AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m FROM e
+), internal AS (
+  SELECT la.lbl AS community, count(*) AS ie
+  FROM e p
+  JOIN labels la ON la.id = p.doc_a
+  JOIN labels lb ON lb.id = p.doc_b
+  WHERE la.lbl = lb.lbl
+  GROUP BY 1
+), deg AS (
+  SELECT u AS id, count(*) AS dg FROM sym GROUP BY u
+), degc AS (
+  SELECT l.lbl AS community, count(*) AS nn, sum(d.dg) AS ds
+  FROM labels l JOIN deg d ON d.id = l.id
+  GROUP BY 1
+)
+SELECT CAST(dc.community AS BIGINT) AS community,
+       CAST(dc.nn AS BIGINT) AS n_nodes,
+       CAST(coalesce(i.ie, 0) AS BIGINT) AS internal_edges,
+       CAST(dc.ds AS BIGINT) AS degree_sum,
+       round(coalesce(i.ie, 0) / mt.m
+             - pow(dc.ds / (2 * mt.m), 2), 6) + 0 AS q_contrib
+FROM degc dc LEFT JOIN internal i ON i.community = dc.community, mt"""
+    )
+
+
+def modularity_from_pairs(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community Newman modularity terms from canonical undirected
+    pairs (doc_a < doc_b, each edge once) and a (id, lbl) labeling:
+    Q_c = e_c/m − (d_c/(2m))², where e_c counts intra-community edges,
+    d_c sums member degrees, m = |edges|. Σ_c Q_c is the partition's
+    modularity. Every stage is an edge-sized join or a combinable
+    aggregate; m crosses as a driver literal (one count on the — caller-
+    checkpointed — pair relation)."""
+    m = float(pairs.count())
+    la = pairs.join(
+        labels.withColumnRenamed("id", "doc_a").withColumnRenamed(
+            "lbl", "lbl_a"
+        ),
+        "doc_a",
+    )
+    internal = (
+        la.join(
+            labels.withColumnRenamed("id", "doc_b").withColumnRenamed(
+                "lbl", "lbl_b"
+            ),
+            "doc_b",
+        )
+        .filter(F.col("lbl_a") == F.col("lbl_b"))
+        .groupBy(F.col("lbl_a").alias("community"))
+        .agg(F.count("*").alias("ie"))
+    )
+    ends = pairs.select(F.col("doc_a").alias("id")).unionAll(
+        pairs.select(F.col("doc_b").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count("*").alias("dg"))
+    degc = (
+        labels.join(deg, "id")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("n_nodes"), F.sum("dg").alias("degree_sum"))
+    )
+    ie = F.coalesce("ie", F.lit(0))
+    return degc.join(internal, "community", "left").select(
+        F.col("community").cast("long").alias("community"),
+        "n_nodes",
+        ie.cast("long").alias("internal_edges"),
+        "degree_sum",
+        # + 0.0 normalizes IEEE negative zero (singleton communities round
+        # to -0.0 on DuckDB, +0.0 on Spark) without touching nonzero values
+        (
+            F.round(
+                ie / F.lit(m)
+                - F.pow(F.col("degree_sum") / F.lit(2.0 * m), F.lit(2)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("q_contrib"),
+    )
+
+
+@register("community_modularity", _modularity_oracle())
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity decomposition of the LPA communities over the
+    simhash near-dup graph — the partition-quality readout that tells a
+    dedup pipeline whether its communities are genuinely dense (Q_c > 0:
+    more internal edges than a random graph with the same degrees) or
+    artifacts of the label process. The oracle replays the identical LPA
+    rounds (shared WITH-chain) and checks the modularity terms exactly.
+
+    Scale shape: the pair relation is localCheckpoint-materialized once
+    and reused by the propagation rounds, the intra-edge count, the
+    degree sum, and the 1-driver-scalar edge count — no stage above it
+    exceeds edge size, and all aggregates are combinable."""
+    pairs = (
+        simhash_near_dup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    labels = label_propagation(pairs)
+    return modularity_from_pairs(pairs, labels)

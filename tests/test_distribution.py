@@ -242,3 +242,98 @@ def test_lexical_diversity_planted_corpus(spark, monkeypatch):
     assert web.hapax_ratio == pytest.approx(2 / 3, abs=1e-6)
     tmpl = rows["tmpl"]
     assert (tmpl.n_tokens, tmpl.n_types, tmpl.n_hapax) == (2, 1, 0)
+
+
+# --- Hill tail index -------------------------------------------------------
+
+
+def test_hill_planted_exponential_tail(spark, monkeypatch):
+    """k=2 over x = (e³, e², e, 1): threshold = e (3rd largest),
+    Σ ln(x/thr) = 2 + 1 = 3 → α̂ = 2/3."""
+    monkeypatch.setattr(distribution, "HILL_K", 2)
+    od = _orders(
+        spark,
+        [(1, "1-URGENT", math.exp(3), 0), (1, "1-URGENT", math.exp(2), 0),
+         (1, "1-URGENT", math.exp(1), 0), (1, "1-URGENT", 1.0, 0)],
+    )
+    _patch_tables(monkeypatch, {"orders": od})
+    r = distribution.hill_tail_index(spark, "ignored").collect()[0]
+    assert r.k == 2
+    assert r.threshold == pytest.approx(math.exp(1), abs=0.01)
+    assert r.mean_log_excess == pytest.approx(1.5, abs=1e-6)
+    assert r.hill_alpha == pytest.approx(2.0 / 3.0, abs=1e-6)
+
+
+# --- Fano dispersion -------------------------------------------------------
+
+
+def test_fano_regular_vs_bursty(spark, monkeypatch):
+    """Regular arrivals (1/hour over the 4-hour spine) → Fano 0; the same
+    4 events packed into one hour → counts (4,0,0,0), Fano 3."""
+    ev = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, h), i, "regular", 1.0, "{}")
+            for i, h in enumerate((0, 1, 2, 3))
+        ]
+        + [
+            (10 + i, dt.datetime(2024, 1, 1, 0, i), i, "bursty", 1.0, "{}")
+            for i in range(4)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    rows = {r.event_type: r for r in distribution.fano_dispersion_hourly(spark, "ignored").collect()}
+    assert rows["regular"].n_buckets == 4
+    assert rows["regular"].fano == 0.0
+    assert rows["bursty"].n_buckets == 4  # zero hours INCLUDED via the spine
+    assert rows["bursty"].mean_per_hour == 1.0
+    assert rows["bursty"].fano == pytest.approx(3.0, abs=1e-6)
+    assert rows["bursty"].cv == pytest.approx(math.sqrt(3.0), abs=1e-6)
+
+
+# --- Cramér's V ------------------------------------------------------------
+
+
+def test_cramers_v_perfect_association(spark, monkeypatch):
+    """Type A only on Monday, type B only on Tuesday, equal counts →
+    V = 1 (2024-01-01 is a Monday)."""
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1), i, "A", 1.0, "{}") for i in range(5)]
+        + [(9 + i, dt.datetime(2024, 1, 2), i, "B", 1.0, "{}") for i in range(5)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    r = distribution.cramers_v_type_dow(spark, "ignored").collect()[0]
+    assert (r.n, r.n_rows, r.n_cols) == (10, 2, 2)
+    assert r.chi2 == pytest.approx(10.0, abs=1e-4)
+    assert r.cramers_v == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cramers_v_counts_empty_cells(spark, monkeypatch):
+    """3 types × 2 dows with one (type, dow) cell empty: χ² must include
+    the empty cell's expected count — Σ over observed cells alone would
+    understate it."""
+    rows = (
+        [(0, dt.datetime(2024, 1, 1), 0, "A", 1.0, "{}")] * 1
+        + [(1, dt.datetime(2024, 1, 2), 0, "A", 1.0, "{}")]
+        + [(2, dt.datetime(2024, 1, 1), 0, "B", 1.0, "{}")]
+        + [(3, dt.datetime(2024, 1, 2), 0, "B", 1.0, "{}")]
+        + [(4, dt.datetime(2024, 1, 1), 0, "C", 1.0, "{}")]  # C never on Tue
+    )
+    ev = spark.createDataFrame(
+        [(i, ts, u, t, v, p) for (i, ts, u, t, v, p) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    r = distribution.cramers_v_type_dow(spark, "ignored").collect()[0]
+    # hand-computed: n=5, rows A=2,B=2,C=1; cols Mon=3,Tue=2
+    # e: A-Mon 1.2, A-Tue .8, B-Mon 1.2, B-Tue .8, C-Mon .6, C-Tue .4 (empty)
+    exp_chi2 = (
+        (1 - 1.2) ** 2 / 1.2 + (1 - 0.8) ** 2 / 0.8
+        + (1 - 1.2) ** 2 / 1.2 + (1 - 0.8) ** 2 / 0.8
+        + (1 - 0.6) ** 2 / 0.6 + (0 - 0.4) ** 2 / 0.4
+    )
+    assert r.chi2 == pytest.approx(exp_chi2, abs=1e-4)

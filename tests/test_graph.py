@@ -315,3 +315,50 @@ def test_bfs_hops_respects_round_budget(spark):
     )
     out = {r.id: r.dist for r in bfs_hops(sym, rounds=1).collect()}
     assert out == {1: 0, 3: 1}
+
+
+def test_modularity_two_disjoint_triangles(spark):
+    """Two disjoint triangles labeled as two communities: m=6, each has
+    3 internal edges and degree sum 6 → Q_c = 3/6 − (6/12)² = 0.25."""
+    from streamroom_bigdata_spark.operators.graph import modularity_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)],
+        "id long, lbl long",
+    )
+    rows = {r.community: r for r in modularity_from_pairs(pairs, labels).collect()}
+    for c in (1, 10):
+        assert rows[c].n_nodes == 3
+        assert rows[c].internal_edges == 3
+        assert rows[c].degree_sum == 6
+        assert rows[c].q_contrib == 0.25
+    # the partition's total modularity
+    assert sum(r.q_contrib for r in rows.values()) == 0.5
+
+
+def test_modularity_bad_partition_negative(spark):
+    """Splitting one triangle across two communities yields a worse
+    (lower) total Q than keeping it whole — the discriminating property
+    a partition-quality metric must have."""
+    from streamroom_bigdata_spark.operators.graph import modularity_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "doc_a long, doc_b long"
+    )
+    good = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, lbl long"
+    )
+    bad = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "id long, lbl long"
+    )
+    q_good = sum(
+        r.q_contrib for r in modularity_from_pairs(pairs, good).collect()
+    )
+    q_bad = sum(
+        r.q_contrib for r in modularity_from_pairs(pairs, bad).collect()
+    )
+    assert q_good > q_bad

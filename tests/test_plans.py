@@ -189,6 +189,13 @@ _ALLOWED_FACT_BROADCASTS = {
     "entropy_hour_profile": 1,
     # HHI: |nation|-row totals joined back over the supplier relation
     "hhi_supplier_concentration": 1,
+    # Hill: 1-row threshold (min of the k+1-row top-k relation)
+    "hill_tail_index": 1,
+    # Fano: calendar-bounded hour spine exploded from the 1-row bounds
+    "fano_dispersion_hourly": 1,
+    # Cramér's V: χ² marginals (|type|-sized + 7-dow-sized + 1-row N,
+    # the chi_square_type_dow trio) + 1-row dims + nested colt-count reuse
+    "cramers_v_type_dow": 5,
 }
 
 
