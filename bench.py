@@ -86,6 +86,12 @@ HEADLINE = [
                               # wave's one new exchange shape)
     "seasonal_decompose_daily",  # TS3 dow-partitioned seasonal split (the
                               # round-9 re-spelled single-subtree plan)
+    # round-10: distribution-wave representatives (reported separately vs
+    # the frozen r7 table, same rule):
+    "ks_two_sample_price",    # ST8 two-CDF distributed ranking (the wave's
+                              # one new exchange shape)
+    "theil_sen_daily_trend",  # ST10 O(days²) pair stage + distributed
+                              # order-statistic median
 ]
 
 SF1_DIR = "/tmp/sf1_synth"
