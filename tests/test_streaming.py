@@ -1289,3 +1289,124 @@ def test_streaming_observe_metrics_per_micro_batch(spark, tmp_path):
     assert counts == [3, 5], seen
     assert sum(m["v_sum"] for m in seen) == sum(range(3)) + sum(range(5))
     assert spark.table("obs_sink").count() == 8
+
+
+# --- streaming PSI drift alarm (twin of drift_psi_event_types) --------------
+
+
+def _drift_source(spark, tmp_path, batches, name="drift_src"):
+    ddl = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    src = tmp_path / name
+    src.mkdir()
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        pd.DataFrame(rows).to_json(
+            p, orient="records", lines=True, date_format="iso"
+        )
+        os.utime(p, (base + i, base + i))
+    return stream_file_source(
+        spark, str(src), ddl, fmt="json", maxFilesPerTrigger=1
+    )
+
+
+def _drift_rows():
+    """Window 1 (00:00-00:10) matches the 50/50 baseline (10 a, 10 b);
+    window 2 (00:10-00:20) is all-a (20, 0) — the vanishing-category
+    shift the smoothing exists for. The 01:00 sentinel row advances the
+    watermark past both windows so append mode emits them; its own window
+    stays open and unemitted."""
+    mk = lambda i, hh, mm, t: {  # noqa: E731
+        "event_id": i, "ts": f"2024-01-01T{hh:02d}:{mm:02d}:00",
+        "user_id": i, "event_type": t, "value": 1.0,
+    }
+    w1 = [mk(i, 0, i % 10, "a" if i % 2 else "b") for i in range(20)]
+    w2 = [mk(100 + i, 0, 10 + i % 10, "a") for i in range(20)]
+    sentinel = [mk(999, 1, 0, "a")]
+    return w1, w2, sentinel
+
+
+def test_psi_drift_alarms_on_vanished_category(spark, tmp_path):
+    from streamroom_bigdata_spark.streaming import drift
+
+    w1, w2, sentinel = _drift_rows()
+    stream = _drift_source(spark, tmp_path, [w1, w2, sentinel])
+    baseline = {"a": 0.5, "b": 0.5}
+    out = drift.psi_drift(stream, baseline, window="10 minutes",
+                          watermark="5 minutes")
+    _run_to_memory(out, "psi_sink", "append")
+    rows = {
+        r.window_start.minute: r
+        for r in spark.sql("select * from psi_sink").collect()
+    }
+    assert set(rows) == {0, 10}  # the sentinel's window never closed
+    calm, shifted = rows[0], rows[10]
+    assert calm.n_events == 20 and not calm.alarm
+    assert calm.psi == pytest.approx(
+        drift.psi_reference({"a": 10, "b": 10}, baseline), abs=1e-8
+    )
+    assert shifted.n_events == 20 and shifted.alarm
+    assert shifted.psi == pytest.approx(
+        drift.psi_reference({"a": 20, "b": 0}, baseline), abs=1e-8
+    )
+    assert shifted.psi > 0.2 > calm.psi
+
+
+def test_psi_drift_streaming_agrees_with_batch_twin(spark, tmp_path):
+    """psi_drift is ONE plan for both engines: every window append mode
+    emits must carry exactly the batch run's numbers; off-baseline types
+    fold into n_other on both."""
+    from streamroom_bigdata_spark.streaming import drift
+
+    w1, w2, sentinel = _drift_rows()
+    w1[3]["event_type"] = "zz"  # type outside the baseline domain
+    stream = _drift_source(spark, tmp_path, [w1, w2, sentinel], "agree_src")
+    baseline = {"a": 0.5, "b": 0.5}
+    out = drift.psi_drift(stream, baseline, window="10 minutes",
+                          watermark="5 minutes")
+    _run_to_memory(out, "psi_agree_sink", "append")
+    streamed = {
+        r.window_start: tuple(r)[1:]
+        for r in spark.sql("select * from psi_agree_sink").collect()
+    }
+    static = spark.createDataFrame(
+        pd.DataFrame(w1 + w2 + sentinel).assign(
+            ts=lambda d: pd.to_datetime(d.ts)
+        )
+    )
+    batch = {
+        r.window_start: tuple(r)[1:]
+        for r in drift.psi_drift(static, baseline, window="10 minutes").collect()
+    }
+    assert streamed  # at least the two closed windows
+    for k, v in streamed.items():
+        assert batch[k] == v
+    # tuple layout after dropping window_start: (end, n_events, n_other, ...)
+    assert streamed[min(streamed)][2] == 1  # the zz row counted as n_other
+
+
+def test_psi_drift_validates_baseline(spark):
+    from streamroom_bigdata_spark.streaming import drift
+
+    df = spark.createDataFrame([], "ts timestamp, event_type string")
+    with pytest.raises(ValueError, match="non-empty"):
+        drift.psi_drift(df, {})
+    with pytest.raises(ValueError, match="positive"):
+        drift.psi_drift(df, {"a": 1.0, "b": 0.0})
+    with pytest.raises(ValueError, match="sum to 1"):
+        drift.psi_drift(df, {"a": 0.9, "b": 0.3})
+
+
+def test_baseline_rates_smoothed(spark):
+    from streamroom_bigdata_spark.streaming import drift
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",)], "event_type string"
+    )
+    rates = drift.baseline_rates(df)
+    # Laplace-smoothed: (3+.5)/5, (1+.5)/5
+    assert rates == {"a": pytest.approx(0.7), "b": pytest.approx(0.3)}
+    assert sum(rates.values()) == pytest.approx(1.0)
