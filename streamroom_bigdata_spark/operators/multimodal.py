@@ -11,6 +11,7 @@ pipeline would call the decoder, and ``decode_image`` raises
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -387,15 +388,13 @@ def _wav_header(n_data: int, rate: int = WAV_RATE) -> bytes:
     )
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Minimal REAL audio decode — pure Python, no external libs — for
-    RIFF/WAVE PCM. Walks the chunk list (fmt may be preceded or followed by
-    LIST/fact/other chunks, as in real files) rather than assuming fixed
-    offsets; PCM-16 only — compressed codecs (MP3/AAC/µ-law…) raise
-    ``NotImplementedError`` with the library integration point documented,
-    same contract as :func:`decode_image`. Returns sample-rate/channel
-    metadata plus integer amplitude statistics (micro-units, unambiguous
-    across engines)."""
+def _parse_wav_pcm(payload: bytes) -> tuple[int, int, list[int]]:
+    """(sample_rate, channels, samples) from a RIFF/WAVE PCM-16 payload —
+    the REAL chunk walk (fmt may be preceded or followed by LIST/fact/
+    other chunks, as in real files) shared by :func:`decode_wav` and
+    :func:`decode_wav_samples`. PCM-16 only — compressed codecs (MP3/AAC/
+    µ-law…) raise ``NotImplementedError`` with the library integration
+    point documented, same contract as :func:`decode_image`."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -422,12 +421,21 @@ def decode_wav(payload: bytes) -> dict:
             "media libraries not present in this environment"
         )
     n = len(data) // (2 * channels)
-    samples = struct.unpack(f"<{n * channels}h", data[: n * channels * 2])
+    samples = list(struct.unpack(f"<{n * channels}h", data[: n * channels * 2]))
+    return rate, channels, samples
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Minimal REAL audio decode — sample-rate/channel metadata plus
+    integer amplitude statistics (micro-units, unambiguous across
+    engines) over :func:`_parse_wav_pcm`'s sample stream."""
+    rate, channels, samples = _parse_wav_pcm(payload)
+    n = len(samples) // channels
     abs_sum = sum(abs(s) for s in samples)
     return {
         "sample_rate": rate,
         "channels": channels,
-        "bits": bits,
+        "bits": 16,
         "n_samples": n,
         "duration_micro": (n * 1_000_000) // rate,
         "peak_abs": max((abs(s) for s in samples), default=0),
@@ -518,3 +526,155 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return assets.mapInPandas(decode, WAV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio_features: DSP feature extraction over the decoded PCM stream
+# ---------------------------------------------------------------------------
+
+#: samples per analysis frame for the energy-flux feature (32 samples → 4
+#: frames) — frame boundaries are index arithmetic, identical both engines
+WAV_FRAME = 8
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, list[int]]:
+    """(sample_rate, samples) — the raw sample stream for feature
+    extraction, via the shared :func:`_parse_wav_pcm` chunk walk."""
+    rate, _channels, samples = _parse_wav_pcm(payload)
+    return rate, samples
+
+
+def audio_features(samples) -> dict:
+    """Pure DSP kernel over one PCM sample vector: RMS energy, crest
+    factor (peak/RMS — transient-ness), zero-crossing count/rate of the
+    MEAN-CENTERED signal (the DC offset of unsigned-ish payloads would
+    otherwise hide every crossing), and energy flux (max/min frame energy
+    ratio — burst structure). Centering is exact integer arithmetic
+    (sign(v·n − Σv)), so the crossing count is bit-identical cross-engine;
+    float enters only in the final rounded ratios."""
+    import numpy as np
+
+    v = np.asarray(samples, dtype=np.int64)
+    n = int(v.size)
+    sum_sq = int((v * v).sum())
+    peak = int(np.abs(v).max()) if n else 0
+    sv = int(v.sum())
+    c = np.sign(v * n - sv)
+    crossings = int(np.count_nonzero(c[1:] != c[:-1])) if n > 1 else 0
+    sq = (v * v).astype(np.int64)
+    starts = np.arange(0, n, WAV_FRAME)
+    fe = np.add.reduceat(sq, starts) if n else np.array([], dtype=np.int64)
+    rms = math.sqrt(sum_sq / n) if n else 0.0
+    min_fe = int(fe.min()) if fe.size else 0
+    return {
+        "n_samples": n,
+        "peak": peak,
+        "sum_sq": sum_sq,
+        "rms": round(rms, 6),
+        "crest": round(peak / rms, 6) if rms else None,
+        "zero_crossings": crossings,
+        "zcr": round(crossings / (n - 1), 6) if n > 1 else 0.0,
+        "energy_flux": round(int(fe.max()) / min_fe, 6)
+        if fe.size and min_fe
+        else None,
+    }
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, n_samples int, peak int, sum_sq long, rms double, "
+    "crest double, zero_crossings int, zcr double, energy_flux double"
+)
+
+audio_features_oracle = f"""
+WITH s AS (
+  SELECT doc_id, i,
+         ascii(substr(text, CAST(2 * i + 1 AS BIGINT), 1))
+         + 256 * ascii(substr(text, CAST(2 * i + 2 AS BIGINT), 1)) AS v
+  FROM documents, range(0, {WAV_N_SAMPLES}) t(i)
+  WHERE length(text) >= {_WAV_DATA} AND strlen(text) = length(text)
+), agg AS (
+  SELECT doc_id, sum(v * v) AS sum_sq, max(v) AS peak, sum(v) AS sv,
+         count(*) AS n
+  FROM s GROUP BY doc_id
+), sg AS (
+  SELECT s.doc_id, s.i, sign(s.v * a.n - a.sv) AS sgn
+  FROM s JOIN agg a USING (doc_id)
+), x AS (
+  SELECT doc_id,
+         sum(CASE WHEN sgn <> prev THEN 1 ELSE 0 END) AS crossings
+  FROM (
+    SELECT doc_id, sgn,
+           lag(sgn) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM sg
+  ) WHERE prev IS NOT NULL
+  GROUP BY doc_id
+), f AS (
+  SELECT doc_id, i // {WAV_FRAME} AS frame, sum(v * v) AS fe
+  FROM s GROUP BY doc_id, frame
+), flux AS (
+  SELECT doc_id,
+         round(CAST(max(fe) AS DOUBLE) / nullif(min(fe), 0), 6)
+           AS energy_flux
+  FROM f GROUP BY doc_id
+)
+SELECT a.doc_id AS asset_id,
+       CAST(a.n AS INT) AS n_samples,
+       CAST(a.peak AS INT) AS peak,
+       CAST(a.sum_sq AS BIGINT) AS sum_sq,
+       round(sqrt(CAST(a.sum_sq AS DOUBLE) / a.n), 6) AS rms,
+       round(a.peak / sqrt(CAST(a.sum_sq AS DOUBLE) / a.n), 6) AS crest,
+       CAST(x.crossings AS INT) AS zero_crossings,
+       round(CAST(x.crossings AS DOUBLE) / (a.n - 1), 6) AS zcr,
+       flux.energy_flux
+FROM agg a JOIN x USING (doc_id) JOIN flux USING (doc_id)
+"""
+
+
+@register("multimodal_audio_features", audio_features_oracle)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-quality feature extraction over REAL decoded PCM (L5): the
+    same in-plan RIFF/WAVE payload as ``multimodal_wav_decode``, decoded
+    back to the raw sample stream by the actual chunk-walking parser
+    inside ``mapInPandas``, then vectorized numpy DSP per asset — RMS,
+    crest factor, mean-centered zero-crossing rate, frame energy flux:
+    the silence/clipping/burst signals an audio-corpus curator filters
+    on. The DuckDB oracle replays the identical arithmetic on the
+    character-derived samples, so the parser, the int16 unpacking, AND
+    the feature kernel are all value-checked. Executor-parallel, Arrow
+    batch transfer, per-asset O(samples) work."""
+    docs = load_table(spark, sf_dir, "documents")
+    header = _wav_header(_WAV_DATA)
+    assets = docs.filter(
+        (F.length("text") >= _WAV_DATA)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(
+            F.lit(header), F.encode(F.substring("text", 1, _WAV_DATA), "UTF-8")
+        ).alias("payload"),
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "asset_id", "n_samples", "peak", "sum_sq", "rms", "crest",
+            "zero_crossings", "zcr", "energy_flux",
+        ]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for p in pdf["payload"]:
+                _, samples = decode_wav_samples(bytes(p))
+                rows.append(audio_features(samples))
+            out = pd.DataFrame(rows)
+            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
+            yield out[cols].astype(
+                {
+                    "n_samples": "int32",
+                    "peak": "int32",
+                    "sum_sq": "int64",
+                    "zero_crossings": "int32",
+                }
+            )
+
+    return assets.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)

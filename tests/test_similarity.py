@@ -383,3 +383,43 @@ def test_random_projection_jl_is_linear_and_norm_preserving(spark, tmp_path):
         # float32 storage loses ~1e-7 relative precision; band is generous
         ratio = np.linalg.norm(out[vid]) / np.linalg.norm(orig)
         assert 0.3 < ratio < 3.0, (vid, ratio)
+
+
+def test_audio_features_kernel_planted_signals():
+    """Pure-kernel checks: constant signal → RMS = value, crest 1, zcr 0;
+    alternating ± square wave → crest 1, every step a crossing."""
+    from streamroom_bigdata_spark.operators.multimodal import audio_features
+
+    const = audio_features([100] * 16)
+    assert const["rms"] == 100.0 and const["crest"] == 1.0
+    assert const["zero_crossings"] == 0 and const["zcr"] == 0.0
+    assert const["energy_flux"] == 1.0
+
+    square = audio_features([100, -100] * 8)
+    assert square["rms"] == 100.0 and square["crest"] == 1.0
+    assert square["zero_crossings"] == 15 and square["zcr"] == 1.0
+
+    # one loud frame among silence-ish frames → flux = loud/quiet energy
+    burst = audio_features([1] * 8 + [10] * 8)
+    assert burst["energy_flux"] == 100.0  # (8·100)/(8·1)
+    assert burst["peak"] == 10
+
+
+def test_audio_features_roundtrip_through_real_wav(spark):
+    """End-to-end: build a real RIFF payload, decode with the shared
+    chunk walk, and check the features on the known byte pattern."""
+    from streamroom_bigdata_spark.operators.multimodal import (
+        _WAV_DATA,
+        _wav_header,
+        audio_features,
+        decode_wav_samples,
+    )
+
+    text = "ab" * 32  # LE int16 samples: 97 + 256·98 = 25185, constant
+    payload = _wav_header(_WAV_DATA) + text[: _WAV_DATA // 1].encode()[:_WAV_DATA]
+    rate, samples = decode_wav_samples(payload)
+    assert rate == 8000
+    assert samples == [25185] * 32
+    feats = audio_features(samples)
+    assert feats["rms"] == 25185.0
+    assert feats["crest"] == 1.0 and feats["zero_crossings"] == 0
