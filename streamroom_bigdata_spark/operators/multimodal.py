@@ -668,12 +668,19 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(audio_features(samples))
             out = pd.DataFrame(rows)
             out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
+            # nullable Float64 so the kernel's None (silent signal: rms=0
+            # → crest undefined; zero-energy frame → flux undefined)
+            # crosses Arrow as SQL NULL, not NaN. Unreachable under the
+            # registered query's ASCII membership (every sample ≥ the
+            # char range of real text), but the kernel API is general.
             yield out[cols].astype(
                 {
                     "n_samples": "int32",
                     "peak": "int32",
                     "sum_sq": "int64",
                     "zero_crossings": "int32",
+                    "crest": "Float64",
+                    "energy_flux": "Float64",
                 }
             )
 

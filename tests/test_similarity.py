@@ -423,3 +423,15 @@ def test_audio_features_roundtrip_through_real_wav(spark):
     feats = audio_features(samples)
     assert feats["rms"] == 25185.0
     assert feats["crest"] == 1.0 and feats["zero_crossings"] == 0
+
+
+def test_audio_features_silence_yields_nulls(spark):
+    """Degenerate all-zero signal: crest and energy flux are undefined →
+    None (and SQL NULL through the Arrow path), never NaN."""
+    from streamroom_bigdata_spark.operators.multimodal import audio_features
+
+    silent = audio_features([0] * 16)
+    assert silent["rms"] == 0.0
+    assert silent["crest"] is None
+    assert silent["energy_flux"] is None
+    assert silent["zero_crossings"] == 0
