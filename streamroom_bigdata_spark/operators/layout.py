@@ -16,7 +16,7 @@ generated from the SAME Python loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -124,4 +124,82 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_partkey").alias("part_max"),
         F.min("l_suppkey").alias("supp_min"),
         F.max("l_suppkey").alias("supp_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner (small-file bin packing by cumulative size)
+# ---------------------------------------------------------------------------
+
+#: target compacted-chunk payload in characters
+COMPACT_TARGET_CHARS = 16_384
+#: documents per planning micro-batch; bins never cross a micro-batch, so
+#: the cumulative-sum window partitions on (lang, batch) — bounded rows per
+#: window partition at ANY corpus size (the per-lang-global alternative is
+#: a single-task funnel per language at 100 TB)
+COMPACT_BATCH_DOCS = 4_096
+
+compaction_oracle = f"""
+WITH planned AS (
+  SELECT lang, CAST(doc_id // {COMPACT_BATCH_DOCS} AS BIGINT) AS batch_id,
+         n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY lang, doc_id // {COMPACT_BATCH_DOCS}
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT lang, batch_id,
+       CAST((cum - n_chars) // {COMPACT_TARGET_CHARS} AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       sum(n_chars) AS bin_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / {COMPACT_TARGET_CHARS}, 4)
+         AS fill_ratio
+FROM planned GROUP BY lang, batch_id, bin_id
+"""
+
+
+@register("compaction_bins", compaction_oracle)
+def compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: assign documents to target-sized output
+    chunks (~{COMPACT_TARGET_CHARS} chars) by running a cumulative size
+    within (lang, micro-batch) in doc_id order and cutting a bin at each
+    target-size boundary — the sequential-fill assignment every lakehouse
+    table service (Delta OPTIMIZE, Iceberg rewrite_data_files) plans before
+    rewriting. A doc starts a new bin when the PRIOR cumulative total has
+    crossed the boundary (bin = floor(start_offset / target)), so bins
+    overflow by at most one document rather than splitting documents.
+
+    Scale shape: one (lang, batch) shuffle feeds the cumsum window; the
+    micro-batch cap bounds rows per window partition by design, so no
+    language's corpus funnels through one task — the honest trade is that
+    the final bin of each batch may run short (reported by fill_ratio).
+    Output is plan metadata (bins), corpus-size/ batch-size rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    batch = (F.col("doc_id") / COMPACT_BATCH_DOCS).cast("bigint")
+    w = (
+        Window.partitionBy("lang", "batch_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = docs.withColumn("batch_id", batch).withColumn(
+        "cum", F.sum("n_chars").over(w)
+    )
+    return (
+        planned.withColumn(
+            "bin_id",
+            ((F.col("cum") - F.col("n_chars")) / COMPACT_TARGET_CHARS).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("lang", "batch_id", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("bin_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / COMPACT_TARGET_CHARS, 4
+            ).alias("fill_ratio"),
+        )
     )

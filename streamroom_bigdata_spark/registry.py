@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "streamroom_bigdata_spark.operators.stats",
     "streamroom_bigdata_spark.operators.distribution",
     "streamroom_bigdata_spark.operators.layout",
+    "streamroom_bigdata_spark.operators.revops",
     "streamroom_bigdata_spark.streaming.queries",
 )
 

@@ -196,6 +196,12 @@ _ALLOWED_FACT_BROADCASTS = {
     # Cramér's V: χ² marginals (|type|-sized + 7-dow-sized + 1-row N,
     # the chi_square_type_dow trio) + 1-row dims + nested colt-count reuse
     "cramers_v_type_dow": 5,
+    # round-10 revenue-ops wave — bounded-by-design broadcast sides:
+    # RFM: 1-row corpus max date + 1-row quartile-boundary aggregate
+    "rfm_segments": 2,
+    # LTV: cohort sizes keyed on first-order month (corpus-month-DOMAIN
+    # bounded — ≤ 12 rows/year at ANY data scale)
+    "ltv_cohort_curve": 1,
 }
 
 
