@@ -1,0 +1,249 @@
+"""Data-governance / dataset-evaluation operators (round 10; SURVEY.md
+§2.22): re-identification risk (k-anonymity), classifier-vs-gold agreement
+(Cohen's kappa), and PII exposure density.
+
+A pipeline that ships training data needs release gates, not just
+transforms: the reference's consumer writes raw user events straight to a
+store (`consumer.scala:61-91`); these are the reports a governance review
+runs over the same data before any release. All three are
+aggregate-shaped: one data-sized shuffle, then arithmetic over
+DOMAIN-bounded relations (QI combos, label pairs, sources), so the output
+and every intermediate past the first aggregate are fleet-size-independent.
+
+Cross-engine determinism: every ratio here is a single IEEE division of
+exact integers (counts), never a rounded float accumulation — both engines
+produce the bit-identical double, so the comparator's 6-decimal
+normalization sees identical strings without any half-up/half-even
+rounding hazard (the `ltv_cohort_curve` lesson applied by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .text import _lang_id_sql, detected_lang_col
+
+# ---------------------------------------------------------------------------
+# k-anonymity risk profile
+# ---------------------------------------------------------------------------
+
+#: quasi-identifier columns for the customer table — the attacker-joinable
+#: attributes (location + market segment)
+K_ANON_QI = ("c_nationkey", "c_mktsegment")
+
+_K_BUCKET_SQL = """
+CASE WHEN k = 1 THEN 'k=1 (unique)'
+     WHEN k < 5 THEN 'k=2-4'
+     WHEN k < 10 THEN 'k=5-9'
+     ELSE 'k>=10' END
+"""
+
+k_anonymity_oracle = f"""
+WITH classes AS (
+  SELECT {', '.join(K_ANON_QI)}, CAST(count(*) AS BIGINT) AS k
+  FROM customer GROUP BY {', '.join(K_ANON_QI)}
+), total AS (
+  SELECT CAST(sum(k) AS BIGINT) AS n_total FROM classes
+)
+SELECT {_K_BUCKET_SQL} AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) / CAST(n_total AS DOUBLE) AS row_share,
+       min(k) AS min_k, max(k) AS max_k
+FROM classes CROSS JOIN total
+GROUP BY k_bucket, n_total
+"""
+
+
+@register("k_anonymity_profile", k_anonymity_oracle)
+def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over the customer quasi-identifiers
+    (nation, market segment): every row is k-anonymous within its
+    equivalence class of identically-QI'd rows; the report histograms
+    class sizes into re-identification risk buckets (k=1 means a unique,
+    directly re-identifiable combination).
+
+    Scale shape: ONE data-sized shuffle (customer → QI-combo count with
+    map-side partials); the class relation is QI-DOMAIN-bounded
+    (|nations|×|segments| here), so the total and the bucket rollup are
+    arithmetic over a tiny table. row_share is a single integer division —
+    bit-identical cross-engine unrounded."""
+    customer = load_table(spark, sf_dir, "customer")
+    classes = customer.groupBy(*K_ANON_QI).agg(F.count("*").alias("k"))
+    total = classes.agg(F.sum("k").alias("n_total"))
+    return (
+        classes.join(F.broadcast(total))  # QI-domain-bounded relation
+        .withColumn("k_bucket", F.expr(_K_BUCKET_SQL))
+        .groupBy("k_bucket", "n_total")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .select(
+            "k_bucket",
+            "n_classes",
+            "n_rows",
+            (F.col("n_rows") / F.col("n_total").cast("double")).alias(
+                "row_share"
+            ),
+            "min_k",
+            "max_k",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: language-ID heuristic vs the stored gold label
+# ---------------------------------------------------------------------------
+
+kappa_oracle = f"""
+WITH det AS ({_lang_id_sql('documents')}),
+cells AS (
+  SELECT lang AS gold, detected_lang AS pred, CAST(count(*) AS BIGINT) AS n
+  FROM det GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN gold = pred THEN n ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM cells
+), gold_m AS (
+  SELECT gold AS label, CAST(sum(n) AS BIGINT) AS n_gold FROM cells GROUP BY 1
+), pred_m AS (
+  SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1
+), chance AS (
+  SELECT CAST(sum(g.n_gold * p.n_pred) AS BIGINT) AS sum_products
+  FROM gold_m g JOIN pred_m p ON g.label = p.label
+)
+SELECT t.n_docs, t.n_agree,
+       t.n_agree / CAST(t.n_docs AS DOUBLE) AS observed_agreement,
+       c.sum_products / CAST(t.n_docs AS DOUBLE) / t.n_docs
+         AS expected_agreement,
+       (t.n_agree / CAST(t.n_docs AS DOUBLE)
+          - c.sum_products / CAST(t.n_docs AS DOUBLE) / t.n_docs)
+         / nullif(1 - c.sum_products / CAST(t.n_docs AS DOUBLE) / t.n_docs,
+                  0) AS kappa
+FROM tot t CROSS JOIN chance c
+"""
+
+
+@register("lang_id_agreement_kappa", kappa_oracle)
+def lang_id_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the n-gram language-ID heuristic and the
+    stored gold `lang` label — chance-corrected agreement, the standard
+    classifier-vs-annotator evaluation a curation pipeline gates on before
+    trusting an automatic labeler (κ = (p_o − p_e)/(1 − p_e), with p_e
+    from the marginal products).
+
+    Scale shape: the data-sized stage is the (gold, pred) cell count (one
+    shuffle over the codegen'd detection expression — no Python worker);
+    everything after runs on the |labels|²-bounded confusion relation:
+    marginals, an exact INTEGER sum of marginal products, and three IEEE
+    divisions — unrounded, so both engines emit the bit-identical double.
+    κ is NULL (not an ANSI abort) in the degenerate p_e = 1 case."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("gold"),
+            detected_lang_col().alias("pred"),
+        )
+        .groupBy("gold", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("gold") == F.col("pred"), F.col("n")).otherwise(0)).alias(
+            "n_agree"
+        ),
+    )
+    gold_m = cells.groupBy(F.col("gold").alias("label")).agg(
+        F.sum("n").alias("n_gold")
+    )
+    pred_m = cells.groupBy(F.col("pred").alias("label")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    chance = (
+        gold_m.join(pred_m, "label")
+        .agg(F.sum(F.col("n_gold") * F.col("n_pred")).alias("sum_products"))
+    )
+    n_docs_d = F.col("n_docs").cast("double")
+    po = F.col("n_agree") / n_docs_d
+    pe = F.col("sum_products") / n_docs_d / F.col("n_docs")
+    return tot.join(F.broadcast(chance)).select(
+        "n_docs",
+        "n_agree",
+        po.alias("observed_agreement"),
+        pe.alias("expected_agreement"),
+        ((po - pe) / F.nullif(F.lit(1) - pe, F.lit(0))).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII exposure density by source
+# ---------------------------------------------------------------------------
+
+# reuse the shared PII patterns (emails / NNN-NNN-NNNN phones) so the
+# density report and the redactor can never disagree about what counts
+from .text import PII_EMAIL, PII_PHONE  # noqa: E402
+
+pii_density_oracle = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+           AS n_phones
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       CAST(sum(n_phones) AS BIGINT) AS total_phones,
+       CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       (1000 * CAST(sum(n_emails) AS BIGINT)) / CAST(count(*) AS DOUBLE)
+         AS emails_per_1k_docs,
+       (1000 * CAST(sum(n_phones) AS BIGINT)) / CAST(count(*) AS DOUBLE)
+         AS phones_per_1k_docs
+FROM per_doc GROUP BY source
+"""
+
+
+@register("pii_density_by_source", pii_density_oracle)
+def pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure report: per ingestion source, how many documents carry
+    emails/phones and the density per 1 000 docs — the ranking a curation
+    team uses to decide which sources need redaction (`pii_redact`) or
+    exclusion before release. Same shared regexes as the redactor, so the
+    report and the scrubber cannot disagree.
+
+    Scale shape: one pushed-projection scan with codegen'd regex counts,
+    ONE |sources|-bounded aggregate with map-side partials; densities are
+    single integer divisions (unrounded, engine-identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum(
+            ((F.col("n_emails") + F.col("n_phones")) > 0).cast("bigint")
+        ).alias("docs_with_pii"),
+        (
+            (F.lit(1000) * F.sum("n_emails")) / F.count("*").cast("double")
+        ).alias("emails_per_1k_docs"),
+        (
+            (F.lit(1000) * F.sum("n_phones")) / F.count("*").cast("double")
+        ).alias("phones_per_1k_docs"),
+    )

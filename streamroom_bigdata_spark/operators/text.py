@@ -399,16 +399,13 @@ def lang_id_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lang_id_heuristic", _lang_id_sql("documents"))
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram language-ID heuristic (L4) as pure column algebra: per-profile
-    bigram hit counts via the replace-length trick (40 codegen'd string
-    ops), total valid bigrams from run arithmetic, integer-exact 5%
-    threshold and deterministic argmax — whole-stage codegen end to end,
-    no Python worker. The retired per-row UDF (:func:`lang_id_udf`) is the
-    agreement oracle; the DuckDB oracle runs the identical SQL."""
-    docs = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+def detected_lang_col(text_col: str = "text") -> Column:
+    """The language-ID heuristic as a single Column expression (shared by
+    `lang_id_heuristic` and the governance agreement readout): per-profile
+    bigram hit counts via the replace-length trick, total valid bigrams
+    from run arithmetic, integer-exact 5% threshold, deterministic
+    argmax — whole-stage codegen end to end, no Python worker."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
 
     def hits(lang: str) -> Column:
         h = None
@@ -429,8 +426,19 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     detected = F.when(total <= 0, "und").when(maxh * 20 <= total, "und")
     for lang in _SCORED_LANGS[:-1]:
         detected = detected.when(h[lang] == maxh, lang)
-    detected = detected.otherwise(_SCORED_LANGS[-1])
-    return docs.select("doc_id", "lang", detected.alias("detected_lang"))
+    return detected.otherwise(_SCORED_LANGS[-1])
+
+
+@register("lang_id_heuristic", _lang_id_sql("documents"))
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-ID heuristic (L4) as pure column algebra (40
+    codegen'd string ops; see :func:`detected_lang_col`). The retired
+    per-row UDF (:func:`lang_id_udf`) is the agreement oracle; the DuckDB
+    oracle runs the identical SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", detected_lang_col().alias("detected_lang")
+    )
 
 
 TFIDF_TOP_K = 3

@@ -202,6 +202,9 @@ _ALLOWED_FACT_BROADCASTS = {
     # LTV: cohort sizes keyed on first-order month (corpus-month-DOMAIN
     # bounded — ≤ 12 rows/year at ANY data scale)
     "ltv_cohort_curve": 1,
+    # Cohen's kappa: 1-row marginal-product sum over the |labels|²-bounded
+    # confusion relation
+    "lang_id_agreement_kappa": 1,
 }
 
 
