@@ -92,6 +92,14 @@ HEADLINE = [
                               # one new exchange shape)
     "theil_sen_daily_trend",  # ST10 O(days²) pair stage + distributed
                               # order-statistic median
+    # round-10: revenue-ops + governance representatives (reported
+    # separately vs the frozen r7 table, same rule):
+    "multi_touch_attribution",  # RV2 time-banded user join + purchase
+                              # windows (the wave's heaviest shape)
+    "rfm_segments",           # RV1 custkey agg + two 1-row percentile
+                              # broadcasts (no ntile funnel)
+    "lang_id_agreement_kappa",  # GV2 40-string-op codegen detection +
+                              # confusion-cell reduce
 ]
 
 SF1_DIR = "/tmp/sf1_synth"

@@ -561,3 +561,54 @@ def order_price_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("rel_diff"), 4).alias("max_rel_diff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity by brand (log-log demand regression)
+# ---------------------------------------------------------------------------
+
+elasticity_oracle = """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(ln(l.l_quantity),
+                        ln(l.l_extendedprice / l.l_quantity)), 6)
+         AS elasticity,
+       round(regr_r2(ln(l.l_quantity),
+                     ln(l.l_extendedprice / l.l_quantity)), 6) AS r2
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+GROUP BY p.p_brand
+"""
+
+
+@register("price_elasticity_brand", elasticity_oracle)
+def price_elasticity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price demand elasticity per brand: slope of ln(quantity) on
+    ln(unit price) — the log-log regression whose coefficient IS the
+    elasticity — plus R² as the trust signal, via the single-pass
+    ``regr_*`` streaming moments (`regression_trend` precedent: ratios of
+    centered sums, accumulation-order noise cancels at round-6).
+
+    Scale shape: lineitem ⋈ broadcast part (dimension), one |brands|-sized
+    combinable aggregate — no data-sized relation survives the first
+    shuffle."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = (
+        lineitem.filter(
+            (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+        )
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            F.log(F.col("l_quantity")).alias("ln_q"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "ln_p"
+            ),
+        )
+    )
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope("ln_q", "ln_p"), 6).alias("elasticity"),
+        F.round(F.regr_r2("ln_q", "ln_p"), 6).alias("r2"),
+    )

@@ -402,3 +402,80 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_after",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (lag-7 baseline, error metrics)
+# ---------------------------------------------------------------------------
+
+backtest_oracle = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), paired AS (
+  SELECT a.day, a.cents AS actual, f.cents AS forecast
+  FROM daily a JOIN daily f ON a.day = f.day + INTERVAL 7 DAY
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(actual - forecast)) AS BIGINT)
+         / (count(*) * 100.0) AS mae,
+       sum(abs(actual - forecast) / CAST(actual AS DOUBLE)) / count(*)
+         AS mape,
+       sum(2.0 * abs(actual - forecast) / (actual + CAST(forecast AS DOUBLE)))
+         / count(*) AS smape,
+       quantile_cont(abs(actual - forecast) / CAST(actual AS DOUBLE), 0.5)
+         AS medape
+FROM paired
+"""
+
+
+@register("seasonal_naive_backtest", backtest_oracle)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality floor: backtest the seasonal-naive baseline
+    (forecast(d) = revenue(d−7)) over the daily order-revenue series and
+    report MAE / MAPE / SMAPE / median-APE — the reference error rates any
+    real forecasting model must beat before deployment.
+
+    The lag is an exact-date SELF-JOIN (day = day−7), not a lag window:
+    the day relation is domain-bounded but the join stays fully parallel
+    and, unlike lag-over-ordered-days, silently skips gapped days instead
+    of misaligning them (the `mom_revenue_growth` gap lesson, solved
+    without its allowlisted window). Daily revenue is summed in EXACT
+    integer cents, so |actual − forecast| is exact integer arithmetic and
+    MAE is a single IEEE division; MAPE/SMAPE terms are per-row exact
+    divisions; median-APE is the exact interpolated percentile both
+    engines share. Scale shape: one data-sized shuffle (orders → day),
+    then a day-domain join + 1-row reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    a, f_ = daily.alias("a"), daily.alias("f")
+    paired = a.join(
+        f_, F.col("a.day") == F.date_add(F.col("f.day"), 7)
+    ).select(
+        F.col("a.cents").alias("actual"),
+        F.col("f.cents").alias("forecast"),
+    )
+    abs_diff = F.abs(F.col("actual") - F.col("forecast"))
+    ape = abs_diff / F.col("actual").cast("double")
+    return paired.agg(
+        F.count("*").alias("n_days"),
+        (F.sum(abs_diff) / (F.count("*") * 100.0)).alias("mae"),
+        (F.sum(ape) / F.count("*")).alias("mape"),
+        (
+            F.sum(
+                2.0
+                * abs_diff
+                / (F.col("actual") + F.col("forecast").cast("double"))
+            )
+            / F.count("*")
+        ).alias("smape"),
+        F.percentile(ape, 0.5).alias("medape"),
+    )

@@ -333,3 +333,95 @@ def test_compaction_plan_single_data_shuffle(spark, sf_dir):
         .toString()
     )
     assert "Exchange SinglePartition" not in plan
+
+
+# --- Price elasticity -----------------------------------------------------------
+
+
+def test_elasticity_planted_slope(spark, monkeypatch):
+    """q = p^-2 exactly (constant elasticity -2): ln q = -2 ln p, so the
+    log-log slope must be -2.0 with R² = 1."""
+    import math
+
+    rows = []
+    for i, p in enumerate((1.0, 2.0, 4.0, 8.0)):
+        q = p ** -2
+        # l_extendedprice = unit price * quantity
+        rows.append((i, 1, 1, 1, q, p * q, 0.0, 0.0, "N", "O",
+                     dt.datetime(2024, 1, 1)))
+    lineitem = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    part = spark.createDataFrame(
+        [(1, "n", "BRAND#1", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    _patch(monkeypatch, "revops", {"lineitem": lineitem, "part": part})
+    [r] = revops.price_elasticity_brand(spark, "ignored").collect()
+    assert (r.p_brand, r.n) == ("BRAND#1", 4)
+    assert r.elasticity == pytest.approx(-2.0)
+    assert r.r2 == pytest.approx(1.0)
+
+
+def test_elasticity_plan_single_shuffle(spark, sf_dir):
+    plan = (
+        registry.queries()["price_elasticity_brand"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(
+        [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    ) == 1
+    assert "BroadcastHashJoin" in plan
+
+
+# --- Seasonal-naive backtest -------------------------------------------------------
+
+
+def test_backtest_planted_metrics(spark, monkeypatch):
+    """Days 1-7 revenue 100; days 8-14 revenue 110 → every paired day has
+    |err| = 10, APE = 10/110: MAE 10, MAPE = SMAPE-ish = exact."""
+    from streamroom_bigdata_spark.operators import timeseries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(14):
+        rev = 100.0 if d < 7 else 110.0
+        rows.append((d, 1, rev, base + dt.timedelta(days=d)))
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.timeseries.load_table",
+        lambda spark_, sf_, name: {"orders": _orders(spark, rows)}[name],
+    )
+    [r] = timeseries.seasonal_naive_backtest(spark, "ignored").collect()
+    assert r.n_days == 7
+    assert r.mae == pytest.approx(10.0)
+    assert r.mape == pytest.approx(10 / 110)
+    assert r.smape == pytest.approx(2 * 10 / (110 + 100))
+    assert r.medape == pytest.approx(10 / 110)
+
+
+def test_backtest_skips_gapped_days(spark, monkeypatch):
+    """A day whose d-7 ancestor is missing must be EXCLUDED, not paired
+    with the wrong lag (the mom_revenue_growth gap lesson)."""
+    from streamroom_bigdata_spark.operators import timeseries
+
+    base = dt.datetime(2024, 1, 1)
+    # day 0 and day 7 exist → 1 pair; day 9 exists but day 2 doesn't
+    rows = [
+        (1, 1, 100.0, base),
+        (2, 1, 105.0, base + dt.timedelta(days=7)),
+        (3, 1, 999.0, base + dt.timedelta(days=9)),
+    ]
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.timeseries.load_table",
+        lambda spark_, sf_, name: {"orders": _orders(spark, rows)}[name],
+    )
+    [r] = timeseries.seasonal_naive_backtest(spark, "ignored").collect()
+    assert r.n_days == 1
+    assert r.mae == pytest.approx(5.0)
