@@ -6,6 +6,7 @@ numpy-level Bloom properties run at full example counts."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -229,3 +230,117 @@ def test_weighted_sample_overrepresents_heavy_rows(spark):
     )
     sample_mean = sum(r.o_totalprice for r in a) / len(a)
     assert sample_mean > pop_mean
+
+
+# --- round-10 revenue-ops invariants ----------------------------------------
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),                    # user_id
+            st.sampled_from(["click", "view", "purchase"]),
+            st.integers(0, 20),                   # day offset
+            st.integers(1, 500),                  # value cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SPARK_SETTINGS
+def test_attribution_conserves_credit(spark, events):
+    """Both attribution models must CONSERVE revenue: the summed credit
+    equals the summed value of exactly the purchases that have ≥1 touch in
+    their 7-day window — no credit invented, none lost (the invariant that
+    holds for any weighting scheme that sums to 1 per purchase)."""
+    import datetime as dt
+
+    from streamroom_bigdata_spark.operators import revops
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=d, minutes=i), u, ty, c / 100.0, "{}")
+        for i, (u, ty, d, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rewired = revops.multi_touch_attribution.__wrapped__ if hasattr(
+        revops.multi_touch_attribution, "__wrapped__"
+    ) else revops.multi_touch_attribution
+
+    # route the planted frame through the operator
+    import streamroom_bigdata_spark.operators.revops as mod
+
+    orig = mod.load_table
+    mod.load_table = lambda spark_, sf_, name: df
+    try:
+        out = rewired(spark, "ignored").collect()
+    finally:
+        mod.load_table = orig
+
+    # expected: purchases with >=1 click/view touch in (p_ts-7d, p_ts]
+    pts = [(r[0], r[2], r[1], r[3], r[4]) for r in rows]
+    total_expected = 0.0
+    for eid, u, ts, ty, v in pts:
+        if ty != "purchase":
+            continue
+        has_touch = any(
+            tu == u and tty in ("click", "view")
+            and tts <= ts and tts > ts - dt.timedelta(days=7)
+            for _, tu, tts, tty, _ in pts
+        )
+        if has_touch:
+            total_expected += v
+    got_linear = sum(r.credit_linear for r in out)
+    got_u = sum(r.credit_u for r in out)
+    assert got_linear == pytest.approx(total_expected, abs=2e-4)
+    assert got_u == pytest.approx(total_expected, abs=2e-4)
+
+
+@given(
+    parts=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 20)),  # (size, price)
+        min_size=1,
+        max_size=25,
+    )
+)
+@SPARK_SETTINGS
+def test_pareto_equals_bruteforce(spark, parts):
+    """The bounded-domain skyline must equal the O(n²) brute-force
+    non-dominated set for ANY catalog."""
+    from streamroom_bigdata_spark.operators import revops
+    import streamroom_bigdata_spark.operators.revops as mod
+
+    rows = [
+        (i, f"n{i}", "b", "t", s, float(p)) for i, (s, p) in enumerate(parts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    orig = mod.load_table
+    mod.load_table = lambda spark_, sf_, name: df
+    try:
+        got = sorted(
+            r.p_partkey
+            for r in revops.pareto_frontier_parts(spark, "ignored").collect()
+        )
+    finally:
+        mod.load_table = orig
+
+    def dominated(a, b):  # b dominates a
+        return (
+            b[1] <= a[1] and b[2] <= a[2] and (b[1] < a[1] or b[2] < a[2])
+        )
+
+    tuples = [(i, s, p) for i, (s, p) in enumerate(parts)]
+    expected = sorted(
+        i
+        for i, s, p in tuples
+        if not any(dominated((i, s, p), o) for o in tuples if o[0] != i)
+    )
+    assert got == expected
