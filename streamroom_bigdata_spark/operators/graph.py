@@ -214,6 +214,189 @@ def pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Personalized PageRank (seeded teleport — recommendation scoring)
+# ---------------------------------------------------------------------------
+
+#: deterministic seed predicate over the even/odd-encoded node ids: every
+#: 97th customer. Even AND custkey%97==0 ⟺ id%194==0 (nonnegative ids) —
+#: spelled that way because it parses identically in Spark SQL and DuckDB
+#: (`//` is DuckDB-only, `div` is Spark-only)
+_PPR_SEED_SQL = "id % 194 = 0"
+
+
+def _ppr_oracle() -> str:
+    """Unrolled K-round personalized power iteration (the
+    `_pagerank_oracle` pattern with the teleport mass restricted to the
+    seed set): rank_k(v) = (1−d)·seed(v)/|S| + d·Σ_in rank_{k−1}/deg."""
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""r{k} AS (
+  SELECT t.id,
+         t.base + {PR_DAMPING} * coalesce(c.contrib, 0) AS rank
+  FROM base t LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.deg) AS contrib
+    FROM edges e
+    JOIN r{k - 1} r ON e.src = r.id
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) c ON t.id = c.id
+)"""
+        )
+    return f"""
+WITH edges AS ({_edges_sql()}),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+sc AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM nodes
+       WHERE {_PPR_SEED_SQL}),
+base AS (
+  SELECT id,
+         CASE WHEN {_PPR_SEED_SQL}
+              THEN (1 - {PR_DAMPING}) / (SELECT s FROM sc)
+              ELSE 0.0 END AS base,
+         CASE WHEN {_PPR_SEED_SQL}
+              THEN 1.0 / (SELECT s FROM sc) ELSE 0.0 END AS r_init
+  FROM nodes
+),
+r0 AS (SELECT id, r_init AS rank FROM base),
+{', '.join(iters)}
+SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       id // 2 AS node_key,
+       round(rank, 7) AS ppr
+FROM r{PR_ITERS}
+"""
+
+
+def personalized_pagerank(
+    edges_sym: DataFrame,
+    seed_sql: str = _PPR_SEED_SQL,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    small_graph_threshold: int = _PR_DRIVER_MAX_EDGES,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, rank) after ``iters`` rounds of PERSONALIZED power iteration:
+    teleport mass lands only on the seed set (``seed_sql`` over the node
+    id), so rank measures proximity to the seeds — the recommendation
+    scorer ("suppliers relevant to THESE customers"), not global
+    importance.
+
+    Same scale shape as :func:`pagerank`: the edge⋈degree frame is
+    loop-invariant; each round is ONE dst-keyed contribution shuffle plus
+    an id-keyed join against the loop-invariant (id, base) frame — the
+    seed set is data-sized (a customer subset), so it is NEVER collected
+    or broadcast-hinted; lineage truncated every ``_PR_CKPT_EVERY``
+    rounds. Bounded graphs take the numpy driver path (identical ranks to
+    float noise far below the round-7 output)."""
+    ckpt = _checkpointer(edges_sym.sparkSession, checkpoint_dir)
+    edges = ckpt(edges_sym)
+    n_edges = edges.count()
+    if n_edges == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "id long, rank double")
+    if n_edges <= small_graph_threshold:
+        return _driver_ppr(edges, seed_sql, iters, damping)
+
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    s_count = nodes.filter(F.expr(seed_sql)).count()  # scalar loop constant
+    if s_count == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "id long, rank double")
+    seed = F.expr(seed_sql)
+    base = nodes.select(
+        "id",
+        F.when(seed, F.lit((1.0 - damping) / s_count))
+        .otherwise(F.lit(0.0))
+        .alias("base"),
+    )
+    base = ckpt(base)  # loop-invariant (id, base)
+    ranks = base.select(
+        "id",
+        F.when(seed, F.lit(1.0 / s_count)).otherwise(F.lit(0.0)).alias("rank"),
+    )
+    contrib_src = edges.join(deg, "src")
+    for k in range(1, iters + 1):
+        contribs = (
+            contrib_src.join(ranks, contrib_src.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            .select(F.col("dst").alias("id"), "contrib")
+        )
+        ranks = base.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.col("base")
+                + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if k % _PR_CKPT_EVERY == 0 and k < iters:
+            ranks = ckpt(ranks)
+    return ranks
+
+
+def _driver_ppr(
+    edges: DataFrame, seed_sql: str, iters: int, damping: float
+) -> DataFrame:
+    """Small-graph fast path: numpy personalized power iteration on the
+    Arrow-collected edge table (the `_driver_pagerank` pattern)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    pdf = edges.toPandas()
+    src = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    dst = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    ids = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    n = len(ids)
+    deg = np.bincount(si, minlength=n).astype(np.float64)
+    # numpy replica of _PPR_SEED_SQL (kept in lockstep — the seed-choice
+    # agreement is pinned by the oracle hash across both paths)
+    mask = ids % 194 == 0
+    s = float(mask.sum())
+    spark = edges.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("rank", T.DoubleType(), False),
+        ]
+    )
+    if s == 0:
+        return spark.createDataFrame([], schema)
+    base = (1.0 - damping) / s * mask
+    rank = mask / s
+    for _ in range(iters):
+        contrib = rank[si] / deg[si]
+        rank = base + damping * np.bincount(di, weights=contrib, minlength=n)
+    return spark.createDataFrame(
+        [(int(i), float(r)) for i, r in zip(ids, rank)], schema
+    )
+
+
+@register("personalized_pagerank", _ppr_oracle())
+def personalized_pagerank_transactions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank over the customer↔supplier transaction graph,
+    seeded at every 97th customer — "which suppliers (and fellow
+    customers) are closest to THIS customer segment", the graph-proximity
+    recommendation scorer next to the content-based flagship
+    (`processing.scala:71-149` scores rooms by usage statistics; this
+    scores by transaction-graph distance). Oracle unrolls the same
+    {PR_ITERS} seeded rounds — exact value check at round-7 (PPR
+    concentrates near the seeds; noise between engines and between the
+    driver/distributed paths sits orders below)."""
+    return personalized_pagerank(_transaction_edges(spark, sf_dir)).select(
+        F.when(F.col("id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("id div 2").alias("node_key"),
+        F.round("rank", 7).alias("ppr"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting + degree distribution
 # ---------------------------------------------------------------------------
 

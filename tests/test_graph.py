@@ -362,3 +362,51 @@ def test_modularity_bad_partition_negative(spark):
         r.q_contrib for r in modularity_from_pairs(pairs, bad).collect()
     )
     assert q_good > q_bad
+
+
+# --- personalized PageRank ---------------------------------------------------
+
+
+def test_ppr_paths_agree(spark):
+    """Personalized variant through the numpy fast path and the Spark
+    loop: identical ranks to well below the round-7 output precision.
+    Node ids follow the even/odd encoding so the seed rule (even id,
+    id//2 % 97 == 0) selects nodes 0 and 194."""
+    pairs = [(0, 2 * i + 1) for i in range(1, 8)] + [
+        (194, 2 * i + 1) for i in range(4, 12)
+    ] + [(2 * i, 2 * i + 1) for i in range(1, 30)]
+    edges = _sym(spark, pairs)
+    fast = {r.id: r.rank for r in graph.personalized_pagerank(edges).collect()}
+    dist = {
+        r.id: r.rank
+        for r in graph.personalized_pagerank(
+            edges, small_graph_threshold=0
+        ).collect()
+    }
+    assert set(fast) == set(dist)
+    assert all(abs(fast[k] - dist[k]) < 1e-12 for k in fast)
+
+
+def test_ppr_mass_conserved_and_seed_localized(spark):
+    """Teleport restricted to seeds: total rank stays 1 (symmetrized graph,
+    no dangling), and a node adjacent to the seed outranks an equal-degree
+    node far from it."""
+    # seed 0 — chain: 0 - 1 - 3 - 5 - 7 - 9 (odd ids keep even/odd encoding)
+    pairs = [(0, 1), (1, 3), (3, 5), (5, 7), (7, 9)]
+    edges = _sym(spark, pairs)
+    ranks = {r.id: r.rank for r in graph.personalized_pagerank(edges).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[1] > ranks[9]  # proximity to the seed dominates
+    assert ranks[0] == max(ranks.values())  # the seed itself ranks first
+
+
+def test_ppr_no_seeds_returns_empty(spark):
+    """A graph whose nodes never satisfy the seed rule must return empty
+    (not divide by zero) on both paths."""
+    pairs = [(1, 3), (3, 5)]  # odd ids only — no seeds
+    edges = _sym(spark, pairs)
+    assert graph.personalized_pagerank(edges).count() == 0
+    assert (
+        graph.personalized_pagerank(edges, small_graph_threshold=0).count()
+        == 0
+    )
