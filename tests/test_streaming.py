@@ -1410,3 +1410,83 @@ def test_baseline_rates_smoothed(spark):
     # Laplace-smoothed: (3+.5)/5, (1+.5)/5
     assert rates == {"a": pytest.approx(0.7), "b": pytest.approx(0.3)}
     assert sum(rates.values()) == pytest.approx(1.0)
+
+
+def test_pack_documents_carries_fill_across_micro_batches(spark, tmp_path):
+    """T19 streaming compaction packer: language 'en' accumulates 10k chars
+    per doc against a 16384 target — doc 2 (arriving in the SECOND
+    micro-batch) must land in bin 1, which only happens if the running
+    total genuinely carried across batches."""
+    from streamroom_bigdata_spark.streaming import packer
+
+    ddl = "doc_id long, lang string, n_chars long"
+    mk = lambda i, la, n: {"doc_id": i, "lang": la, "n_chars": n}  # noqa: E731
+    b1 = [mk(0, "en", 10_000), mk(1, "en", 10_000), mk(10, "de", 500)]
+    b2 = [mk(2, "en", 10_000), mk(11, "de", 500)]
+    src = tmp_path / "pack_src"
+    src.mkdir()
+    base = 1_700_000_000
+    for i, rows in enumerate([b1, b2]):
+        p = src / f"b{i}.json"
+        pd.DataFrame(rows).to_json(p, orient="records", lines=True)
+        os.utime(p, (base + i, base + i))
+    stream = stream_file_source(
+        spark, str(src), ddl, fmt="json", maxFilesPerTrigger=1
+    )
+    _run_to_memory(
+        packer.pack_documents_stateful(stream), "pack_sink", "update"
+    )
+    got = {
+        (r.lang, r.doc_id): (r.bin_id, r.bin_fill_chars)
+        for r in spark.sql("select * from pack_sink").collect()
+    }
+    assert got == {
+        # en: cum 0 → bin 0; cum 10k → still bin 0 (the overflow doc — its
+        # fill shows bin 0 closing at 20k chars); cum 20k → bin 1 — ONLY
+        # if state carried (a reset would put doc 2 back in bin 0)
+        ("en", 0): (0, 10_000),
+        ("en", 1): (0, 20_000),          # bin 0 overfilled by one doc
+        ("en", 2): (1, 30_000 - 16_384),  # fill relative to bin 1's start
+        ("de", 10): (0, 500),
+        ("de", 11): (0, 1_000),
+    }
+
+
+def test_pack_streaming_agrees_with_batch_planner(spark, tmp_path):
+    """Docs arriving in doc_id order in ONE micro-batch must get exactly
+    the batch planner's (lang-global) bin assignments."""
+    from streamroom_bigdata_spark.operators.layout import (
+        COMPACT_TARGET_CHARS,
+    )
+    from streamroom_bigdata_spark.streaming import packer
+
+    sizes = [5_000, 9_000, 4_000, 16_000, 1_000, 20_000, 3_000]
+    rows = [
+        {"doc_id": i, "lang": "en", "n_chars": n}
+        for i, n in enumerate(sizes)
+    ]
+    src = tmp_path / "pack_agree_src"
+    src.mkdir()
+    p = src / "b0.json"
+    pd.DataFrame(rows).to_json(p, orient="records", lines=True)
+    os.utime(p, (1_700_000_000, 1_700_000_000))
+    stream = stream_file_source(
+        spark, str(src), "doc_id long, lang string, n_chars long",
+        fmt="json", maxFilesPerTrigger=1,
+    )
+    _run_to_memory(
+        packer.pack_documents_stateful(stream), "pack_agree_sink", "update"
+    )
+    streamed = {
+        r.doc_id: r.bin_id
+        for r in spark.sql("select * from pack_agree_sink").collect()
+    }
+    # batch rule replayed: bin = chars_before // target
+    cum, expected = 0, {}
+    for i, n in enumerate(sizes):
+        expected[i] = cum // COMPACT_TARGET_CHARS
+        cum += n
+    assert streamed == expected
+    # kernel-level agreement too
+    assigns, _ = packer.pack_scan(list(enumerate(sizes)))
+    assert {d: b for d, b, _ in assigns} == expected
