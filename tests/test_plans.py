@@ -197,8 +197,12 @@ _ALLOWED_FACT_BROADCASTS = {
     # the chi_square_type_dow trio) + 1-row dims + nested colt-count reuse
     "cramers_v_type_dow": 5,
     # round-10 revenue-ops wave — bounded-by-design broadcast sides:
-    # RFM: 1-row corpus max date + 1-row quartile-boundary aggregate
-    "rfm_segments": 2,
+    # RFM: two distinct 1-row hints (corpus max date, quartile boundaries);
+    # the count is 3 because the quartile-boundary subtree re-instantiates
+    # the per-customer relation, which carries its own copy of the
+    # max-date hint (the cusum_changepoint subtree-reuse effect) — every
+    # instance is a 1-row aggregate, safe at ANY data scale
+    "rfm_segments": 3,
     # LTV: cohort sizes keyed on first-order month (corpus-month-DOMAIN
     # bounded — ≤ 12 rows/year at ANY data scale)
     "ltv_cohort_curve": 1,
