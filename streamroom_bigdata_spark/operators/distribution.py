@@ -36,6 +36,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ranking import range_partition_offsets
 from ..functions.timeutil import epoch_ms
 from ..registry import register
 from ..session import shuffle_partition_count
@@ -53,8 +54,8 @@ WT_GROUP_B = "click"
 welch_t_oracle = f"""
 WITH s AS (
   SELECT
-    count(CASE WHEN event_type = '{WT_GROUP_A}' THEN 1 END) AS n_a,
-    count(CASE WHEN event_type = '{WT_GROUP_B}' THEN 1 END) AS n_b,
+    count(CASE WHEN event_type = '{WT_GROUP_A}' THEN value END) AS n_a,
+    count(CASE WHEN event_type = '{WT_GROUP_B}' THEN value END) AS n_b,
     avg(CASE WHEN event_type = '{WT_GROUP_A}' THEN value END) AS m_a,
     avg(CASE WHEN event_type = '{WT_GROUP_B}' THEN value END) AS m_b,
     var_samp(CASE WHEN event_type = '{WT_GROUP_A}' THEN value END) AS v_a,
@@ -64,10 +65,11 @@ WITH s AS (
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
-       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+       round((m_a - m_b) / nullif(sqrt(v_a / n_a + v_b / n_b), 0), 6)
+         AS t_stat,
        round(pow(v_a / n_a + v_b / n_b, 2)
-             / (pow(v_a / n_a, 2) / (n_a - 1)
-                + pow(v_b / n_b, 2) / (n_b - 1)), 2) AS df_welch
+             / nullif(pow(v_a / n_a, 2) / (n_a - 1)
+                      + pow(v_b / n_b, 2) / (n_b - 1), 0), 2) AS df_welch
 FROM s
 """
 
@@ -97,19 +99,27 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     se2_a = F.col("v_a") / F.col("n_a")
     se2_b = F.col("v_b") / F.col("n_b")
+    # nullif guards: two zero-variance arms make the SE and the
+    # Welch-Satterthwaite denominator exactly 0 — t/df are then undefined
+    # (NULL), not an ANSI DIVIDE_BY_ZERO abort. Counts are value-based
+    # (F.count over the CASE) on BOTH engines, so a NULL value row can
+    # never skew n cross-engine.
     return s.select(
         "n_a",
         "n_b",
         F.round("m_a", 6).alias("mean_a"),
         F.round("m_b", 6).alias("mean_b"),
-        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2_a + se2_b), 6).alias(
-            "t_stat"
-        ),
+        F.round(
+            (F.col("m_a") - F.col("m_b"))
+            / F.nullif(F.sqrt(se2_a + se2_b), F.lit(0.0)),
+            6,
+        ).alias("t_stat"),
         F.round(
             F.pow(se2_a + se2_b, F.lit(2))
-            / (
+            / F.nullif(
                 F.pow(se2_a, F.lit(2)) / (F.col("n_a") - 1)
-                + F.pow(se2_b, F.lit(2)) / (F.col("n_b") - 1)
+                + F.pow(se2_b, F.lit(2)) / (F.col("n_b") - 1),
+                F.lit(0.0),
             ),
             2,
         ).alias("df_welch"),
@@ -176,27 +186,15 @@ def ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.sum("is_a")).alias("b_cnt"),
     )
     n_parts = shuffle_partition_count(spark)
-    ranged = (
-        vals.repartitionByRange(n_parts, "v")
-        .withColumn("pid", F.spark_partition_id())
-        # pin pid assignment across the two consumers (mann_whitney_u
-        # rationale: a re-sampled range boundary after the offsets were
-        # collected would silently skew the cumulative counts)
-        .localCheckpoint()
+    # pid-pinned range partitioning + O(P) offset collection — shared
+    # machinery in functions/ranking.py, here with TWO running counters
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        vals,
+        ["v"],
+        [("a", F.sum("a_cnt")), ("b", F.sum("b_cnt"))],
+        n_parts,
     )
-    parts = sorted(
-        ranged.groupBy("pid")
-        .agg(F.sum("a_cnt").alias("ta"), F.sum("b_cnt").alias("tb"))
-        .collect(),
-        key=lambda r: r.pid,
-    )
-    offsets, acc_a, acc_b = [], 0, 0
-    for r in parts:
-        offsets.append((r.pid, acc_a, acc_b))
-        acc_a += r.ta
-        acc_b += r.tb
-    n_a, n_b = acc_a, acc_b
-    offsets_df = spark.createDataFrame(offsets, "pid int, off_a long, off_b long")
+    n_a, n_b = totals["a"], totals["b"]
     w = (
         Window.partitionBy("pid")
         .orderBy("v")
@@ -293,18 +291,13 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("r2") - F.col("r1")) / (F.col("d2") - F.col("d1")).cast("double"))
         .alias("slope")
     )
-    ranged = (
-        pairs.repartitionByRange(n_parts, "slope")
-        .withColumn("pid", F.spark_partition_id())
-        # pin pid assignment across the two consumers (quartiles_distributed
-        # rationale)
-        .localCheckpoint()
+    # pid-pinned range partitioning + O(P) count collection — shared
+    # machinery in functions/ranking.py (offsets frame unused here: the
+    # order-statistic targets are located on the driver from the counts)
+    ranged, counts, _, totals = range_partition_offsets(
+        pairs, ["slope"], [("cnt", F.count("*"))], n_parts
     )
-    counts = sorted(
-        ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect(),
-        key=lambda r: r.pid,
-    )
-    m = sum(r.cnt for r in counts)
+    m = totals["cnt"]
     n_days = daily.agg(F.count("*").alias("n_days"))
     if m == 0:  # degenerate single-day corpus: no pairs, NULL slope
         return F.broadcast(n_days).crossJoin(
@@ -775,6 +768,10 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_totalprice").alias("x"))
         .orderBy(F.desc("x"))
         .limit(HILL_K + 1)
+        # pin the k+1-row result: the relation is consumed twice (threshold
+        # aggregate + excess terms) and Spark does not reuse TakeOrdered
+        # subtrees — unpinned, the data-sized scan+heap would run twice
+        .localCheckpoint()
     )
     thr = topk.agg(F.min("x").alias("x_thr"))
     log_sum = F.sum(F.log(F.col("x") / F.col("x_thr")))
@@ -904,8 +901,8 @@ SELECT CAST(t.n AS BIGINT) AS n,
        CAST(d.nc AS INT) AS n_cols,
        round(o.chi_obs + (CAST(t.n AS DOUBLE) - o.e_obs), 4) AS chi2,
        round(sqrt((o.chi_obs + (CAST(t.n AS DOUBLE) - o.e_obs))
-                  / (CAST(t.n AS DOUBLE) * (least(d.nr, d.nc) - 1))), 6)
-         AS cramers_v
+                  / nullif(CAST(t.n AS DOUBLE) * (least(d.nr, d.nc) - 1), 0)),
+             6) AS cramers_v
 FROM obs_part o, tot t, dims d
 """
 
@@ -959,9 +956,13 @@ def cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(
                 chi2
-                / (
+                # nullif: a single-category table (least(nr,nc)=1) has no
+                # defined V — emit NULL, not an ANSI DIVIDE_BY_ZERO abort
+                # (DuckDB's IEEE division would return inf and diverge)
+                / F.nullif(
                     F.col("n").cast("double")
-                    * (F.least("nr", "nc") - F.lit(1))
+                    * (F.least("nr", "nc") - F.lit(1)),
+                    F.lit(0.0),
                 )
             ),
             6,

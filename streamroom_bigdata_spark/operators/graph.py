@@ -339,8 +339,15 @@ def _driver_ppr(
     edges: DataFrame, seed_sql: str, iters: int, damping: float
 ) -> DataFrame:
     """Small-graph fast path: numpy personalized power iteration on the
-    Arrow-collected edge table (the `_driver_pagerank` pattern)."""
+    Arrow-collected edge table (the `_driver_pagerank` pattern).
+
+    The seed mask is built by evaluating ``seed_sql`` ITSELF (one Arrow
+    round-trip over the bounded id table) — a hand-written numpy replica
+    of the default predicate would silently compute the wrong seed set
+    whenever a caller passes a custom ``seed_sql`` (fast-path/slow-path
+    divergence with no error)."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql import types as T
 
     pdf = edges.toPandas()
@@ -351,10 +358,6 @@ def _driver_ppr(
     di = np.searchsorted(ids, dst)
     n = len(ids)
     deg = np.bincount(si, minlength=n).astype(np.float64)
-    # numpy replica of _PPR_SEED_SQL (kept in lockstep — the seed-choice
-    # agreement is pinned by the oracle hash across both paths)
-    mask = ids % 194 == 0
-    s = float(mask.sum())
     spark = edges.sparkSession
     schema = T.StructType(
         [
@@ -362,6 +365,14 @@ def _driver_ppr(
             T.StructField("rank", T.DoubleType(), False),
         ]
     )
+    seed_ids = (
+        spark.createDataFrame(pd.DataFrame({"id": ids}))
+        .filter(F.expr(seed_sql))
+        .toPandas()["id"]
+        .to_numpy(dtype=np.int64)
+    )
+    mask = np.isin(ids, seed_ids)
+    s = float(mask.sum())
     if s == 0:
         return spark.createDataFrame([], schema)
     base = (1.0 - damping) / s * mask
@@ -369,8 +380,10 @@ def _driver_ppr(
     for _ in range(iters):
         contrib = rank[si] / deg[si]
         rank = base + damping * np.bincount(di, weights=contrib, minlength=n)
+    # Arrow upload, not a Python row list (the _driver_union_find lesson:
+    # measured 3.2 s row-object vs 0.44 s Arrow for a 250k-row upload)
     return spark.createDataFrame(
-        [(int(i), float(r)) for i, r in zip(ids, rank)], schema
+        pd.DataFrame({"id": ids, "rank": rank}), schema
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import sql_hash_mod
+from ..functions.ranking import range_partition_offsets
 from ..functions.timeutil import epoch_ms
 from ..registry import register
 from ..session import shuffle_partition_count
@@ -297,23 +298,11 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").alias("a_cnt"), F.count("*").alias("cnt")
     )
     n_parts = shuffle_partition_count(spark)
-    ranged = (
-        vals.repartitionByRange(n_parts, "value")
-        .withColumn("pid", F.spark_partition_id())
-        # pin pid assignment across the two consumers (quartiles_distributed
-        # rationale: a re-sampled range boundary after the offsets were
-        # collected would silently skew global ranks)
-        .localCheckpoint()
+    # pid-pinned range partitioning + O(P) offset collection — shared
+    # machinery in functions/ranking.py
+    ranged, _, offsets_df, _ = range_partition_offsets(
+        vals, ["value"], [("tot", F.sum("cnt"))], n_parts
     )
-    counts = sorted(
-        ranged.groupBy("pid").agg(F.sum("cnt").alias("tot")).collect(),
-        key=lambda r: r.pid,
-    )
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r.pid, acc))
-        acc += r.tot
-    offsets_df = spark.createDataFrame(offsets, "pid int, rank_offset long")
     w = (
         Window.partitionBy("pid")
         .orderBy("value")
@@ -325,7 +314,7 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a_cnt",
             "cnt",
-            (F.col("rank_offset") + F.col("cum_local")).alias("cum_before"),
+            (F.col("off_tot") + F.col("cum_local")).alias("cum_before"),
         )
     )
     s = ranked.agg(

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ranking import range_partition_offsets
 from ..functions.timeutil import epoch_ms
 from ..registry import register
 from ..session import shuffle_partition_count
@@ -247,28 +248,16 @@ def quartiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnels the full relation through one task at any scale."""
     customer = load_table(spark, sf_dir, "customer")
     n_parts = shuffle_partition_count(spark)
-    ranged = (
-        customer.select("c_acctbal", "c_custkey")
-        .repartitionByRange(n_parts, "c_acctbal", "c_custkey")
-        .withColumn("pid", F.spark_partition_id())
-        # localCheckpoint, not persist (ADVICE r2): TRULY pins the pid
-        # assignment across the two consumers — a cached partition lost to
-        # executor failure would be re-range-sampled AFTER the counts were
-        # collected, silently skewing global ranks; a lost checkpoint
-        # partition fails loudly instead. Also leaves nothing in the cache
-        # registry across calls (blocks are freed with the DataFrame).
-        .localCheckpoint()
+    # pid-pinning + offset collection live in functions/ranking.py (the
+    # localCheckpoint rationale is documented there once for all four
+    # order-statistic queries)
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        customer.select("c_acctbal", "c_custkey"),
+        ["c_acctbal", "c_custkey"],
+        [("cnt", F.count("*"))],
+        n_parts,
     )
-    counts = sorted(
-        ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect(),
-        key=lambda r: r.pid,
-    )
-    total = sum(r.cnt for r in counts)
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r.pid, acc))
-        acc += r.cnt
-    offsets_df = spark.createDataFrame(offsets, "pid int, rank_offset long")
+    total = totals["cnt"]
     # ntile semantics: the first (total mod 4) buckets get one extra row
     q, rem = divmod(total, 4)
     threshold = rem * (q + 1)
@@ -278,7 +267,7 @@ def quartiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
         ),
     )
-    gr = F.col("rank_offset") + F.col("lr")
+    gr = F.col("off_cnt") + F.col("lr")
     bucket = F.when(
         gr <= F.lit(threshold), F.floor((gr - 1) / F.lit(q + 1)) + 1
     ).otherwise(F.lit(rem) + F.floor((gr - 1 - F.lit(threshold)) / F.lit(max(q, 1))) + 1)

@@ -337,3 +337,50 @@ def test_cramers_v_counts_empty_cells(spark, monkeypatch):
         + (1 - 0.6) ** 2 / 0.6 + (0 - 0.4) ** 2 / 0.4
     )
     assert r.chi2 == pytest.approx(exp_chi2, abs=1e-4)
+
+
+def test_welch_zero_variance_yields_null_not_abort(spark, monkeypatch):
+    """Two constant arms: SE and the Welch-Satterthwaite denominator are
+    exactly 0 — t/df must be NULL, not an ANSI DIVIDE_BY_ZERO abort."""
+    ev = _events(
+        spark,
+        [("purchase", 0, 5) for _ in range(3)]
+        + [("click", 0, 2) for _ in range(3)],
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    [r] = distribution.welch_t_test(spark, "ignored").collect()
+    assert (r.n_a, r.n_b, r.mean_a, r.mean_b) == (3, 3, 5.0, 2.0)
+    assert r.t_stat is None
+    assert r.df_welch is None
+
+
+def test_welch_counts_are_value_based(spark, monkeypatch):
+    """A NULL value row must not count toward n (both engines count
+    non-null VALUES, not arm rows — the cross-engine latent)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "purchase", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 1), 1, "purchase", None, "{}"),
+        (3, dt.datetime(2024, 1, 1), 1, "purchase", 14.0, "{}"),
+        (4, dt.datetime(2024, 1, 1), 2, "click", 1.0, "{}"),
+        (5, dt.datetime(2024, 1, 1), 2, "click", 3.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    [r] = distribution.welch_t_test(spark, "ignored").collect()
+    assert (r.n_a, r.n_b) == (2, 2)  # the NULL purchase is not an observation
+
+
+def test_cramers_single_category_is_null_not_abort(spark, monkeypatch):
+    """All events one type → least(nr, nc) = 1 → V undefined: NULL, not an
+    ANSI divide-by-zero abort (DuckDB would return inf and diverge)."""
+    ev = _events(spark, [("purchase", h, 1) for h in range(6)])
+    _patch_tables(monkeypatch, {"events": ev})
+    [r] = distribution.cramers_v_type_dow(spark, "ignored").collect()
+    assert r.n_rows == 1
+    assert r.cramers_v is None

@@ -410,3 +410,26 @@ def test_ppr_no_seeds_returns_empty(spark):
         graph.personalized_pagerank(edges, small_graph_threshold=0).count()
         == 0
     )
+
+
+def test_ppr_driver_path_honors_custom_seed(spark):
+    """The numpy fast path must evaluate the CALLER's seed predicate, not
+    the default — a custom seed through both paths gives identical ranks
+    (the silent fast-path/slow-path divergence regression)."""
+    pairs = [(2 * i, 2 * i + 1) for i in range(1, 12)]
+    edges = _sym(spark, pairs)
+    seed = "id % 10 = 0"  # nodes 10, 20 — NOT the default id % 194 rule
+    fast = {
+        r.id: r.rank
+        for r in graph.personalized_pagerank(edges, seed_sql=seed).collect()
+    }
+    dist = {
+        r.id: r.rank
+        for r in graph.personalized_pagerank(
+            edges, seed_sql=seed, small_graph_threshold=0
+        ).collect()
+    }
+    assert set(fast) == set(dist)
+    assert all(abs(fast[k] - dist[k]) < 1e-12 for k in fast)
+    # and the custom seeds actually carry the teleport mass
+    assert fast[10] > 0 and fast[20] > 0

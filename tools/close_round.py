@@ -9,7 +9,10 @@ It runs, in order, refusing to write ANY artifact on the first red:
 1. ``tools/check_oracle.py`` over the FULL registry at sf0.01
    → ``CHECK_LOCAL_r{N}.json`` (only written if 0 failures)
 2. ``tools/plan_audit.py --write`` (the unpartitioned-window invariant;
-   regenerates PLANS.md at the full registry count)
+   regenerates PLANS.md at the full registry count). NOTE: PLANS.md is
+   regenerated in place at this step even if a LATER gate goes red —
+   it is derived-at-will metadata, not a round artifact; the CHECK_*
+   files are the artifacts this tool guards.
 3. the two plan-guard pytest modules (``tests/test_plans.py``,
    ``tests/test_registry_contract.py``)
 4. a registry-vs-artifact count check: every artifact it just wrote must
@@ -19,9 +22,10 @@ It runs, in order, refusing to write ANY artifact on the first red:
    directory (built with ``tools/make_scale.py``) → ``CHECK_SF1_r{N}.json``.
 
 Exit 0 means: artifacts written, counts agree, safe to commit. Any other
-exit means the round is NOT closable; fix the red and re-run — partial
-artifacts are never left behind (writes go to a temp name, renamed at the
-end).
+exit means the round is NOT closable; fix the red and re-run — no CHECK
+artifact is ever written or left behind on a red (writes go to temp names,
+ALL of which are removed on any failure, renamed together only at the
+green end).
 """
 
 from __future__ import annotations
@@ -36,10 +40,22 @@ sys.path.insert(0, ".")
 USAGE = "usage: python tools/close_round.py <round_number> [--sf1-dir DIR]"
 
 
+#: temp artifact paths created so far — removed TOGETHER on any red, so a
+#: failure can never leave one stage's tmp behind while unlinking another's
+_TMPS: list[str] = []
+
+
+def _cleanup_tmps() -> None:
+    for t in _TMPS:
+        if os.path.exists(t):
+            os.unlink(t)
+
+
 def run(desc: str, cmd: list[str]) -> None:
     print(f"\n=== close_round: {desc}\n    $ {' '.join(cmd)}", flush=True)
     r = subprocess.run(cmd)
     if r.returncode != 0:
+        _cleanup_tmps()
         print(f"\nclose_round: RED at '{desc}' (exit {r.returncode}) — "
               "no artifacts written, round NOT closable")
         raise SystemExit(r.returncode or 1)
@@ -53,7 +69,11 @@ def main() -> int:
     rnd = int(args[0])
     sf1_dir = None
     if "--sf1-dir" in sys.argv:
-        sf1_dir = sys.argv[sys.argv.index("--sf1-dir") + 1]
+        i = sys.argv.index("--sf1-dir")
+        if i + 1 >= len(sys.argv):
+            print(USAGE)
+            return 2
+        sf1_dir = sys.argv[i + 1]
 
     from streamroom_bigdata_spark import registry
 
@@ -62,6 +82,7 @@ def main() -> int:
 
     local_json = f"CHECK_LOCAL_r{rnd}.json"
     tmp_local = local_json + ".tmp"
+    _TMPS.append(tmp_local)
     run(
         "full oracle gate at sf0.01",
         [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.01",
@@ -77,6 +98,7 @@ def main() -> int:
     if sf1_dir:
         sf1_json = f"CHECK_SF1_r{rnd}.json"
         tmp_sf1 = sf1_json + ".tmp"
+        _TMPS.append(tmp_sf1)
         run(f"full oracle gate at {sf1_dir}",
             [sys.executable, "tools/check_oracle.py", sf1_dir,
              "--json", tmp_sf1])
@@ -89,8 +111,8 @@ def main() -> int:
             n = len(json.load(f))
         if n != n_registered:
             print(f"close_round: RED — {final} has {n} queries, registry has "
-                  f"{n_registered}; artifact NOT written")
-            os.unlink(tmp)
+                  f"{n_registered}; NO artifact written")
+            _cleanup_tmps()
             return 1
     with open("PLANS.md") as f:
         n_plan_rows = sum(1 for line in f if line.startswith("| ") and
@@ -99,6 +121,7 @@ def main() -> int:
     if n_plan_rows != n_registered:
         print(f"close_round: RED — PLANS.md has {n_plan_rows} rows, registry "
               f"has {n_registered}")
+        _cleanup_tmps()
         return 1
 
     for tmp, final in pending:
