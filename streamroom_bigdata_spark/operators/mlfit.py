@@ -1,0 +1,374 @@
+"""Distributed model-fitting surface (round-10): classifiers and law fits.
+
+The reference's analytics stop at descriptive aggregates (`processing.scala:
+116-127` — mean usage, max-normalized scores); the natural next step for the
+same corpus is FITTING: train a classifier on one split and score another,
+fit a regression plane, fit the corpus-scale power laws (Zipf, Heaps) that
+tell a pretraining-data team whether a crawl slice looks like natural text.
+Every fit here is spelled as associative aggregates — the model itself is
+never bigger than (vocab × labels) or a handful of second moments, so the
+"train" stage is a count-shaped shuffle and the "score" stage is one
+broadcast join, exactly the shape that survives a 1000-executor cluster.
+
+Float discipline: per-token log-probabilities are quantized to
+DECIMAL(18,9) before summation (the `unigram_logprob_quality` lesson —
+decimal accumulation is order-independent, so the NB argmax compares EXACT
+values on both engines); the OLS plane is solved from var_samp/covar_samp
+ratios (centered sums — accumulation noise cancels) with coefficients
+rounded one digit looser than their magnitude demands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash_mod, sql_hash_mod
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (train/score, confusion matrix)
+# ---------------------------------------------------------------------------
+
+#: percent of documents held out for scoring (salted split, see train_val_split)
+NB_TEST_PCT = 20
+_NB_SPLIT_KEY = "concat(CAST(doc_id AS VARCHAR), '|nb')"
+
+naive_bayes_oracle = f"""
+WITH split AS (
+  SELECT doc_id, lang, text,
+         {sql_hash_mod(_NB_SPLIT_KEY, 100)} < {NB_TEST_PCT} AS is_test
+  FROM documents
+), train_toks AS (
+  SELECT lang, tok FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS tok
+    FROM split WHERE NOT is_test
+  ) WHERE tok <> ''
+), cnt AS (
+  SELECT lang, tok, count(*) AS c FROM train_toks GROUP BY lang, tok
+), tot AS (
+  SELECT lang, count(*) AS t FROM train_toks GROUP BY lang
+), vocab AS (
+  SELECT DISTINCT tok FROM train_toks
+), vsize AS (
+  SELECT count(*) AS v FROM vocab
+), prior AS (
+  SELECT lang, count(*) AS nd FROM split WHERE NOT is_test GROUP BY lang
+), ntr AS (
+  SELECT count(*) AS n FROM split WHERE NOT is_test
+), model AS (
+  SELECT t.lang, vb.tok,
+         CAST(ln((COALESCE(c.c, 0) + 1) / CAST(t.t + vs.v AS DOUBLE))
+              AS DECIMAL(18,9)) AS logp
+  FROM tot t CROSS JOIN vocab vb CROSS JOIN vsize vs
+  LEFT JOIN cnt c ON c.lang = t.lang AND c.tok = vb.tok
+), test_toks AS (
+  SELECT doc_id, true_lang, tok FROM (
+    SELECT doc_id, lang AS true_lang, unnest(string_split(text, ' ')) AS tok
+    FROM split WHERE is_test
+  ) WHERE tok <> ''
+), loglikes AS (
+  SELECT tt.doc_id, tt.true_lang, m.lang, sum(m.logp) AS loglike
+  FROM test_toks tt JOIN model m ON m.tok = tt.tok
+  GROUP BY tt.doc_id, tt.true_lang, m.lang
+), scored AS (
+  SELECT l.doc_id, l.true_lang, l.lang,
+         l.loglike + CAST(ln(p.nd / CAST(n.n AS DOUBLE)) AS DECIMAL(18,9))
+           AS score
+  FROM loglikes l JOIN prior p ON p.lang = l.lang CROSS JOIN ntr n
+), pred AS (
+  SELECT doc_id, true_lang, lang AS pred_lang FROM (
+    SELECT doc_id, true_lang, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+
+@register("naive_bayes_lang", naive_bayes_oracle)
+def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained and scored
+    entirely in-plan: a deterministic {100-NB_TEST_PCT}/{NB_TEST_PCT}
+    hash split (the salted-hash discipline of `train_val_split`), add-one
+    smoothed token likelihoods per language, argmax over held-out
+    documents, confusion matrix out — the classifier stage a curation
+    stack runs where `lang_id_heuristic` runs its rule-based one.
+
+    Determinism: every per-token log-likelihood and the prior are
+    quantized to DECIMAL(18,9) BEFORE summation, so the per-(doc, lang)
+    score is an exact decimal on both engines and the argmax has no
+    float-noise ambiguity; residual exact ties break by language ASC.
+    Test tokens outside the training vocabulary are dropped (inner join)
+    — the standard multinomial-NB convention, and deterministic.
+
+    Scale shape: training is one (lang, token)-keyed count with map-side
+    combine (model rows = |langs| × |vocab|, NOT data-sized); the model
+    and the |langs|-row prior cross the cluster as broadcasts; scoring is
+    one token-keyed broadcast join and a (doc, lang)-keyed aggregate.
+    Nothing data-sized shuffles twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_test = (
+        portable_hash_mod(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|nb")), 100
+        )
+        < NB_TEST_PCT
+    )
+    split = docs.select("doc_id", "lang", "text", is_test.alias("is_test"))
+    train_toks = (
+        split.filter(~F.col("is_test"))
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cnt = train_toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    tot = train_toks.groupBy("lang").agg(F.count("*").alias("t"))
+    vocab = train_toks.select("tok").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+    prior = (
+        split.filter(~F.col("is_test")).groupBy("lang").agg(
+            F.count("*").alias("nd")
+        )
+    )
+    ntr = split.filter(~F.col("is_test")).agg(F.count("*").alias("n"))
+    # model = |langs| × |vocab| rows — bounded by construction, broadcast
+    model = (
+        tot.crossJoin(vocab)
+        .crossJoin(F.broadcast(vsize))
+        .join(cnt, ["lang", "tok"], "left")
+        .select(
+            "lang",
+            "tok",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                / (F.col("t") + F.col("v")).cast("double")
+            )
+            .cast("decimal(18,9)")
+            .alias("logp"),
+        )
+    )
+    test_toks = (
+        split.filter(F.col("is_test"))
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    like = (
+        test_toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(F.sum("logp").alias("loglike"))
+    )
+    scored = (
+        like.join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (
+                F.col("loglike")
+                + F.log(F.col("nd") / F.col("n").cast("double")).cast(
+                    "decimal(18,9)"
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-factor OLS plane via normal equations (closed-form 2×2 solve)
+# ---------------------------------------------------------------------------
+
+ols_two_factor_oracle = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         avg(l_quantity) AS m1, avg(l_discount) AS m2,
+         avg(l_extendedprice) AS my,
+         var_samp(l_quantity) AS v11, var_samp(l_discount) AS v22,
+         covar_samp(l_quantity, l_discount) AS v12,
+         covar_samp(l_quantity, l_extendedprice) AS c1y,
+         covar_samp(l_discount, l_extendedprice) AS c2y,
+         var_samp(l_extendedprice) AS vy
+  FROM lineitem
+)
+SELECT n,
+       round((c1y * v22 - c2y * v12) / (v11 * v22 - v12 * v12), 3) AS b_quantity,
+       round((c2y * v11 - c1y * v12) / (v11 * v22 - v12 * v12), 3) AS b_discount,
+       round(my - (c1y * v22 - c2y * v12) / (v11 * v22 - v12 * v12) * m1
+                - (c2y * v11 - c1y * v12) / (v11 * v22 - v12 * v12) * m2,
+             3) AS intercept,
+       round(((c1y * v22 - c2y * v12) / (v11 * v22 - v12 * v12) * c1y
+            + (c2y * v11 - c1y * v12) / (v11 * v22 - v12 * v12) * c2y) / vy,
+             6) AS r2
+FROM m
+"""
+
+
+@register("ols_two_factor", ols_two_factor_oracle)
+def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate least squares — extendedprice regressed on quantity
+    AND discount — solved in closed form from the 2×2 normal equations:
+    one single-pass aggregate produces the centered second moments
+    (var_samp/covar_samp), and Cramer's rule inverts the 2×2 covariance
+    matrix inside the same projection. The multivariate extension of
+    `regression_trend`: no gradient loop, no driver matrix solve, one
+    1-row aggregate at ANY data scale.
+
+    Float discipline: every coefficient is a ratio of centered sums
+    (accumulation noise cancels to ~1e-12 relative); the intercept mixes
+    means of ~1e4 magnitude, so coefficients round at 3 decimals (one
+    digit looser than regression_trend's slope) and the scale-free R²
+    at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.avg("l_quantity").alias("m1"),
+        F.avg("l_discount").alias("m2"),
+        F.avg("l_extendedprice").alias("my"),
+        F.var_samp("l_quantity").alias("v11"),
+        F.var_samp("l_discount").alias("v22"),
+        F.covar_samp("l_quantity", "l_discount").alias("v12"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("c1y"),
+        F.covar_samp("l_discount", "l_extendedprice").alias("c2y"),
+        F.var_samp("l_extendedprice").alias("vy"),
+    )
+    det = F.col("v11") * F.col("v22") - F.col("v12") * F.col("v12")
+    b1 = (F.col("c1y") * F.col("v22") - F.col("c2y") * F.col("v12")) / det
+    b2 = (F.col("c2y") * F.col("v11") - F.col("c1y") * F.col("v12")) / det
+    return m.select(
+        "n",
+        F.round(b1, 3).alias("b_quantity"),
+        F.round(b2, 3).alias("b_discount"),
+        F.round(
+            F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 3
+        ).alias("intercept"),
+        F.round((b1 * F.col("c1y") + b2 * F.col("c2y")) / F.col("vy"), 6).alias(
+            "r2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the token rank-frequency curve
+# ---------------------------------------------------------------------------
+
+zipf_law_oracle = """
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank FROM vocab
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       round(-regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+         AS zipf_exponent,
+       round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+         AS log_c0,
+       round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+         AS r2
+FROM ranked
+"""
+
+
+@register("zipf_law_fit", zipf_law_oracle)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus: regress log frequency on log
+    rank over the token rank-frequency curve. Natural text sits near
+    exponent 1; a flat or cliffed curve is the crawl-quality smell a
+    pretraining team checks before anything else (Piantadosi 2014).
+
+    Determinism: ranks are integers ordered by (count DESC, token ASC);
+    both engines take ln of identical integer-valued doubles, and the fit
+    is a vocab-sized regr_* aggregate — ratios of centered sums.
+
+    Scale shape: one token-keyed count with map-side combine, then a
+    vocab-sized (NOT data-sized) rank window and a 1-row regression.
+    The only data-sized stage is the explode feeding the count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = vocab.select(
+        "c", F.row_number().over(w).alias("rank")
+    )
+    ly = F.log(F.col("c").cast("double"))
+    lx = F.log(F.col("rank").cast("double"))
+    return ranked.select(ly.alias("ly"), lx.alias("lx")).agg(
+        F.count("*").alias("n_types"),
+        F.round(-F.regr_slope("ly", "lx"), 6).alias("zipf_exponent"),
+        F.round(F.regr_intercept("ly", "lx"), 6).alias("log_c0"),
+        F.round(F.regr_r2("ly", "lx"), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law fit: vocabulary growth vs document length
+# ---------------------------------------------------------------------------
+
+heaps_law_oracle = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+), per_doc AS (
+  SELECT doc_id, count(*) AS nt, count(DISTINCT tok) AS nv
+  FROM toks GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(regr_slope(ln(CAST(nv AS DOUBLE)), ln(CAST(nt AS DOUBLE))), 6)
+         AS heaps_beta,
+       round(exp(regr_intercept(ln(CAST(nv AS DOUBLE)),
+                                ln(CAST(nt AS DOUBLE)))), 4) AS heaps_k,
+       round(regr_r2(ln(CAST(nv AS DOUBLE)), ln(CAST(nt AS DOUBLE))), 6)
+         AS r2
+FROM per_doc
+"""
+
+
+@register("heaps_law_fit", heaps_law_oracle)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = k·Nᵝ of vocabulary size against document length
+    across the corpus: regress log distinct-token count on log token
+    count per document. β near 0.5 is natural text; β near 0 means a
+    closed template vocabulary, β near 1 means id-like noise — the
+    companion diagnostic to `zipf_law_fit` on the same explode.
+
+    Scale shape: one doc-keyed count/count-distinct (map-side combinable
+    — the distinct is WITHIN a document, so a (doc, tok) pre-aggregate
+    feeds it), then a 1-row regression over per-document points. Logs of
+    integer-valued doubles; the fit is ratios of centered sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("nt"), F.count_distinct("tok").alias("nv")
+    )
+    ly = F.log(F.col("nv").cast("double"))
+    lx = F.log(F.col("nt").cast("double"))
+    return per_doc.select(ly.alias("ly"), lx.alias("lx")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.regr_slope("ly", "lx"), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept("ly", "lx")), 4).alias("heaps_k"),
+        F.round(F.regr_r2("ly", "lx"), 6).alias("r2"),
+    )

@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "streamroom_bigdata_spark.operators.kmeans",
     "streamroom_bigdata_spark.operators.bloom",
     "streamroom_bigdata_spark.operators.stats",
+    "streamroom_bigdata_spark.operators.mlfit",
     "streamroom_bigdata_spark.operators.distribution",
     "streamroom_bigdata_spark.operators.layout",
     "streamroom_bigdata_spark.operators.revops",

@@ -1,0 +1,122 @@
+"""Model-fitting operators (naive Bayes, two-factor OLS, Zipf/Heaps fits)
+— planted-data checks beyond the DuckDB oracle equivalence."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from streamroom_bigdata_spark.operators import mlfit
+
+_DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, lang, text)"""
+    return spark.createDataFrame(
+        [(i, t, lang, "src0", len(t)) for i, lang, t in rows], _DOC_SCHEMA
+    )
+
+
+def _patch(monkeypatch, df):
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.mlfit.load_table",
+        lambda spark_, sf_, name: df,
+    )
+
+
+def _is_test(doc_id: int) -> bool:
+    """Python twin of the portable salted hash split used by the operator."""
+    h = int(hashlib.md5(f"{doc_id}|nb".encode()).hexdigest()[:15], 16)
+    return h % 100 < mlfit.NB_TEST_PCT
+
+
+def test_naive_bayes_separable_vocab_is_diagonal(spark, monkeypatch):
+    """Fully disjoint vocabularies per language → every held-out document
+    classified correctly: the confusion matrix is diagonal and accounts
+    for exactly the hash-held-out docs."""
+    rows = []
+    for i in range(80):
+        if i % 2 == 0:
+            rows.append((i, "aa", "foo foo bar foo"))
+        else:
+            rows.append((i, "bb", "baz qux baz baz"))
+    n_test = {"aa": 0, "bb": 0}
+    for i, lang, _ in rows:
+        if _is_test(i):
+            n_test[lang] += 1
+    # the planted split must exercise both phases for both classes
+    assert all(v > 0 for v in n_test.values())
+    _patch(monkeypatch, _docs(spark, rows))
+    out = mlfit.naive_bayes_lang(spark, "ignored").collect()
+    got = {(r.true_lang, r.pred_lang): r.n_docs for r in out}
+    assert got == {
+        ("aa", "aa"): n_test["aa"],
+        ("bb", "bb"): n_test["bb"],
+    }
+
+
+def test_naive_bayes_out_of_vocab_doc_is_dropped(spark, monkeypatch):
+    """A held-out doc whose tokens never occur in training joins to no
+    model row and drops from the confusion matrix (the documented
+    multinomial convention)."""
+    oov_id = next(i for i in range(1000) if _is_test(i))
+    rows = [(oov_id, "aa", "zz zz")]
+    nid = 0
+    for _ in range(40):
+        while _is_test(nid) or nid == oov_id:
+            nid += 1
+        rows.append((nid, "aa", "foo bar"))
+        nid += 1
+    _patch(monkeypatch, _docs(spark, rows))
+    out = mlfit.naive_bayes_lang(spark, "ignored").collect()
+    assert out == []
+
+
+def test_ols_two_factor_recovers_planted_plane(spark, monkeypatch):
+    """Noise-free y = 10 + 2*quantity + 3*discount over a full factorial
+    grid → exact coefficients and R² = 1."""
+    rows = [
+        (float(q), float(d) / 10.0, 10.0 + 2.0 * q + 3.0 * d / 10.0)
+        for q in range(1, 6)
+        for d in range(0, 5)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_extendedprice double"
+    )
+    _patch(monkeypatch, df)
+    r = mlfit.ols_two_factor(spark, "ignored").collect()[0]
+    assert r.n == 25
+    assert r.b_quantity == 2.0
+    assert r.b_discount == 3.0
+    assert r.intercept == 10.0
+    assert r.r2 == 1.0
+
+
+def test_zipf_fit_exact_inverse_law(spark, monkeypatch):
+    """Counts 12/6/4/3 at ranks 1/2/3/4 lie exactly on c = 12/rank →
+    exponent 1, intercept ln 12, R² = 1."""
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    _patch(monkeypatch, _docs(spark, [(0, "aa", text)]))
+    r = mlfit.zipf_law_fit(spark, "ignored").collect()[0]
+    assert r.n_types == 4
+    assert r.zipf_exponent == 1.0
+    assert abs(r.log_c0 - round(math.log(12.0), 6)) < 1e-9
+    assert r.r2 == 1.0
+
+
+def test_heaps_fit_all_unique_tokens_is_linear(spark, monkeypatch):
+    """Docs of all-distinct tokens (V = N exactly) → β = 1, k = 1, R² = 1."""
+    rows = [
+        (0, "aa", "t1 t2"),
+        (1, "aa", "u1 u2 u3 u4"),
+        (2, "aa", "v1 v2 v3 v4 v5 v6 v7 v8"),
+    ]
+    _patch(monkeypatch, _docs(spark, rows))
+    r = mlfit.heaps_law_fit(spark, "ignored").collect()[0]
+    assert r.n_docs == 3
+    assert r.heaps_beta == 1.0
+    assert r.heaps_k == 1.0
+    assert r.r2 == 1.0

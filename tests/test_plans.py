@@ -209,6 +209,11 @@ _ALLOWED_FACT_BROADCASTS = {
     # Cohen's kappa: 1-row marginal-product sum over the |labels|²-bounded
     # confusion relation
     "lang_id_agreement_kappa": 1,
+    # round-10 mlfit wave — naive Bayes: every broadcast side is model-
+    # sized, never data-sized: the |langs|×|vocab| smoothed-logprob model,
+    # the 1-row vocab size nested under it, the |langs|-row prior, and the
+    # 1-row train count — classifier PARAMETERS, bounded at ANY data scale
+    "naive_bayes_lang": 4,
 }
 
 
