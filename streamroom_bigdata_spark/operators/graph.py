@@ -728,6 +728,84 @@ def _driver_k_core(edges: DataFrame, k: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-round k-core peel (the oracle-checkable face of k_core)
+# ---------------------------------------------------------------------------
+
+#: degree threshold for the registered peel query
+KCORE_PEEL_K = 3
+#: synchronous peel rounds — FIXED on both engines (the LPA discipline:
+#: a fixpoint loop is not SQL-expressible, a fixed unroll is)
+KCORE_PEEL_ROUNDS = 4
+
+
+def _kcore_peel_oracle() -> str:
+    """Unrolled peel: round i drops every node whose degree in the round-i
+    edge set is below k, synchronously — exactly the Spark loop."""
+    parts = [
+        f"""
+WITH e AS (
+  SELECT doc_a, doc_b FROM ({simhash_near_dup_oracle})
+), s0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM e
+  UNION ALL SELECT doc_b, doc_a FROM e
+)"""
+    ]
+    for i in range(KCORE_PEEL_ROUNDS):
+        parts.append(
+            f""", g{i} AS (
+  SELECT u FROM s{i} GROUP BY u HAVING count(*) < {KCORE_PEEL_K}
+), s{i + 1} AS (
+  SELECT s.u, s.v FROM s{i} s
+  WHERE s.u NOT IN (SELECT u FROM g{i})
+    AND s.v NOT IN (SELECT u FROM g{i})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM s{KCORE_PEEL_ROUNDS} GROUP BY u"""
+    )
+    return "".join(parts)
+
+
+@register("k_core_peel", _kcore_peel_oracle())
+def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving degrees after KCORE_PEEL_ROUNDS synchronous k-core peel
+    rounds (k=KCORE_PEEL_K) over the simhash near-dup graph — the
+    oracle-checkable face of :func:`k_core`, which runs the same peel to
+    its data-dependent fixpoint (not SQL-expressible; LPA's fixed-round
+    discipline applied to the fifth iterative graph shape). When the peel
+    converges within the fixed rounds — it does on every test fixture,
+    asserted in tests/test_graph.py — the output IS the true k-core.
+
+    Determinism: pure integer degree counting; each round drops all
+    below-threshold nodes simultaneously on both engines.
+
+    Scale shape: per round, one node-keyed degree count with map-side
+    combine plus two anti-joins against the below-threshold node set —
+    the connected-components shuffle budget; the peeled edge set only
+    shrinks. The early-exit when a round peels nothing is semantically
+    free (peeling is idempotent past convergence)."""
+    pairs = simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    for _ in range(KCORE_PEEL_ROUNDS):
+        deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+        bad = deg.filter(F.col("d") < KCORE_PEEL_K).select("u")
+        if bad.isEmpty():
+            break
+        edges = edges.join(bad, "u", "left_anti").join(
+            bad.select(F.col("u").alias("v")), "v", "left_anti"
+        )
+    return edges.groupBy("u").agg(F.count("*").alias("core_degree")).select(
+        F.col("u").alias("doc_id"), "core_degree"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Label propagation communities (synchronous, fixed rounds)
 # ---------------------------------------------------------------------------
 

@@ -479,3 +479,106 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("smape"),
         F.percentile(ape, 0.5).alias("medape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing over the daily revenue series
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5  # level gain
+HOLT_BETA = 0.3  # trend gain
+_H_OMA = 1.0 - HOLT_ALPHA
+_H_OMB = 1.0 - HOLT_BETA
+
+
+def _holt_oracle() -> str:
+    # the recursive term inlines the new-level expression into the trend
+    # update with the SAME operand order the pandas loop uses, so the two
+    # engines run bitwise-identical double arithmetic off the quantized y
+    lnew = f"{HOLT_ALPHA!r} * i.y + {_H_OMA!r} * (h.l + h.b)"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 6) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM daily
+), hw(rn, day, y, l, b, f) AS (
+  SELECT rn, day, y, y, CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.rn, i.day, i.y,
+         {lnew},
+         {HOLT_BETA!r} * (({lnew}) - h.l) + {_H_OMB!r} * h.b,
+         h.l + h.b
+  FROM hw h JOIN idx i ON i.rn = h.rn + 1
+)
+SELECT day, y,
+       round(l, 4) AS level, round(b, 4) AS trend,
+       round(f, 4) AS forecast,
+       round(abs(y - f), 4) AS abs_err
+FROM hw
+"""
+
+
+@register("holt_linear_forecast", _holt_oracle())
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of the daily
+    revenue series with a one-step-ahead backtest: level, trend, the
+    forecast each day's state implied for the next, and its absolute
+    error — the trending counterpart of `ewma_values` (whose single
+    smoother cannot follow a drifting mean) and the smoothed cousin of
+    `seasonal_naive_backtest`.
+
+    The coupled level/trend recurrence is NOT expressible as window-lag
+    algebra (the EWMA truncation trick needs a single geometric state),
+    so the day-DOMAIN series — bounded by the corpus span at ANY data
+    scale, the counting_median domain argument — runs through one
+    applyInPandas group; the data-sized stage below it is a combinable
+    day groupBy. Cross-engine determinism: the daily input is quantized
+    to 6 decimals FIRST, and both engines then run the identical
+    double-arithmetic recurrence (the oracle's recursive CTE inlines the
+    level update with the same operand order), so outputs agree bitwise
+    before the final round-4."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("y")
+    )
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lvl, trd, fc = [], [], []
+        l = b = None
+        for y in pdf["y"]:
+            if l is None:
+                f, l, b = None, y, 0.0
+            else:
+                f = l + b
+                l_new = HOLT_ALPHA * y + _H_OMA * (l + b)
+                b = HOLT_BETA * (l_new - l) + _H_OMB * b
+                l = l_new
+            lvl.append(l)
+            trd.append(b)
+            fc.append(f)
+        return pd.DataFrame(
+            {
+                "day": pdf["day"],
+                "y": pdf["y"],
+                "l": lvl,
+                "b": trd,
+                "f": fc,
+            }
+        )
+
+    smoothed = daily.groupBy(F.lit(1).alias("g")).applyInPandas(
+        holt, "day date, y double, l double, b double, f double"
+    )
+    return smoothed.select(
+        "day",
+        "y",
+        F.round("l", 4).alias("level"),
+        F.round("b", 4).alias("trend"),
+        F.round("f", 4).alias("forecast"),
+        F.round(F.abs(F.col("y") - F.col("f")), 4).alias("abs_err"),
+    )

@@ -433,3 +433,38 @@ def test_ppr_driver_path_honors_custom_seed(spark):
     assert all(abs(fast[k] - dist[k]) < 1e-12 for k in fast)
     # and the custom seeds actually carry the teleport mass
     assert fast[10] > 0 and fast[20] > 0
+
+
+def test_k_core_peel_matches_fixpoint_on_fixture(spark, sf_dir):
+    """The registered fixed-round peel converges within its unroll depth
+    on the fixture graph, so its output IS the true k-core (the docstring
+    contract)."""
+    pairs = graph.simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    peel = sorted(
+        (r.doc_id, r.core_degree)
+        for r in graph.k_core_peel(spark, sf_dir).collect()
+    )
+    fix = sorted(
+        (r.id, r.core_degree)
+        for r in graph.k_core(pairs, graph.KCORE_PEEL_K).collect()
+    )
+    assert peel == fix
+
+
+def test_k_core_peel_known_graph(spark, monkeypatch):
+    """K4 + pendant tail at k=3: one round peels the tail, K4 survives."""
+    import itertools
+
+    k4_tail = sorted(itertools.combinations([0, 1, 2, 3], 2)) + [
+        (3, 4), (4, 5)
+    ]
+    edges = spark.createDataFrame(k4_tail, "doc_a long, doc_b long")
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.graph.simhash_near_dup",
+        lambda spark_, sf_: edges,
+    )
+    out = {
+        r.doc_id: r.core_degree
+        for r in graph.k_core_peel(spark, "ignored").collect()
+    }
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}

@@ -120,3 +120,43 @@ def test_cusum_changepoint_finds_planted_level_shift(spark, monkeypatch):
     assert r.changepoint_day == dt.date(2024, 1, 14)
     assert r.mean_before == pytest.approx(10.0)
     assert r.mean_after == pytest.approx(20.0)
+
+
+def test_holt_linear_matches_reference_recurrence(spark, monkeypatch):
+    """Planted daily series replayed through the textbook recurrence in
+    Python — level/trend/forecast agree to output precision, anchor row
+    has no forecast."""
+    rows = [
+        (i, dt.datetime(2024, 1, d, 1), 1, "click", float(v), "{}")
+        for i, (d, v) in enumerate(
+            [(1, 10.0), (2, 14.0), (3, 12.0), (4, 20.0), (5, 18.0)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.timeseries.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    out = sorted(
+        timeseries.holt_linear_forecast(spark, "ignored").collect(),
+        key=lambda r: r.day,
+    )
+    a, b_ = timeseries.HOLT_ALPHA, timeseries.HOLT_BETA
+    l, b = 10.0, 0.0
+    expect = [(10.0, 0.0, None)]
+    for y in (14.0, 12.0, 20.0, 18.0):
+        f = l + b
+        l_new = a * y + (1 - a) * (l + b)
+        b = b_ * (l_new - l) + (1 - b_) * b
+        l = l_new
+        expect.append((l, b, f))
+    assert out[0].forecast is None and out[0].abs_err is None
+    for r, (el, eb, ef) in zip(out, expect):
+        assert abs(r.level - el) < 1e-4
+        assert abs(r.trend - eb) < 1e-4
+        if ef is not None:
+            assert abs(r.forecast - ef) < 1e-4
