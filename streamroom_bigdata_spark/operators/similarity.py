@@ -798,3 +798,117 @@ def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(F.round(term / F.lit(_JL_SCALE), 6).alias(f"r{i}"))
     return c.select("vec_id", *outs)
+
+
+# ---------------------------------------------------------------------------
+# Principal component by power iteration (round-10)
+# ---------------------------------------------------------------------------
+
+#: fixed power-iteration rounds — FIXED on both engines (the LPA/k-core-peel
+#: discipline: data-dependent convergence is not SQL-expressible, a fixed
+#: unroll is; 5 rounds separates the top component decisively on every
+#: fixture, asserted against numpy in tests)
+PCA_POWER_ITERS = 5
+#: deterministic start vector: uniform unit — 1/sqrt(64) = 0.125 is EXACT
+#: in binary, so both engines begin from identical doubles
+_PCA_V0 = 1.0 / (DIM ** 0.5)
+
+
+def _pca_oracle() -> str:
+    parts = [
+        f"""
+WITH expl AS (
+  SELECT vec_id, CAST(i AS INT) AS dim, embedding[i + 1]::DOUBLE AS val
+  FROM embeddings, unnest(range(0, {DIM})) AS u(i)
+), v0 AS (
+  SELECT CAST(i AS INT) AS dim, {_PCA_V0!r} AS vv
+  FROM unnest(range(0, {DIM})) AS u(i)
+)"""
+    ]
+    for k in range(PCA_POWER_ITERS):
+        parts.append(
+            f""", d{k} AS (
+  SELECT e.vec_id, sum(e.val * v.vv) AS dot
+  FROM expl e JOIN v{k} v USING (dim) GROUP BY e.vec_id
+), w{k} AS (
+  SELECT e.dim, sum(e.val * d.dot) AS wv
+  FROM expl e JOIN d{k} d USING (vec_id) GROUP BY e.dim
+), n{k} AS (
+  SELECT sqrt(sum(wv * wv)) AS nrm FROM w{k}
+), v{k + 1} AS (
+  SELECT w.dim, w.wv / n.nrm AS vv FROM w{k} w, n{k} n
+)"""
+        )
+    parts.append(
+        f"""
+SELECT v.dim, round(v.vv, 6) AS loading, round(n.nrm, 3) AS eigenvalue
+FROM v{PCA_POWER_ITERS} v, n{PCA_POWER_ITERS - 1} n"""
+    )
+    return "".join(parts)
+
+
+@register("pca_power_iteration", _pca_oracle())
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding matrix by
+    PCA_POWER_ITERS fixed power-iteration rounds: v ← XᵀXv / ‖XᵀXv‖ from
+    the exact uniform unit start — per-dimension loadings plus the
+    Rayleigh eigenvalue estimate (the final pre-normalization norm). The
+    spectral sibling of `random_projection_jl` (data-aware axis vs
+    data-oblivious sketch) and the first stage a PCA-whitening or
+    spectral-dedup pipeline runs over an embedding corpus.
+
+    Matrix-free: XᵀXv is two matvecs — a dim-keyed join producing
+    per-vector dots (row-sized aggregate), then a vec-keyed join
+    producing per-dimension weighted sums (DIM-sized aggregate). The
+    64-row v and 1-row norm cross as AQE runtime broadcasts each round;
+    nothing materializes XᵀX (DIM² never exists) and nothing data-sized
+    crosses more than the two keyed shuffles per round. The flat explode
+    is cached once (flat projection — the nested-cache trap does not
+    apply) and feeds all 2·PCA_POWER_ITERS matvec scans.
+
+    Float discipline: each matvec sums data-sized products (accumulation
+    order differs cross-engine, ~1e-13 relative), but normalization keeps
+    the state O(1) each round, so noise cannot compound — loadings round
+    at 6, the eigenvalue (extensive, grows with N) at 3."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("dim", "val")
+    ).cache()
+    spark_v = None  # (dim, vv) DataFrame; None = uniform start round
+    last = None  # (dim, vv, nrm) of the final round
+    for _ in range(PCA_POWER_ITERS):
+        if spark_v is None:
+            dots = expl.groupBy("vec_id").agg(
+                F.sum(F.col("val") * F.lit(_PCA_V0)).alias("dot")
+            )
+        else:
+            # v is DIM rows — broadcast by construction, never data-sized
+            dots = (
+                expl.join(F.broadcast(spark_v), "dim")
+                .groupBy("vec_id")
+                .agg(F.sum(F.col("val") * F.col("vv")).alias("dot"))
+            )
+        # dots is DATA-sized (one row per vector): pin the vec-keyed matvec
+        # to a shuffled hash join — the static planner's size estimate off
+        # the cached explode under-guesses it and tries to BROADCAST it,
+        # which is exactly the stage that must never happen at scale
+        w = (
+            expl.join(dots.hint("shuffle_hash"), "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("val") * F.col("dot")).alias("wv"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
+        # materialize the DIM-row state each round: truncates the growing
+        # lineage (5 rounds would otherwise nest the whole history into
+        # one plan) and replaces guessed statistics with exact 64-row ones
+        last = (
+            w.join(nrm)
+            .select("dim", (F.col("wv") / F.col("nrm")).alias("vv"), "nrm")
+            .localCheckpoint()
+        )
+        spark_v = last.select("dim", "vv")
+    return last.select(
+        "dim",
+        F.round("vv", 6).alias("loading"),
+        F.round("nrm", 3).alias("eigenvalue"),
+    )

@@ -435,3 +435,39 @@ def test_audio_features_silence_yields_nulls(spark):
     assert silent["crest"] is None
     assert silent["energy_flux"] is None
     assert silent["zero_crossings"] == 0
+
+
+def test_pca_power_iteration_matches_numpy(spark, monkeypatch):
+    """Planted matrix with one dominant direction: 5 fixed rounds land on
+    numpy's top eigenvector of XᵀX (up to the shared sign) and its
+    eigenvalue, well inside output precision."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    direction = rng.normal(size=similarity.DIM)
+    direction /= np.linalg.norm(direction)
+    scores = rng.normal(scale=10.0, size=200)
+    noise = rng.normal(scale=0.1, size=(200, similarity.DIM))
+    x = np.outer(scores, direction) + noise
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row], 0) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.similarity.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    out = sorted(
+        similarity.pca_power_iteration(spark, "ignored").collect(),
+        key=lambda r: r.dim,
+    )
+    got = np.array([r.loading for r in out])
+    # replay against float32-quantized X (what the Spark/duckdb read sees)
+    x32 = x.astype("float32").astype("float64")
+    gram = x32.T @ x32
+    evals, evecs = np.linalg.eigh(gram)
+    top = evecs[:, -1]
+    if np.dot(top, got) < 0:
+        top = -top
+    assert np.max(np.abs(got - top)) < 1e-4
+    assert abs(out[0].eigenvalue - evals[-1]) / evals[-1] < 1e-4
