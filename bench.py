@@ -100,6 +100,13 @@ HEADLINE = [
                               # broadcasts (no ntile funnel)
     "lang_id_agreement_kappa",  # GV2 40-string-op codegen detection +
                               # confusion-cell reduce
+    # round-10: model-fitting wave representatives (reported separately vs
+    # the frozen r7 table, same rule):
+    "naive_bayes_lang",       # MF1 train/score classifier (the wave's
+                              # heaviest shape: two token explodes +
+                              # model-broadcast scoring join)
+    "pca_power_iteration",    # MF5 iterative matvec (5 rounds, per-round
+                              # localCheckpoint state materialization)
 ]
 
 SF1_DIR = "/tmp/sf1_synth"

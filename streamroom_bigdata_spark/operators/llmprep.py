@@ -839,3 +839,99 @@ def token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("allocated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram log-probability quality scoring (round-10): the context-aware
+# upgrade of unigram_logprob_quality — word-salad that passes a unigram
+# filter (common tokens, wrong order) scores low here
+# ---------------------------------------------------------------------------
+
+bigram_logprob_oracle = """
+WITH raw AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+           AS rawpos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), toks AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+  FROM raw WHERE tok <> ''
+), grams AS (
+  SELECT a.doc_id, a.tok AS prev, b.tok AS tok
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), bi AS (
+  SELECT prev, tok, count(*) AS c FROM grams GROUP BY prev, tok
+), uni AS (
+  SELECT prev, count(*) AS u FROM grams GROUP BY prev
+), vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
+    SELECT tok FROM grams UNION ALL SELECT prev FROM grams)
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(CAST(ln((b.c + 1) / (u.u + vb.v)) AS DECIMAL(18,9)))
+                  AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM grams g
+JOIN bi b ON b.prev = g.prev AND b.tok = g.tok
+JOIN uni u ON u.prev = g.prev
+CROSS JOIN vocab vb
+GROUP BY g.doc_id
+"""
+
+
+@register("bigram_logprob_quality", bigram_logprob_oracle)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram model P(tok|prev) — the context-aware stage
+    of the perplexity-proxy ladder (`unigram_logprob_quality` scores
+    WHICH tokens a document uses; this scores whether they appear in the
+    ORDER the corpus uses them, which is what separates fluent text from
+    shuffled-token soup at equal unigram mass).
+
+    Scale shape: adjacent pairs come from one doc-keyed lag window (the
+    positions never leave the partition); the model is two
+    (vocab²/vocab)-bounded counts joined back onto the pair stream with
+    map-side combine everywhere; the 1-row vocab size crosses as a
+    broadcast. Same DECIMAL(18,9) quantized-log-sum discipline as the
+    unigram scorer, so per-doc scores are order-independent exact."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.lag("tok", 1).over(w).alias("prev"),
+            "tok",
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    bi = grams.groupBy("prev", "tok").agg(F.count("*").alias("c"))
+    uni = grams.groupBy("prev").agg(F.count("*").alias("u"))
+    vocab = (
+        grams.select("tok")
+        .unionAll(grams.select(F.col("prev").alias("tok")))
+        .agg(F.count_distinct("tok").cast("double").alias("v"))
+    )
+    return (
+        grams.join(bi, ["prev", "tok"])
+        .join(uni, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.log((F.col("c") + 1) / (F.col("u") + F.col("v")))
+                    .cast("decimal(18,9)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

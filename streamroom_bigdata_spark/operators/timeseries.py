@@ -582,3 +582,89 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("f", 4).alias("forecast"),
         F.round(F.abs(F.col("y") - F.col("f")), 4).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolic discretization + motif counts over the daily series
+# ---------------------------------------------------------------------------
+
+#: Gaussian quartile breakpoints (Lin et al. 2003, alphabet size 4),
+#: embedded as IDENTICAL literals in both engines — neither engine
+#: evaluates an inverse normal CDF
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+_SAX_WORD = 3  # motif length in days
+
+sax_oracle = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 6) AS y
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT avg(y) AS mu, stddev_samp(y) AS sd FROM daily
+), z AS (
+  SELECT day, round((y - mu) / sd, 6) AS z FROM daily, stats
+), sym AS (
+  SELECT day,
+         CASE WHEN z < {_SAX_BREAKS[0]!r} THEN 'a'
+              WHEN z < {_SAX_BREAKS[1]!r} THEN 'b'
+              WHEN z < {_SAX_BREAKS[2]!r} THEN 'c'
+              ELSE 'd' END AS s
+  FROM z
+), words AS (
+  SELECT day,
+         s || lead(s, 1) OVER (ORDER BY day)
+           || lead(s, 2) OVER (ORDER BY day) AS motif
+  FROM sym
+)
+SELECT motif, CAST(count(*) AS BIGINT) AS n_windows,
+       min(day) AS first_day
+FROM words WHERE motif IS NOT NULL
+GROUP BY motif
+"""
+
+
+@register("sax_daily_motifs", sax_oracle)
+def sax_daily_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization of the daily revenue series (Lin et
+    al. 2003): z-normalize, quantize into a 4-letter alphabet at the
+    Gaussian quartile breakpoints, slide a 3-day word over the symbol
+    string, and count motif frequencies — the symbolic pattern census a
+    monitoring team greps before reaching for a full matrix profile
+    ('dcb' spikes-then-decays, 'aaa' sustained troughs).
+
+    Determinism: the daily input and the z-scores are both quantized to
+    6 decimals before any comparison, the breakpoints are shared
+    literals, and lead() words are ordered by day on both engines.
+
+    Scale shape: the data-sized stage is one combinable day groupBy;
+    normalization, bucketing, and the word windows run on the
+    day-DOMAIN table (corpus-span bounded — the allowlisted
+    single-partition case), and the motif census is ≤ 4³ rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("y")
+    )
+    stats = daily.agg(
+        F.avg("y").alias("mu"), F.stddev_samp("y").alias("sd")
+    )
+    z = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        F.round((F.col("y") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+    )
+    sym = z.select(
+        "day",
+        F.when(F.col("z") < _SAX_BREAKS[0], "a")
+        .when(F.col("z") < _SAX_BREAKS[1], "b")
+        .when(F.col("z") < _SAX_BREAKS[2], "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    w = Window.orderBy("day")
+    words = sym.select(
+        "day",
+        F.concat(
+            F.col("s"), F.lead("s", 1).over(w), F.lead("s", 2).over(w)
+        ).alias("motif"),
+    ).filter(F.col("motif").isNotNull())
+    return words.groupBy("motif").agg(
+        F.count("*").alias("n_windows"), F.min("day").alias("first_day")
+    )

@@ -466,3 +466,122 @@ def cusum_alarm_batch(events: DataFrame) -> DataFrame:
         )
 
     return events.groupBy("user_id").applyInPandas(scan, CUSUM_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt forecast-drift alarm (T10 family): the sequential twin of
+# the retrospective batch smoother operators/timeseries.holt_linear_forecast
+# ---------------------------------------------------------------------------
+
+HOLT_DRIFT_ALPHA = 0.5   # level gain (matches the batch smoother)
+HOLT_DRIFT_BETA = 0.3    # trend gain
+HOLT_DRIFT_THRESHOLD = 6.0  # alarm when |value - one-step forecast| exceeds it
+
+HOLT_OUT_SCHEMA = (
+    "user_id long, event_id long, forecast double, value double, "
+    "abs_err double, n_events long, n_alarms long"
+)
+HOLT_STATE_SCHEMA = "l double, b double, n_events long, n_alarms long"
+
+
+def holt_scan(rows, state=(0.0, 0.0, 0, 0)):
+    """Holt level/trend recurrence over ``rows`` (iterable of
+    (event_id, value)) from ``state`` = (l, b, n_events, n_alarms).
+
+    Each point is first scored against the one-step forecast l + b; a
+    miss beyond HOLT_DRIFT_THRESHOLD emits an alarm row and RE-ANCHORS
+    the smoother at the observed value (the CUSUM post-alarm reset: one
+    regime break raises one alarm, and the smoother doesn't spend the
+    next dozen points slewing toward the new level). In-threshold points
+    update the textbook recurrence. The first point only anchors.
+
+    Pure function shared verbatim by the streaming state update, the
+    batch twin, and the tests' driver-side replay — where CUSUM detects
+    a persistent shift in the MEAN, this detects a break from the
+    TREND a drifting series had established."""
+    l, b, n_events, n_alarms = state
+    alarms = []
+    for eid, v in rows:
+        n_events += 1
+        if n_events == 1:
+            l, b = v, 0.0
+            continue
+        f = l + b
+        err = abs(v - f)
+        if err > HOLT_DRIFT_THRESHOLD:
+            n_alarms += 1
+            alarms.append(
+                (int(eid), round(f, 6), v, round(err, 6), n_events, n_alarms)
+            )
+            l, b = v, 0.0
+        else:
+            l_new = HOLT_DRIFT_ALPHA * v + (1.0 - HOLT_DRIFT_ALPHA) * (l + b)
+            b = HOLT_DRIFT_BETA * (l_new - l) + (1.0 - HOLT_DRIFT_BETA) * b
+            l = l_new
+    return alarms, (l, b, n_events, n_alarms)
+
+
+def _update_holt(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    cur = tuple(state.get) if state.exists else (0.0, 0.0, 0, 0)
+    alarms = []
+    for pdf in pdfs:
+        batch_alarms, cur = holt_scan(_cusum_rows(pdf), cur)
+        alarms.extend(batch_alarms)
+    state.update(cur)
+    state.setTimeoutDuration(24 * 3600 * 1000)  # idle keys expire in a day
+    if alarms:
+        yield pd.DataFrame(
+            [(key[0], *a) for a in alarms],
+            columns=[
+                "user_id", "event_id", "forecast", "value",
+                "abs_err", "n_events", "n_alarms",
+            ],
+        )
+
+
+def holt_drift_stateful(events: DataFrame) -> DataFrame:
+    """Per-key streaming forecast-drift alarm via
+    ``applyInPandasWithState``: the monitoring counterpart of the batch
+    ``holt_linear_forecast`` backtest. CUSUM (above) flags a sustained
+    level shift against a FIXED target; this flags a break from each
+    key's own smoothed trajectory — a series climbing 2/event that
+    suddenly flatlines alarms here long before a fixed-target CUSUM
+    notices.
+
+    State per key is four scalars regardless of traffic; idle keys
+    expire after a day. Emits only alarm rows (update mode). Rows are
+    ordered by event time within a micro-batch; across micro-batches the
+    recurrence runs in arrival order — the sequential-detection
+    contract shared with the CUSUM twin."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_holt,
+        outputStructType=HOLT_OUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def holt_drift_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: the SAME ``holt_scan`` kernel over each key's full
+    history in event-time order via ``applyInPandas`` — one shuffle on
+    the key. Used by the agreement test."""
+
+    def scan(key, pdf):
+        alarms, _ = holt_scan(_cusum_rows(pdf))
+        return pd.DataFrame(
+            [(key[0], *a) for a in alarms],
+            columns=[
+                "user_id", "event_id", "forecast", "value",
+                "abs_err", "n_events", "n_alarms",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandas(scan, HOLT_OUT_SCHEMA)

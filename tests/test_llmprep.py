@@ -266,3 +266,24 @@ def test_token_budget_apportion_sums_exactly_and_breaks_ties(spark, tmp_path):
     assert rows["s_a"].allocated == 333334
     assert rows["s_b"].allocated == 333333
     assert rows["s_c"].allocated == 333333
+
+
+def test_bigram_logprob_hand_computed(spark, monkeypatch):
+    """Single planted doc 'a b a b': bigram counts (a,b)=2 (b,a)=1,
+    prev totals a=2 b=1, vocab 2 → mean of ln(3/4), ln(2/3), ln(3/4)."""
+    import math
+
+    from streamroom_bigdata_spark.operators import llmprep
+
+    df = spark.createDataFrame(
+        [(0, "a b a b", "en", "src0", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.llmprep.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    out = llmprep.bigram_logprob_quality(spark, "ignored").collect()
+    assert len(out) == 1 and out[0].n_bigrams == 3
+    expect = (math.log(3 / 4) + math.log(2 / 3) + math.log(3 / 4)) / 3
+    assert abs(out[0].avg_logprob - round(expect, 6)) < 2e-6

@@ -214,6 +214,10 @@ _ALLOWED_FACT_BROADCASTS = {
     # the 1-row vocab size nested under it, the |langs|-row prior, and the
     # 1-row train count — classifier PARAMETERS, bounded at ANY data scale
     "naive_bayes_lang": 4,
+    # SAX: 1-row mean/std normalization constants over the day-domain table
+    "sax_daily_motifs": 1,
+    # bigram LM: 1-row vocabulary size (the unigram scorer's v, as a hint)
+    "bigram_logprob_quality": 1,
 }
 
 

@@ -1490,3 +1490,74 @@ def test_pack_streaming_agrees_with_batch_planner(spark, tmp_path):
     # kernel-level agreement too
     assigns, _ = packer.pack_scan(list(enumerate(sizes)))
     assert {d: b for d, b, _ in assigns} == expected
+
+
+def test_holt_drift_alarm_crosses_batches_and_reanchors(spark, tmp_path):
+    """T10 Holt twin, cross-batch state: user 1 climbs +2/event (the
+    smoother tracks it — no alarm), then flatlines at 10 in the SECOND
+    micro-batch; the established-trend forecast overshoots by > 6 only
+    if (l, b) genuinely carried across batches. After the alarm the
+    smoother re-anchors, so the continued flatline stays quiet."""
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    mk = lambda i, u, v: {  # noqa: E731
+        "event_id": i, "ts": f"2024-01-01T00:{i:02d}:00", "user_id": u,
+        "event_type": "metric", "value": v,
+    }
+    climb = [2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0, 18.0, 20.0]
+    b1 = [mk(i + 1, 1, v) for i, v in enumerate(climb)]
+    b2 = [mk(11 + j, 1, 10.0) for j in range(3)]
+    src = tmp_path / "holt_src"
+    src.mkdir()
+    base = 1_700_000_000
+    for i, rows in enumerate([b1, b2]):
+        p = src / f"b{i}.json"
+        pd.DataFrame(rows).to_json(p, orient="records", lines=True, date_format="iso")
+        os.utime(p, (base + i, base + i))
+    stream = stream_file_source(spark, str(src), ddl, fmt="json", maxFilesPerTrigger=1)
+    _run_to_memory(stateful.holt_drift_stateful(stream), "holt_sink", "update")
+    got = [tuple(r) for r in spark.sql("select * from holt_sink").collect()]
+    # driver-side replay of the same kernel fixes the expected rows
+    events = [(r["event_id"], r["value"]) for r in b1 + b2]
+    expect, _ = stateful.holt_scan(events)
+    assert got == [(1, *a) for a in expect]
+    assert len(got) == 1 and got[0][1] == 11  # the first flatline point
+    assert got[0][4] > stateful.HOLT_DRIFT_THRESHOLD
+
+
+def test_holt_drift_streaming_agrees_with_batch_twin(spark, tmp_path):
+    """Streaming Holt drift over event-time-ordered micro-batches emits
+    exactly the rows of the batch twin (same kernel, full history)."""
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    vals = {
+        1: [5.0, 7.0, 9.0, 11.0, 1.0, 3.0, 5.0, 7.0],   # trend break: 1 alarm
+        2: [5.0, 5.2, 4.9, 5.1, 5.0, 4.8, 5.1, 5.0],    # steady: none
+        3: [0.0, 20.0, 0.0, 20.0, 0.0, 20.0, 0.0, 20.0],  # saw: alarms + re-anchor
+    }
+    rows = [
+        {
+            "event_id": u * 100 + i, "ts": f"2024-01-01T0{i}:00:00",
+            "user_id": u, "event_type": "metric", "value": v,
+        }
+        for u, vs in vals.items()
+        for i, v in enumerate(vs)
+    ]
+    src = tmp_path / "holt_agree_src"
+    src.mkdir()
+    base = 1_700_000_000
+    for i in range(4):
+        chunk = [r for r in rows if r["event_id"] % 100 in (2 * i, 2 * i + 1)]
+        p = src / f"b{i}.json"
+        pd.DataFrame(chunk).to_json(p, orient="records", lines=True, date_format="iso")
+        os.utime(p, (base + i, base + i))
+    stream = stream_file_source(spark, str(src), ddl, fmt="json", maxFilesPerTrigger=1)
+    _run_to_memory(stateful.holt_drift_stateful(stream), "holt_agree_sink", "update")
+    streamed = sorted(
+        tuple(r) for r in spark.sql("select * from holt_agree_sink").collect()
+    )
+    static = spark.createDataFrame(pd.DataFrame(rows)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = sorted(tuple(r) for r in stateful.holt_drift_batch(static).collect())
+    assert streamed == batch
+    assert [r[0] for r in batch if r[0] == 2] == []  # steady key never alarms
+    assert len([r for r in batch if r[0] == 3]) >= 3  # saw re-alarms after reset

@@ -160,3 +160,21 @@ def test_holt_linear_matches_reference_recurrence(spark, monkeypatch):
         assert abs(r.trend - eb) < 1e-4
         if ef is not None:
             assert abs(r.forecast - ef) < 1e-4
+
+
+def test_sax_motifs_cover_series_and_alphabet(spark, sf_dir):
+    """Motif census invariants on the fixture: every motif is a 3-letter
+    word over {a,b,c,d}, windows total days-2, and both tails of the
+    alphabet appear somewhere (the z-spread of real daily sums crosses
+    the outer breakpoints)."""
+    out = timeseries.sax_daily_motifs(spark, sf_dir).collect()
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_windows for r in out) == days - 2
+    letters = {c for r in out for c in r.motif}
+    assert letters <= {"a", "b", "c", "d"}
+    assert all(len(r.motif) == 3 for r in out)

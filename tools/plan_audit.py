@@ -61,6 +61,9 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # rank-frequency row_number over the VOCAB-sized count table (the
     # data-sized stage is the combinable token groupBy below it)
     "zipf_law_fit": 1,
+    # 3-day SAX word lead()s over the day-DOMAIN symbol table (the
+    # data-sized stage is the combinable daily groupBy below it)
+    "sax_daily_motifs": 1,
 }
 
 HEADER = (
