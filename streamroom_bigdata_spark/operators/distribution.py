@@ -968,3 +968,102 @@ def cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two event-type daily series
+# ---------------------------------------------------------------------------
+
+XC_MAX_LAG = 7
+XC_X_TYPE = "click"
+XC_Y_TYPE = "purchase"
+
+cross_corr_oracle = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         COALESCE(sum(CASE WHEN event_type = '{XC_X_TYPE}'
+                           THEN value END), 0.0) AS x,
+         COALESCE(sum(CASE WHEN event_type = '{XC_Y_TYPE}'
+                           THEN value END), 0.0) AS y
+  FROM events WHERE event_type IN ('{XC_X_TYPE}', '{XC_Y_TYPE}')
+  GROUP BY 1
+), m AS (
+  SELECT avg(x) AS mx, avg(y) AS my,
+         sum((x - (SELECT avg(x) FROM daily)) ^ 2) AS ssx,
+         sum((y - (SELECT avg(y) FROM daily)) ^ 2) AS ssy
+  FROM daily
+),
+lags AS (SELECT unnest(range(0, {XC_MAX_LAG} + 1)) AS lag),
+prods AS (
+  SELECT l.lag,
+         count(*) AS n_pairs,
+         sum((a.x - m.mx) * (b.y - m.my)) AS num
+  FROM lags l
+  JOIN daily a ON true
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INT), m
+  GROUP BY l.lag
+)
+SELECT CAST(p.lag AS INT) AS lag, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       round(p.num / sqrt(m.ssx * m.ssy), 6) AS xcorr
+FROM prods p, m
+"""
+
+
+@register("cross_corr_lagged", cross_corr_oracle)
+def cross_corr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of the click and purchase daily-value series at
+    lags 0..XC_MAX_LAG: r(k) = Σ(x_t − x̄)(y_{t+k} − ȳ) / √(SSx·SSy) —
+    the lead-lag discovery readout (`acf_daily_revenue` asks whether a
+    series predicts ITSELF; this asks whether clicks today predict
+    purchases k days out, the shape a marketing team reads before
+    trusting `multi_touch_attribution`'s window length).
+
+    All work above the one combinable conditional daily groupBy is
+    day-DOMAIN-bounded: an 8-row lag spine exploded against the daily
+    table, a day-arithmetic equi-join, and the 1-row means/SS broadcast
+    (in-plan scalar pattern). Missing-type days enter as exact 0.0 on
+    both engines; xcorr is a ratio of centered sums — round-6 stable."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(XC_X_TYPE, XC_Y_TYPE)
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == XC_X_TYPE, F.col("value"))),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == XC_Y_TYPE, F.col("value"))),
+            F.lit(0.0),
+        ).alias("y"),
+    )
+    m = daily.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    centered = daily.crossJoin(F.broadcast(m)).select(
+        "d",
+        (F.col("x") - F.col("mx")).alias("devx"),
+        (F.col("y") - F.col("my")).alias("devy"),
+    )
+    ss = centered.agg(
+        F.sum(F.pow("devx", F.lit(2))).alias("ssx"),
+        F.sum(F.pow("devy", F.lit(2))).alias("ssy"),
+    )
+    lagged = centered.select(
+        "d",
+        "devx",
+        F.explode(F.sequence(F.lit(0), F.lit(XC_MAX_LAG))).alias("lag"),
+    )
+    b = centered.select(F.col("d").alias("d2"), F.col("devy").alias("devy2"))
+    prods = (
+        lagged.join(b, F.col("d2") == F.date_add(F.col("d"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("devx") * F.col("devy2")).alias("num"),
+        )
+    )
+    return prods.crossJoin(F.broadcast(ss)).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.round(
+            F.col("num") / F.sqrt(F.col("ssx") * F.col("ssy")), 6
+        ).alias("xcorr"),
+    )

@@ -617,3 +617,135 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_upper"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROC AUC of a quality score against a binary label (rank-sum identity)
+# ---------------------------------------------------------------------------
+
+AUC_POS_LANG = "en"
+
+roc_auc_oracle = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab
+), scores AS (
+  SELECT t.doc_id,
+         round(CAST(sum(CAST(ln(v.c / tt.n) AS DECIMAL(18,9)))
+                    AS DOUBLE) / count(*), 6) AS score
+  FROM toks t JOIN vocab v USING (tok), total tt
+  GROUP BY t.doc_id
+), labeled AS (
+  SELECT s.score,
+         CASE WHEN d.lang = '{AUC_POS_LANG}' THEN 1 ELSE 0 END AS pos
+  FROM scores s JOIN documents d USING (doc_id)
+), vals AS (
+  SELECT score, CAST(sum(pos) AS BIGINT) AS p_cnt,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM labeled GROUP BY score
+), ranked AS (
+  SELECT p_cnt, cnt,
+         COALESCE(sum(cnt) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM vals
+), s AS (
+  SELECT CAST(sum(p_cnt) AS BIGINT) AS n_pos,
+         CAST(sum(cnt) - sum(p_cnt) AS BIGINT) AS n_neg,
+         sum(p_cnt * (cum_before + (cnt + 1) / 2.0)) AS r_pos
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       round((r_pos - n_pos * (n_pos + 1) / 2.0)
+             / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+FROM s
+"""
+
+
+@register("roc_auc_quality", roc_auc_oracle)
+def roc_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the corpus unigram quality score as a detector of
+    AUC_POS_LANG documents, via the rank-sum identity
+    AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with mid-rank tie handling — the
+    model-evaluation readout that tells a curation team whether a score
+    RANKS the class it is about to threshold on (the `mann_whitney_u`
+    statistic re-expressed as a classifier metric; same distributed
+    ranking, no global sort).
+
+    The score is the `unigram_logprob_quality` signal recomputed in-plan
+    (same DECIMAL(18,9) quantized-log discipline, so per-doc scores are
+    exact and identical cross-engine; grouping by the round-6 score
+    merges ties identically). Ranking: per-distinct-score counts, then
+    the range-partition + O(P) offset pattern shared with Mann-Whitney
+    — every average rank is a multiple of 0.5, so R⁺ is bit-identical
+    cross-engine."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    scores = (
+        toks.join(vocab, "tok")
+        .join(total)
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(F.col("c") / F.col("n")).cast("decimal(18,9)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("score")
+        )
+    )
+    labeled = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "score",
+        (F.col("lang") == AUC_POS_LANG).cast("long").alias("pos"),
+    )
+    vals = labeled.groupBy("score").agg(
+        F.sum("pos").alias("p_cnt"), F.count("*").alias("cnt")
+    )
+    n_parts = shuffle_partition_count(spark)
+    ranged, _, offsets_df, _ = range_partition_offsets(
+        vals, ["score"], [("tot", F.sum("cnt"))], n_parts
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        ranged.withColumn(
+            "cum_local", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        )
+        .join(F.broadcast(offsets_df), "pid")
+        .select(
+            "p_cnt",
+            "cnt",
+            (F.col("off_tot") + F.col("cum_local")).alias("cum_before"),
+        )
+    )
+    s = ranked.agg(
+        F.sum("p_cnt").alias("n_pos"),
+        (F.sum("cnt") - F.sum("p_cnt")).alias("n_neg"),
+        F.sum(
+            F.col("p_cnt") * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+        ).alias("r_pos"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

@@ -384,3 +384,47 @@ def test_cramers_single_category_is_null_not_abort(spark, monkeypatch):
     [r] = distribution.cramers_v_type_dow(spark, "ignored").collect()
     assert r.n_rows == 1
     assert r.cramers_v is None
+
+
+def test_cross_corr_planted_lead_lag(spark, monkeypatch):
+    """y is x shifted by exactly 2 days (period-3 pattern, 15 days, so the
+    shifted series has identical mean/SS): the exact r(k) is computable
+    from the planted daily series; lag 2 dominates."""
+    import datetime as dt
+
+    from streamroom_bigdata_spark.operators import distribution as dist
+
+    pattern = [10.0, 40.0, 25.0]
+    days = 15
+    x = [pattern[t % 3] for t in range(days)]
+    y = [pattern[(t - 2) % 3] for t in range(days)]
+    rows = []
+    eid = 0
+    for t in range(days):
+        rows.append(
+            (eid, dt.datetime(2024, 1, 1 + t, 1), 1, "click", x[t], "{}")
+        )
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 1, 1 + t, 2), 1, "purchase", y[t], "{}")
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.distribution.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    out = {r.lag: r for r in dist.cross_corr_lagged(spark, "ignored").collect()}
+    assert set(out) == set(range(dist.XC_MAX_LAG + 1))
+    mx = sum(x) / days
+    ssx = sum((v - mx) ** 2 for v in x)  # == ssy (shifted periodic)
+    for lag in out:
+        n_pairs = days - lag
+        assert out[lag].n_pairs == n_pairs
+        num = sum((x[t] - mx) * (y[t + lag] - mx) for t in range(n_pairs))
+        assert abs(out[lag].xcorr - round(num / ssx, 6)) < 1e-6
+    assert max(out.values(), key=lambda r: r.xcorr).lag == 2

@@ -218,6 +218,12 @@ _ALLOWED_FACT_BROADCASTS = {
     "sax_daily_motifs": 1,
     # bigram LM: 1-row vocabulary size (the unigram scorer's v, as a hint)
     "bigram_logprob_quality": 1,
+    # cross-correlation: 1-row means + 1-row SS over the day-domain table;
+    # the count is 4 because the centered relation (carrying the mean
+    # hint) re-instantiates under the SS aggregate, the lag spine, AND the
+    # shifted side (the acf_daily_revenue subtree-reuse effect) — every
+    # instance is a 1-row aggregate, safe at ANY data scale
+    "cross_corr_lagged": 4,
 }
 
 

@@ -182,3 +182,38 @@ def test_poisson_bootstrap_degenerate_replica_cross_engine(
     assert (got.n_reps, got.boot_mean, got.ci_lower, got.ci_upper) == want
     assert got.ci_lower == 42.0  # rn=3 sits among the surviving replicas
     assert got.ci_upper is None  # rn=98 sits in the NULL tail on BOTH engines
+
+
+_DOC_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_roc_auc_separable_and_tied(spark, monkeypatch):
+    """Perfectly separated unigram scores → AUC 1; adding a negative doc
+    that TIES the positive score → AUC (2 wins + 2 half-ties)/4 = 0.75."""
+    sep = [
+        (0, "x x x x", "en", "s", 7),
+        (1, "x x", "en", "s", 3),
+        (2, "y", "de", "s", 1),
+        (3, "y y", "de", "s", 3),
+    ]
+
+    def run(rows):
+        df = spark.createDataFrame(rows, _DOC_DDL)
+        monkeypatch.setattr(
+            "streamroom_bigdata_spark.operators.stats.load_table",
+            lambda spark_, sf_, name: df,
+        )
+        return stats.roc_auc_quality(spark, "ignored").collect()[0]
+
+    r = run(sep)
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
+    # docs 0/1 and 4 all score ln(c_x/N) exactly (single-token docs of the
+    # same token) → one mid-rank tie group spanning both classes
+    tied = [
+        (0, "x x", "en", "s", 3),
+        (1, "x x", "en", "s", 3),
+        (2, "y", "de", "s", 1),
+        (4, "x x", "de", "s", 3),
+    ]
+    r = run(tied)
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 0.75)
