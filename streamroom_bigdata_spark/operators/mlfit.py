@@ -372,3 +372,156 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.regr_intercept("ly", "lx")), 4).alias("heaps_k"),
         F.round(F.regr_r2("ly", "lx"), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression by fixed-step in-plan gradient descent
+# ---------------------------------------------------------------------------
+
+LOGREG_STEPS = 3   # fixed GD steps — FIXED on both engines (unrollable)
+LOGREG_LR = 0.5    # step size on standardized features
+
+_LOGREG_FEATS_SQL = """
+  SELECT (l_quantity - ms.m1) / ms.s1 AS x1,
+         (l_discount - ms.m2) / ms.s2 AS x2,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem, ms
+"""
+
+
+def _logreg_oracle() -> str:
+    parts = [
+        f"""
+WITH ms AS (
+  SELECT round(avg(l_quantity), 6) AS m1, round(stddev_samp(l_quantity), 6) AS s1,
+         round(avg(l_discount), 6) AS m2, round(stddev_samp(l_discount), 6) AS s2
+  FROM lineitem
+), f AS ({_LOGREG_FEATS_SQL}),
+w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+              CAST(0.0 AS DOUBLE) AS b2)"""
+    ]
+    p = "1.0 / (1.0 + exp(-(w.b0 + w.b1 * f.x1 + w.b2 * f.x2)))"
+    for k in range(LOGREG_STEPS):
+        parts.append(
+            f""", g{k} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(({p} - f.y) AS DECIMAL(18,9))) AS g0,
+         sum(CAST(({p} - f.y) * f.x1 AS DECIMAL(18,9))) AS g1,
+         sum(CAST(({p} - f.y) * f.x2 AS DECIMAL(18,9))) AS g2
+  FROM f, w{k} w
+), w{k + 1} AS (
+  SELECT w.b0 - {LOGREG_LR!r} * (CAST(g.g0 AS DOUBLE) / g.n) AS b0,
+         w.b1 - {LOGREG_LR!r} * (CAST(g.g1 AS DOUBLE) / g.n) AS b1,
+         w.b2 - {LOGREG_LR!r} * (CAST(g.g2 AS DOUBLE) / g.n) AS b2
+  FROM w{k} w, g{k} g
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(any_value(w.b0), 6) AS w_intercept,
+       round(any_value(w.b1), 6) AS w_quantity,
+       round(any_value(w.b2), 6) AS w_discount,
+       round(CAST(sum(CAST(-(f.y * ln({p}) + (1.0 - f.y) * ln(1.0 - {p}))
+                           AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+         AS log_loss
+FROM f, w{LOGREG_STEPS} w"""
+    )
+    return "".join(parts)
+
+
+@register("logreg_gd_returns", _logreg_oracle())
+def logreg_gd_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (is the lineitem a return?) trained by
+    LOGREG_STEPS fixed full-batch gradient-descent steps entirely
+    in-plan, on standardized (quantity, discount): per step ONE
+    data-sized aggregate produces the exact gradient, the 1-row weight
+    state updates and broadcasts back — the iterative-optimizer shape
+    next to `kmeans_clusters` (assignment EM) and `pca_power_iteration`
+    (matvec), completing the training-loop triptych. Reports weights and
+    training log-loss.
+
+    Determinism: standardization constants are round-6 quantized first
+    (the holt_linear_forecast discipline), so every engine computes
+    bit-identical features and sigmoids; per-row gradient and loss terms
+    are quantized to DECIMAL(18,9) before summation (order-independent —
+    the naive Bayes discipline), so each step's weight vector is
+    reproduced exactly; residual libm ULP noise in exp() is ~1e-10 on
+    the final weights, far inside the round-6 outputs.
+
+    Scale shape: one pass per step with map-side combine; the weight
+    state is localCheckpointed per step (1 row — exact statistics, so
+    the planner always broadcasts the WEIGHTS, never the feature table;
+    the pca_power_iteration lesson)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ms = li.agg(
+        F.round(F.avg("l_quantity"), 6).alias("m1"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("s1"),
+        F.round(F.avg("l_discount"), 6).alias("m2"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("s2"),
+    ).localCheckpoint()
+    feats = (
+        li.crossJoin(ms)
+        .select(
+            ((F.col("l_quantity") - F.col("m1")) / F.col("s1")).alias("x1"),
+            ((F.col("l_discount") - F.col("m2")) / F.col("s2")).alias("x2"),
+            F.when(F.col("l_returnflag") == "R", 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        )
+        .cache()
+    )
+    w = spark.createDataFrame(
+        [(0.0, 0.0, 0.0)], "b0 double, b1 double, b2 double"
+    )
+    for _ in range(LOGREG_STEPS):
+        z = F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+        p = 1.0 / (1.0 + F.exp(-z))
+        g = feats.crossJoin(F.broadcast(w)).agg(
+            F.count("*").alias("n"),
+            F.sum((p - F.col("y")).cast("decimal(18,9)")).alias("g0"),
+            F.sum(((p - F.col("y")) * F.col("x1")).cast("decimal(18,9)")).alias(
+                "g1"
+            ),
+            F.sum(((p - F.col("y")) * F.col("x2")).cast("decimal(18,9)")).alias(
+                "g2"
+            ),
+        )
+        w = (
+            w.crossJoin(g)
+            .select(
+                (
+                    F.col("b0")
+                    - LOGREG_LR * (F.col("g0").cast("double") / F.col("n"))
+                ).alias("b0"),
+                (
+                    F.col("b1")
+                    - LOGREG_LR * (F.col("g1").cast("double") / F.col("n"))
+                ).alias("b1"),
+                (
+                    F.col("b2")
+                    - LOGREG_LR * (F.col("g2").cast("double") / F.col("n"))
+                ).alias("b2"),
+            )
+            .localCheckpoint()
+        )
+    z = F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+    p = 1.0 / (1.0 + F.exp(-z))
+    return feats.crossJoin(F.broadcast(w)).agg(
+        F.count("*").alias("n"),
+        F.round(F.any_value("b0"), 6).alias("w_intercept"),
+        F.round(F.any_value("b1"), 6).alias("w_quantity"),
+        F.round(F.any_value("b2"), 6).alias("w_discount"),
+        F.round(
+            F.sum(
+                (
+                    -(
+                        F.col("y") * F.log(p)
+                        + (1.0 - F.col("y")) * F.log(1.0 - p)
+                    )
+                ).cast("decimal(18,9)")
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("log_loss"),
+    )

@@ -120,3 +120,59 @@ def test_heaps_fit_all_unique_tokens_is_linear(spark, monkeypatch):
     assert r.heaps_beta == 1.0
     assert r.heaps_k == 1.0
     assert r.r2 == 1.0
+
+
+def test_logreg_gd_matches_python_replay(spark, monkeypatch):
+    """Planted separable table replayed through the identical 3-step GD in
+    plain Python (same round-6 standardization, same update order) —
+    weights and loss agree to output precision, and the learned quantity
+    weight is positive (high quantity ⇒ return in the plant)."""
+    import math
+
+    rows = []
+    for i in range(60):
+        q = float(10 + (i % 40))
+        d = (i % 10) / 100.0
+        flag = "R" if q >= 30.0 else "N"
+        rows.append((q, d, flag))
+    df = spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_returnflag string"
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.mlfit.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    out = mlfit.logreg_gd_returns(spark, "ignored").collect()[0]
+
+    n = len(rows)
+    m1 = round(sum(r[0] for r in rows) / n, 6)
+    m2 = round(sum(r[1] for r in rows) / n, 6)
+    s1 = round(
+        math.sqrt(sum((r[0] - sum(x[0] for x in rows) / n) ** 2 for r in rows)
+                  / (n - 1)), 6)
+    s2 = round(
+        math.sqrt(sum((r[1] - sum(x[1] for x in rows) / n) ** 2 for r in rows)
+                  / (n - 1)), 6)
+    feats = [((r[0] - m1) / s1, (r[1] - m2) / s2,
+              1.0 if r[2] == "R" else 0.0) for r in rows]
+    w = [0.0, 0.0, 0.0]
+    for _ in range(mlfit.LOGREG_STEPS):
+        g = [0.0, 0.0, 0.0]
+        for x1, x2, y in feats:
+            p = 1.0 / (1.0 + math.exp(-(w[0] + w[1] * x1 + w[2] * x2)))
+            g[0] += p - y
+            g[1] += (p - y) * x1
+            g[2] += (p - y) * x2
+        w = [wi - mlfit.LOGREG_LR * (gi / n) for wi, gi in zip(w, g)]
+    loss = sum(
+        -(y * math.log(1.0 / (1.0 + math.exp(-(w[0] + w[1] * x1 + w[2] * x2))))
+          + (1 - y) * math.log(1.0 - 1.0 / (1.0 + math.exp(-(w[0] + w[1] * x1
+                                                             + w[2] * x2)))))
+        for x1, x2, y in feats
+    ) / n
+    assert out.n == n
+    assert abs(out.w_intercept - round(w[0], 6)) < 2e-6
+    assert abs(out.w_quantity - round(w[1], 6)) < 2e-6
+    assert abs(out.w_discount - round(w[2], 6)) < 2e-6
+    assert abs(out.log_loss - round(loss, 6)) < 2e-6
+    assert out.w_quantity > 0.2
