@@ -935,3 +935,218 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (round-10): the tokenizer-training stage itself
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 5
+
+
+def _bpe_round_sql(k: int) -> str:
+    """One BPE round: count adjacent symbol pairs weighted by word
+    frequency, pick the argmax (count DESC, pair ASC), merge its leftmost
+    non-overlapping occurrences (gaps-islands parity — only reachable
+    when left == right), re-number positions."""
+    return f""", p{k} AS (
+  SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b, cnt
+  FROM s{k}
+), b{k} AS (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM p{k} WHERE b IS NOT NULL
+  GROUP BY a, b
+  ORDER BY pair_count DESC, a, b LIMIT 1
+), m{k} AS (
+  SELECT s.word, s.cnt, s.pos, s.sym,
+         CASE WHEN s.sym = bb.a
+              AND lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = bb.b
+              THEN 1 ELSE 0 END AS mt
+  FROM s{k} s CROSS JOIN b{k} bb
+), i{k} AS (
+  SELECT word, cnt, pos, sym, mt,
+         CASE WHEN mt = 1 THEN pos - row_number() OVER (
+              PARTITION BY word, mt ORDER BY pos) END AS grp
+  FROM m{k}
+), k{k} AS (
+  SELECT word, cnt, pos, sym, mt,
+         CASE WHEN mt = 1 AND (row_number() OVER (
+              PARTITION BY word, grp ORDER BY pos) % 2) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM i{k}
+), f{k} AS (
+  SELECT word, cnt, pos,
+         CASE WHEN keep = 1
+              THEN sym || lead(sym) OVER (PARTITION BY word ORDER BY pos)
+              ELSE sym END AS sym,
+         COALESCE(lag(keep) OVER (PARTITION BY word ORDER BY pos), 0)
+           AS consumed
+  FROM k{k}
+), s{k + 1} AS (
+  SELECT word, cnt,
+         CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+              AS BIGINT) - 1 AS pos,
+         sym
+  FROM f{k} WHERE consumed = 0
+)"""
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        """
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+), words AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+), s0 AS (
+  SELECT word, cnt, CAST(i AS BIGINT) AS pos,
+         substr(word, CAST(i AS INT) + 1, 1) AS sym
+  FROM words, unnest(range(0, length(word))) AS u(i)
+)"""
+    ]
+    for k in range(BPE_ROUNDS):
+        parts.append(_bpe_round_sql(k))
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k + 1} AS merge_round, a AS left_sym, b AS right_sym, "
+        f"pair_count FROM b{k}"
+        for k in range(BPE_ROUNDS)
+    )
+    parts.append(f"\nSELECT * FROM ({union})")
+    return "".join(parts)
+
+
+@register("bpe_train_merges", _bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016),
+    BPE_ROUNDS merge rounds: the learned merge table (round, left symbol,
+    right symbol, weighted pair count) — the stage that PRODUCES the
+    vocabulary `vocab_encode_docs` consumes, run as a first-class
+    distributed query.
+
+    The classic scale insight makes this cheap at 100 TB: BPE trains on
+    the WORD-FREQUENCY DICTIONARY, not the corpus — the only data-sized
+    stage is one combinable word count; every merge round then runs on
+    the vocabulary-bounded symbol table (Σ|word| rows over DISTINCT
+    words). Per round: one pair count (map-side combinable), a 1-row
+    argmax broadcast (ties broken count DESC then pair ASC — exact
+    integer determinism), and the greedy leftmost-non-overlapping merge
+    spelled as gaps-islands parity (consecutive match runs only arise
+    when left == right, e.g. 'aaaa' + merge 'aa': keep matches 1 and 3
+    of the run). The symbol table is localCheckpointed per round —
+    vocabulary-sized, truncates the 5-round window-chain lineage."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    words = toks.groupBy(F.col("tok").alias("word")).agg(
+        F.count("*").alias("cnt")
+    )
+    s = words.select(
+        "word",
+        "cnt",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.length("word") - 1)
+        ).alias("pos"),
+    ).select(
+        "word",
+        "cnt",
+        "pos",
+        F.col("word").substr(
+            (F.col("pos") + 1).cast("int"), F.lit(1)
+        ).alias("sym"),
+    ).localCheckpoint()
+
+    wseq = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    for k in range(BPE_ROUNDS):
+        pairs = s.select(
+            F.col("sym").alias("a"),
+            F.lead("sym", 1).over(wseq).alias("b"),
+            "cnt",
+        ).filter(F.col("b").isNotNull())
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint()
+        )
+        merges.append(
+            best.select(
+                F.lit(k + 1).alias("merge_round"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                "pair_count",
+            )
+        )
+        m = s.crossJoin(F.broadcast(best)).select(
+            "word",
+            "cnt",
+            "pos",
+            "sym",
+            F.when(
+                (F.col("sym") == F.col("a"))
+                & (F.lead("sym", 1).over(wseq) == F.col("b")),
+                1,
+            )
+            .otherwise(0)
+            .alias("mt"),
+        )
+        i = m.withColumn(
+            "grp",
+            F.when(
+                F.col("mt") == 1,
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy("word", "mt").orderBy("pos")
+                ),
+            ),
+        )
+        keep = i.withColumn(
+            "keep",
+            F.when(
+                (F.col("mt") == 1)
+                & (
+                    F.row_number().over(
+                        Window.partitionBy("word", "grp").orderBy("pos")
+                    )
+                    % 2
+                    == 1
+                ),
+                1,
+            ).otherwise(0),
+        )
+        f = keep.select(
+            "word",
+            "cnt",
+            "pos",
+            F.when(
+                F.col("keep") == 1,
+                F.concat(F.col("sym"), F.lead("sym", 1).over(wseq)),
+            )
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+            F.coalesce(F.lag("keep", 1).over(wseq), F.lit(0)).alias(
+                "consumed"
+            ),
+        )
+        s = (
+            f.filter(F.col("consumed") == 0)
+            .select(
+                "word",
+                "cnt",
+                (
+                    F.row_number().over(wseq).cast("bigint") - 1
+                ).alias("pos"),
+                "sym",
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out
