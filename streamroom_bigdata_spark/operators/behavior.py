@@ -745,3 +745,122 @@ def winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("lo"), 4).alias("p05"),
         F.round(F.max("hi"), 4).alias("p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stationary distribution of the event-type Markov chain (power iteration)
+# ---------------------------------------------------------------------------
+
+MARKOV_PI_ROUNDS = 8
+
+
+def _markov_pi_oracle() -> str:
+    parts = [
+        """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+), pmat AS MATERIALIZED (
+  SELECT p.prev_type AS i, p.next_type AS j,
+         CAST(p.n_trans AS DOUBLE)
+           / sum(p.n_trans) OVER (PARTITION BY p.prev_type) AS p
+  FROM pairs p
+  WHERE p.next_type IN (SELECT DISTINCT prev_type FROM pairs)
+), states AS (
+  SELECT DISTINCT i FROM pmat
+), pi0 AS (
+  SELECT i, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM states) AS pi
+  FROM states
+)"""
+    ]
+    for k in range(MARKOV_PI_ROUNDS):
+        parts.append(
+            f""", r{k} AS MATERIALIZED (
+  SELECT m.j AS i, sum(pp.pi * m.p) AS v
+  FROM pi{k} pp JOIN pmat m ON m.i = pp.i
+  GROUP BY m.j
+), pi{k + 1} AS MATERIALIZED (
+  SELECT i, v / (SELECT sum(v) FROM r{k}) AS pi FROM r{k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT i AS event_type, round(pi, 6) AS stationary_p
+FROM pi{MARKOV_PI_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+@register("markov_stationary_mix", _markov_pi_oracle())
+def markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov chain
+    (π = πP) by MARKOV_PI_ROUNDS fixed power-iteration rounds from the
+    uniform start — the long-run traffic mix the `markov_transitions`
+    matrix implies, which a capacity planner compares against today's
+    observed mix to see where the funnel is DRIFTING.
+
+    The chain is restricted to types observed as transition SOURCES
+    (columns leading out of the state space are dropped) and π is
+    renormalized each round, so leaked mass cannot accumulate; argmax-free
+    float path — every sum is over the ≤|types| state space, so
+    accumulation noise is ~1e-16 and round-6 output is stable on both
+    engines.
+
+    Scale shape: ONE user-keyed lag shuffle (shared with
+    markov_transitions) is the only data-sized stage; all
+    MARKOV_PI_ROUNDS iterations run on the |types|²-bounded matrix with
+    the |types|-row π localCheckpointed per round."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(wseq).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = ordered.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    states = pairs.select(F.col("prev_type").alias("i")).distinct()
+    wrow = Window.partitionBy("prev_type")
+    pmat = (
+        pairs.join(
+            states.select(F.col("i").alias("event_type")), "event_type"
+        )
+        .select(
+            F.col("prev_type").alias("i"),
+            F.col("event_type").alias("j"),
+            (
+                F.col("n_trans").cast("double")
+                / F.sum("n_trans").over(wrow)
+            ).alias("p"),
+        )
+        .localCheckpoint()
+    )
+    n_states = states.count()  # |types|-bounded driver scalar
+    pi = states.select(
+        "i", (F.lit(1.0) / float(n_states)).alias("pi")
+    ).localCheckpoint()
+    for _ in range(MARKOV_PI_ROUNDS):
+        r = (
+            pi.join(pmat, "i")
+            .groupBy(F.col("j").alias("i2"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("v"))
+            .select(F.col("i2").alias("i"), "v")
+        )
+        tot = r.agg(F.sum("v").alias("t"))
+        pi = (
+            r.crossJoin(F.broadcast(tot))
+            .select("i", (F.col("v") / F.col("t")).alias("pi"))
+            .localCheckpoint()
+        )
+    return pi.select(
+        F.col("i").alias("event_type"),
+        F.round("pi", 6).alias("stationary_p"),
+    )
