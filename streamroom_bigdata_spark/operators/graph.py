@@ -51,7 +51,7 @@ def _pagerank_oracle() -> str:
     iters = []
     for k in range(1, PR_ITERS + 1):
         iters.append(
-            f"""r{k} AS (
+            f"""r{k} AS MATERIALIZED (
   SELECT e.dst AS id,
          (SELECT (1 - {PR_DAMPING}) / n FROM nn)
            + {PR_DAMPING} * sum(r.rank / d.deg) AS rank
@@ -62,9 +62,9 @@ def _pagerank_oracle() -> str:
 )"""
         )
     return f"""
-WITH edges AS ({_edges_sql()}),
-deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-nodes AS (SELECT DISTINCT src AS id FROM edges),
+WITH edges AS MATERIALIZED ({_edges_sql()}),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 r0 AS (SELECT id, (SELECT 1.0 / n FROM nn) AS rank FROM nodes),
 {', '.join(iters)}
@@ -244,9 +244,9 @@ def _ppr_oracle() -> str:
 )"""
         )
     return f"""
-WITH edges AS ({_edges_sql()}),
-deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-nodes AS (SELECT DISTINCT src AS id FROM edges),
+WITH edges AS MATERIALIZED ({_edges_sql()}),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
 sc AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM nodes
        WHERE {_PPR_SEED_SQL}),
 base AS (
@@ -422,7 +422,7 @@ def personalized_pagerank_transactions(
 # three mutually-similar documents (the clique core a dedup pipeline keeps
 # one representative of).
 triangle_oracle = f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT doc_a, doc_b FROM ({simhash_near_dup_oracle})
 )
 SELECT count(*) AS n_triangles
@@ -528,9 +528,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 clustering_oracle = f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT doc_a, doc_b FROM ({simhash_near_dup_oracle})
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM e
   UNION ALL SELECT doc_b, doc_a FROM e
 ), deg AS (
@@ -743,18 +743,18 @@ def _kcore_peel_oracle() -> str:
     edge set is below k, synchronously — exactly the Spark loop."""
     parts = [
         f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT doc_a, doc_b FROM ({simhash_near_dup_oracle})
-), s0 AS (
+), s0 AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM e
   UNION ALL SELECT doc_b, doc_a FROM e
 )"""
     ]
     for i in range(KCORE_PEEL_ROUNDS):
         parts.append(
-            f""", g{i} AS (
+            f""", g{i} AS MATERIALIZED (
   SELECT u FROM s{i} GROUP BY u HAVING count(*) < {KCORE_PEEL_K}
-), s{i + 1} AS (
+), s{i + 1} AS MATERIALIZED (
   SELECT s.u, s.v FROM s{i} s
   WHERE s.u NOT IN (SELECT u FROM g{i})
     AND s.v NOT IN (SELECT u FROM g{i})
@@ -787,18 +787,27 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks. The early-exit when a round peels nothing is semantically
     free (peeling is idempotent past convergence)."""
     pairs = simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    # materialize the symmetrized edge set ONCE: each round's isEmpty()
+    # action and the final degree count would otherwise re-execute the
+    # whole near-dup pipeline (banding + Hamming verify) per round — the
+    # per-round truncation discipline of k_core/_checkpointer, in the
+    # local form the small fixed unroll needs
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint()
     )
     for _ in range(KCORE_PEEL_ROUNDS):
         deg = edges.groupBy("u").agg(F.count("*").alias("d"))
         bad = deg.filter(F.col("d") < KCORE_PEEL_K).select("u")
         if bad.isEmpty():
             break
-        edges = edges.join(bad, "u", "left_anti").join(
-            bad.select(F.col("u").alias("v")), "v", "left_anti"
+        edges = (
+            edges.join(bad, "u", "left_anti")
+            .join(bad.select(F.col("u").alias("v")), "v", "left_anti")
+            .localCheckpoint()
         )
     return edges.groupBy("u").agg(F.count("*").alias("core_degree")).select(
         F.col("u").alias("doc_id"), "core_degree"
@@ -818,22 +827,22 @@ def _lpa_cte_chain() -> str:
     ``l{LPA_ROUNDS}``) — shared by the LPA and modularity oracles."""
     parts = [
         f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT doc_a, doc_b FROM ({simhash_near_dup_oracle})
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM e
   UNION ALL SELECT doc_b, doc_a FROM e
-), l0 AS (
+), l0 AS MATERIALIZED (
   SELECT DISTINCT u AS id, u AS lbl FROM sym
 )"""
     ]
     for i in range(LPA_ROUNDS):
         parts.append(
-            f""", t{i} AS (
+            f""", t{i} AS MATERIALIZED (
   SELECT s.u, l.lbl, count(*) AS c
   FROM sym s JOIN l{i} l ON l.id = s.v
   GROUP BY s.u, l.lbl
-), l{i + 1} AS (
+), l{i + 1} AS MATERIALIZED (
   SELECT u AS id, lbl FROM (
     SELECT u, lbl,
            row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
@@ -935,11 +944,11 @@ def _bfs_oracle() -> str:
     # same unrolled-iteration spelling as the pagerank oracle: round k
     # expands ONLY the frontier (dist = k-1) and keeps the min distance
     ctes = [
-        "d0 AS (SELECT (SELECT min(src) FROM edges) AS id, 0 AS dist)"
+        "d0 AS MATERIALIZED (SELECT (SELECT min(src) FROM edges) AS id, 0 AS dist)"
     ]
     for k in range(1, BFS_ROUNDS + 1):
         ctes.append(
-            f"""d{k} AS (
+            f"""d{k} AS MATERIALIZED (
   SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
     SELECT id, dist FROM d{k - 1}
     UNION ALL
@@ -950,7 +959,7 @@ def _bfs_oracle() -> str:
 )"""
         )
     return f"""
-WITH edges AS ({_edges_sql()}),
+WITH edges AS MATERIALIZED ({_edges_sql()}),
 {", ".join(ctes)}
 SELECT dist AS hop, CAST(count(*) AS BIGINT) AS n_nodes
 FROM d{BFS_ROUNDS} GROUP BY dist
