@@ -525,3 +525,166 @@ def logreg_gd_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("log_loss"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-component 1-D Gaussian mixture by fixed-step EM
+# ---------------------------------------------------------------------------
+
+GMM_STEPS = 3
+_SQRT_2PI = 2.5066282746310002  # sqrt(2*pi), shared literal on both engines
+
+
+def _gmm_density(mu: str, sig: str, x: str = "f.x") -> str:
+    return (
+        f"exp(-(({x} - {mu}) * ({x} - {mu})) / (2.0 * {sig} * {sig}))"
+        f" / ({sig} * {_SQRT_2PI!r})"
+    )
+
+
+def _gmm_oracle() -> str:
+    d1 = _gmm_density("p.mu1", "p.s1")
+    d2 = _gmm_density("p.mu2", "p.s2")
+    r2 = f"((1.0 - p.w1) * {d2}) / (p.w1 * {d1} + (1.0 - p.w1) * {d2})"
+    parts = [
+        f"""
+WITH ms AS MATERIALIZED (
+  SELECT round(avg(value), 6) AS m, round(stddev_samp(value), 6) AS s
+  FROM events
+), f AS MATERIALIZED (
+  SELECT value AS x FROM events
+), p0 AS MATERIALIZED (
+  SELECT 0.5 AS w1, m - s AS mu1, s AS s1, m + s AS mu2, s AS s2 FROM ms
+)"""
+    ]
+    for k in range(GMM_STEPS):
+        parts.append(
+            f""", g{k} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST({r2} AS DECIMAL(18,9))) AS n2,
+         sum(CAST(({r2}) * f.x AS DECIMAL(18,9))) AS sx2,
+         sum(CAST(({r2}) * f.x * f.x AS DECIMAL(18,9))) AS sxx2,
+         sum(CAST((1.0 - ({r2})) * f.x AS DECIMAL(18,9))) AS sx1,
+         sum(CAST((1.0 - ({r2})) * f.x * f.x AS DECIMAL(18,9))) AS sxx1
+  FROM f, p{k} p
+), p{k + 1} AS MATERIALIZED (
+  SELECT (g.n - CAST(g.n2 AS DOUBLE)) / g.n AS w1,
+         CAST(g.sx1 AS DOUBLE) / (g.n - CAST(g.n2 AS DOUBLE)) AS mu1,
+         sqrt(CAST(g.sxx1 AS DOUBLE) / (g.n - CAST(g.n2 AS DOUBLE))
+              - (CAST(g.sx1 AS DOUBLE) / (g.n - CAST(g.n2 AS DOUBLE)))
+                * (CAST(g.sx1 AS DOUBLE) / (g.n - CAST(g.n2 AS DOUBLE))))
+           AS s1,
+         CAST(g.sx2 AS DOUBLE) / CAST(g.n2 AS DOUBLE) AS mu2,
+         sqrt(CAST(g.sxx2 AS DOUBLE) / CAST(g.n2 AS DOUBLE)
+              - (CAST(g.sx2 AS DOUBLE) / CAST(g.n2 AS DOUBLE))
+                * (CAST(g.sx2 AS DOUBLE) / CAST(g.n2 AS DOUBLE))) AS s2
+  FROM g{k} g
+)"""
+        )
+    pf = f"p{GMM_STEPS}"
+    d1f = _gmm_density("p.mu1", "p.s1")
+    d2f = _gmm_density("p.mu2", "p.s2")
+    parts.append(
+        f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(any_value(p.w1), 6) AS w1,
+       round(any_value(p.mu1), 4) AS mu1,
+       round(any_value(p.s1), 4) AS sigma1,
+       round(any_value(p.mu2), 4) AS mu2,
+       round(any_value(p.s2), 4) AS sigma2,
+       round(CAST(sum(CAST(ln(p.w1 * {d1f} + (1.0 - p.w1) * {d2f})
+                           AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+         AS avg_loglik
+FROM f, {pf} p"""
+    )
+    return "".join(parts)
+
+
+@register("gmm_em_1d", _gmm_oracle())
+def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture over event values, fit by
+    GMM_STEPS fixed EM steps from the deterministic moment init
+    (μ = m ∓ s, σ = s, w = ½ on round-6-quantized m, s) — the
+    soft-assignment member of the training-loop family (`kmeans_clusters`
+    assigns hard, `logreg_gd_returns` follows a gradient, this one
+    integrates responsibilities), and the model a curation team fits to
+    SEPARATE a bimodal quality signal before thresholding it.
+
+    Per step ONE data-sized aggregate computes the E-step responsibilities
+    and all M-step moments fused (six decimal-quantized sums — the
+    order-independence discipline); the 1-row parameter state
+    localCheckpoints and broadcasts back. No per-row state, no second
+    pass. Densities at these scales (σ ≈ 50) cannot underflow, so the
+    responsibility ratio needs no epsilon. Output: weights, component
+    means/sigmas, mean log-likelihood."""
+    li = load_table(spark, sf_dir, "events")
+    ms = li.agg(
+        F.round(F.avg("value"), 6).alias("m"),
+        F.round(F.stddev_samp("value"), 6).alias("s"),
+    ).localCheckpoint()
+    f = li.select(F.col("value").alias("x")).cache()
+    p = ms.select(
+        F.lit(0.5).alias("w1"),
+        (F.col("m") - F.col("s")).alias("mu1"),
+        F.col("s").alias("s1"),
+        (F.col("m") + F.col("s")).alias("mu2"),
+        F.col("s").alias("s2"),
+    ).localCheckpoint()
+
+    def dens(mu, sig):
+        return F.exp(
+            -((F.col("x") - mu) * (F.col("x") - mu)) / (2.0 * sig * sig)
+        ) / (sig * _SQRT_2PI)
+
+    for _ in range(GMM_STEPS):
+        d1 = dens(F.col("mu1"), F.col("s1"))
+        d2 = dens(F.col("mu2"), F.col("s2"))
+        r2 = ((1.0 - F.col("w1")) * d2) / (
+            F.col("w1") * d1 + (1.0 - F.col("w1")) * d2
+        )
+        g = f.crossJoin(F.broadcast(p)).agg(
+            F.count("*").alias("n"),
+            F.sum(r2.cast("decimal(18,9)")).alias("n2"),
+            F.sum((r2 * F.col("x")).cast("decimal(18,9)")).alias("sx2"),
+            F.sum(
+                (r2 * F.col("x") * F.col("x")).cast("decimal(18,9)")
+            ).alias("sxx2"),
+            F.sum(((1.0 - r2) * F.col("x")).cast("decimal(18,9)")).alias(
+                "sx1"
+            ),
+            F.sum(
+                ((1.0 - r2) * F.col("x") * F.col("x")).cast("decimal(18,9)")
+            ).alias("sxx1"),
+        )
+        n1 = F.col("n") - F.col("n2").cast("double")
+        mu1 = F.col("sx1").cast("double") / n1
+        mu2 = F.col("sx2").cast("double") / F.col("n2").cast("double")
+        p = g.select(
+            (n1 / F.col("n")).alias("w1"),
+            mu1.alias("mu1"),
+            F.sqrt(F.col("sxx1").cast("double") / n1 - mu1 * mu1).alias("s1"),
+            mu2.alias("mu2"),
+            F.sqrt(
+                F.col("sxx2").cast("double") / F.col("n2").cast("double")
+                - mu2 * mu2
+            ).alias("s2"),
+        ).localCheckpoint()
+    d1 = dens(F.col("mu1"), F.col("s1"))
+    d2 = dens(F.col("mu2"), F.col("s2"))
+    return f.crossJoin(F.broadcast(p)).agg(
+        F.count("*").alias("n"),
+        F.round(F.any_value("w1"), 6).alias("w1"),
+        F.round(F.any_value("mu1"), 4).alias("mu1"),
+        F.round(F.any_value("s1"), 4).alias("sigma1"),
+        F.round(F.any_value("mu2"), 4).alias("mu2"),
+        F.round(F.any_value("s2"), 4).alias("sigma2"),
+        F.round(
+            F.sum(
+                F.log(F.col("w1") * d1 + (1.0 - F.col("w1")) * d2).cast(
+                    "decimal(18,9)"
+                )
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_loglik"),
+    )

@@ -432,3 +432,123 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(both.cast("double") / F.count("*"), 6).alias("jaccard_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV cumulative distinct-user growth curve (round-10)
+# ---------------------------------------------------------------------------
+
+KMV_CUM_K = 128
+
+
+def _kmv_cum_sql() -> str:
+    from ..functions.hashing import sql_hash64
+
+    h = sql_hash64("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH fs AS MATERIALIZED (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_seen, {h} AS h
+  FROM events GROUP BY user_id
+), days AS MATERIALIZED (
+  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+), sk AS MATERIALIZED (
+  SELECT first_seen, h FROM (
+    SELECT first_seen, h,
+           row_number() OVER (PARTITION BY first_seen ORDER BY h) AS rn
+    FROM fs
+  ) WHERE rn <= {KMV_CUM_K}
+), nd AS MATERIALIZED (
+  SELECT first_seen, CAST(count(*) AS BIGINT) AS c FROM fs GROUP BY first_seen
+), ex AS MATERIALIZED (
+  SELECT d.day, CAST(sum(n.c) AS BIGINT) AS exact_users
+  FROM days d JOIN nd n ON n.first_seen <= d.day GROUP BY d.day
+), cum AS MATERIALIZED (
+  SELECT d.day, s.h FROM days d JOIN sk s ON s.first_seen <= d.day
+), kth AS MATERIALIZED (
+  SELECT day, max(CASE WHEN rn = {KMV_CUM_K} THEN h END) AS hk
+  FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM cum
+  ) GROUP BY day
+)
+SELECT e.day, e.exact_users,
+       round(CASE WHEN e.exact_users < {KMV_CUM_K}
+                  THEN CAST(e.exact_users AS DOUBLE)
+                  ELSE ({KMV_CUM_K} - 1) * 1152921504606846976.0 / k.hk
+             END, 2) AS kmv_estimate,
+       round(abs(CASE WHEN e.exact_users < {KMV_CUM_K}
+                      THEN CAST(e.exact_users AS DOUBLE)
+                      ELSE ({KMV_CUM_K} - 1) * 1152921504606846976.0 / k.hk
+                 END - e.exact_users) / e.exact_users, 4) AS rel_err
+FROM ex e JOIN kth k ON k.day = e.day
+"""
+
+
+@register("kmv_daily_cumulative", _kmv_cum_sql())
+def kmv_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-to-date per day, estimated by a cumulative KMV
+    sketch and compared against the exact count — the corpus-growth
+    monitoring curve, and the MERGEABILITY demo: the per-day partial
+    sketches (K smallest new-user hashes per first-seen day) union into
+    each day's cumulative sketch, which is sound because a hash ranked
+    past K within its own day is dominated by K smaller same-day hashes
+    and can never enter the global K minimum. Nothing day-crossing is
+    ever user-sized: the union is |days| × K rows and the exact curve is
+    a |days|²-bounded cumulative count — the data-sized stages are one
+    user groupBy and one first-seen-day count.
+
+    Determinism: the portable 60-bit hash is engine-identical, ranks are
+    integer, and the estimator (K-1)·2⁶⁰/h₍K₎ divides identical doubles;
+    days whose cumulative count is under K report the exact count (the
+    standard underfull-sketch convention)."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_seen")
+    ).select(
+        "first_seen",
+        portable_hash64(F.col("user_id").cast("string")).alias("h"),
+    )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    wday = Window.partitionBy("first_seen").orderBy("h")
+    sk = (
+        fs.withColumn("rn", F.row_number().over(wday))
+        .filter(F.col("rn") <= KMV_CUM_K)
+        .select("first_seen", "h")
+    )
+    nd = fs.groupBy("first_seen").agg(F.count("*").alias("c"))
+    ex = (
+        days.join(F.broadcast(nd), nd.first_seen <= days.day)
+        .groupBy("day")
+        .agg(F.sum("c").alias("exact_users"))
+    )
+    cum = days.join(F.broadcast(sk), sk.first_seen <= days.day).select(
+        "day", "h"
+    )
+    wcum = Window.partitionBy("day").orderBy("h")
+    kth = (
+        cum.withColumn("rn", F.row_number().over(wcum))
+        .groupBy("day")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == KMV_CUM_K, F.col("h"))
+            ).alias("hk")
+        )
+    )
+    est = F.when(
+        F.col("exact_users") < KMV_CUM_K,
+        F.col("exact_users").cast("double"),
+    ).otherwise(
+        (KMV_CUM_K - 1) * F.lit(1152921504606846976.0) / F.col("hk")
+    )
+    return ex.join(kth, "day").select(
+        "day",
+        "exact_users",
+        F.round(est, 2).alias("kmv_estimate"),
+        F.round(
+            F.abs(est - F.col("exact_users")) / F.col("exact_users"), 4
+        ).alias("rel_err"),
+    )

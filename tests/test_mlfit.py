@@ -176,3 +176,63 @@ def test_logreg_gd_matches_python_replay(spark, monkeypatch):
     assert abs(out.w_discount - round(w[2], 6)) < 2e-6
     assert abs(out.log_loss - round(loss, 6)) < 2e-6
     assert out.w_quantity > 0.2
+
+
+def test_gmm_em_matches_python_replay(spark, monkeypatch):
+    """Planted bimodal values replayed through the identical 3-step EM in
+    plain Python (same round-6 moment init, same update order) — params
+    and log-likelihood agree to output precision, and the two recovered
+    means straddle the planted clusters."""
+    import datetime as dt
+
+    lo = [4.0 + 0.1 * i for i in range(30)]
+    hi = [48.0 + 0.2 * i for i in range(30)]
+    vals = lo + hi
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 28), 1, "metric", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.mlfit.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    out = mlfit.gmm_em_1d(spark, "ignored").collect()[0]
+
+    n = len(vals)
+    mean = sum(vals) / n
+    m = round(mean, 6)
+    s = round(math.sqrt(sum((v - mean) ** 2 for v in vals) / (n - 1)), 6)
+    w1, mu1, s1, mu2, s2 = 0.5, m - s, s, m + s, s
+    sq2pi = mlfit._SQRT_2PI
+
+    def dens(x, mu, sig):
+        return math.exp(-((x - mu) ** 2) / (2 * sig * sig)) / (sig * sq2pi)
+
+    for _ in range(mlfit.GMM_STEPS):
+        n2 = sx2 = sxx2 = sx1 = sxx1 = 0.0
+        for x in vals:
+            r2 = ((1 - w1) * dens(x, mu2, s2)) / (
+                w1 * dens(x, mu1, s1) + (1 - w1) * dens(x, mu2, s2)
+            )
+            n2 += r2
+            sx2 += r2 * x
+            sxx2 += r2 * x * x
+            sx1 += (1 - r2) * x
+            sxx1 += (1 - r2) * x * x
+        n1 = n - n2
+        w1 = n1 / n
+        mu1, mu2 = sx1 / n1, sx2 / n2
+        s1 = math.sqrt(sxx1 / n1 - mu1 * mu1)
+        s2 = math.sqrt(sxx2 / n2 - mu2 * mu2)
+    assert out.n == n
+    assert abs(out.w1 - round(w1, 6)) < 2e-5
+    assert abs(out.mu1 - round(mu1, 4)) < 2e-3
+    assert abs(out.sigma1 - round(s1, 4)) < 2e-3
+    assert abs(out.mu2 - round(mu2, 4)) < 2e-3
+    assert abs(out.sigma2 - round(s2, 4)) < 2e-3
+    assert out.mu1 < 20.0 < out.mu2  # components straddle the plant

@@ -224,6 +224,9 @@ _ALLOWED_FACT_BROADCASTS = {
     # shifted side (the acf_daily_revenue subtree-reuse effect) — every
     # instance is a 1-row aggregate, safe at ANY data scale
     "cross_corr_lagged": 4,
+    # KMV growth curve: |days|-row per-day new-user counts + |days|×K-row
+    # partial-sketch union — both day-DOMAIN bounded at ANY data scale
+    "kmv_daily_cumulative": 2,
 }
 
 

@@ -217,3 +217,49 @@ def test_roc_auc_separable_and_tied(spark, monkeypatch):
     ]
     r = run(tied)
     assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 0.75)
+
+
+def test_kmv_daily_cumulative_replay(spark, monkeypatch):
+    """500 planted users over 3 first-seen days replayed in Python with
+    the same md5-prefix hash: exact counts, the underfull-day exact
+    convention, and the (K-1)·2⁶⁰/h_K estimate all match."""
+    import datetime as dt
+    import hashlib
+
+    from streamroom_bigdata_spark.operators import profile as prof
+
+    first_seen = {u: 1 + (u % 3) for u in range(500)}  # days 1..3
+    rows = [
+        (u * 10 + d, dt.datetime(2024, 1, d, 12), u, "click", 1.0, "{}")
+        for u, fs in first_seen.items()
+        for d in range(fs, 4)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.profile.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    out = {
+        r.day: r
+        for r in prof.kmv_daily_cumulative(spark, "ignored").collect()
+    }
+    hashes = {
+        u: int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        for u in first_seen
+    }
+    k = prof.KMV_CUM_K
+    for d in (1, 2, 3):
+        users = [u for u, fs in first_seen.items() if fs <= d]
+        r = out[dt.date(2024, 1, d)]
+        assert r.exact_users == len(users)
+        if len(users) < k:
+            assert r.kmv_estimate == float(len(users))
+            assert r.rel_err == 0.0
+        else:
+            hk = sorted(hashes[u] for u in users)[k - 1]
+            est = (k - 1) * 1152921504606846976.0 / hk
+            assert abs(r.kmv_estimate - round(est, 2)) < 1e-6
