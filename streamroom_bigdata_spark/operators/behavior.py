@@ -844,6 +844,13 @@ def markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n_states = states.count()  # |types|-bounded driver scalar
+    if n_states == 0:
+        # no user has 2+ events → empty chain; returning early also keeps
+        # the 1.0/n literal from constant-folding into an ANSI
+        # DIVIDE_BY_ZERO at planning time
+        return spark.createDataFrame(
+            [], "event_type string, stationary_p double"
+        )
     pi = states.select(
         "i", (F.lit(1.0) / float(n_states)).alias("pi")
     ).localCheckpoint()

@@ -1004,7 +1004,7 @@ prods AS (
   GROUP BY l.lag
 )
 SELECT CAST(p.lag AS INT) AS lag, CAST(p.n_pairs AS BIGINT) AS n_pairs,
-       round(p.num / sqrt(m.ssx * m.ssy), 6) AS xcorr
+       round(p.num / nullif(sqrt(m.ssx * m.ssy), 0), 6) AS xcorr
 FROM prods p, m
 """
 
@@ -1063,7 +1063,11 @@ def cross_corr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prods.crossJoin(F.broadcast(ss)).select(
         F.col("lag").cast("int").alias("lag"),
         "n_pairs",
+        # nullif: a constant/empty-type series makes SS zero — NULL, not
+        # an ANSI DIVIDE_BY_ZERO abort (the welch_t_test convention)
         F.round(
-            F.col("num") / F.sqrt(F.col("ssx") * F.col("ssy")), 6
+            F.col("num")
+            / F.nullif(F.sqrt(F.col("ssx") * F.col("ssy")), F.lit(0.0)),
+            6,
         ).alias("xcorr"),
     )

@@ -207,13 +207,16 @@ WITH m AS (
   FROM lineitem
 )
 SELECT n,
-       round((c1y * v22 - c2y * v12) / (v11 * v22 - v12 * v12), 3) AS b_quantity,
-       round((c2y * v11 - c1y * v12) / (v11 * v22 - v12 * v12), 3) AS b_discount,
-       round(my - (c1y * v22 - c2y * v12) / (v11 * v22 - v12 * v12) * m1
-                - (c2y * v11 - c1y * v12) / (v11 * v22 - v12 * v12) * m2,
+       round((c1y * v22 - c2y * v12) / nullif(v11 * v22 - v12 * v12, 0), 3)
+         AS b_quantity,
+       round((c2y * v11 - c1y * v12) / nullif(v11 * v22 - v12 * v12, 0), 3)
+         AS b_discount,
+       round(my - (c1y * v22 - c2y * v12) / nullif(v11 * v22 - v12 * v12, 0) * m1
+                - (c2y * v11 - c1y * v12) / nullif(v11 * v22 - v12 * v12, 0) * m2,
              3) AS intercept,
-       round(((c1y * v22 - c2y * v12) / (v11 * v22 - v12 * v12) * c1y
-            + (c2y * v11 - c1y * v12) / (v11 * v22 - v12 * v12) * c2y) / vy,
+       round(((c1y * v22 - c2y * v12) / nullif(v11 * v22 - v12 * v12, 0) * c1y
+            + (c2y * v11 - c1y * v12) / nullif(v11 * v22 - v12 * v12, 0) * c2y)
+             / nullif(vy, 0),
              6) AS r2
 FROM m
 """
@@ -247,7 +250,11 @@ def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.covar_samp("l_discount", "l_extendedprice").alias("c2y"),
         F.var_samp("l_extendedprice").alias("vy"),
     )
-    det = F.col("v11") * F.col("v22") - F.col("v12") * F.col("v12")
+    # nullif: collinear/constant regressors zero the determinant (and a
+    # constant response zeroes vy) — NULL coefficients, not an ANSI abort
+    det = F.nullif(
+        F.col("v11") * F.col("v22") - F.col("v12") * F.col("v12"), F.lit(0.0)
+    )
     b1 = (F.col("c1y") * F.col("v22") - F.col("c2y") * F.col("v12")) / det
     b2 = (F.col("c2y") * F.col("v11") - F.col("c1y") * F.col("v12")) / det
     return m.select(
@@ -257,9 +264,11 @@ def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 3
         ).alias("intercept"),
-        F.round((b1 * F.col("c1y") + b2 * F.col("c2y")) / F.col("vy"), 6).alias(
-            "r2"
-        ),
+        F.round(
+            (b1 * F.col("c1y") + b2 * F.col("c2y"))
+            / F.nullif(F.col("vy"), F.lit(0.0)),
+            6,
+        ).alias("r2"),
     )
 
 
@@ -393,8 +402,10 @@ def _logreg_oracle() -> str:
     parts = [
         f"""
 WITH ms AS (
-  SELECT round(avg(l_quantity), 6) AS m1, round(stddev_samp(l_quantity), 6) AS s1,
-         round(avg(l_discount), 6) AS m2, round(stddev_samp(l_discount), 6) AS s2
+  SELECT round(avg(l_quantity), 6) AS m1,
+         nullif(round(stddev_samp(l_quantity), 6), 0) AS s1,
+         round(avg(l_discount), 6) AS m2,
+         nullif(round(stddev_samp(l_discount), 6), 0) AS s2
   FROM lineitem
 ), f AS ({_LOGREG_FEATS_SQL}),
 w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
@@ -410,9 +421,9 @@ w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
          sum(CAST(({p} - f.y) * f.x2 AS DECIMAL(18,9))) AS g2
   FROM f, w{k} w
 ), w{k + 1} AS (
-  SELECT w.b0 - {LOGREG_LR!r} * (CAST(g.g0 AS DOUBLE) / g.n) AS b0,
-         w.b1 - {LOGREG_LR!r} * (CAST(g.g1 AS DOUBLE) / g.n) AS b1,
-         w.b2 - {LOGREG_LR!r} * (CAST(g.g2 AS DOUBLE) / g.n) AS b2
+  SELECT w.b0 - {LOGREG_LR!r} * (CAST(g.g0 AS DOUBLE) / nullif(g.n, 0)) AS b0,
+         w.b1 - {LOGREG_LR!r} * (CAST(g.g1 AS DOUBLE) / nullif(g.n, 0)) AS b1,
+         w.b2 - {LOGREG_LR!r} * (CAST(g.g2 AS DOUBLE) / nullif(g.n, 0)) AS b2
   FROM w{k} w, g{k} g
 )"""
         )
@@ -423,8 +434,8 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        round(any_value(w.b1), 6) AS w_quantity,
        round(any_value(w.b2), 6) AS w_discount,
        round(CAST(sum(CAST(-(f.y * ln({p}) + (1.0 - f.y) * ln(1.0 - {p}))
-                           AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
-         AS log_loss
+                           AS DECIMAL(18,9))) AS DOUBLE) / nullif(count(*), 0),
+             6) AS log_loss
 FROM f, w{LOGREG_STEPS} w"""
     )
     return "".join(parts)
@@ -454,11 +465,17 @@ def logreg_gd_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planner always broadcasts the WEIGHTS, never the feature table;
     the pca_power_iteration lesson)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # nullif: a zero-variance feature column yields NULL features (hence
+    # NULL weights), not an ANSI DIVIDE_BY_ZERO abort in the first pass
     ms = li.agg(
         F.round(F.avg("l_quantity"), 6).alias("m1"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("s1"),
+        F.nullif(F.round(F.stddev_samp("l_quantity"), 6), F.lit(0.0)).alias(
+            "s1"
+        ),
         F.round(F.avg("l_discount"), 6).alias("m2"),
-        F.round(F.stddev_samp("l_discount"), 6).alias("s2"),
+        F.nullif(F.round(F.stddev_samp("l_discount"), 6), F.lit(0.0)).alias(
+            "s2"
+        ),
     ).localCheckpoint()
     feats = (
         li.crossJoin(ms)
@@ -492,15 +509,27 @@ def logreg_gd_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 (
                     F.col("b0")
-                    - LOGREG_LR * (F.col("g0").cast("double") / F.col("n"))
+                    - LOGREG_LR
+                    * (
+                        F.col("g0").cast("double")
+                        / F.nullif(F.col("n"), F.lit(0))
+                    )
                 ).alias("b0"),
                 (
                     F.col("b1")
-                    - LOGREG_LR * (F.col("g1").cast("double") / F.col("n"))
+                    - LOGREG_LR
+                    * (
+                        F.col("g1").cast("double")
+                        / F.nullif(F.col("n"), F.lit(0))
+                    )
                 ).alias("b1"),
                 (
                     F.col("b2")
-                    - LOGREG_LR * (F.col("g2").cast("double") / F.col("n"))
+                    - LOGREG_LR
+                    * (
+                        F.col("g2").cast("double")
+                        / F.nullif(F.col("n"), F.lit(0))
+                    )
                 ).alias("b2"),
             )
             .localCheckpoint()
@@ -521,7 +550,7 @@ def logreg_gd_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).cast("decimal(18,9)")
             ).cast("double")
-            / F.count("*"),
+            / F.nullif(F.count("*"), F.lit(0)),
             6,
         ).alias("log_loss"),
     )
@@ -549,7 +578,8 @@ def _gmm_oracle() -> str:
     parts = [
         f"""
 WITH ms AS MATERIALIZED (
-  SELECT round(avg(value), 6) AS m, round(stddev_samp(value), 6) AS s
+  SELECT round(avg(value), 6) AS m,
+         nullif(round(stddev_samp(value), 6), 0) AS s
   FROM events
 ), f AS MATERIALIZED (
   SELECT value AS x FROM events
@@ -568,16 +598,19 @@ WITH ms AS MATERIALIZED (
          sum(CAST((1.0 - ({r2})) * f.x * f.x AS DECIMAL(18,9))) AS sxx1
   FROM f, p{k} p
 ), p{k + 1} AS MATERIALIZED (
-  SELECT (g.n - CAST(g.n2 AS DOUBLE)) / g.n AS w1,
-         CAST(g.sx1 AS DOUBLE) / (g.n - CAST(g.n2 AS DOUBLE)) AS mu1,
-         sqrt(CAST(g.sxx1 AS DOUBLE) / (g.n - CAST(g.n2 AS DOUBLE))
-              - (CAST(g.sx1 AS DOUBLE) / (g.n - CAST(g.n2 AS DOUBLE)))
-                * (CAST(g.sx1 AS DOUBLE) / (g.n - CAST(g.n2 AS DOUBLE))))
-           AS s1,
-         CAST(g.sx2 AS DOUBLE) / CAST(g.n2 AS DOUBLE) AS mu2,
-         sqrt(CAST(g.sxx2 AS DOUBLE) / CAST(g.n2 AS DOUBLE)
-              - (CAST(g.sx2 AS DOUBLE) / CAST(g.n2 AS DOUBLE))
-                * (CAST(g.sx2 AS DOUBLE) / CAST(g.n2 AS DOUBLE))) AS s2
+  SELECT (g.n - CAST(g.n2 AS DOUBLE)) / nullif(g.n, 0) AS w1,
+         CAST(g.sx1 AS DOUBLE) / nullif(g.n - CAST(g.n2 AS DOUBLE), 0) AS mu1,
+         nullif(sqrt(greatest(
+           CAST(g.sxx1 AS DOUBLE) / nullif(g.n - CAST(g.n2 AS DOUBLE), 0)
+           - (CAST(g.sx1 AS DOUBLE) / nullif(g.n - CAST(g.n2 AS DOUBLE), 0))
+             * (CAST(g.sx1 AS DOUBLE)
+                / nullif(g.n - CAST(g.n2 AS DOUBLE), 0)), 0.0)), 0) AS s1,
+         CAST(g.sx2 AS DOUBLE) / nullif(CAST(g.n2 AS DOUBLE), 0) AS mu2,
+         nullif(sqrt(greatest(
+           CAST(g.sxx2 AS DOUBLE) / nullif(CAST(g.n2 AS DOUBLE), 0)
+           - (CAST(g.sx2 AS DOUBLE) / nullif(CAST(g.n2 AS DOUBLE), 0))
+             * (CAST(g.sx2 AS DOUBLE)
+                / nullif(CAST(g.n2 AS DOUBLE), 0)), 0.0)), 0) AS s2
   FROM g{k} g
 )"""
         )
@@ -593,8 +626,8 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        round(any_value(p.mu2), 4) AS mu2,
        round(any_value(p.s2), 4) AS sigma2,
        round(CAST(sum(CAST(ln(p.w1 * {d1f} + (1.0 - p.w1) * {d2f})
-                           AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
-         AS avg_loglik
+                           AS DECIMAL(18,9))) AS DOUBLE) / nullif(count(*), 0),
+             6) AS avg_loglik
 FROM f, {pf} p"""
     )
     return "".join(parts)
@@ -618,9 +651,12 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     responsibility ratio needs no epsilon. Output: weights, component
     means/sigmas, mean log-likelihood."""
     li = load_table(spark, sf_dir, "events")
+    # nullif/greatest guards: constant values (σ = 0), a collapsing
+    # component (n2 → 0 or n), or fp-negative variance degrade to NULL
+    # params, never an ANSI DIVIDE_BY_ZERO abort or NaN σ
     ms = li.agg(
         F.round(F.avg("value"), 6).alias("m"),
-        F.round(F.stddev_samp("value"), 6).alias("s"),
+        F.nullif(F.round(F.stddev_samp("value"), 6), F.lit(0.0)).alias("s"),
     ).localCheckpoint()
     f = li.select(F.col("value").alias("x")).cache()
     p = ms.select(
@@ -656,17 +692,34 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((1.0 - r2) * F.col("x") * F.col("x")).cast("decimal(18,9)")
             ).alias("sxx1"),
         )
-        n1 = F.col("n") - F.col("n2").cast("double")
+        n1 = F.nullif(
+            F.col("n") - F.col("n2").cast("double"), F.lit(0.0)
+        )
+        n2 = F.nullif(F.col("n2").cast("double"), F.lit(0.0))
         mu1 = F.col("sx1").cast("double") / n1
-        mu2 = F.col("sx2").cast("double") / F.col("n2").cast("double")
+        mu2 = F.col("sx2").cast("double") / n2
         p = g.select(
-            (n1 / F.col("n")).alias("w1"),
+            ((F.col("n") - F.col("n2").cast("double"))
+             / F.nullif(F.col("n"), F.lit(0))).alias("w1"),
             mu1.alias("mu1"),
-            F.sqrt(F.col("sxx1").cast("double") / n1 - mu1 * mu1).alias("s1"),
+            F.nullif(
+                F.sqrt(
+                    F.greatest(
+                        F.col("sxx1").cast("double") / n1 - mu1 * mu1,
+                        F.lit(0.0),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("s1"),
             mu2.alias("mu2"),
-            F.sqrt(
-                F.col("sxx2").cast("double") / F.col("n2").cast("double")
-                - mu2 * mu2
+            F.nullif(
+                F.sqrt(
+                    F.greatest(
+                        F.col("sxx2").cast("double") / n2 - mu2 * mu2,
+                        F.lit(0.0),
+                    )
+                ),
+                F.lit(0.0),
             ).alias("s2"),
         ).localCheckpoint()
     d1 = dens(F.col("mu1"), F.col("s1"))
@@ -684,7 +737,7 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "decimal(18,9)"
                 )
             ).cast("double")
-            / F.count("*"),
+            / F.nullif(F.count("*"), F.lit(0)),
             6,
         ).alias("avg_loglik"),
     )

@@ -662,7 +662,7 @@ WITH toks AS (
 )
 SELECT n_pos, n_neg,
        round((r_pos - n_pos * (n_pos + 1) / 2.0)
-             / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+             / nullif(CAST(n_pos AS DOUBLE) * n_neg, 0), 6) AS auc
 FROM s
 """
 
@@ -743,9 +743,13 @@ def roc_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n_pos",
         "n_neg",
+        # nullif: a single-class corpus zeroes n_pos*n_neg — NULL AUC,
+        # not an ANSI DIVIDE_BY_ZERO abort (poisson_bootstrap convention)
         F.round(
             (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            / F.nullif(
+                F.col("n_pos").cast("double") * F.col("n_neg"), F.lit(0.0)
+            ),
             6,
         ).alias("auc"),
     )

@@ -601,7 +601,7 @@ WITH daily AS (
 ), stats AS (
   SELECT avg(y) AS mu, stddev_samp(y) AS sd FROM daily
 ), z AS (
-  SELECT day, round((y - mu) / sd, 6) AS z FROM daily, stats
+  SELECT day, round((y - mu) / nullif(sd, 0), 6) AS z FROM daily, stats
 ), sym AS (
   SELECT day,
          CASE WHEN z < {_SAX_BREAKS[0]!r} THEN 'a'
@@ -648,7 +648,11 @@ def sax_daily_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = daily.crossJoin(F.broadcast(stats)).select(
         "day",
-        F.round((F.col("y") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        # nullif: a constant daily series has sd 0 — NULL z (bucket 'd',
+        # the same degenerate path as a 1-day series), not an ANSI abort
+        F.round(
+            (F.col("y") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 6
+        ).alias("z"),
     )
     sym = z.select(
         "day",

@@ -400,29 +400,56 @@ def _cusum_rows(pdf: pd.DataFrame):
     return zip(ordered["event_id"].tolist(), ordered["value"].astype(float).tolist())
 
 
-def _update_cusum(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        state.remove()
-        return
-    cur = tuple(state.get) if state.exists else (0.0, 0.0, 0, 0)
-    alarms = []
-    for pdf in pdfs:
-        batch_alarms, cur = cusum_scan(_cusum_rows(pdf), cur)
-        alarms.extend(batch_alarms)
-    state.update(cur)
-    state.setTimeoutDuration(24 * 3600 * 1000)  # idle keys expire in a day
-    if alarms:
-        yield pd.DataFrame(
-            [(key[0], *a) for a in alarms],
-            columns=[
-                "user_id", "event_id", "direction", "statistic",
-                "n_events", "n_alarms",
-            ],
-        )
+def _scan_update_fn(kernel, init_state, columns):
+    """applyInPandasWithState update function for a pure per-key scan
+    kernel ``(rows, state) -> (alarms, state)`` — the state plumbing
+    (timeout expiry, cross-batch carry, 24h idle eviction, alarm frame
+    assembly) shared by the CUSUM and Holt monitoring twins."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cur = tuple(state.get) if state.exists else init_state
+        alarms = []
+        for pdf in pdfs:
+            batch_alarms, cur = kernel(_cusum_rows(pdf), cur)
+            alarms.extend(batch_alarms)
+        state.update(cur)
+        state.setTimeoutDuration(24 * 3600 * 1000)  # idle keys expire in a day
+        if alarms:
+            yield pd.DataFrame(
+                [(key[0], *a) for a in alarms], columns=columns
+            )
+
+    return update
+
+
+def _scan_batch_fn(kernel, init_state, columns, schema):
+    """applyInPandas batch twin for the same kernel: the full per-key
+    history in event-time order through one scan — one shuffle on the
+    key, used by the streaming-vs-batch agreement tests."""
+
+    def batch(events: DataFrame) -> DataFrame:
+        def scan(key, pdf):
+            alarms, _ = kernel(_cusum_rows(pdf), init_state)
+            return pd.DataFrame(
+                [(key[0], *a) for a in alarms], columns=columns
+            )
+
+        return events.groupBy("user_id").applyInPandas(scan, schema)
+
+    return batch
+
+
+_CUSUM_COLS = [
+    "user_id", "event_id", "direction", "statistic", "n_events", "n_alarms",
+]
+_update_cusum = _scan_update_fn(cusum_scan, (0.0, 0.0, 0, 0), _CUSUM_COLS)
 
 
 def cusum_alarm_stateful(events: DataFrame) -> DataFrame:
@@ -521,29 +548,11 @@ def holt_scan(rows, state=(0.0, 0.0, 0, 0)):
     return alarms, (l, b, n_events, n_alarms)
 
 
-def _update_holt(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        state.remove()
-        return
-    cur = tuple(state.get) if state.exists else (0.0, 0.0, 0, 0)
-    alarms = []
-    for pdf in pdfs:
-        batch_alarms, cur = holt_scan(_cusum_rows(pdf), cur)
-        alarms.extend(batch_alarms)
-    state.update(cur)
-    state.setTimeoutDuration(24 * 3600 * 1000)  # idle keys expire in a day
-    if alarms:
-        yield pd.DataFrame(
-            [(key[0], *a) for a in alarms],
-            columns=[
-                "user_id", "event_id", "forecast", "value",
-                "abs_err", "n_events", "n_alarms",
-            ],
-        )
+_HOLT_COLS = [
+    "user_id", "event_id", "forecast", "value",
+    "abs_err", "n_events", "n_alarms",
+]
+_update_holt = _scan_update_fn(holt_scan, (0.0, 0.0, 0, 0), _HOLT_COLS)
 
 
 def holt_drift_stateful(events: DataFrame) -> DataFrame:
@@ -573,15 +582,6 @@ def holt_drift_batch(events: DataFrame) -> DataFrame:
     """Batch twin: the SAME ``holt_scan`` kernel over each key's full
     history in event-time order via ``applyInPandas`` — one shuffle on
     the key. Used by the agreement test."""
-
-    def scan(key, pdf):
-        alarms, _ = holt_scan(_cusum_rows(pdf))
-        return pd.DataFrame(
-            [(key[0], *a) for a in alarms],
-            columns=[
-                "user_id", "event_id", "forecast", "value",
-                "abs_err", "n_events", "n_alarms",
-            ],
-        )
-
-    return events.groupBy("user_id").applyInPandas(scan, HOLT_OUT_SCHEMA)
+    return _scan_batch_fn(
+        holt_scan, (0.0, 0.0, 0, 0), _HOLT_COLS, HOLT_OUT_SCHEMA
+    )(events)

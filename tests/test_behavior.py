@@ -259,3 +259,26 @@ def test_winsorized_mean_resists_outliers(spark, tmp_path):
     assert raw_mean > 1000
     assert out.winsorized_mean < 60           # clipped: stays near 50
     assert out.n == 100
+
+
+def test_markov_stationary_no_transitions_is_empty_not_abort(spark, monkeypatch):
+    """Every user has one event → no transitions → empty stationary
+    distribution (and no constant-folded 1/0 planning abort)."""
+    import datetime as dt
+
+    from streamroom_bigdata_spark.operators import behavior as bh
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 1 + i), i, "click", 1.0, "{}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.behavior.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    assert bh.markov_stationary_mix(spark, "ignored").collect() == []

@@ -428,3 +428,28 @@ def test_cross_corr_planted_lead_lag(spark, monkeypatch):
         num = sum((x[t] - mx) * (y[t + lag] - mx) for t in range(n_pairs))
         assert abs(out[lag].xcorr - round(num / ssx, 6)) < 1e-6
     assert max(out.values(), key=lambda r: r.xcorr).lag == 2
+
+
+def test_cross_corr_constant_series_is_null_not_abort(spark, monkeypatch):
+    """No click events at all → every daily x is the COALESCE 0.0 and
+    SSx = 0 → NULL xcorr, never an ANSI DIVIDE_BY_ZERO abort."""
+    import datetime as dt
+
+    from streamroom_bigdata_spark.operators import distribution as dist
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i), 1, "purchase", float(i + 1), "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.distribution.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    out = dist.cross_corr_lagged(spark, "ignored").collect()
+    assert len(out) == dist.XC_MAX_LAG + 1
+    assert all(r.xcorr is None for r in out)

@@ -236,3 +236,51 @@ def test_gmm_em_matches_python_replay(spark, monkeypatch):
     assert abs(out.mu2 - round(mu2, 4)) < 2e-3
     assert abs(out.sigma2 - round(s2, 4)) < 2e-3
     assert out.mu1 < 20.0 < out.mu2  # components straddle the plant
+
+
+def test_ols_collinear_is_null_not_abort(spark, monkeypatch):
+    """Constant discount zeroes the covariance determinant → NULL
+    coefficients under ANSI mode, never a DIVIDE_BY_ZERO abort."""
+    rows = [(float(q), 0.05, 10.0 + 2.0 * q) for q in range(1, 8)]
+    df = spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_extendedprice double"
+    )
+    _patch(monkeypatch, df)
+    r = mlfit.ols_two_factor(spark, "ignored").collect()[0]
+    assert r.n == 7
+    assert r.b_quantity is None and r.r2 is None
+
+
+def test_logreg_zero_variance_feature_is_null_not_abort(spark, monkeypatch):
+    """A constant feature column standardizes to NULL → NULL weights,
+    never an ANSI abort in the first gradient pass."""
+    rows = [(5.0, 0.01 * i, "R" if i % 2 else "N") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_returnflag string"
+    )
+    _patch(monkeypatch, df)
+    r = mlfit.logreg_gd_returns(spark, "ignored").collect()[0]
+    assert r.w_quantity is None and r.log_loss is None
+
+
+def test_gmm_constant_values_is_null_not_abort(spark, monkeypatch):
+    """All-equal values give σ = 0 at init → NULL parameters, never a
+    DIVIDE_BY_ZERO abort in the E-step densities."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 5), 1, "m", 7.0, "{}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.mlfit.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    r = mlfit.gmm_em_1d(spark, "ignored").collect()[0]
+    assert r.n == 20
+    assert r.mu1 is None and r.sigma2 is None

@@ -263,3 +263,17 @@ def test_kmv_daily_cumulative_replay(spark, monkeypatch):
             hk = sorted(hashes[u] for u in users)[k - 1]
             est = (k - 1) * 1152921504606846976.0 / hk
             assert abs(r.kmv_estimate - round(est, 2)) < 1e-6
+
+
+def test_roc_auc_single_class_is_null_not_abort(spark, monkeypatch):
+    """An all-positive corpus zeroes n_neg → NULL AUC, never an ANSI
+    DIVIDE_BY_ZERO abort."""
+    rows = [(i, "w w", "en", "s", 3) for i in range(6)]
+    df = spark.createDataFrame(rows, _DOC_DDL)
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.stats.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    r = stats.roc_auc_quality(spark, "ignored").collect()[0]
+    assert (r.n_pos, r.n_neg) == (6, 0)
+    assert r.auc is None

@@ -178,3 +178,24 @@ def test_sax_motifs_cover_series_and_alphabet(spark, sf_dir):
     letters = {c for r in out for c in r.motif}
     assert letters <= {"a", "b", "c", "d"}
     assert all(len(r.motif) == 3 for r in out)
+
+
+def test_sax_constant_series_is_null_not_abort(spark, monkeypatch):
+    """Identical daily sums give sd = 0 → NULL z → every day buckets 'd'
+    (the 1-day degenerate path), never an ANSI DIVIDE_BY_ZERO abort."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i, 1), 1, "m", 5.0, "{}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.timeseries.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    out = timeseries.sax_daily_motifs(spark, "ignored").collect()
+    assert sum(r.n_windows for r in out) == 4
+    assert {r.motif for r in out} == {"ddd"}
