@@ -151,8 +151,8 @@ WITH s AS (
   FROM s
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-       round(max(abs(cum_a / CAST(n_a AS DOUBLE)
-                     - cum_b / CAST(n_b AS DOUBLE))), 6) AS ks_stat
+       round(max(abs(cum_a / CAST(nullif(n_a, 0) AS DOUBLE)
+                     - cum_b / CAST(nullif(n_b, 0) AS DOUBLE))), 6) AS ks_stat
 FROM c, t
 GROUP BY n_a, n_b
 """
@@ -195,6 +195,17 @@ def ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_parts,
     )
     n_a, n_b = totals["a"], totals["b"]
+    # degenerate guard (the welch_t_test / theil_sen convention): an absent
+    # priority class makes D undefined — emit the NULL row both engines
+    # agree on (oracle divides by nullif(n, 0)) instead of dividing by a
+    # literal 0.0 (ANSI abort on Spark, inf on DuckDB). Both classes
+    # absent → the oracle's cross join is empty → empty frame here too.
+    if n_a == 0 and n_b == 0:
+        return spark.createDataFrame([], "n_a long, n_b long, ks_stat double")
+    if n_a == 0 or n_b == 0:
+        return spark.createDataFrame(
+            [(n_a, n_b, None)], "n_a long, n_b long, ks_stat double"
+        )
     w = (
         Window.partitionBy("pid")
         .orderBy("v")

@@ -252,10 +252,11 @@ sc AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM nodes
 base AS (
   SELECT id,
          CASE WHEN {_PPR_SEED_SQL}
-              THEN (1 - {PR_DAMPING}) / (SELECT s FROM sc)
+              THEN (1 - {PR_DAMPING}) / (SELECT nullif(s, 0) FROM sc)
               ELSE 0.0 END AS base,
          CASE WHEN {_PPR_SEED_SQL}
-              THEN 1.0 / (SELECT s FROM sc) ELSE 0.0 END AS r_init
+              THEN 1.0 / (SELECT nullif(s, 0) FROM sc)
+              ELSE 0.0 END AS r_init
   FROM nodes
 ),
 r0 AS (SELECT id, r_init AS rank FROM base),
@@ -264,6 +265,7 @@ SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
        id // 2 AS node_key,
        round(rank, 7) AS ppr
 FROM r{PR_ITERS}
+WHERE (SELECT s FROM sc) > 0 AND rank IS NOT NULL
 """
 
 

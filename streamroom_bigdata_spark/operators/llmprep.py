@@ -952,7 +952,7 @@ def _bpe_round_sql(k: int) -> str:
     return f""", p{k} AS (
   SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b, cnt
   FROM s{k}
-), b{k} AS (
+), b{k} AS MATERIALIZED (
   SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
   FROM p{k} WHERE b IS NOT NULL
   GROUP BY a, b
@@ -982,7 +982,7 @@ def _bpe_round_sql(k: int) -> str:
          COALESCE(lag(keep) OVER (PARTITION BY word ORDER BY pos), 0)
            AS consumed
   FROM k{k}
-), s{k + 1} AS (
+), s{k + 1} AS MATERIALIZED (
   SELECT word, cnt,
          CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
               AS BIGINT) - 1 AS pos,
@@ -1000,7 +1000,7 @@ WITH toks AS (
   ) WHERE tok <> ''
 ), words AS (
   SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
-), s0 AS (
+), s0 AS MATERIALIZED (
   SELECT word, cnt, CAST(i AS BIGINT) AS pos,
          substr(word, CAST(i AS INT) + 1, 1) AS sym
   FROM words, unnest(range(0, length(word))) AS u(i)

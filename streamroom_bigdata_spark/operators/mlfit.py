@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash_mod, sql_hash_mod
+from ..functions.ranking import range_partition_offsets
 from ..registry import register
+from ..session import shuffle_partition_count
 from ..sources import load_table
 
 # ---------------------------------------------------------------------------
@@ -308,17 +310,32 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines take ln of identical integer-valued doubles, and the fit
     is a vocab-sized regr_* aggregate — ratios of centered sums.
 
-    Scale shape: one token-keyed count with map-side combine, then a
-    vocab-sized (NOT data-sized) rank window and a 1-row regression.
+    Scale shape: one token-keyed count with map-side combine, then the
+    `functions/ranking.py` range-partition kernel over the vocab relation
+    — (count DESC, token) ranks via P range-ordered partitions + O(P)
+    offsets, NO unpartitioned window (a web-scale vocabulary is hundreds
+    of millions of types; a single-task rank sort over it is the
+    driver-funnel class SURVEY §4.3 forbids) — then a 1-row regression.
     The only data-sized stage is the explode feeding the count."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.col("c").desc(), "tok")
-    ranked = vocab.select(
-        "c", F.row_number().over(w).alias("rank")
+    # rank by (c DESC, tok ASC) == ascending (-c, tok); the composite key
+    # is unique (tok is the group key), so row_number is reproduced
+    # exactly as offset + local rank with no tie ambiguity
+    ranged, _, offsets_df, _ = range_partition_offsets(
+        vocab.withColumn("negc", -F.col("c")),
+        ["negc", "tok"],
+        [("cnt", F.count("*"))],
+        shuffle_partition_count(spark),
+    )
+    lw = Window.partitionBy("pid").orderBy("negc", "tok")
+    ranked = (
+        ranged.withColumn("lr", F.row_number().over(lw))
+        .join(F.broadcast(offsets_df), "pid")
+        .select("c", (F.col("off_cnt") + F.col("lr")).alias("rank"))
     )
     ly = F.log(F.col("c").cast("double"))
     lx = F.log(F.col("rank").cast("double"))
@@ -401,26 +418,27 @@ _LOGREG_FEATS_SQL = """
 def _logreg_oracle() -> str:
     parts = [
         f"""
-WITH ms AS (
+WITH ms AS MATERIALIZED (
   SELECT round(avg(l_quantity), 6) AS m1,
          nullif(round(stddev_samp(l_quantity), 6), 0) AS s1,
          round(avg(l_discount), 6) AS m2,
          nullif(round(stddev_samp(l_discount), 6), 0) AS s2
   FROM lineitem
-), f AS ({_LOGREG_FEATS_SQL}),
-w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+), f AS MATERIALIZED ({_LOGREG_FEATS_SQL}),
+w0 AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS b0,
+              CAST(0.0 AS DOUBLE) AS b1,
               CAST(0.0 AS DOUBLE) AS b2)"""
     ]
     p = "1.0 / (1.0 + exp(-(w.b0 + w.b1 * f.x1 + w.b2 * f.x2)))"
     for k in range(LOGREG_STEPS):
         parts.append(
-            f""", g{k} AS (
+            f""", g{k} AS MATERIALIZED (
   SELECT CAST(count(*) AS BIGINT) AS n,
          sum(CAST(({p} - f.y) AS DECIMAL(18,9))) AS g0,
          sum(CAST(({p} - f.y) * f.x1 AS DECIMAL(18,9))) AS g1,
          sum(CAST(({p} - f.y) * f.x2 AS DECIMAL(18,9))) AS g2
   FROM f, w{k} w
-), w{k + 1} AS (
+), w{k + 1} AS MATERIALIZED (
   SELECT w.b0 - {LOGREG_LR!r} * (CAST(g.g0 AS DOUBLE) / nullif(g.n, 0)) AS b0,
          w.b1 - {LOGREG_LR!r} * (CAST(g.g1 AS DOUBLE) / nullif(g.n, 0)) AS b1,
          w.b2 - {LOGREG_LR!r} * (CAST(g.g2 AS DOUBLE) / nullif(g.n, 0)) AS b2

@@ -316,7 +316,7 @@ WITH f AS (
          unnest(range(0, CAST(floor(length(text) / {FRAME_SIZE}) AS BIGINT),
                       {SAMPLE_EVERY})) AS frame_idx
   FROM documents
-  WHERE length(text) >= {FRAME_SIZE}
+  WHERE length(text) >= {FRAME_SIZE} AND strlen(text) = length(text)
 )
 SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
        sha256(substr(text, CAST(frame_idx * {FRAME_SIZE} + 1 AS BIGINT),
@@ -330,10 +330,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strided frame sampling over binary payloads (L5): treat the payload
     as FRAME_SIZE-byte frames and keep every SAMPLE_EVERY-th — the
     video-keyframe access pattern, as a pure-plan explode + binary substring
-    (one row → many frames, no Python). The oracle slices the text and
-    encodes it, which is byte-identical for the ASCII fixture; real media
-    bytes would keep the Spark side unchanged."""
-    assets = multimodal_table(spark, sf_dir).select("asset_id", "payload")
+    (one row → many frames, no Python). The oracle slices the TEXT by
+    characters while this plan slices the PAYLOAD by bytes, so membership
+    and frame boundaries agree only when every code point is 1 UTF-8 byte
+    — the same all-ASCII guard its image/audio siblings carry
+    (octet_length == length Spark-side, strlen = length oracle-side):
+    non-ASCII docs are excluded identically on BOTH engines rather than
+    silently hash-mismatching. Real media bytes would drop the guard and
+    the oracle together."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.filter(
+        F.octet_length("text") == F.length("text")
+    ).select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
     n_frames = F.floor(F.octet_length("payload") / FRAME_SIZE)
     return (
         assets.filter(F.octet_length("payload") >= FRAME_SIZE)
@@ -622,7 +633,8 @@ SELECT a.doc_id AS asset_id,
        CAST(a.peak AS INT) AS peak,
        CAST(a.sum_sq AS BIGINT) AS sum_sq,
        round(sqrt(CAST(a.sum_sq AS DOUBLE) / a.n), 6) AS rms,
-       round(a.peak / sqrt(CAST(a.sum_sq AS DOUBLE) / a.n), 6) AS crest,
+       round(a.peak / nullif(sqrt(CAST(a.sum_sq AS DOUBLE) / a.n), 0), 6)
+         AS crest,
        CAST(x.crossings AS INT) AS zero_crossings,
        round(CAST(x.crossings AS DOUBLE) / (a.n - 1), 6) AS zcr,
        flux.energy_flux

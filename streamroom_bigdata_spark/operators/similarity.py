@@ -817,25 +817,25 @@ _PCA_V0 = 1.0 / (DIM ** 0.5)
 def _pca_oracle() -> str:
     parts = [
         f"""
-WITH expl AS (
+WITH expl AS MATERIALIZED (
   SELECT vec_id, CAST(i AS INT) AS dim, embedding[i + 1]::DOUBLE AS val
   FROM embeddings, unnest(range(0, {DIM})) AS u(i)
-), v0 AS (
+), v0 AS MATERIALIZED (
   SELECT CAST(i AS INT) AS dim, {_PCA_V0!r} AS vv
   FROM unnest(range(0, {DIM})) AS u(i)
 )"""
     ]
     for k in range(PCA_POWER_ITERS):
         parts.append(
-            f""", d{k} AS (
+            f""", d{k} AS MATERIALIZED (
   SELECT e.vec_id, sum(e.val * v.vv) AS dot
   FROM expl e JOIN v{k} v USING (dim) GROUP BY e.vec_id
-), w{k} AS (
+), w{k} AS MATERIALIZED (
   SELECT e.dim, sum(e.val * d.dot) AS wv
   FROM expl e JOIN d{k} d USING (vec_id) GROUP BY e.dim
-), n{k} AS (
+), n{k} AS MATERIALIZED (
   SELECT sqrt(sum(wv * wv)) AS nrm FROM w{k}
-), v{k + 1} AS (
+), v{k + 1} AS MATERIALIZED (
   SELECT w.dim, w.wv / n.nrm AS vv FROM w{k} w, n{k} n
 )"""
         )

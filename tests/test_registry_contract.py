@@ -49,3 +49,23 @@ def test_no_registered_query_returns_non_scalar_columns(schemas):
 def test_every_oracle_name_is_registered():
     qs, oracles = registry.queries(), registry.oracle_sql()
     assert set(oracles) <= set(qs)
+
+
+def test_driver_sampled_names_still_registered():
+    """Rename/removal drift guard (r10 VERDICT item #7): every query name
+    the driver ever sampled into a CORRECTNESS_r*.json must still exist in
+    the registry — a rename silently shrinks the driver's sampled signal
+    (it intersects queries() with its history) with no red anywhere else.
+    Mirrors the close_round.py gate so the drift is caught at pytest time
+    too, not only at round close."""
+    import glob
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    reg = set(registry.queries())
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            sampled = set(json.load(f))
+        gone = sorted(sampled - reg)
+        assert not gone, f"{os.path.basename(path)} sampled {gone}"

@@ -229,6 +229,24 @@ def test_multimodal_non_ascii_excluded_on_both_engines(spark, tmp_path):
         # values agree on the surviving ASCII doc (last two stat columns)
         assert tuple(got[1])[-2:] == tuple(want[1])[-2:], fn.__name__
 
+    # frame_sample (multi-row output): the non-ASCII doc's 200 chars pass
+    # the char threshold but its 400 payload bytes would yield DIFFERENT
+    # frame boundaries — the guard must drop it identically on both sides
+    got_rows = sorted(
+        tuple(r)
+        for r in multimodal.multimodal_frame_sample(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want_rows = sorted(
+        tuple(r) for r in con.execute(multimodal.frame_sample_oracle).fetchall()
+    )
+    con.close()
+    assert {r[0] for r in got_rows} == {1}
+    assert got_rows == want_rows
+
 
 def test_pandas_scorers_agree_with_hof(spark):
     """D2: the Arrow-batched numpy scorers and the HOF column algebra are the

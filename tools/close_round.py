@@ -114,6 +114,23 @@ def main() -> int:
                   f"{n_registered}; NO artifact written")
             _cleanup_tmps()
             return 1
+    # driver-sample drift check: every query name the driver EVER sampled
+    # (CORRECTNESS_r*.json keys) must still exist in the registry — a
+    # rename would silently shrink the driver's 50-query signal next round
+    # (it samples by name from queries() ∩ history) with no red anywhere.
+    import glob
+
+    reg_names = set(registry.queries())
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        with open(path) as f:
+            sampled = set(json.load(f))
+        gone = sorted(sampled - reg_names)
+        if gone:
+            print(f"close_round: RED — {path} sampled queries no longer "
+                  f"registered (rename/removal?): {gone}")
+            _cleanup_tmps()
+            return 1
+
     with open("PLANS.md") as f:
         n_plan_rows = sum(1 for line in f if line.startswith("| ") and
                           not line.startswith("| query") and

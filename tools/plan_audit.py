@@ -58,9 +58,6 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # day-DOMAIN table — calendar-bounded, never data-sized; the
     # data-sized stage is the combinable daily groupBy below them
     "spearman_daily_corr": 2,
-    # rank-frequency row_number over the VOCAB-sized count table (the
-    # data-sized stage is the combinable token groupBy below it)
-    "zipf_law_fit": 1,
     # 3-day SAX word lead()s over the day-DOMAIN symbol table (the
     # data-sized stage is the combinable daily groupBy below it)
     "sax_daily_motifs": 1,
