@@ -1262,3 +1262,80 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-identity ingest dedup (round-11): the batch audit twin of
+# streaming/router.py content_dedup_stream
+# ---------------------------------------------------------------------------
+
+
+def content_fingerprint(*cols) -> F.Column:
+    """sha256 over '|'-joined canonical column strings — THE content
+    identity shared by the streaming ingest dedup
+    (``content_dedup_stream``) and the batch audit below. Callers pass
+    already-canonicalized columns (floats as floor-micro integers, not raw
+    doubles: double→string formatting differs across engines, integer
+    strings don't)."""
+    return F.sha2(F.concat_ws("|", *cols), 256)
+
+
+#: the events-table content identity: payload = (user, type, value) — the
+#: event_id is deliberately NOT part of it (a re-keyed retransmit of the
+#: same payload IS the duplicate this audit exists to find). value enters
+#: as floor(value*1e6) micro-units (integer string — engine-stable).
+_CONTENT_COLS_SQL = (
+    "concat_ws('|', CAST(user_id AS VARCHAR), event_type, "
+    "CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR))"
+)
+
+ingest_content_dedup_oracle = f"""
+WITH h AS (
+  SELECT sha256({_CONTENT_COLS_SQL}) AS content_hash, event_id
+  FROM events
+), g AS (
+  SELECT content_hash, min(event_id) AS kept, count(*) AS n
+  FROM h GROUP BY content_hash
+)
+SELECT CAST(count(*) AS BIGINT) AS n_distinct_contents,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_rows,
+       CAST(max(n) AS BIGINT) AS max_copies,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+FROM g
+"""
+
+
+@register("ingest_content_dedup", ingest_content_dedup_oracle)
+def ingest_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-identity dedup audit over the events table (L1 at the
+    ingest boundary): fingerprint each event's PAYLOAD — (user, type,
+    value), NOT the event_id — and measure how much of the stream is
+    re-keyed retransmission. The streaming twin
+    (``streaming/router.py content_dedup_stream``) drops these rows AS
+    THEY ARRIVE with watermark-bounded state; this batch form audits the
+    same fingerprint over the landed table (one combinable hash-keyed
+    groupBy, then a 1-row reduce — the dedup_exact scale shape, reference
+    lens consumer.scala:61-91 which can only ever see the KEY duplicate).
+
+    Determinism: value enters the fingerprint as floor(value·1e6)
+    micro-units — integer-string canonicalization, since double→string
+    formatting differs between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    fp = content_fingerprint(
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 1000000).cast("long").cast("string"),
+    )
+    per = (
+        ev.select(fp.alias("content_hash"), "event_id")
+        .groupBy("content_hash")
+        .agg(F.min("event_id").alias("kept"), F.count("*").alias("n"))
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_distinct_contents"),
+        F.sum("n").cast("long").alias("n_rows"),
+        (F.sum("n") - F.count("*")).cast("long").alias("n_dup_rows"),
+        F.max("n").cast("long").alias("max_copies"),
+        F.sum((F.col("n") > 1).cast("long")).cast("long").alias("n_dup_groups"),
+    )

@@ -27,6 +27,7 @@ from streamroom_bigdata_spark.streaming.ingest import (
     to_wire_json,
 )
 from streamroom_bigdata_spark.streaming.router import (
+    content_dedup_stream,
     dedup_stream,
     route_batch,
     start_router,
@@ -178,6 +179,44 @@ def test_cross_batch_dedup(spark, tmp_path):
     # the survivor for key 1 is the FIRST arrival, not the retransmit
     (first,) = [r for r in rows if r.event_id == 1]
     assert first.ts.minute == 0
+
+
+def test_content_dedup_stream_drops_rekeyed_payload(spark, tmp_path):
+    """T2 content upgrade: the SAME payload arriving in a later batch
+    under a DIFFERENT event_id is dropped (key dedup cannot see it), and
+    the batch audit twin counts exactly the duplicates the stream
+    dropped — same content_fingerprint definition on both paths."""
+    import pandas as pd
+
+    from streamroom_bigdata_spark.operators.dedup import content_fingerprint
+
+    p1 = {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7, "value": 1.5}
+    # re-keyed retransmit of p1's payload (user 7, value 1.5), new id + ts
+    p1_rekeyed = {
+        "event_id": 9, "ts": "2024-01-01T00:03:00", "user_id": 7, "value": 1.5,
+    }
+    p2 = {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 8, "value": 1.5}
+    stream = _stream_events(spark, tmp_path, [[p1], [p1_rekeyed, p2]])
+    fp_cols = [
+        F.col("user_id").cast("string"),
+        F.floor(F.col("value") * 1000000).cast("long").cast("string"),
+    ]
+    deduped = content_dedup_stream(
+        stream.withColumn("fp0", fp_cols[0]).withColumn("fp1", fp_cols[1]),
+        ["fp0", "fp1"],
+        ts_col="ts",
+    )
+    _run_to_memory(deduped, "content_dedup_sink", "append")
+    rows = spark.sql("select * from content_dedup_sink").collect()
+    # event 9 (re-keyed copy of 1) dropped; 1 and 2 survive
+    assert sorted(r.event_id for r in rows) == [1, 2]
+    # output carries the fingerprint column, equal to the batch helper's
+    batch = spark.createDataFrame(pd.DataFrame([p1])).withColumn(
+        "h", content_fingerprint(*fp_cols)
+    )
+    want_hash = batch.collect()[0].h
+    (kept,) = [r for r in rows if r.event_id == 1]
+    assert kept.content_hash == want_hash
 
 
 def test_streaming_tumbling_matches_batch(spark, tmp_path):

@@ -10,6 +10,15 @@ and the in-flight batch discarded at stop() cancel out, which a wall-clock
 quotient does not (measured 7x understatement on a 20 s run).
 
 Usage: python tools/bench_streaming.py [rows_per_batch] [seconds]
+       python tools/bench_streaming.py --stateful [rows_per_batch] [seconds] [n_keys]
+
+``--stateful`` benches the stateful monitoring family instead of the
+router: sustained events/s and state-store size for
+``cusum_alarm_stateful``, ``holt_drift_stateful``, ``psi_drift`` and the
+streaming bin packer under a multi-key rate-micro-batch source — the
+applyInPandasWithState throughput ceiling, measured one query at a time
+(concurrent queries on one local JVM would contend and understate all
+four). Same committed-batch quotient as the router number.
 """
 
 from __future__ import annotations
@@ -23,7 +32,146 @@ import time
 sys.path.insert(0, ".")
 
 
+def _rate_source(spark, rows_per_batch: int, advance_ms: int):
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("advanceMillisPerBatch", str(advance_ms))
+        .option("numPartitions", str(spark.sparkContext.defaultParallelism))
+        .load()
+    )
+
+
+def _drain(q, seconds: int):
+    """Run ``q`` for ``seconds``, stop, and reduce committed progress to
+    (events/s, batches, rows, state_rows, state_bytes, output_rows)."""
+    time.sleep(seconds)
+    q.stop()
+    q.awaitTermination(60)
+    progress = [
+        p for p in q.recentProgress
+        if p is not None and p.get("numInputRows", 0) > 0
+    ]
+    in_rows = sum(p["numInputRows"] for p in progress)
+    busy_ms = sum(p["durationMs"]["triggerExecution"] for p in progress)
+    out_rows = sum(
+        p.get("sink", {}).get("numOutputRows", 0) or 0 for p in progress
+    )
+    state_rows = state_bytes = 0
+    for p in reversed(progress):
+        ops = p.get("stateOperators") or []
+        if ops:
+            state_rows = sum(o.get("numRowsTotal", 0) for o in ops)
+            state_bytes = sum(o.get("memoryUsedBytes", 0) for o in ops)
+            break
+    return {
+        "events_per_sec": round(in_rows / max(busy_ms / 1000.0, 0.001), 1),
+        "n_batches": len(progress),
+        "rows_committed": in_rows,
+        "busy_sec": round(busy_ms / 1000.0, 1),
+        "state_rows": state_rows,
+        "state_bytes": state_bytes,
+        "output_rows": int(out_rows),
+    }
+
+
+def stateful_main() -> int:
+    from pyspark.sql import functions as F
+
+    from streamroom_bigdata_spark.session import get_spark
+    from streamroom_bigdata_spark.streaming.drift import psi_drift
+    from streamroom_bigdata_spark.streaming.packer import (
+        pack_documents_stateful,
+    )
+    from streamroom_bigdata_spark.streaming.stateful import (
+        cusum_alarm_stateful,
+        holt_drift_stateful,
+    )
+
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    rows_per_batch = int(args[0]) if len(args) > 0 else 200_000
+    run_seconds = int(args[1]) if len(args) > 1 else 40
+    n_keys = int(args[2]) if len(args) > 2 else 1_000
+
+    spark = get_spark(
+        "bench_streaming_stateful",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.streaming.numRecentProgressUpdates": "100000",
+        },
+    )
+    import os
+
+    # deterministic drifting metric: a per-key ramp with a level shift
+    # every 500 events, so CUSUM/Holt do real alarm work, not no-op scans
+    def events(advance_ms: int):
+        r = _rate_source(spark, rows_per_batch, advance_ms)
+        return r.select(
+            (F.col("value") % n_keys).alias("user_id"),
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (
+                (F.col("value") % 7).cast("double")
+                + F.when((F.col("value") / n_keys % 1000) < 500, 0.0)
+                .otherwise(25.0)
+            ).alias("value"),
+            F.concat(F.lit("t"), F.col("value") % 8).alias("event_type"),
+        )
+
+    def docs(advance_ms: int):
+        r = _rate_source(spark, rows_per_batch, advance_ms)
+        return r.select(
+            F.concat(F.lit("lang"), F.col("value") % 16).alias("lang"),
+            F.col("value").alias("doc_id"),
+            (F.col("value") % 900 + 100).cast("long").alias("n_chars"),
+        )
+
+    uniform = {f"t{i}": 1.0 / 8 for i in range(8)}
+    families = {
+        "cusum_alarm_stateful": lambda: (
+            cusum_alarm_stateful(events(1000)), "update"),
+        "holt_drift_stateful": lambda: (
+            holt_drift_stateful(events(1000)), "update"),
+        # 2 min of event time per batch → 10-min windows + 10-min
+        # watermark actually close inside a 40 s run (~11th batch), so
+        # append output and its state eviction are part of the measured
+        # work, not deferred past the stop
+        "psi_drift": lambda: (psi_drift(events(120_000), uniform), "append"),
+        "pack_documents_stateful": lambda: (
+            pack_documents_stateful(docs(1000)), "update"),
+    }
+
+    out = {
+        "metric": "streaming_stateful_throughput",
+        "unit": "events/sec",
+        "rows_per_batch": rows_per_batch,
+        "run_seconds": run_seconds,
+        "n_keys": n_keys,
+        "cpus": spark.sparkContext.defaultParallelism,
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "families": {},
+    }
+    for name, build in families.items():
+        ckpt = tempfile.mkdtemp(prefix=f"bench_state_{name}_")
+        try:
+            df, mode = build()
+            q = (
+                df.writeStream.format("noop")
+                .outputMode(mode)
+                .option("checkpointLocation", f"{ckpt}/ckpt")
+                .start()
+            )
+            out["families"][name] = _drain(q, run_seconds)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    print(json.dumps(out))
+    return 0
+
+
 def main() -> int:
+    if "--stateful" in sys.argv:
+        return stateful_main()
     from pyspark.sql import functions as F
 
     from streamroom_bigdata_spark.schemas import ENTITIES
