@@ -1127,3 +1127,169 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = label_propagation(pairs)
     return modularity_from_pairs(pairs, labels)
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (round-11): K-bounded FW-BW min-label
+# coloring — the directed companion to connected_components/LPA/k-core/BFS
+# ---------------------------------------------------------------------------
+
+SCC_ITERS = 6
+
+
+def _scc_edges_sql() -> str:
+    """DIRECTED transaction edges: customer→supplier for even orderkeys,
+    supplier→customer for odd — a deterministic half-reversal of the
+    bipartite trade graph (`_edges_sql` symmetrizes it instead), so
+    genuine directed structure exists: a (customer, supplier) pair that
+    trades under both parities closes a 2-cycle, and chains of such pairs
+    form larger SCCs. Same even/odd node encoding as the undirected
+    family."""
+    return """
+  SELECT DISTINCT
+         CASE WHEN o_orderkey % 2 = 0 THEN o_custkey * 2
+              ELSE l_suppkey * 2 + 1 END AS src,
+         CASE WHEN o_orderkey % 2 = 0 THEN l_suppkey * 2 + 1
+              ELSE o_custkey * 2 END AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+
+def _scc_oracle() -> str:
+    rounds = []
+    for k in range(1, SCC_ITERS + 1):
+        rounds.append(
+            f"""f{k} AS MATERIALIZED (
+  SELECT f.id, least(f.lbl, coalesce(mi.ml, f.lbl)) AS lbl
+  FROM f{k - 1} f LEFT JOIN (
+    SELECT e.dst AS id, min(ff.lbl) AS ml
+    FROM edges e JOIN f{k - 1} ff ON e.src = ff.id
+    GROUP BY e.dst
+  ) mi USING (id)
+), b{k} AS MATERIALIZED (
+  SELECT b.id, least(b.lbl, coalesce(mo.ml, b.lbl)) AS lbl
+  FROM b{k - 1} b LEFT JOIN (
+    SELECT e.src AS id, min(bb.lbl) AS ml
+    FROM edges e JOIN b{k - 1} bb ON e.dst = bb.id
+    GROUP BY e.src
+  ) mo USING (id)
+)"""
+        )
+    return f"""
+WITH edges AS MATERIALIZED ({_scc_edges_sql()}),
+nodes AS MATERIALIZED (
+  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+),
+f0 AS (SELECT id, id AS lbl FROM nodes),
+b0 AS (SELECT id, id AS lbl FROM nodes),
+{', '.join(rounds)},
+lab AS (
+  SELECT f.id, f.lbl AS fwd, b.lbl AS bwd
+  FROM f{SCC_ITERS} f JOIN b{SCC_ITERS} b USING (id)
+),
+cls AS (SELECT id, fwd AS scc FROM lab WHERE fwd = bwd),
+g AS (SELECT scc, count(*) AS sz FROM cls GROUP BY scc)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM lab) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM cls) AS n_classified,
+       CAST(count(*) AS BIGINT) AS n_scc,
+       CAST(max(sz) AS BIGINT) AS max_scc_size,
+       CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nontrivial_scc,
+       CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_nodes_in_nontrivial
+FROM g
+"""
+
+
+def scc_labels(
+    edges: DataFrame,
+    iters: int = SCC_ITERS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, fwd, bwd) after ``iters`` rounds of forward AND backward
+    min-label propagation over a DIRECTED (src, dst) edge frame:
+    fwd_k(v) = min(fwd_{k-1}(v), min over u→v of fwd_{k-1}(u)) — the
+    minimum id that REACHES v within k hops; bwd is the mirror over
+    outgoing edges — the minimum id v reaches. ``fwd == bwd == m`` proves
+    v and m reach each other, so equal-pair groups are exact SCCs for
+    every component whose members lie within ``iters`` hops of its
+    minimum member (the FW-BW/coloring building block of distributed SCC
+    — Fleischer et al. 2000's divide step, one fixed-depth pass of it);
+    nodes still unequal after K rounds are reported unclassified rather
+    than guessed.
+
+    Scale shape: each round is TWO label-keyed shuffles (a dst-keyed min
+    and a src-keyed min, both map-side combinable) joined back to the
+    node-sized label frames; lineage truncated every ``_PR_CKPT_EVERY``
+    rounds like the pagerank loop. Labels are node-sized relations at
+    every step — nothing data-sized ever accumulates."""
+    ckpt = _checkpointer(edges.sparkSession, checkpoint_dir)
+    edges = ckpt(edges)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    fwd = nodes.select("id", F.col("id").alias("lbl"))
+    bwd = nodes.select("id", F.col("id").alias("lbl"))
+
+    def _round(lbls: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        mins = (
+            edges.join(lbls, edges[key_in] == lbls.id)
+            .groupBy(key_out)
+            .agg(F.min("lbl").alias("ml"))
+            .select(F.col(key_out).alias("id"), "ml")
+        )
+        return lbls.join(mins, "id", "left").select(
+            "id", F.least("lbl", F.coalesce("ml", "lbl")).alias("lbl")
+        )
+
+    for k in range(1, iters + 1):
+        fwd = _round(fwd, "src", "dst")
+        bwd = _round(bwd, "dst", "src")
+        if k % _PR_CKPT_EVERY == 0 and k < iters:
+            fwd, bwd = ckpt(fwd), ckpt(bwd)
+    return fwd.select("id", F.col("lbl").alias("fwd")).join(
+        bwd.select("id", F.col("lbl").alias("bwd")), "id"
+    )
+
+
+@register("scc_min_label", _scc_oracle())
+def scc_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC structure of the directed transaction graph (`_scc_edges_sql`):
+    K-bounded FW-BW min-label coloring, summarized as component counts —
+    how much of the trade graph is strongly connected (mutually reachable
+    buyer/seller circuits) vs one-way flow. Completes the iterative graph
+    family (CC/LPA/PageRank/PPR/k-core/BFS/triangles) with its directed
+    member; reference lens: the reference has no graph surface at all
+    (processing.scala stops at per-room aggregates), this is the [EXT]
+    analytics a transaction corpus supports."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    even = F.col("o_orderkey") % 2 == 0
+    edges = j.select(
+        F.when(even, F.col("o_custkey") * 2)
+        .otherwise(F.col("l_suppkey") * 2 + 1)
+        .alias("src"),
+        F.when(even, F.col("l_suppkey") * 2 + 1)
+        .otherwise(F.col("o_custkey") * 2)
+        .alias("dst"),
+    ).distinct()
+    lab = scc_labels(edges)
+    cls = lab.filter(F.col("fwd") == F.col("bwd")).select(
+        "id", F.col("fwd").alias("scc")
+    )
+    g = cls.groupBy("scc").agg(F.count("*").alias("sz"))
+    n_nodes = lab.count()
+    n_classified = cls.count()
+    return g.agg(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_classified).cast("long").alias("n_classified"),
+        F.count("*").cast("long").alias("n_scc"),
+        F.max("sz").cast("long").alias("max_scc_size"),
+        F.sum((F.col("sz") >= 2).cast("long")).cast("long")
+        .alias("n_nontrivial_scc"),
+        F.sum(F.when(F.col("sz") >= 2, F.col("sz")).otherwise(0))
+        .cast("long").alias("n_nodes_in_nontrivial"),
+    )

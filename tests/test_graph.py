@@ -468,3 +468,100 @@ def test_k_core_peel_known_graph(spark, monkeypatch):
         for r in graph.k_core_peel(spark, "ignored").collect()
     }
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def _tarjan_sccs(edges):
+    """Pure-Python iterative Tarjan — the reference the distributed
+    FW-BW coloring is checked against on planted graphs."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        adj[s].append(d)
+        nodes.update((s, d))
+    index, low, on_stack = {}, {}, set()
+    stack, sccs, counter = [], [], [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, iter(adj[root]))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(frozenset(comp))
+    return sccs
+
+
+def test_scc_labels_match_tarjan_on_planted_graph(spark):
+    """FW-BW min-label coloring vs Tarjan on a planted directed graph
+    whose components all lie within SCC_ITERS hops of their min member:
+    a 3-cycle, a 2-cycle, a one-way chain into the 3-cycle, and an
+    isolated self-contained 4-cycle — every node classified, labels
+    exactly the per-SCC minima."""
+    edges = [
+        (1, 2), (2, 3), (3, 1),        # 3-cycle {1,2,3}
+        (10, 11), (11, 10),            # 2-cycle {10,11}
+        (20, 21), (21, 1),             # chain → cycle (20, 21 singletons)
+        (30, 31), (31, 32), (32, 33), (33, 30),  # 4-cycle {30..33}
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lab = {r.id: (r.fwd, r.bwd) for r in graph.scc_labels(df).collect()}
+    want = {fs: min(fs) for fs in _tarjan_sccs(edges)}
+    for comp, m in want.items():
+        for v in comp:
+            if len(comp) >= 2:
+                # classified: fwd == bwd == component min
+                assert lab[v][0] == lab[v][1] == m, (v, lab[v])
+    # mutually-classified grouping equals Tarjan's nontrivial partition
+    got_groups = {}
+    for v, (f, b) in lab.items():
+        if f == b:
+            got_groups.setdefault(f, set()).add(v)
+    nontrivial_got = {frozenset(g) for g in got_groups.values() if len(g) >= 2}
+    nontrivial_want = {fs for fs in want if len(fs) >= 2}
+    assert nontrivial_got == nontrivial_want
+
+
+def test_scc_chain_nodes_stay_unclassified_only_if_beyond_k(spark):
+    """A pure one-way chain has only singleton SCCs: with the chain
+    shorter than SCC_ITERS every node classifies as its own singleton
+    (fwd == bwd == own id ⟺ no smaller id both reaches and is reached)."""
+    edges = [(i, i + 1) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lab = {r.id: (r.fwd, r.bwd) for r in graph.scc_labels(df).collect()}
+    # fwd(v) = 1 for all (1 reaches everything); bwd(v) = v (v reaches
+    # nothing smaller) — so only node 1 has fwd == bwd, and every
+    # classified group is a singleton
+    assert lab[1] == (1, 1)
+    for v in range(2, 6):
+        assert lab[v][0] == 1 and lab[v][1] == v
