@@ -210,6 +210,15 @@ def main() -> int:
             return
         from streamroom_bigdata_spark.session import get_spark as _gs
 
+        # a context killed by an executor OOM is stopped but still
+        # REGISTERED as the instantiated session — getOrCreate would hand
+        # the corpse back (measured at the sf≈10 rehearsal: every query
+        # after the OOM failed with "stopped SparkContext"); stop() clears
+        # the registration so the rebuild is genuinely fresh
+        try:
+            spark.stop()
+        except Exception:  # noqa: BLE001
+            pass
         spark = _gs(
             "bench-revived",
             extra_conf={"spark.ui.showConsoleProgress": "false"},

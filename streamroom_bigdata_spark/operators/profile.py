@@ -552,3 +552,270 @@ def kmv_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("exact_users")) / F.col("exact_users"), 4
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (round-11): the oracle-CHECKABLE register sketch
+# ---------------------------------------------------------------------------
+
+#: 2^8 = 256 registers; std-error ~ 1.04/sqrt(m) ≈ 6.5%
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: bias constant alpha_m for m >= 128 (Flajolet et al. 2007, Fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: the 60-bit portable hash leaves 52 bits after the bucket byte
+_HLL_WBITS = 52
+
+
+def _hll_register_sql(key_expr: str, group_cols: str, src: str) -> str:
+    """DuckDB register table: one (group, bucket, M) row per non-empty
+    register — the exact integer math of the Spark side (bucket = h mod m,
+    rho = leading zeros of the remaining 52-bit word + 1, via bin())."""
+    from ..functions.hashing import sql_hash64
+
+    h = sql_hash64(key_expr)
+    return f"""
+  SELECT {group_cols}, hh % {HLL_M} AS b,
+         CAST(max(CASE WHEN hh // {HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(hh // {HLL_M}))
+             END) AS BIGINT) AS m_reg
+  FROM (SELECT {group_cols}, {h} AS hh FROM {src})
+  GROUP BY {group_cols}, b
+"""
+
+
+#: estimate from summed scaled registers: S = Σ 2^(53-M) over non-empty
+#: registers + zeros·2^53 — an EXACT bigint (max 256·2^52 < 2^63), so the
+#: harmonic mean is a division of identical integers on both engines and
+#: the estimate is bit-deterministic regardless of aggregation order.
+_HLL_EST_SQL = f"""
+  SELECT {{group_cols}}, CAST(count(*) AS BIGINT) AS n_filled,
+         sum(CAST(pow(2.0, {_HLL_WBITS + 1} - m_reg) AS BIGINT))
+           + ({HLL_M} - count(*)) * CAST(pow(2.0, {_HLL_WBITS + 1}) AS BIGINT)
+           AS s_scaled
+  FROM regs GROUP BY {{group_cols}}
+"""
+
+
+def _hll_estimate_expr_sql(s="s_scaled", filled="n_filled") -> str:
+    """Raw estimate with the small-range linear-counting correction —
+    identical branch condition and math on both engines."""
+    # NB: the bare alpha literal would parse as DECIMAL(16,16) in DuckDB
+    # and overflow when multiplied by m — force DOUBLE
+    raw = (
+        f"CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}"
+        f" * pow(2.0, {_HLL_WBITS + 1}) / {s}"
+    )
+    zeros = f"({HLL_M} - {filled})"
+    return (
+        f"CASE WHEN {raw} <= 2.5 * {HLL_M} AND {zeros} > 0"
+        f" THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / {zeros})"
+        f" ELSE {raw} END"
+    )
+
+
+hll_portable_distinct_oracle = f"""
+WITH regs AS MATERIALIZED ({_hll_register_sql(
+    "CAST(user_id AS VARCHAR)", "event_type", "events")}),
+est AS ({_HLL_EST_SQL.format(group_cols="event_type")}),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round({_hll_estimate_expr_sql("est.s_scaled", "est.n_filled")}, 4)
+         AS hll_estimate,
+       e.exact_distinct,
+       round(({_hll_estimate_expr_sql("est.s_scaled", "est.n_filled")}
+              - e.exact_distinct) / e.exact_distinct, 6) AS rel_err
+FROM ex e JOIN est ON est.event_type = e.event_type
+"""
+
+
+def _hll_registers(df: DataFrame, key, group_cols: list[str]) -> DataFrame:
+    """(group..., b, m_reg) register table — bucket = portable-hash mod m,
+    rho via bin() bit-length, max-combined per bucket. The groupBy is
+    map-side combinable (max), so at any scale the exchange carries at
+    most |groups|·m rows regardless of input size — the mergeability that
+    makes HLL the 100 TB cardinality tool."""
+    from ..functions.hashing import portable_hash64
+
+    h = portable_hash64(key)
+    w = F.expr(f"hh div {HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, h.alias("hh"))
+        .select(
+            *group_cols,
+            F.pmod("hh", F.lit(HLL_M)).alias("b"),
+            rho.cast("bigint").alias("rho"),
+        )
+        .groupBy(*group_cols, "b")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+
+
+def _hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., hll_estimate) from a register table: scaled-integer
+    harmonic sum (exact bigint — order-independent), then the double
+    division and linear-counting branch, identical to the oracle SQL."""
+    two53 = float(1 << (_HLL_WBITS + 1))
+    est = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_filled"),
+        (
+            F.sum(F.pow(F.lit(2.0), F.lit(_HLL_WBITS + 1) - F.col("m_reg"))
+                  .cast("bigint"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << (_HLL_WBITS + 1))
+        ).alias("s_scaled"),
+    )
+    raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * two53)
+        / F.col("s_scaled").cast("double")
+    )
+    zeros = F.lit(HLL_M) - F.col("n_filled")
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / zeros.cast("double")
+    )
+    return est.select(
+        *group_cols,
+        F.when((raw <= F.lit(2.5 * HLL_M)) & (zeros > 0), lc)
+        .otherwise(raw)
+        .alias("hll_estimate"),
+    )
+
+
+@register("hll_portable_distinct", hll_portable_distinct_oracle)
+def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type by a PORTABLE HyperLogLog built from
+    the repo's md5-prefix hash — unlike the Spark-native DataSketches
+    family above (``hll_sketches``/``approx_distinct``), whose estimator
+    is engine-specific and only count-checkable, THIS sketch's register
+    math is replicated exactly in the DuckDB oracle, so the estimate
+    itself is value-checked cross-engine. Registers are max-merged
+    (associative → map-side combine; per-shard sketches roll up), the
+    harmonic sum is an exact scaled bigint (order-independent), and the
+    standard m·ln(m/zeros) linear-counting branch fires on identical
+    values on both engines. Reports the estimate against the exact
+    distinct count and the signed relative error (|err| ~ 1.04/√256)."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = _hll_registers(
+        ev, F.col("user_id").cast("string"), ["event_type"]
+    )
+    est = _hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        F.round("hll_estimate", 4).alias("hll_estimate"),
+        "exact_distinct",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+hll_union_overlap_oracle = f"""
+WITH regs AS MATERIALIZED ({_hll_register_sql(
+    "CAST(user_id AS VARCHAR)", "event_type", "events")}),
+est AS MATERIALIZED ({_HLL_EST_SQL.format(group_cols="event_type")}),
+types AS (SELECT DISTINCT event_type FROM regs),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+ureg AS (
+  SELECT p.type_a, p.type_b, r.b, max(r.m_reg) AS m_reg
+  FROM pairs p JOIN regs r
+    ON r.event_type IN (p.type_a, p.type_b)
+  GROUP BY p.type_a, p.type_b, r.b
+),
+uest AS (
+  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_filled,
+         sum(CAST(pow(2.0, {_HLL_WBITS + 1} - m_reg) AS BIGINT))
+           + ({HLL_M} - count(*)) * CAST(pow(2.0, {_HLL_WBITS + 1}) AS BIGINT)
+           AS s_scaled
+  FROM ureg GROUP BY type_a, type_b
+)
+SELECT u.type_a, u.type_b,
+       round({_hll_estimate_expr_sql("ea.s_scaled", "ea.n_filled")}, 4)
+         AS est_a,
+       round({_hll_estimate_expr_sql("eb.s_scaled", "eb.n_filled")}, 4)
+         AS est_b,
+       round({_hll_estimate_expr_sql("u.s_scaled", "u.n_filled")}, 4)
+         AS est_union,
+       round({_hll_estimate_expr_sql("ea.s_scaled", "ea.n_filled")}
+             + {_hll_estimate_expr_sql("eb.s_scaled", "eb.n_filled")}
+             - {_hll_estimate_expr_sql("u.s_scaled", "u.n_filled")}, 4)
+         AS est_intersection
+FROM uest u
+JOIN est ea ON ea.event_type = u.type_a
+JOIN est eb ON eb.event_type = u.type_b
+"""
+
+
+@register("hll_union_overlap", hll_union_overlap_oracle)
+def hll_union_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types from the SAME
+    portable-HLL registers: union sketch = per-bucket register max (the
+    lossless HLL merge), intersection by inclusion-exclusion — the "how
+    many users do these two streams share" question answered from
+    |types|·m register rows, never a user-level pairwise compare. All
+    sketch math identical to ``hll_portable_distinct`` and value-checked
+    against the DuckDB replica."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = _hll_registers(
+        ev, F.col("user_id").cast("string"), ["event_type"]
+    ).localCheckpoint()  # tiny (|types|·m rows), reused by 3 consumers
+    est = _hll_estimate(regs, ["event_type"])
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    ureg = (
+        F.broadcast(pairs)
+        .join(
+            regs,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "b")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    uest = _hll_estimate(ureg, ["type_a", "type_b"]).withColumnRenamed(
+        "hll_estimate", "est_union_raw"
+    )
+    ea = est.select(
+        F.col("event_type").alias("type_a"),
+        F.col("hll_estimate").alias("ea_raw"),
+    )
+    eb = est.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hll_estimate").alias("eb_raw"),
+    )
+    return (
+        uest.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.round("ea_raw", 4).alias("est_a"),
+            F.round("eb_raw", 4).alias("est_b"),
+            F.round("est_union_raw", 4).alias("est_union"),
+            F.round(
+                F.col("ea_raw") + F.col("eb_raw") - F.col("est_union_raw"), 4
+            ).alias("est_intersection"),
+        )
+    )

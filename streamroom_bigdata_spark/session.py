@@ -51,10 +51,20 @@ def get_spark(
     creation); an existing session is returned as-is apart from runtime confs.
     """
     n = cpus or cpu_count()
+    # Shuffle-partition sizing is THE local scale knob: the pinned
+    # shuffle-hash joins (dedup/winnowing) build one hash map per task, so
+    # per-partition size must fit the per-task heap share. At sf0.1 `cores`
+    # partitions are right; the sf≈10 rehearsal measured 32 partitions
+    # OOMing the shared local heap (corpus/32 build sides × 32 concurrent
+    # tasks), fixed by 8× the partitions — the same rows-per-partition a
+    # real cluster would get from spark.sql.files.maxPartitionBytes.
+    # Override per-run with SPARK_GRAFT_SHUFFLE_PARTITIONS.
+    env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    sp = shuffle_partitions or (int(env_sp) if env_sp else None) or n
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

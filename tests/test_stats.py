@@ -277,3 +277,37 @@ def test_roc_auc_single_class_is_null_not_abort(spark, monkeypatch):
     r = stats.roc_auc_quality(spark, "ignored").collect()[0]
     assert (r.n_pos, r.n_neg) == (6, 0)
     assert r.auc is None
+
+
+def test_hll_portable_accuracy_and_mergeability(spark):
+    """Portable HLL: (a) estimate within ~3 std errors (1.04/sqrt(256) ≈
+    6.5%) of a known cardinality large enough to leave the linear-counting
+    regime; (b) register merge is lossless — the union of two halves'
+    registers estimates EXACTLY what the full set's registers do (max is
+    associative), the property that makes per-shard sketches roll up."""
+    from pyspark.sql import functions as F
+
+    from streamroom_bigdata_spark.operators.profile import (
+        HLL_M,
+        _hll_estimate,
+        _hll_registers,
+    )
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    regs = _hll_registers(df, F.col("k"), ["g"])
+    (est,) = _hll_estimate(regs, ["g"]).collect()
+    assert abs(est.hll_estimate - n) / n < 3 * 1.04 / (HLL_M ** 0.5)
+
+    half_a = df.filter(F.col("k").cast("long") % 2 == 0)
+    half_b = df.filter(F.col("k").cast("long") % 2 == 1)
+    merged = (
+        _hll_registers(half_a, F.col("k"), ["g"])
+        .union(_hll_registers(half_b, F.col("k"), ["g"]))
+        .groupBy("g", "b")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    (est_m,) = _hll_estimate(merged, ["g"]).collect()
+    assert est_m.hll_estimate == est.hll_estimate
