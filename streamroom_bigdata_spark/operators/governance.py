@@ -261,3 +261,76 @@ def pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1000) * F.sum("n_phones")) / F.count("*").cast("double")
         ).alias("phones_per_1k_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity (round-11): sensitive-value diversity within each QI class
+# ---------------------------------------------------------------------------
+
+#: required distinct-l for the pass flag (the conventional minimum)
+L_DIVERSITY_L = 3
+
+l_diversity_oracle = f"""
+WITH joined AS (
+  SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS sv
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+), cnt AS (
+  SELECT c_nationkey, c_mktsegment, sv, CAST(count(*) AS BIGINT) AS n
+  FROM joined GROUP BY 1, 2, 3
+), shared AS (
+  SELECT c_nationkey, c_mktsegment, n,
+         n / CAST(sum(n) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                  AS DOUBLE) AS p
+  FROM cnt
+), cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(sum(n) AS BIGINT) AS n_orders,
+         CAST(count(*) AS BIGINT) AS distinct_l,
+         sum(-p * ln(p)) AS h
+  FROM shared GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, n_orders, distinct_l,
+       round(exp(h), 4) AS entropy_l,
+       distinct_l >= {L_DIVERSITY_L} AS meets_l
+FROM cls
+"""
+
+
+@register("l_diversity_profile", l_diversity_oracle)
+def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity of each quasi-identifier class (k-anonymity's stronger
+    sibling — a class can be large yet still leak if every member shares
+    the same sensitive value): per (nation, segment) class, the distinct
+    count AND entropy-l (exp of the Shannon entropy — the effective number
+    of sensitive values an attacker faces) of the order-priority
+    distribution of the class's orders, with the conventional l≥3 flag.
+
+    Scale shape: one key-partitioned customer⋈orders join, then a
+    combinable (QI, sensitive) count; everything after runs on the
+    QI×|priorities| DOMAIN table. The windowed per-class total is over
+    that bounded relation, not data."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders, orders.o_custkey == customer.c_custkey
+    ).select("c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("sv"))
+    cnt = joined.groupBy("c_nationkey", "c_mktsegment", "sv").agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql import Window
+
+    wcls = Window.partitionBy("c_nationkey", "c_mktsegment")
+    p = F.col("n") / F.sum("n").over(wcls).cast("double")
+    cls = cnt.withColumn("p", p).groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("long").alias("n_orders"),
+        F.count("*").cast("long").alias("distinct_l"),
+        F.sum(-F.col("p") * F.log("p")).alias("h"),
+    )
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_orders",
+        "distinct_l",
+        F.round(F.exp("h"), 4).alias("entropy_l"),
+        (F.col("distinct_l") >= L_DIVERSITY_L).alias("meets_l"),
+    )

@@ -163,3 +163,104 @@ def observed_quarantine(marked: DataFrame):
         F.sum((F.size("dq_reasons") > 0).cast("long")).alias("rows_violating"),
     )
     return observed, obs
+
+
+# ---------------------------------------------------------------------------
+# Precision/recall threshold scan (round-11): classifier-eval surface
+# ---------------------------------------------------------------------------
+
+#: function words whose density separates English from the other corpus
+#: languages — the score under evaluation
+EN_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+    "as", "at", "by", "an",
+)
+#: scan thresholds: 0.00 .. 0.30 step 0.02 (16 operating points)
+PR_THRESHOLDS = [round(k * 0.02, 2) for k in range(16)]
+
+
+def _pr_curve_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    ts = ", ".join(repr(t) for t in PR_THRESHOLDS)
+    return f"""
+WITH scored AS (
+  SELECT lang = 'en' AS is_pos,
+         len(list_filter(string_split(text, ' '),
+                         t -> list_contains([{stop}], t)))::DOUBLE
+           / len(string_split(text, ' ')) AS score
+  FROM documents WHERE length(text) > 0
+), th AS (SELECT CAST(unnest([{ts}]) AS DOUBLE) AS threshold),
+agg AS (
+  SELECT t.threshold,
+         CAST(sum(CASE WHEN s.score >= t.threshold THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pred_pos,
+         CAST(sum(CASE WHEN s.score >= t.threshold AND s.is_pos
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN s.is_pos THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM scored s, th t GROUP BY t.threshold
+)
+SELECT threshold, n_pred_pos,
+       round(tp / CAST(nullif(n_pred_pos, 0) AS DOUBLE), 6) AS precision,
+       round(tp / CAST(nullif(pos, 0) AS DOUBLE), 6) AS recall,
+       round(2.0 * tp / CAST(nullif(n_pred_pos + pos, 0) AS DOUBLE), 6) AS f1
+FROM agg
+"""
+
+
+@register("pr_curve_stopword_en", _pr_curve_sql())
+def pr_curve_stopword_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 threshold scan of the English-stopword-density
+    score against the gold ``lang`` label — the classifier-evaluation
+    operator every filter a curation pipeline ships needs BEFORE its
+    threshold is frozen (roc_auc_quality ranks the score; this names the
+    operating points). F1 uses the algebraic identity
+    2·tp/(pred_pos + pos), so the degenerate thresholds (nothing
+    predicted, no positives) are NULL via one nullif on both engines.
+
+    Scale shape: per-document scoring is one codegen HOF pass (no token
+    explode, no shuffle); the scan is a |docs| × 16 broadcast-domain
+    product feeding one combinable per-threshold aggregate — the
+    periodogram_daily shape on a threshold domain."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split("text", " ")
+    score = (
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    scored = docs.select(
+        (F.col("lang") == "en").alias("is_pos"), score.alias("score")
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in PR_THRESHOLDS], "threshold double"
+    )
+    agg = (
+        scored.join(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum((F.col("score") >= F.col("threshold")).cast("long"))
+            .cast("long").alias("n_pred_pos"),
+            F.sum(
+                ((F.col("score") >= F.col("threshold")) & F.col("is_pos"))
+                .cast("long")
+            ).cast("long").alias("tp"),
+            F.sum(F.col("is_pos").cast("long")).cast("long").alias("pos"),
+        )
+    )
+    return agg.select(
+        "threshold",
+        "n_pred_pos",
+        F.round(
+            F.col("tp") / F.nullif(F.col("n_pred_pos"), F.lit(0)).cast("double"),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp") / F.nullif(F.col("pos"), F.lit(0)).cast("double"), 6
+        ).alias("recall"),
+        F.round(
+            2.0 * F.col("tp")
+            / F.nullif(F.col("n_pred_pos") + F.col("pos"), F.lit(0)).cast(
+                "double"
+            ),
+            6,
+        ).alias("f1"),
+    )

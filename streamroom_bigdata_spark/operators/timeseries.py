@@ -672,3 +672,187 @@ def sax_daily_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("motif").agg(
         F.count("*").alias("n_windows"), F.min("day").alias("first_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Periodicity scan (round-11): discrete-Fourier power over candidate periods
+# ---------------------------------------------------------------------------
+
+PERIOD_MIN = 2
+PERIOD_MAX = 30
+_TWO_PI = 6.283185307179586  # 2π as one literal double on BOTH engines
+
+periodogram_oracle = f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+         sum(value) AS y
+  FROM events GROUP BY 1
+), st AS (
+  SELECT avg(y) AS mu, CAST(count(*) AS BIGINT) AS n FROM daily
+), ctr AS (
+  SELECT t, y - st.mu AS yc FROM daily, st
+), sst AS (
+  SELECT sum(yc * yc) AS ss FROM ctr
+), terms AS (
+  SELECT p.p,
+         c.yc * cos({_TWO_PI} * CAST(c.t % p.p AS DOUBLE) / p.p) AS tc,
+         c.yc * sin({_TWO_PI} * CAST(c.t % p.p AS DOUBLE) / p.p) AS ts
+  FROM ctr c, (SELECT unnest(range({PERIOD_MIN}, {PERIOD_MAX + 1})) AS p) p
+), agg AS (
+  SELECT p, sum(tc) AS cs, sum(ts) AS sn FROM terms GROUP BY p
+)
+SELECT CAST(a.p AS INT) AS period,
+       round((a.cs * a.cs + a.sn * a.sn) * 2.0 / (st.n * sst.ss), 6)
+         AS power_frac
+FROM agg a, st, sst
+"""
+
+
+@register("periodogram_daily", periodogram_oracle)
+def periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodicity scan of the daily event-value series: for each
+    candidate period p in [2, 30] days, the normalized Fourier power
+    2·(C_p² + S_p²)/(N·SST) of the mean-centered series — the variance
+    fraction a sinusoid at that period explains. The weekly cadence
+    planted in the events fixture surfaces as the p = 7 peak; a flat
+    scan is the "no seasonality" answer `seasonal_decompose_daily`
+    assumes away. Completes the time-series family's frequency-domain
+    view next to ACF's lag-domain one.
+
+    Determinism: trig arguments are reduced MOD p in INTEGER space first
+    (t % p), so both engines evaluate cos/sin on identical small
+    arguments (< 2π) where libm implementations agree to ULPs — float
+    noise ~1e-12 relative against round-6 outputs.
+
+    Scale shape: the data-sized stage is one combinable day groupBy; the
+    scan is a |days| × 29 broadcast-domain product (calendar-bounded at
+    ANY data scale — the counting_median domain argument) feeding one
+    combinable per-period sum, then 1-row normalizers join back."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("t")
+    ).agg(F.sum("value").alias("y"))
+    st = daily.agg(
+        F.avg("y").alias("mu"), F.count("*").cast("long").alias("n")
+    )
+    ctr = daily.crossJoin(F.broadcast(st)).select(
+        "t", (F.col("y") - F.col("mu")).alias("yc"), "n"
+    )
+    sst = ctr.agg(
+        F.sum(F.col("yc") * F.col("yc")).alias("ss"),
+        F.first("n").alias("n"),
+    )
+    periods = spark.range(PERIOD_MIN, PERIOD_MAX + 1).select(
+        F.col("id").cast("int").alias("p")
+    )
+    ang = (
+        F.lit(_TWO_PI)
+        * F.pmod(F.col("t"), F.col("p")).cast("double")
+        / F.col("p")
+    )
+    agg = (
+        ctr.join(F.broadcast(periods))
+        .select("p", (F.col("yc") * F.cos(ang)).alias("tc"),
+                (F.col("yc") * F.sin(ang)).alias("ts"))
+        .groupBy("p")
+        .agg(F.sum("tc").alias("cs"), F.sum("ts").alias("sn"))
+    )
+    return agg.crossJoin(F.broadcast(sst)).select(
+        F.col("p").alias("period"),
+        F.round(
+            (F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn"))
+            * 2.0
+            / (F.col("n") * F.col("ss")),
+            6,
+        ).alias("power_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hampel filter (round-11): rolling-median/MAD outlier days
+# ---------------------------------------------------------------------------
+
+HAMPEL_HALF_WIN = 3      # ±3 days → 7-day window interior
+HAMPEL_K = 3.5           # the conventional Hampel threshold
+_HAMPEL_C = 0.6745       # MAD → σ consistency constant (Φ⁻¹(0.75))
+
+hampel_oracle = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, sum(value) AS y FROM events GROUP BY 1
+), win AS (
+  SELECT a.day, a.y, b.y AS yb
+  FROM daily a JOIN daily b
+    ON b.day - a.day BETWEEN -{HAMPEL_HALF_WIN} AND {HAMPEL_HALF_WIN}
+), med AS (
+  SELECT day, any_value(y) AS y, quantile_cont(yb, 0.5) AS med
+  FROM win GROUP BY day
+), dev AS (
+  SELECT w.day, quantile_cont(abs(w.yb - m.med), 0.5) AS mad
+  FROM win w JOIN med m USING (day) GROUP BY w.day
+)
+SELECT m.day, round(m.y, 4) AS y, round(m.med, 4) AS med,
+       round(d.mad, 4) AS mad,
+       round({_HAMPEL_C} * (m.y - m.med) / nullif(d.mad, 0), 4) AS z,
+       coalesce(abs({_HAMPEL_C} * (m.y - m.med) / nullif(d.mad, 0))
+                > {HAMPEL_K}, FALSE) AS is_outlier
+FROM med m JOIN dev d USING (day)
+"""
+
+
+@register("hampel_outlier_days", hampel_oracle)
+def hampel_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over the daily series: a day is an outlier when its
+    value sits more than {K} robust sigmas (0.6745·(y−med)/MAD) from its
+    ±{W}-day rolling MEDIAN — the robust alternative to z-scores against
+    a rolling mean, immune to the outlier polluting its own baseline
+    (one bad day shifts a 7-day mean by 1/7 of its size; it shifts the
+    median not at all). An all-equal window (MAD 0) yields NULL z and
+    FALSE flag on both engines.
+
+    Scale shape: one combinable day groupBy, then a |days| × 7
+    range self-join on the day DOMAIN (calendar-bounded) feeding two
+    exact-median aggregations — no data-sized window, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    win = a.join(
+        b,
+        F.datediff(F.col("b.day"), F.col("a.day")).between(
+            -HAMPEL_HALF_WIN, HAMPEL_HALF_WIN
+        ),
+    ).select(
+        F.col("a.day").alias("day"),
+        F.col("a.y").alias("y"),
+        F.col("b.y").alias("yb"),
+    )
+    med = win.groupBy("day").agg(
+        F.any_value("y").alias("y"),
+        F.expr("percentile(yb, 0.5)").alias("med"),
+    )
+    dev = (
+        win.join(med.select("day", "med"), "day")
+        .groupBy("day")
+        .agg(F.expr("percentile(abs(yb - med), 0.5)").alias("mad"))
+    )
+    z = (
+        F.lit(_HAMPEL_C)
+        * (F.col("y") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
+    return med.join(dev, "day").select(
+        "day",
+        F.round("y", 4).alias("y"),
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        F.round(z, 4).alias("z"),
+        F.coalesce(F.abs(z) > HAMPEL_K, F.lit(False)).alias("is_outlier"),
+    )
+
+
+hampel_outlier_days.__doc__ = hampel_outlier_days.__doc__.format(
+    K=HAMPEL_K, W=HAMPEL_HALF_WIN
+)
