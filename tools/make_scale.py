@@ -7,6 +7,17 @@ unchanged — the realistic shape of growth (facts grow, dims don't).
 Document text gets a per-copy suffix token so shingle-based near-dup does
 not see every copy as a duplicate of its original.
 
+``--vary-docs`` rewrites every SHINGLE_N-th token of each document copy
+with a per-copy marker instead of appending one suffix token. The suffix
+default keeps copies ~Jaccard-1 near-duplicates of their original — fine
+for a ×10 rehearsal, but at ×100 the TRUE near-dup pair count grows as
+copies² (measured: 73 GB of pair shuffle and a full disk at sf≈10) — a
+fixture artifact, not an operator cost. With every 3rd token varied, every
+3-gram shingle crosses an altered token, so cross-copy Jaccard is 0 while
+WITHIN-copy pair structure (the original corpus's real near-dups, altered
+in parallel) is preserved — near-dup output then scales linearly with
+FACTOR, the realistic shape.
+
 ``--hot-key`` additionally plants PATHOLOGICAL KEY SKEW: ~30% of the
 replicated lineitem rows get their l_partkey rewritten to one hot part key
 (deterministically, by row-content hash). That is the worst-case shape the
@@ -30,6 +41,7 @@ SRC = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.1"
 DST = _pos[1] if len(_pos) > 1 else "/tmp/sf1_synth"
 FACTOR = int(_pos[2]) if len(_pos) > 2 else 10
 HOT_KEY = "--hot-key" in sys.argv
+VARY_DOCS = "--vary-docs" in sys.argv
 
 KEY_OFFSET = 10_000_000_000  # far above any fixture key
 # --hot-key: fraction of lineitem rows remapped onto one part key. The key
@@ -71,10 +83,32 @@ def main() -> int:
                 col, F.col(col) + F.col("_copy") * F.lit(KEY_OFFSET)
             )
         if name == "documents":
-            # perturb text per copy so copies aren't trivial near-duplicates
-            copied = copied.withColumn(
-                "text", F.concat_ws(" ", "text", F.concat(F.lit("copytag"), "_copy"))
-            )
+            if VARY_DOCS:
+                # alter every SHINGLE_N-th (3rd) token with a per-copy
+                # marker: every 3-gram shingle then contains an altered
+                # token, so cross-copy Jaccard is 0 and near-dup output
+                # scales linearly with FACTOR (see module docstring)
+                varied = F.transform(
+                    F.split("text", " "),
+                    lambda t, i: F.when(
+                        i % 3 == 2,
+                        F.concat(
+                            t, F.lit("~c"), F.col("_copy").cast("string")
+                        ),
+                    ).otherwise(t),
+                )
+                copied = copied.withColumn(
+                    "text", F.array_join(varied, " ")
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            else:
+                # perturb text per copy so copies aren't trivial EXACT
+                # duplicates (they remain near-duplicates — ×10-scale only)
+                copied = copied.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ", "text", F.concat(F.lit("copytag"), "_copy")
+                    ),
+                )
         if name == "events":
             # spread users too, so per-user state grows sublinearly
             copied = copied.withColumn(
