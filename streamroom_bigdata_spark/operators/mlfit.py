@@ -759,3 +759,86 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_loglik"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump (round-11): best single Gini split, CART's inner loop
+# ---------------------------------------------------------------------------
+
+decision_stump_oracle = """
+WITH cnt AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM lineitem GROUP BY 1
+), th AS (SELECT DISTINCT q AS t FROM cnt),
+sides AS (
+  SELECT t.t,
+         CAST(sum(CASE WHEN c.q <= t.t THEN c.n ELSE 0 END) AS BIGINT)
+           AS n_l,
+         CAST(sum(CASE WHEN c.q <= t.t THEN c.pos ELSE 0 END) AS BIGINT)
+           AS pos_l,
+         CAST(sum(CASE WHEN c.q > t.t THEN c.n ELSE 0 END) AS BIGINT)
+           AS n_r,
+         CAST(sum(CASE WHEN c.q > t.t THEN c.pos ELSE 0 END) AS BIGINT)
+           AS pos_r
+  FROM th t CROSS JOIN cnt c GROUP BY t.t
+)
+SELECT CAST(t AS INT) AS threshold, n_l, pos_l, n_r, pos_r,
+       round((n_l * 2.0 * (pos_l / CAST(n_l AS DOUBLE))
+                    * (1 - pos_l / CAST(n_l AS DOUBLE))
+              + n_r * 2.0 * (pos_r / CAST(n_r AS DOUBLE))
+                    * (1 - pos_r / CAST(n_r AS DOUBLE)))
+             / (n_l + n_r), 6) AS weighted_gini
+FROM sides
+WHERE n_l > 0 AND n_r > 0
+"""
+
+
+@register("decision_stump_returns", decision_stump_oracle)
+def decision_stump_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART's inner loop as a query: for every candidate split threshold t
+    of l_quantity, the weighted Gini impurity of "quantity ≤ t" predicting
+    a returned lineitem — the full split-quality curve a tree learner
+    argmins (and the readout that tells a feature-engineering pass whether
+    quantity carries ANY signal about returns; a flat curve is "no").
+    Thresholds whose right side is empty are excluded (both sides must be
+    non-empty for a split).
+
+    Scale shape: ONE data-sized pass (quantity-keyed count with map-side
+    combine — the quantity DOMAIN is ~50 integers); the threshold scan is
+    a domain² (≤2500-row) product — deliberately a range cross join, not
+    an unpartitioned cumulative window. Gini terms are ratios of exact
+    integer counts, bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_quantity").cast("bigint").alias("q")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("pos"),
+    )
+    th = cnt.select(F.col("q").alias("t")).distinct()
+    j = F.broadcast(th).crossJoin(cnt)
+    sides = j.groupBy("t").agg(
+        F.sum(F.when(F.col("q") <= F.col("t"), F.col("n")).otherwise(0))
+        .cast("long").alias("n_l"),
+        F.sum(F.when(F.col("q") <= F.col("t"), F.col("pos")).otherwise(0))
+        .cast("long").alias("pos_l"),
+        F.sum(F.when(F.col("q") > F.col("t"), F.col("n")).otherwise(0))
+        .cast("long").alias("n_r"),
+        F.sum(F.when(F.col("q") > F.col("t"), F.col("pos")).otherwise(0))
+        .cast("long").alias("pos_r"),
+    )
+    p_l = F.col("pos_l") / F.col("n_l").cast("double")
+    p_r = F.col("pos_r") / F.col("n_r").cast("double")
+    gini = (
+        F.col("n_l") * 2.0 * p_l * (1 - p_l)
+        + F.col("n_r") * 2.0 * p_r * (1 - p_r)
+    ) / (F.col("n_l") + F.col("n_r"))
+    return (
+        sides.filter((F.col("n_l") > 0) & (F.col("n_r") > 0))
+        .select(
+            F.col("t").cast("int").alias("threshold"),
+            "n_l", "pos_l", "n_r", "pos_r",
+            F.round(gini, 6).alias("weighted_gini"),
+        )
+    )

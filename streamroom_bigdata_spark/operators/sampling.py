@@ -346,3 +346,89 @@ def contiguous_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         (F.col("offset") + F.col("pos")).alias("global_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-based negative sampling (round-11): training-pair generation
+# ---------------------------------------------------------------------------
+
+#: negative candidates drawn per customer
+NEG_SAMPLES_K = 3
+
+
+def _negative_sampling_sql() -> str:
+    from ..functions.hashing import sql_hash64
+
+    h = sql_hash64(f"concat(CAST(p.o_custkey AS VARCHAR), '|neg', "
+                   f"CAST(k.k AS VARCHAR))")
+    return f"""
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), custs AS (
+  SELECT DISTINCT o_custkey FROM pos
+), np AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part
+), cand AS (
+  SELECT p.o_custkey, k.k,
+         ({h}) % np.n_parts + 1 AS neg_partkey
+  FROM custs p, (SELECT unnest(range(0, {NEG_SAMPLES_K})) AS k) k, np
+)
+SELECT c.o_custkey, CAST(c.k AS INT) AS k, c.neg_partkey
+FROM cand c
+LEFT JOIN pos ON pos.o_custkey = c.o_custkey
+            AND pos.l_partkey = c.neg_partkey
+WHERE pos.l_partkey IS NULL
+"""
+
+
+@register("negative_sampling_pairs", _negative_sampling_sql())
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for training-pair generation: for
+    every customer with purchase history, NEG_SAMPLES_K candidate
+    part keys drawn by salted portable hash over the part-key space, with
+    candidates that collide with the customer's ACTUAL purchases dropped
+    by anti-join — the (user, positive, negatives) triple a ranking/
+    recommendation trainer consumes, with the reproducibility property
+    random sampling lacks (same corpus → same negatives, any cluster
+    size, any partitioning).
+
+    Scale shape: positives are one distinct (cust, part) exchange;
+    candidates are |custs|×K rows built from a 1-row part-count
+    broadcast; the rejection is one key-partitioned LEFT ANTI join on
+    exactly the candidate key. Collision losses are ~|positives per
+    user| / |parts| — report-side, a trainer resamples k+K if it needs
+    exact-K."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pos = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    custs = pos.select("o_custkey").distinct()
+    np_ = part.agg(F.count("*").alias("n_parts"))
+    ks = spark.range(NEG_SAMPLES_K).select(F.col("id").cast("int").alias("k"))
+    h = portable_hash64(
+        F.concat(
+            F.col("o_custkey").cast("string"),
+            F.lit("|neg"),
+            F.col("k").cast("string"),
+        )
+    )
+    cand = (
+        custs.join(F.broadcast(ks))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "o_custkey",
+            "k",
+            (F.pmod(h, F.col("n_parts")) + 1).alias("neg_partkey"),
+        )
+    )
+    return cand.join(
+        pos,
+        (cand.o_custkey == pos.o_custkey)
+        & (cand.neg_partkey == pos.l_partkey),
+        "left_anti",
+    ).select("o_custkey", "k", "neg_partkey")
