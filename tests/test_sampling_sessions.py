@@ -125,3 +125,53 @@ def test_contiguous_global_ids_dense_and_order_consistent(spark, sf_dir):
         ids = sorted(by_shard[shard])
         assert ids[0] == prev_end + 1 and ids[-1] == prev_end + len(ids)
         prev_end = ids[-1]
+
+
+def test_negative_sampling_rejects_positives_and_bounds_k(spark, sf_dir):
+    """Hash negatives never collide with a customer's actual purchases
+    (the anti-join contract), at most NEG_SAMPLES_K per customer, and the
+    draw is deterministic (same corpus → identical rows on a re-run)."""
+    from pyspark.sql import functions as F
+
+    from streamroom_bigdata_spark.operators.sampling import (
+        NEG_SAMPLES_K,
+        negative_sampling_pairs,
+    )
+    from streamroom_bigdata_spark.sources import load_table
+
+    out = negative_sampling_pairs(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", F.col("l_partkey").alias("neg_partkey"))
+        .distinct()
+    )
+    assert out.join(pos, ["o_custkey", "neg_partkey"]).count() == 0
+    per = out.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert per <= NEG_SAMPLES_K
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, negative_sampling_pairs(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_decision_stump_curve_invariants(spark, sf_dir):
+    """Every threshold row partitions the same population (n_l + n_r
+    constant), Gini stays in [0, 0.5], and left counts are monotone in
+    the threshold."""
+    from streamroom_bigdata_spark.operators.mlfit import (
+        decision_stump_returns,
+    )
+
+    rows = sorted(
+        decision_stump_returns(spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert rows
+    total = rows[0].n_l + rows[0].n_r
+    prev_nl = 0
+    for r in rows:
+        assert r.n_l + r.n_r == total
+        assert 0.0 <= r.weighted_gini <= 0.5
+        assert r.n_l >= prev_nl
+        prev_nl = r.n_l
