@@ -797,36 +797,42 @@ def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
     """Distinct winnowing fingerprints in long format (doc_id, fp):
     WINNOW_K-token shingles, hashed, min of every WINNOW_W-shingle window.
 
-    Shape (the load-bearing perf decision): shingle positions are
-    EXPLODED and hashed as a flat whole-stage-codegen projection, then
-    the window min is a doc-keyed sliding frame aggregate — the repo's
-    round-1 lesson that md5/conv chains inside higher-order-function
-    lambdas run interpreted per element (an array-algebra spelling of
-    this operator measured 20+ s at sf0.1; this shape runs the same data
-    in ~2 s). One doc_id exchange for the frame, one (doc_id, fp)
-    exchange for the dedup — both carry shingle-count-sized flat rows.
+    Shape (the load-bearing perf decision, round-11 rework): TOKENS are
+    exploded flat (pure codegen), each shingle string is assembled from
+    lead() offsets over the doc-keyed position sort, and the hash is a
+    flat codegen projection. The round-1 lesson was that md5/conv chains
+    inside higher-order-function lambdas run interpreted per element; the
+    sf≈10 rehearsal found the REMAINING lambda — the slice+concat_ws
+    building the shingle strings inside F.transform — was itself the
+    scale wall (149 s of a 164 s warm run for the explode alone at sf≈10;
+    this lead()-spelled form assembles IDENTICAL shingle strings, so
+    every fingerprint hash and oracle is unchanged, inside whole-stage
+    codegen). The lead() pass and the min-window below share ONE
+    (doc_id, pos) exchange+sort — Catalyst pipelines both Window nodes on
+    the same spec.
 
     Docs shorter than WINNOW_K tokens are filtered HERE (not only at call
-    sites) because ``F.sequence(0, size - K)`` auto-negates its step when
-    ``size < K`` and counts DOWN, feeding ``F.slice`` negative starts —
-    the same hazard documented in fuzzyjoin.py. The DuckDB oracle
-    (_FP_ROWS_SQL) applies the identical ``len(toks) >= K`` predicate, so
-    every caller agrees with its oracle regardless of input corpus."""
+    sites): they produce no complete shingle (trailing lead() is NULL),
+    and the DuckDB oracle (_FP_ROWS_SQL) applies the identical
+    ``len(toks) >= K`` predicate, so every caller agrees with its oracle
+    regardless of input corpus."""
     from pyspark.sql import Window
 
     toks = F.split("text", " ")
     docs = docs.filter(F.size(toks) >= WINNOW_K)
-    sh = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - WINNOW_K),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i + 1, WINNOW_K)
-                ),
-            )
-        ).alias("pos", "shingle"),
+    tok = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
     )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(wl) for j in range(1, WINNOW_K)]
+    # trailing positions lack a full shingle: the last lead is NULL there
+    # (split() never yields NULL tokens, so NULL ⟺ off-the-end)
+    sh = tok.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+        leads[-1].isNotNull().alias("_full"),
+    ).filter(F.col("_full"))
     hashed = sh.select(
         "doc_id", "pos", portable_hash_mod(F.col("shingle")).alias("h")
     )
