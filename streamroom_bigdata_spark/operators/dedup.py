@@ -99,7 +99,13 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingle_col(n: int = SHINGLE_N) -> F.Column:
     """Distinct word n-gram shingles of ``text``; documents shorter than n
-    tokens use the whole text as their single shingle."""
+    tokens use the whole text as their single shingle.
+
+    REFERENCE SPELLING ONLY — the array form is what ``sql_shingles``
+    (the oracle side) mirrors 1:1, and tests validate against it. Query
+    paths use :func:`exact_shingle_rows` instead: the transform lambda
+    here runs interpreted per element, the scale wall the round-11 sf≈10
+    rehearsal measured (same strings, codegen lead() assembly)."""
     toks = F.split("text", " ")
     ngrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -541,6 +547,38 @@ WHERE i.n_common::DOUBLE
 """
 
 
+def exact_shingle_rows(docs: DataFrame, n: int = NGRAM_EXACT_N) -> DataFrame:
+    """DISTINCT (doc_id, sh) n-gram shingle rows — the lead()-window
+    spelling of ``shingle_col`` (identical strings, short docs emit the
+    whole text as their single shingle). Same rationale as winnowing's
+    round-11 rework (operators/text.py `_winnow_fp_rows`): building
+    shingle strings inside an F.transform lambda runs interpreted per
+    element and was measured as the scale wall at sf≈10; posexplode +
+    lead() keeps the assembly inside whole-stage codegen with ONE
+    (doc_id, pos) exchange+sort."""
+    from pyspark.sql import Window
+
+    toks = F.split("text", " ")
+    tok = docs.filter(F.size(toks) >= n).select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(wl) for j in range(1, n)]
+    sh = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("sh"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .drop("_full")
+    )
+    short = docs.filter(F.size(toks) < n).select(
+        "doc_id", F.col("text").alias("sh")
+    )
+    return sh.unionByName(short).distinct()
+
+
 @register("ngram_jaccard_pairs", ngram_jaccard_oracle)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup (L2 brute path): explode 5-gram
@@ -548,11 +586,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs sharing ≥1 shingle — the inverted-index trick, not n²), then
     |A∩B| / (|A|+|B|-|A∩B|). Serves as the exact oracle for the MinHash
     approximation in recall tests."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", shingle_col(NGRAM_EXACT_N).alias("shingles")
-    )
-    sizes = docs.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exploded = exact_shingle_rows(docs, NGRAM_EXACT_N)
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
@@ -629,12 +665,11 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     can see WHICH regime flagged the pair. Scale path: the same LSH band
     candidates (lsh_candidate_pairs) bound the pair set; this registered
     form is the exact oracle twin."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(shingle_col(NGRAM_EXACT_N)).alias("shingles"),
-    )
-    sizes = docs.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # shingle_col is already distinct for long docs; exact_shingle_rows
+    # keeps the identical set semantics in the lead()-window spelling
+    exploded = exact_shingle_rows(docs, NGRAM_EXACT_N)
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
