@@ -227,6 +227,16 @@ _ALLOWED_FACT_BROADCASTS = {
     # KMV growth curve: |days|-row per-day new-user counts + |days|×K-row
     # partial-sketch union — both day-DOMAIN bounded at ANY data scale
     "kmv_daily_cumulative": 2,
+    # round-11 wave — bounded-by-design broadcast sides:
+    # decision stump: the threshold spine is the distinct l_quantity
+    # DOMAIN (~50 integers at ANY data scale — the counting_median
+    # argument); the data-sized stage already collapsed to that domain
+    "decision_stump_returns": 1,
+    # periodogram: 1-row mean/count + 1-row SST normalizers over the
+    # day-DOMAIN series; the count is 3 because the centered relation
+    # (carrying the mean hint) re-instantiates under the SST aggregate
+    # AND the period scan (the acf_daily_revenue subtree-reuse effect)
+    "periodogram_daily": 3,
 }
 
 
