@@ -871,3 +871,106 @@ def markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("event_type"),
         F.round("pi", 6).alias("stationary_p"),
     )
+
+
+# --- Association rules (directed confidence/lift from basket pairs) ---------
+
+assoc_rules_oracle = """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), rules AS (
+  SELECT part_a AS ante, part_b AS cons, n_both FROM pair_counts
+  UNION ALL
+  SELECT part_b AS ante, part_a AS cons, n_both FROM pair_counts
+), part_totals AS (
+  SELECT l_partkey, count(*) AS n_part FROM items GROUP BY 1
+), orders_total AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+)
+SELECT r.ante, r.cons, CAST(r.n_both AS BIGINT) AS n_both,
+       round(CAST(r.n_both AS DOUBLE) / ta.n_part, 6) AS confidence,
+       round(CAST(r.n_both AS DOUBLE) * t.n_orders
+             / (CAST(ta.n_part AS DOUBLE) * tc.n_part), 6) AS lift
+FROM rules r
+JOIN part_totals ta ON ta.l_partkey = r.ante
+JOIN part_totals tc ON tc.l_partkey = r.cons
+CROSS JOIN orders_total t
+"""
+
+
+@register("assoc_rules_confidence", assoc_rules_oracle)
+def assoc_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules ante→cons from the market-basket pairs:
+    confidence = P(cons | ante) = n_both / n_ante and lift — the DIRECTED
+    readout `market_basket_pairs`' symmetric support/lift table cannot
+    express (bread→butter and butter→bread have the same lift but very
+    different confidence). Each surviving pair emits both orientations.
+
+    Same scale argument as market_basket_pairs: pair work is Σ_orders
+    basket² (basket-size bounded, linear in orders); the min-support
+    filter runs BEFORE the per-part total joins, which are keyed on the
+    part — no broadcast hint on the part totals (AQE decides; they are
+    10⁷+ rows at real scale), only the 1-row order count is pinned."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    rules = pair_counts.select(
+        F.col("part_a").alias("ante"), F.col("part_b").alias("cons"), "n_both"
+    ).unionByName(
+        pair_counts.select(
+            F.col("part_b").alias("ante"),
+            F.col("part_a").alias("cons"),
+            "n_both",
+        )
+    )
+    part_totals = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    ta = part_totals.select(
+        F.col("l_partkey").alias("ante"), F.col("n_part").alias("n_a")
+    )
+    tc = part_totals.select(
+        F.col("l_partkey").alias("cons"), F.col("n_part").alias("n_c")
+    )
+    return (
+        rules.join(ta, "ante")
+        .join(tc, "cons")
+        .join(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_a"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_c")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1293,3 +1293,136 @@ def scc_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("sz") >= 2, F.col("sz")).otherwise(0))
         .cast("long").alias("n_nodes_in_nontrivial"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the customer→part co-purchase graph
+# ---------------------------------------------------------------------------
+
+#: customers above this distinct-part degree are excluded from pair
+#: generation: per-customer pair work is C(deg,2), so one promiscuous
+#: pivot (a reseller account touching 10⁵ parts at 100 TB) would emit
+#: 5·10⁹ pairs alone. Dropping frequent pivots is the standard
+#: link-prediction practice (they carry ~no signal — AA weights them
+#: 1/ln(deg) toward 0 anyway) and bounds ANY customer's fan-out at
+#: C(40,2) = 780 pairs — the winnow df-guard argument.
+AA_MAX_DEG = 40
+
+adamic_adar_oracle = f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+deg AS (
+  SELECT cust, count(*) AS dg FROM items GROUP BY cust
+),
+contrib AS (
+  SELECT i.cust, i.part, d.dg FROM items i JOIN deg d ON d.cust = i.cust
+  WHERE d.dg BETWEEN 2 AND {AA_MAX_DEG}
+)
+SELECT a.part AS part_a, b.part AS part_b,
+       CAST(count(*) AS BIGINT) AS n_common,
+       round(sum(1.0 / ln(a.dg)), 6) AS aa_score
+FROM contrib a JOIN contrib b
+  ON a.cust = b.cust AND a.part < b.part
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@register("adamic_adar_links", adamic_adar_oracle)
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction between parts: for part pairs sharing
+    ≥2 customers, AA = Σ_{u ∈ common} 1/ln(deg(u)) — common neighbors
+    weighted inversely by how promiscuous each shared customer is (a
+    customer who buys everything says nothing; one with two purchases
+    says a lot). The recommendation-candidate generator next to
+    `market_basket_pairs`' within-order lift.
+
+    Scale shape: pair generation self-joins the degree-capped
+    (customer, part) relation on customer — Σ_cust C(min(deg,40),2), i.e.
+    LINEAR in customers with a C(40,2) per-key bound (cap documented
+    above; degree-1 customers produce no pairs and would divide ln(1)=0).
+    The degree join is keyed on customer; the AA aggregate is combinable
+    on the pair key. No stage is parts² at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    deg = items.groupBy("cust").agg(F.count("*").alias("dg"))
+    contrib = items.join(deg, "cust").filter(
+        (F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG)
+    )
+    a = contrib.select("cust", F.col("part").alias("part_a"), "dg")
+    b = contrib.select("cust", F.col("part").alias("part_b"))
+    return (
+        a.join(b, "cust")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(F.sum(1.0 / F.log(F.col("dg"))), 6).alias("aa_score"),
+        )
+        .filter(F.col("n_common") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the transaction graph
+# ---------------------------------------------------------------------------
+
+assortativity_oracle = f"""
+WITH edges AS MATERIALIZED ({_edges_sql()}),
+deg AS (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS dg FROM edges GROUP BY src
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       round(corr(CAST(ds.dg AS DOUBLE), CAST(dd.dg AS DOUBLE)), 6)
+         AS assortativity
+FROM edges e
+JOIN deg ds ON ds.id = e.src
+JOIN deg dd ON dd.id = e.dst
+"""
+
+
+@register("degree_assortativity", assortativity_oracle)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the symmetrized customer↔supplier graph:
+    the Pearson correlation of endpoint degrees over the directed edge
+    list (Newman 2002's r, computed on the symmetrized list so each
+    undirected edge contributes both orientations — the standard
+    spelling). Negative r = hubs attach to leaves (the usual shape of
+    bipartite transaction graphs); positive = rich-club. Completes the
+    structural family next to degree_distribution / clustering /
+    modularity.
+
+    Scale shape: degrees are one combinable groupBy on the edge list;
+    the two degree joins are keyed on node id (data-sized keyed shuffles,
+    no broadcast hint — AQE decides); corr() is a single-pass combinable
+    co-moment aggregate. Nothing is nodes² anywhere."""
+    edges = _transaction_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("dg")).select(
+        F.col("src").alias("id"), "dg"
+    )
+    ds = deg.select(F.col("id").alias("src"), F.col("dg").alias("dg_s"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("dg").alias("dg_d"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return (
+        edges.join(ds, "src")
+        .join(dd, "dst")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.round(
+                F.corr(
+                    F.col("dg_s").cast("double"), F.col("dg_d").cast("double")
+                ),
+                6,
+            ).alias("assortativity"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select("n_edges", "n_nodes", "assortativity")
+    )

@@ -1,0 +1,690 @@
+"""Market/quant analytics & nonparametric trend diagnostics (round-11).
+
+The reference reports one point estimate per room (`processing.scala:
+116-127`); the quant questions a revenue team asks over the same tables
+are PRICE-PATH shaped: what did a day's trading look like (OHLC bars,
+VWAP), what is a user's time-weighted exposure (TWAP), is the daily trend
+monotone and is it significant without distributional assumptions
+(Kendall τ-b, Mann-Kendall, Wald-Wolfowitz runs), did the regime change at
+a known break (Chow test), and are two corpus slices drifting apart
+(Jensen-Shannon divergence — the LLM-data twin of the PSI drift alarm).
+
+Scale discipline (the operators/distribution.py rules):
+
+- Every data-sized stage is one combinable groupBy (day, user, or token
+  key) — map-side partials, nothing bigger than the group cardinality
+  crosses a shuffle.
+- Pairwise work (τ-b, Mann-Kendall S) runs on the day-DOMAIN relation —
+  O(days²) bounded by the calendar span at ANY data scale, round-robin
+  repartitioned against the AQE single-task coalesce (the theil_sen fix).
+- Money is exact integer cents (`CAST(round(x * 100) AS BIGINT)` on both
+  engines — the rfm_segments convention), so sign/tie tests are
+  bit-identical cross-engine, never ULP-dependent.
+- The only per-row ordering (OHLC open/close) is an ARGMIN aggregate on a
+  unique composite key — Spark orders a (ts, event_id) struct, the oracle
+  orders the equivalent HUGEINT encoding; no sort, no window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import epoch_ms
+from ..registry import register
+from ..session import shuffle_partition_count
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Shared day-keyed relations (exact integer cents)
+# ---------------------------------------------------------------------------
+
+#: daily order revenue in exact cents + order count — the integer-exact
+#: twin of distribution._daily_orders (which keeps float revenue)
+_DAILY_CENTS_SQL = """
+  SELECT CAST(floor(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000.0)
+              AS BIGINT) AS d,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c,
+         count(*) AS n_orders
+  FROM orders GROUP BY d
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.select(
+            F.floor(epoch_ms(F.col("o_orderdate").cast("timestamp")) / 86400000)
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("rev_c"), F.count("*").alias("n_orders"))
+    )
+
+
+def _day_pairs(daily: DataFrame, n_parts: int, cols: list[str]) -> DataFrame:
+    """All strictly-ordered day pairs (d2 > d1) of the day-DOMAIN relation,
+    round-robin repartitioned so the O(days²) stage runs on every core
+    (AQE otherwise coalesces the tiny daily side to ONE task — the
+    theil_sen_daily_trend lesson, measured 8.6 s → 1.5 s)."""
+    a = daily.repartition(n_parts).select(
+        F.col("d").alias("d1"), *[F.col(c).alias(f"{c}_1") for c in cols]
+    )
+    b = daily.select(
+        F.col("d").alias("d2"), *[F.col(c).alias(f"{c}_2") for c in cols]
+    )
+    return a.join(F.broadcast(b), F.col("d2") > F.col("d1"))
+
+
+# ---------------------------------------------------------------------------
+# VWAP — volume-weighted average price per ship day
+# ---------------------------------------------------------------------------
+
+vwap_oracle = """
+SELECT CAST(floor(epoch_ms(CAST(l_shipdate AS TIMESTAMP)) / 86400000.0)
+            AS BIGINT) AS d,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS volume,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             / sum(CAST(l_quantity AS BIGINT)), 6) AS vwap
+FROM lineitem GROUP BY d
+"""
+
+
+@register("vwap_daily", vwap_oracle)
+def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per ship day: Σ(extended price) /
+    Σ(quantity) — the execution-quality benchmark price every trading desk
+    computes, here over lineitem shipments. ONE combinable day-keyed
+    aggregate; revenue is summed in exact integer cents so the reported
+    ratio is a single IEEE division of exact integers on both engines
+    (quantity is integral in the fixture, summed as BIGINT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.floor(epoch_ms(F.col("l_shipdate").cast("timestamp")) / 86400000)
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("q").alias("volume"),
+            F.round(F.sum("c") / 100.0 / F.sum("q"), 6).alias("vwap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC daily bars over the event value stream
+# ---------------------------------------------------------------------------
+
+#: HUGEINT composite ordering key: epoch-ms (≤ ~2e12) shifted left past any
+#: event_id (make_scale shifts ids by copy·1e10, ≤ 1e14 at factor 10⁴) —
+#: totals ≤ ~2e28, far inside HUGEINT. Spark orders the equivalent
+#: (ts, event_id) struct; both orderings are lexicographic on the same
+#: unique pair, so open/close are deterministic even on tied timestamps.
+_OHLC_KEY_SQL = "CAST(epoch_ms(ts) AS HUGEINT) * 10000000000000000 + event_id"
+
+ohlc_oracle = f"""
+SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(arg_min(value, {_OHLC_KEY_SQL}), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(arg_max(value, {_OHLC_KEY_SQL}), 6) AS close
+FROM events GROUP BY d
+"""
+
+
+@register("ohlc_daily_value", ohlc_oracle)
+def ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars of the event `value` stream per day: first /
+    max / min / last value, first and last resolved by (ts, event_id) —
+    a unique composite, so bars are deterministic under timestamp ties.
+
+    ONE combinable day-keyed aggregate — min_by/max_by/min/max all have
+    map-side partials, so a day's billions of events at 100 TB reduce to
+    one row per partition before the shuffle; no window, no sort (the
+    classic row_number()-over-day spelling would put an unbounded day's
+    events through a single task's sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            F.floor(epoch_ms(F.col("ts")) / 86400000).cast("bigint").alias("d"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TWAP — per-user time-weighted average event value
+# ---------------------------------------------------------------------------
+
+twap_oracle = """
+WITH seq AS (
+  SELECT user_id, value, epoch_ms(ts) AS t,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(ts), event_id) AS t_next
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(t_next - t) AS BIGINT) AS span_ms,
+       round(sum(value * (t_next - t)) / sum(t_next - t), 6) AS twap
+FROM seq WHERE t_next IS NOT NULL
+GROUP BY user_id
+HAVING sum(t_next - t) > 0
+"""
+
+
+@register("twap_user_value", twap_oracle)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value`: each observation holds
+    until the user's next event, so the mean is weighted by holding time
+    (ms, exact integers) — the position-exposure number a point-in-time
+    average gets wrong when events arrive in bursts. Users whose events
+    all share one timestamp (zero total span) are excluded on both
+    engines rather than dividing by zero.
+
+    The window is PARTITIONED BY user_id — per-user sequences are bounded
+    by user activity, never by corpus size, so the sort inside each
+    partition stays small at ANY data scale (the sessionize_events
+    shape); everything after is one combinable user-keyed aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = ev.select(
+        "user_id", "value", epoch_ms(F.col("ts")).alias("t"), "event_id"
+    ).withColumn("t_next", F.lead("t").over(w))
+    dt = F.col("t_next") - F.col("t")
+    return (
+        seq.filter(F.col("t_next").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(dt).alias("span_ms"),
+            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
+        )
+        .filter(F.col("span_ms") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall τ-b between daily revenue and daily order count
+# ---------------------------------------------------------------------------
+
+kendall_oracle = f"""
+WITH daily AS MATERIALIZED ({_DAILY_CENTS_SQL}),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+s AS (
+  SELECT CAST(sum(CAST(sign(b.rev_c - a.rev_c) AS BIGINT)
+                  * CAST(sign(b.n_orders - a.n_orders) AS BIGINT))
+              AS BIGINT) AS cd
+  FROM daily a JOIN daily b ON b.d > a.d
+),
+t1 AS (SELECT sum(t * (t - 1) / 2) AS ties FROM
+       (SELECT count(*) AS t FROM daily GROUP BY rev_c)),
+t2 AS (SELECT sum(t * (t - 1) / 2) AS ties FROM
+       (SELECT count(*) AS t FROM daily GROUP BY n_orders))
+SELECT n.n_days,
+       CAST(n.n_days * (n.n_days - 1) / 2 AS BIGINT) AS n_pairs,
+       s.cd AS conc_minus_disc,
+       round(s.cd / nullif(
+           sqrt((n.n_days * (n.n_days - 1) / 2.0 - t1.ties)
+                * (n.n_days * (n.n_days - 1) / 2.0 - t2.ties)), 0), 6)
+         AS tau_b
+FROM n, s, t1, t2
+"""
+
+
+@register("kendall_tau_daily", kendall_oracle)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b rank correlation between daily revenue and daily order
+    count — the tie-corrected concordance twin of `spearman_daily_corr`
+    (τ is the probability-of-concordance readout; ρ the rank-linear one).
+    Revenue is exact integer cents, so every sign() and every tie group is
+    bit-identical cross-engine — no float comparison anywhere before the
+    final normalization.
+
+    The O(days²) pair stage runs on the calendar-bounded day relation
+    (the theil_sen precedent — round-robin repartitioned, broadcast pair
+    side); tie corrections are two day-domain groupBys; the data-sized
+    work is the ONE combinable daily aggregate."""
+    n_parts = shuffle_partition_count(spark)
+    daily = _daily_cents(spark, sf_dir)
+    pairs = _day_pairs(daily, n_parts, ["rev_c", "n_orders"])
+    cd = pairs.agg(
+        F.sum(
+            F.signum(F.col("rev_c_2") - F.col("rev_c_1")).cast("bigint")
+            * F.signum(F.col("n_orders_2") - F.col("n_orders_1")).cast("bigint")
+        ).alias("cd")
+    )
+    n = daily.agg(F.count("*").alias("n_days"))
+    t1 = daily.groupBy("rev_c").agg(F.count("*").alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("ties1")
+    )
+    t2 = daily.groupBy("n_orders").agg(F.count("*").alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("ties2")
+    )
+    n0 = F.col("n_days") * (F.col("n_days") - 1) / 2
+    return (
+        cd.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "n_days",
+            n0.cast("bigint").alias("n_pairs"),
+            F.col("cd").alias("conc_minus_disc"),
+            F.round(
+                F.col("cd")
+                / F.nullif(
+                    F.sqrt((n0 - F.col("ties1")) * (n0 - F.col("ties2"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall monotone trend test on daily revenue
+# ---------------------------------------------------------------------------
+
+mann_kendall_oracle = f"""
+WITH daily AS MATERIALIZED ({_DAILY_CENTS_SQL}),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+s AS (
+  SELECT CAST(sum(CAST(sign(b.rev_c - a.rev_c) AS BIGINT)) AS BIGINT)
+    AS s_stat
+  FROM daily a JOIN daily b ON b.d > a.d
+),
+t AS (SELECT coalesce(sum(tt * (tt - 1) * (2 * tt + 5)), 0) AS tie_term
+      FROM (SELECT count(*) AS tt FROM daily GROUP BY rev_c)
+      WHERE tt > 1)
+SELECT n.n_days, s.s_stat,
+       round((n.n_days * (n.n_days - 1.0) * (2 * n.n_days + 5)
+              - t.tie_term) / 18.0, 4) AS var_s,
+       round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                  ELSE 0 END
+             / nullif(sqrt((n.n_days * (n.n_days - 1.0)
+                            * (2 * n.n_days + 5) - t.tie_term) / 18.0), 0),
+             6) AS z_mk
+FROM n, s, t
+"""
+
+
+@register("mann_kendall_trend", mann_kendall_oracle)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test of daily revenue: S = Σ_{{i<j}}
+    sign(rev_j − rev_i) with the tie-corrected variance and the
+    continuity-corrected normal score — the significance test for the
+    slope `theil_sen_daily_trend` estimates (the two are the standard
+    pairing: MK says WHETHER, Theil-Sen says HOW MUCH). Integer-cents
+    revenue makes every sign and tie group exact; the only floats are the
+    final variance and z.
+
+    Same O(days²) calendar-bounded pair stage as Kendall τ — at 100 TB
+    the pair count depends on the corpus day span, not on row count."""
+    n_parts = shuffle_partition_count(spark)
+    daily = _daily_cents(spark, sf_dir).select("d", "rev_c")
+    pairs = _day_pairs(daily, n_parts, ["rev_c"])
+    s = pairs.agg(
+        F.sum(F.signum(F.col("rev_c_2") - F.col("rev_c_1")).cast("bigint"))
+        .alias("s_stat")
+    )
+    n = daily.agg(F.count("*").alias("n_days"))
+    t = (
+        daily.groupBy("rev_c")
+        .agg(F.count("*").alias("tt"))
+        .filter(F.col("tt") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    var_s = (
+        F.col("n_days") * (F.col("n_days") - F.lit(1.0))
+        * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    corrected = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0))
+    )
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n_days",
+            "s_stat",
+            F.round(var_s, 4).alias("var_s"),
+            F.round(
+                corrected / F.nullif(F.sqrt(var_s), F.lit(0.0)), 6
+            ).alias("z_mk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily order counts
+# ---------------------------------------------------------------------------
+
+runs_test_oracle = f"""
+WITH daily AS MATERIALIZED ({_DAILY_CENTS_SQL}),
+med AS (SELECT quantile_cont(n_orders, 0.5) AS m FROM daily),
+seq AS (
+  SELECT d, CASE WHEN n_orders > med.m THEN 1 ELSE 0 END AS up,
+         lag(CASE WHEN n_orders > med.m THEN 1 ELSE 0 END)
+           OVER (ORDER BY d) AS prev_up
+  FROM daily, med WHERE n_orders <> med.m
+)
+SELECT CAST(sum(up) AS BIGINT) AS n_above,
+       CAST(count(*) - sum(up) AS BIGINT) AS n_below,
+       CAST(1 + sum(CASE WHEN prev_up IS NOT NULL AND up <> prev_up
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+       round(1 + 2.0 * sum(up) * (count(*) - sum(up)) / count(*), 6)
+         AS e_runs,
+       round((1 + sum(CASE WHEN prev_up IS NOT NULL AND up <> prev_up
+                           THEN 1 ELSE 0 END)
+              - (1 + 2.0 * sum(up) * (count(*) - sum(up)) / count(*)))
+             / nullif(sqrt(2.0 * sum(up) * (count(*) - sum(up))
+                   * (2.0 * sum(up) * (count(*) - sum(up)) - count(*))
+                   / (CAST(count(*) AS DOUBLE) * count(*)
+                      * (count(*) - 1))), 0), 6) AS z_runs
+FROM seq
+"""
+
+
+@register("runs_test_daily", runs_test_oracle)
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily order counts
+    around their median: too FEW runs of above/below-median days means
+    clustering (momentum), too MANY means oscillation — the
+    nonparametric sanity check behind `acf_daily_revenue`'s lag-1 story.
+    Median-equal days are excluded (the standard convention). Counts are
+    integers and the median of integers is exact (k or k+0.5), so the
+    above/below labeling is bit-identical cross-engine.
+
+    The lag() runs over the day-DOMAIN relation — calendar-bounded at ANY
+    scale (plan-audit allowlisted like cusum_changepoint); the data-sized
+    stage is the one combinable daily groupBy."""
+    daily = _daily_cents(spark, sf_dir).select("d", "n_orders")
+    med = daily.agg(F.expr("percentile(n_orders, 0.5)").alias("m"))
+    w = Window.orderBy("d")
+    seq = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("n_orders") != F.col("m"))
+        .select("d", (F.col("n_orders") > F.col("m")).cast("int").alias("up"))
+        .withColumn("prev_up", F.lag("up").over(w))
+    )
+    n1 = F.sum("up").cast("bigint")
+    n2 = (F.count("*") - F.sum("up")).cast("bigint")
+    runs = (
+        F.lit(1)
+        + F.sum(
+            (
+                F.col("prev_up").isNotNull()
+                & (F.col("up") != F.col("prev_up"))
+            ).cast("int")
+        )
+    ).cast("bigint")
+    nn = F.count("*").cast("double")
+    two_n1n2 = 2.0 * n1 * n2
+    e_runs = F.lit(1) + two_n1n2 / F.count("*")
+    var_runs = two_n1n2 * (two_n1n2 - F.count("*")) / (nn * nn * (nn - 1))
+    return seq.agg(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        runs.alias("n_runs"),
+        F.round(e_runs, 6).alias("e_runs"),
+        F.round(
+            (runs - e_runs) / F.nullif(F.sqrt(var_runs), F.lit(0.0)), 6
+        ).alias("z_runs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break F-test at the mid-sample day
+# ---------------------------------------------------------------------------
+
+
+def _ssr_terms(prefix: str) -> str:
+    """SSR of y~x OLS from raw moment sums (names {p}n,{p}sx,{p}sy,
+    {p}sxx,{p}syy,{p}sxy): Syy − Sxy²/Sxx in centered form."""
+    p = prefix
+    return (
+        f"(({p}syy - {p}sy * {p}sy / {p}n) - "
+        f"power({p}sxy - {p}sx * {p}sy / {p}n, 2) / "
+        f"nullif({p}sxx - {p}sx * {p}sx / {p}n, 0))"
+    )
+
+
+chow_oracle = f"""
+WITH daily AS MATERIALIZED ({_DAILY_CENTS_SQL}),
+b AS (SELECT (min(d) + max(d)) // 2 AS mid FROM daily),
+m AS (
+  SELECT CASE WHEN d <= b.mid THEN 0 ELSE 1 END AS seg,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(d AS DOUBLE)) AS sx,
+         sum(rev_c / 100.0) AS sy,
+         sum(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) AS sxx,
+         sum((rev_c / 100.0) * (rev_c / 100.0)) AS syy,
+         sum(CAST(d AS DOUBLE) * (rev_c / 100.0)) AS sxy
+  FROM daily, b GROUP BY 1
+),
+p AS (
+  SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+         sum(sxx) AS sxx, sum(syy) AS syy, sum(sxy) AS sxy
+  FROM m
+),
+segs AS (
+  SELECT sum({_ssr_terms('')}) AS ssr_seg,
+         sum(CASE WHEN seg = 0 THEN n ELSE 0 END) AS n_pre,
+         sum(CASE WHEN seg = 1 THEN n ELSE 0 END) AS n_post
+  FROM m
+)
+SELECT CAST(b.mid AS BIGINT) AS break_d,
+       CAST(s.n_pre AS BIGINT) AS n_pre,
+       CAST(s.n_post AS BIGINT) AS n_post,
+       round((({_ssr_terms('p.')} - s.ssr_seg) / 2.0)
+             / nullif(s.ssr_seg / (s.n_pre + s.n_post - 4), 0), 4)
+         AS f_chow
+FROM b, segs s, p
+"""
+
+
+@register("chow_test_break", chow_oracle)
+def chow_test_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the daily-revenue trend at the
+    mid-sample day: fit rev~day pooled and per-segment from ONE pass of
+    raw moments, F = ((SSR_pooled − SSR₁ − SSR₂)/k) / ((SSR₁+SSR₂)/(n−2k))
+    with k = 2 — the did-the-regime-change readout `cusum_changepoint`
+    locates and `regression_trend` assumes away. The breakpoint is the
+    integer midpoint of the day span (exact cross-engine); revenue enters
+    as cents/100 so both engines square identical doubles.
+
+    Scale shape: the data-sized stage is the combinable daily groupBy;
+    moments are one 2-row aggregate over the day-DOMAIN table; everything
+    after is arithmetic on 1-2 rows."""
+    daily = _daily_cents(spark, sf_dir).select(
+        "d", (F.col("rev_c") / 100.0).alias("y")
+    )
+    b = daily.agg(
+        F.expr("(min(d) + max(d)) div 2").cast("bigint").alias("mid")
+    )
+    x = F.col("d").cast("double")
+    m = (
+        daily.crossJoin(F.broadcast(b))
+        .groupBy((F.col("d") > F.col("mid")).cast("int").alias("seg"))
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(x * F.col("y")).alias("sxy"),
+        )
+    )
+
+    def ssr(c):
+        syy_c = c("syy") - c("sy") * c("sy") / c("n")
+        sxx_c = c("sxx") - c("sx") * c("sx") / c("n")
+        sxy_c = c("sxy") - c("sx") * c("sy") / c("n")
+        return syy_c - (sxy_c * sxy_c) / F.nullif(sxx_c, F.lit(0.0))
+
+    segs = m.agg(
+        F.sum(ssr(F.col)).alias("ssr_seg"),
+        F.sum(F.when(F.col("seg") == 0, F.col("n")).otherwise(0.0)).alias(
+            "n_pre"
+        ),
+        F.sum(F.when(F.col("seg") == 1, F.col("n")).otherwise(0.0)).alias(
+            "n_post"
+        ),
+    )
+    pooled = m.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+        F.sum("sxy").alias("sxy"),
+    ).select(ssr(F.col).alias("ssr_pool"))
+    return (
+        segs.crossJoin(F.broadcast(pooled))
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.col("mid").alias("break_d"),
+            F.col("n_pre").cast("bigint").alias("n_pre"),
+            F.col("n_post").cast("bigint").alias("n_post"),
+            F.round(
+                ((F.col("ssr_pool") - F.col("ssr_seg")) / 2.0)
+                / F.nullif(
+                    F.col("ssr_seg")
+                    / (F.col("n_pre") + F.col("n_post") - 4),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("f_chow"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between two sources' token distributions
+# ---------------------------------------------------------------------------
+
+JSD_SRC_A = "src0"
+JSD_SRC_B = "src1"
+
+jsd_oracle = f"""
+WITH cnt AS (
+  SELECT source, tok, count(*) AS n FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE source IN ('{JSD_SRC_A}', '{JSD_SRC_B}')
+  ) GROUP BY source, tok
+),
+a AS (SELECT tok, n FROM cnt WHERE source = '{JSD_SRC_A}'),
+b AS (SELECT tok, n FROM cnt WHERE source = '{JSD_SRC_B}'),
+tot AS (
+  SELECT (SELECT sum(n) FROM a) AS na, (SELECT sum(n) FROM b) AS nb
+),
+j AS (
+  SELECT coalesce(a.n, 0) AS ca, coalesce(b.n, 0) AS cb
+  FROM a FULL OUTER JOIN b ON a.tok = b.tok
+),
+terms AS (
+  SELECT CASE WHEN ca > 0 THEN (ca / CAST(t.na AS DOUBLE)) / 2
+              * log2((ca / CAST(t.na AS DOUBLE))
+                     / ((ca / CAST(t.na AS DOUBLE)
+                         + cb / CAST(t.nb AS DOUBLE)) / 2))
+              ELSE 0 END
+       + CASE WHEN cb > 0 THEN (cb / CAST(t.nb AS DOUBLE)) / 2
+              * log2((cb / CAST(t.nb AS DOUBLE))
+                     / ((ca / CAST(t.na AS DOUBLE)
+                         + cb / CAST(t.nb AS DOUBLE)) / 2))
+              ELSE 0 END AS term,
+         CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END AS shared
+  FROM j, tot t
+)
+SELECT (SELECT CAST(sum(n) AS BIGINT) FROM a) AS n_tok_a,
+       (SELECT CAST(sum(n) AS BIGINT) FROM b) AS n_tok_b,
+       CAST(sum(shared) AS BIGINT) AS vocab_shared,
+       round(sum(term), 6) AS jsd_bits
+FROM terms
+"""
+
+
+@register("jensen_shannon_sources", jsd_oracle)
+def jensen_shannon_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits, base 2 — bounded [0,1]) between
+    the unigram token distributions of two document sources — the
+    symmetric, finite corpus-drift metric a training-data pipeline tracks
+    between crawls or sources (the batch twin of the streaming PSI alarm,
+    which needs binning; JSD handles disjoint support natively since
+    zero-probability terms contribute 0 against the mixture).
+
+    Scale shape: the data-sized stage is the token explode + ONE
+    combinable (source, tok) count; the full-outer join and the term sum
+    run on the VOCAB-bounded count tables; the two grand totals are 1-row
+    broadcasts. At 100 TB the shuffled bytes are vocabulary-sized."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(JSD_SRC_A, JSD_SRC_B)
+    )
+    cnt = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    a = cnt.filter(F.col("source") == JSD_SRC_A).select(
+        "tok", F.col("n").alias("ca")
+    )
+    b = cnt.filter(F.col("source") == JSD_SRC_B).select(
+        "tok", F.col("n").alias("cb")
+    )
+    na = a.agg(F.sum("ca").alias("na"))
+    nb = b.agg(F.sum("cb").alias("nb"))
+    j = (
+        a.join(b, "tok", "full_outer")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    p = F.col("ca") / F.col("na").cast("double")
+    q = F.col("cb") / F.col("nb").cast("double")
+    mix = (p + q) / 2
+    term = F.when(F.col("ca") > 0, p / 2 * F.log2(p / mix)).otherwise(
+        0.0
+    ) + F.when(F.col("cb") > 0, q / 2 * F.log2(q / mix)).otherwise(0.0)
+    return j.agg(
+        F.max("na").cast("bigint").alias("n_tok_a"),
+        F.max("nb").cast("bigint").alias("n_tok_b"),
+        F.sum(((F.col("ca") > 0) & (F.col("cb") > 0)).cast("int"))
+        .cast("bigint")
+        .alias("vocab_shared"),
+        F.round(F.sum(term), 6).alias("jsd_bits"),
+    )

@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "streamroom_bigdata_spark.operators.layout",
     "streamroom_bigdata_spark.operators.revops",
     "streamroom_bigdata_spark.operators.governance",
+    "streamroom_bigdata_spark.operators.quant",
     "streamroom_bigdata_spark.streaming.queries",
 )
 

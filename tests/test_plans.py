@@ -237,6 +237,27 @@ _ALLOWED_FACT_BROADCASTS = {
     # (carrying the mean hint) re-instantiates under the SST aggregate
     # AND the period scan (the acf_daily_revenue subtree-reuse effect)
     "periodogram_daily": 3,
+    # round-11 quant wave — every broadcast side is a 1-row scalar or a
+    # day-DOMAIN-bounded relation, safe at ANY data scale:
+    # basket rules: 1-row order count (the market_basket_pairs hint)
+    "assoc_rules_confidence": 1,
+    # Chow: 1-row midpoint bounds (instantiated under the segment
+    # moments AND the final select) + 1-row pooled-SSR + its nested
+    # bounds copy — all 1-row aggregates
+    "chow_test_break": 4,
+    # assortativity: 1-row node count
+    "degree_assortativity": 1,
+    # JSD: two 1-row token totals over the vocab-bounded count tables
+    "jensen_shannon_sources": 2,
+    # Kendall τ-b: day-DOMAIN pair side (the theil_sen broadcast) +
+    # 1-row day count + two tie-correction aggregates over day-domain
+    # groupings — all calendar-bounded
+    "kendall_tau_daily": 4,
+    # Mann-Kendall: day-DOMAIN pair side + 1-row day count + 1-row tie
+    # term
+    "mann_kendall_trend": 3,
+    # runs test: 1-row median broadcast over the day-DOMAIN series
+    "runs_test_daily": 1,
 }
 
 

@@ -61,6 +61,9 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # 3-day SAX word lead()s over the day-DOMAIN symbol table (the
     # data-sized stage is the combinable daily groupBy below it)
     "sax_daily_motifs": 1,
+    # above/below-median lag() over the day-DOMAIN sequence (the
+    # cusum_changepoint shape — calendar-bounded, never data-sized)
+    "runs_test_daily": 1,
 }
 
 HEADER = (
