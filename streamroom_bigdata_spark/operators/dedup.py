@@ -1374,3 +1374,120 @@ def ingest_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("max_copies"),
         F.sum((F.col("n") > 1).cast("long")).cast("long").alias("n_dup_groups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration against exact Jaccard (sketch evaluation)
+# ---------------------------------------------------------------------------
+
+_MH_EQ_SUM = " + ".join(
+    f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+    for i in range(N_MINHASH)
+)
+
+minhash_calibration_oracle = f"""
+WITH {_sql_minhash_cte()}, bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, {expr} AS band_key FROM sigs"
+      for b, expr in enumerate(_band_exprs())
+  )}
+), counted AS (
+  SELECT doc_id, band_id, band_key,
+         count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+  FROM bands
+), cold AS (
+  SELECT * FROM counted WHERE bucket_n <= {NEAR_DUP_MAX_BUCKET}
+), hot AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY band_id, band_key) AS hub
+  FROM counted WHERE bucket_n > {NEAR_DUP_MAX_BUCKET}
+), cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM cold a JOIN cold b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT hub AS doc_a, doc_id AS doc_b FROM hot WHERE doc_id <> hub
+  )
+), scored AS (
+  SELECT ({_MH_EQ_SUM}) / {N_MINHASH}.0 AS est,
+         len(list_intersect(sa.hs, sb.hs))::DOUBLE
+           / len(list_distinct(list_concat(sa.hs, sb.hs))) AS truth
+  FROM cand c
+  JOIN sigs sa ON c.doc_a = sa.doc_id
+  JOIN sigs sb ON c.doc_b = sb.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(est - truth)), 6) AS mae,
+       round(avg(est - truth), 6) AS bias,
+       round(avg(CASE WHEN abs(est - truth) <= 0.25 THEN 1.0 ELSE 0.0 END),
+             6) AS frac_within_025
+FROM scored
+"""
+
+
+@register("minhash_jaccard_calibration", minhash_calibration_oracle)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: over the LSH candidate pairs the dedup
+    pipeline actually verifies, compare the k=8 MinHash agreement fraction
+    (the Jaccard ESTIMATOR the bands implicitly threshold on) against the
+    exact shingle Jaccard — mean absolute error, signed bias, and the
+    fraction of pairs inside the ±0.25 band one expects from k=8
+    (σ = √(J(1−J)/k) ≤ 0.177). The number that tells a pipeline owner
+    whether N_MINHASH is sized right BEFORE they raise it and pay 2× the
+    signature shuffle — the dedup family's measurement face.
+
+    Scale shape: identical stages to near_dup_pairs (same cached shingle
+    table, same capped band self-join, same join-count intersection) plus
+    two doc-keyed signature joins; the calibration aggregate is 1-row
+    combinable. The estimator arithmetic (matches/8, |∩|/|∪|) is exact
+    integer division on both engines; only the final averages are
+    accumulation-ordered floats (round-6 convention)."""
+    ex = exploded_shingle_df(spark, sf_dir).cache()
+    sigs = minhash_signatures_of(ex, with_size=True)
+    counted = counted_bands(signature_bands(sigs, keep=("n_sh",)))
+    cand = lsh_candidate_pairs(counted, pre_counted=True, carry_sizes=True)
+
+    # same stats-erased-side rationale as near_dup_pairs: pin partition-
+    # local hash joins on the doc-key shuffle for the corpus-sized sides
+    ex_a = ex.select(F.col("doc_id").alias("doc_a"), "h").hint("shuffle_hash")
+    ex_b = ex.select(F.col("doc_id").alias("doc_b"), "h").hint("shuffle_hash")
+    inter = (
+        cand.join(ex_a, "doc_a")
+        .join(ex_b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count_distinct(F.col("h")).alias("n_common"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(N_MINHASH)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(N_MINHASH)],
+    )
+    matches = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+        for i in range(N_MINHASH)
+    )
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            (matches / float(N_MINHASH)).alias("est"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("truth"),
+        )
+    )
+    diff = F.col("est") - F.col("truth")
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(F.abs(diff)), 6).alias("mae"),
+        F.round(F.avg(diff), 6).alias("bias"),
+        F.round(F.avg((F.abs(diff) <= 0.25).cast("double")), 6).alias(
+            "frac_within_025"
+        ),
+    )

@@ -264,3 +264,96 @@ def pr_curve_stopword_en(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-level entropy (gibberish / encoding-junk detector)
+# ---------------------------------------------------------------------------
+
+#: below ~2.5 bits/char natural text degenerates into repeated-character
+#: runs or single-token spam; above ~5.2 it is base64/hex/binary spill —
+#: both ends are junk a pretraining filter drops (Gopher-style heuristic
+#: bounds, chosen inside the fixture's observed 3.9-4.4 band).
+CHAR_ENTROPY_MIN = 2.5
+CHAR_ENTROPY_MAX = 5.2
+
+char_entropy_oracle = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+  FROM documents
+),
+chars AS (
+  SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch FROM pos
+),
+cnt AS (
+  SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY doc_id, ch
+),
+tot AS (
+  SELECT doc_id, sum(n) AS tn, count(*) AS n_distinct FROM cnt
+  GROUP BY doc_id
+),
+ent AS (
+  SELECT c.doc_id,
+         -sum((c.n / CAST(t.tn AS DOUBLE))
+              * log2(c.n / CAST(t.tn AS DOUBLE))) AS h,
+         max(t.tn) AS n_chars_counted,
+         max(t.n_distinct) AS n_distinct
+  FROM cnt c JOIN tot t ON t.doc_id = c.doc_id
+  GROUP BY c.doc_id
+)
+SELECT doc_id,
+       CAST(n_chars_counted AS BIGINT) AS n_chars_counted,
+       CAST(n_distinct AS BIGINT) AS distinct_chars,
+       round(h, 6) AS entropy_bits,
+       (h >= {CHAR_ENTROPY_MIN} AND h <= {CHAR_ENTROPY_MAX})
+         AS entropy_ok
+FROM ent
+"""
+
+
+@register("char_entropy_quality", char_entropy_oracle)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) with a
+    two-sided quality flag: repeated-character spam collapses toward 0,
+    base64/binary spill climbs past ~5.2 — the encoding-junk detector
+    the token-level quality signals (`text_quality`, `gopher_signals`)
+    cannot see because junk often TOKENIZES cleanly. The standard cheap
+    pretraining filter next to lang-ID.
+
+    Scale shape: the character explode is the data-sized stage (the
+    token-explode class — fully parallel, shuffles only the combinable
+    (doc, char) counts whose cardinality is ≤ |docs|·|alphabet|);
+    per-doc entropy is a doc-keyed combinable aggregate over the
+    alphabet-bounded count rows. Entropy terms are ratios of exact
+    integer counts; the flag compares against fixed literals of the same
+    double value on both engines (knife-edge-safe only to the summation
+    order — counts are alphabet-sized, ~70 terms, and the fixture band
+    sits far from both bounds)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # substring with a COLUMN start position needs the expr() spelling
+    chars = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"), "text"
+    ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("n").alias("tn"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("n") / F.col("tn").cast("double")
+    ent = (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            (-F.sum(p * F.log2(p))).alias("h"),
+            F.max("tn").alias("n_chars_counted"),
+            F.max("n_distinct").alias("n_distinct"),
+        )
+    )
+    return ent.select(
+        "doc_id",
+        F.col("n_chars_counted").cast("bigint").alias("n_chars_counted"),
+        F.col("n_distinct").cast("bigint").alias("distinct_chars"),
+        F.round("h", 6).alias("entropy_bits"),
+        (
+            (F.col("h") >= CHAR_ENTROPY_MIN) & (F.col("h") <= CHAR_ENTROPY_MAX)
+        ).alias("entropy_ok"),
+    )

@@ -688,3 +688,201 @@ def jensen_shannon_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vocab_shared"),
         F.round(F.sum(term), 6).alias("jsd_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands over daily revenue (7 observed days, exact-integer flag)
+# ---------------------------------------------------------------------------
+
+BOLL_WINDOW = 7  # observed (trading) days, gaps skipped — the classic form
+BOLL_K = 2  # band half-width in rolling std units
+
+bollinger_oracle = f"""
+WITH daily AS MATERIALIZED ({_DAILY_CENTS_SQL}),
+w AS (
+  SELECT d, rev_c,
+         count(*) OVER win AS wn,
+         sum(rev_c) OVER win AS s,
+         sum(CAST(rev_c AS HUGEINT) * rev_c) OVER win AS q
+  FROM daily
+  WINDOW win AS (ORDER BY d ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT d, round(rev_c / 100.0, 2) AS rev,
+       round(s / {BOLL_WINDOW}.0 / 100.0, 4) AS ma7,
+       round((s / {BOLL_WINDOW}.0 + {BOLL_K} * sqrt(
+           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / {BOLL_WINDOW})
+           / {BOLL_WINDOW - 1})) / 100.0, 4) AS upper_band,
+       round((s / {BOLL_WINDOW}.0 - {BOLL_K} * sqrt(
+           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / {BOLL_WINDOW})
+           / {BOLL_WINDOW - 1})) / 100.0, 4) AS lower_band,
+       ({BOLL_WINDOW - 1} * power(CAST({BOLL_WINDOW} AS HUGEINT) * rev_c
+                                  - s, 2)
+        > {BOLL_K * BOLL_K * BOLL_WINDOW}
+          * (CAST({BOLL_WINDOW} AS HUGEINT) * q
+             - CAST(s AS HUGEINT) * s)) AS breakout
+FROM w WHERE wn = {BOLL_WINDOW}
+"""
+
+
+@register("bollinger_daily_revenue", bollinger_oracle)
+def bollinger_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands of daily revenue: trailing 7-observed-day rolling
+    mean ± 2 rolling sample stds, with a breakout flag for days outside
+    the bands. The FLAG is decided in exact integer arithmetic — the
+    inequality |rev − S/7| > 2·√((Q − S²/7)/6) squared and cleared of
+    denominators: 6·(7·rev − S)² > 2²·7·(7Q − S²), all in 128-bit exact
+    integers (Spark DECIMAL(38,0), DuckDB HUGEINT) — so a band-touching
+    day can NEVER flip on float noise between engines; the reported
+    ma/bands are display-rounded doubles derived from the same exact
+    sums. Q sums rev_c² as 128-bit from the start (a 100 TB day's cents²
+    overflows int64).
+
+    The rolling frame runs over the day-DOMAIN series — calendar-bounded
+    (plan-audit allowlisted, the seasonal_decompose shape); the
+    data-sized stage is the ONE combinable daily groupBy."""
+    daily = _daily_cents(spark, sf_dir).select("d", "rev_c")
+    win = Window.orderBy("d").rowsBetween(-(BOLL_WINDOW - 1), 0)
+    c_dec = F.col("rev_c").cast("decimal(38,0)")
+    w = daily.select(
+        "d",
+        "rev_c",
+        F.count("*").over(win).alias("wn"),
+        F.sum("rev_c").over(win).alias("s"),
+        F.sum(c_dec * F.col("rev_c")).over(win).alias("q"),
+    ).filter(F.col("wn") == BOLL_WINDOW)
+    mean_c = F.col("s") / float(BOLL_WINDOW)
+    sd_c = F.sqrt(
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s") / BOLL_WINDOW
+        )
+        / (BOLL_WINDOW - 1)
+    )
+    n_dec = F.lit(BOLL_WINDOW).cast("decimal(38,0)")
+    dev = n_dec * F.col("rev_c").cast("decimal(38,0)") - F.col("s").cast(
+        "decimal(38,0)"
+    )
+    var_num = n_dec * F.col("q") - F.col("s").cast("decimal(38,0)") * F.col(
+        "s"
+    ).cast("decimal(38,0)")
+    return w.select(
+        "d",
+        F.round(F.col("rev_c") / 100.0, 2).alias("rev"),
+        F.round(mean_c / 100.0, 4).alias("ma7"),
+        F.round((mean_c + BOLL_K * sd_c) / 100.0, 4).alias("upper_band"),
+        F.round((mean_c - BOLL_K * sd_c) / 100.0, 4).alias("lower_band"),
+        (
+            F.lit(BOLL_WINDOW - 1).cast("decimal(38,0)") * dev * dev
+            > F.lit(BOLL_K * BOLL_K * BOLL_WINDOW).cast("decimal(38,0)")
+            * var_num
+        ).alias("breakout"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of cumulative daily revenue
+# ---------------------------------------------------------------------------
+
+max_drawdown_oracle = f"""
+WITH daily AS MATERIALIZED ({_DAILY_CENTS_SQL}),
+run AS (
+  SELECT d, rev_c,
+         max(rev_c) OVER (ORDER BY d) AS peak
+  FROM daily
+),
+dd AS (SELECT d, peak - rev_c AS ddc, peak FROM run),
+mx AS (SELECT max(ddc) AS max_ddc FROM dd)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       round(mx.max_ddc / 100.0, 2) AS max_drawdown,
+       CAST(min(dd.d) AS BIGINT) AS trough_d,
+       round(CAST(mx.max_ddc AS DOUBLE)
+             / nullif(arg_min(dd.peak, dd.d), 0), 6) AS drawdown_frac
+FROM dd, mx WHERE dd.ddc = mx.max_ddc
+GROUP BY mx.max_ddc
+"""
+
+
+@register("max_drawdown_revenue", max_drawdown_oracle)
+def max_drawdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the DAILY revenue level: the deepest fall of a
+    day's revenue below the best day seen so far — the worst sustained
+    slump, in dollars and as a fraction of that running peak. (The
+    equity-curve form — drawdown of CUMULATIVE revenue — is identically 0
+    here because daily revenue is nonnegative, so the level form is the
+    one that carries information for a revenue series.) The trough is the
+    EARLIEST day attaining the max drawdown (ties broken
+    deterministically on exact integers).
+
+    Running max and the argmax scan run over the day-DOMAIN relation in
+    exact cents — calendar-bounded windows (plan-audit allowlisted),
+    exact-integer comparisons everywhere; the data-sized stage is the ONE
+    combinable daily groupBy."""
+    daily = _daily_cents(spark, sf_dir).select("d", "rev_c")
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.withColumn("peak", F.max("rev_c").over(w))
+    dd = run.select("d", (F.col("peak") - F.col("rev_c")).alias("ddc"), "peak")
+    mx = dd.agg(F.max("ddc").alias("max_ddc"))
+    n = daily.agg(F.count("*").alias("n_days"))
+    return (
+        dd.join(F.broadcast(mx), F.col("ddc") == F.col("max_ddc"))
+        .agg(
+            F.round(F.max("max_ddc") / 100.0, 2).alias("max_drawdown"),
+            F.min("d").alias("trough_d"),
+            F.round(
+                F.max("max_ddc").cast("double")
+                / F.nullif(F.min_by("peak", "d").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("drawdown_frac"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select("n_days", "max_drawdown", "trough_d", "drawdown_frac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day revenue change profile (volatility / hit-rate summary)
+# ---------------------------------------------------------------------------
+
+return_profile_oracle = f"""
+WITH daily AS MATERIALIZED ({_DAILY_CENTS_SQL}),
+chg AS (
+  SELECT rev_c - lag(rev_c) OVER (ORDER BY d) AS r
+  FROM daily
+)
+SELECT CAST(count(*) AS BIGINT) AS n_changes,
+       round(avg(r / 100.0), 4) AS mean_chg,
+       round(stddev_samp(r / 100.0), 4) AS std_chg,
+       round(avg(r / 100.0) / nullif(stddev_samp(r / 100.0), 0), 6)
+         AS mean_over_std,
+       round(avg(CASE WHEN r > 0 THEN 1.0 ELSE 0.0 END), 6) AS frac_up
+FROM chg WHERE r IS NOT NULL
+"""
+
+
+@register("daily_return_profile", return_profile_oracle)
+def daily_return_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue change profile: mean and volatility of the
+    first difference of daily revenue between consecutive OBSERVED days,
+    their ratio (the Sharpe-ratio shape, unannualized), and the up-day
+    hit rate — the one-row volatility summary a desk reads before the
+    Bollinger chart. Changes are exact integer cents; only the final
+    moments are floats (round-6, the repo convention).
+
+    lag() runs over the day-DOMAIN series (calendar-bounded, plan-audit
+    allowlisted); everything else is one combinable aggregate."""
+    daily = _daily_cents(spark, sf_dir).select("d", "rev_c")
+    w = Window.orderBy("d")
+    chg = daily.select(
+        (F.col("rev_c") - F.lag("rev_c").over(w)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    rd = F.col("r") / 100.0
+    return chg.agg(
+        F.count("*").alias("n_changes"),
+        F.round(F.avg(rd), 4).alias("mean_chg"),
+        F.round(F.stddev_samp(rd), 4).alias("std_chg"),
+        F.round(
+            F.avg(rd) / F.nullif(F.stddev_samp(rd), F.lit(0.0)), 6
+        ).alias("mean_over_std"),
+        F.round(F.avg((F.col("r") > 0).cast("double")), 6).alias("frac_up"),
+    )

@@ -258,6 +258,9 @@ _ALLOWED_FACT_BROADCASTS = {
     "mann_kendall_trend": 3,
     # runs test: 1-row median broadcast over the day-DOMAIN series
     "runs_test_daily": 1,
+    # max drawdown: 1-row max-drawdown scalar joined back over the
+    # day-DOMAIN table + 1-row day count
+    "max_drawdown_revenue": 2,
 }
 
 

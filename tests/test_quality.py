@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from streamroom_bigdata_spark.operators import quality
@@ -149,3 +151,36 @@ def test_observe_metrics_single_pass(spark, sf_dir):
     assert got["n_rows"] == ref["n"] >= written
     assert got["n_nulls"] == ref["nn"]
     assert abs(got["total"] - ref["t"]) < 1e-6 * abs(ref["t"])
+
+
+# --- Character entropy (round-11) -------------------------------------------
+
+
+def test_char_entropy_known_values(spark, monkeypatch):
+    """'aabb' has exactly 1 bit/char; a single repeated char has 0 —
+    both below the quality floor; a mixed-alphabet string lands in the
+    ok band."""
+    from streamroom_bigdata_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aabb", "en", "s", 4),
+            (2, "aaaaaa", "en", "s", 6),
+            (3, "the quick brown fox jumps over the lazy dog 0123456789",
+             "en", "s", 55),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.quality.load_table",
+        lambda spark_, sf_, name: docs,
+    )
+    rows = {r.doc_id: r for r in
+            quality.char_entropy_quality(spark, "x").collect()}
+    assert rows[1].entropy_bits == pytest.approx(1.0, abs=1e-9)
+    assert not rows[1].entropy_ok
+    assert rows[2].entropy_bits == pytest.approx(0.0, abs=1e-9)
+    assert not rows[2].entropy_ok
+    assert rows[2].distinct_chars == 1
+    assert rows[3].entropy_ok
+    assert rows[3].n_chars_counted == 54

@@ -323,3 +323,84 @@ def test_assoc_rules_directed_confidence(spark, monkeypatch):
     assert out[(1, 2)].lift == out[(2, 1)].lift == pytest.approx(
         3 * 4 / (4.0 * 3), abs=1e-9
     )  # = 1.0
+
+
+# --- Bollinger bands ---------------------------------------------------------
+
+
+def test_bollinger_flat_series_never_breaks(spark, monkeypatch):
+    """Constant daily revenue → sd = 0 → bands collapse onto the mean and
+    the exact-integer breakout inequality (strict >) is false everywhere."""
+    od = _orders(spark, [(d, 1, d, 500.0) for d in range(1, 15)])
+    _patch(monkeypatch, "quant", {"orders": od})
+    rows = quant.bollinger_daily_revenue(spark, "x").collect()
+    assert len(rows) == 8  # 14 days, first full window on day 7
+    assert all(not r.breakout for r in rows)
+    assert all(r.ma7 == pytest.approx(500.0) for r in rows)
+
+
+def test_bollinger_spike_flags_breakout(spark, monkeypatch):
+    """A 10x spike day against an otherwise noisy-flat series exceeds
+    mean + 2sd of its trailing window → breakout True exactly there."""
+    prices = {d: 500.0 + (d % 3) for d in range(1, 15)}
+    prices[12] = 5000.0
+    od = _orders(spark, [(d, 1, d, prices[d]) for d in range(1, 15)])
+    _patch(monkeypatch, "quant", {"orders": od})
+    rows = {r.d: r for r in quant.bollinger_daily_revenue(spark, "x").collect()}
+    spike_d = [d for d, r in rows.items() if r.breakout]
+    day12 = [d for d in rows if rows[d].rev == 5000.0]
+    assert day12 and day12[0] in spike_d
+
+
+# --- Max drawdown ------------------------------------------------------------
+
+
+def test_max_drawdown_planted_slump(spark, monkeypatch):
+    """Peak day 300, worst later day 100 → drawdown 200 (66.67% of peak),
+    trough at the FIRST day attaining it."""
+    seq = [(1, 100.0), (2, 300.0), (3, 100.0), (4, 250.0), (5, 100.0)]
+    od = _orders(spark, [(d, 1, d, p) for d, p in seq])
+    _patch(monkeypatch, "quant", {"orders": od})
+    r = quant.max_drawdown_revenue(spark, "x").collect()[0]
+    assert r.n_days == 5
+    assert r.max_drawdown == pytest.approx(200.0)
+    # trough = day 3, the FIRST day 200 below the 300 peak (day 5 ties)
+    epoch_day3 = (dt.date(2024, 1, 3) - dt.date(1970, 1, 1)).days
+    assert r.trough_d == epoch_day3
+    assert r.drawdown_frac == pytest.approx(200.0 / 300.0, abs=1e-6)
+
+
+# --- Daily return profile ------------------------------------------------------
+
+
+def test_return_profile_known_diffs(spark, monkeypatch):
+    """Revenue 100,200,150 → changes +100,-50: mean 25, hit rate 1/2."""
+    od = _orders(spark, [(1, 1, 1, 100.0), (2, 1, 2, 200.0), (3, 1, 3, 150.0)])
+    _patch(monkeypatch, "quant", {"orders": od})
+    r = quant.daily_return_profile(spark, "x").collect()[0]
+    assert r.n_changes == 2
+    assert r.mean_chg == pytest.approx(25.0)
+    assert r.frac_up == pytest.approx(0.5)
+    # sample std of {100, -50} = 106.0660...
+    assert r.std_chg == pytest.approx(106.0660, abs=1e-3)
+
+
+# --- MinHash calibration --------------------------------------------------------
+
+
+def test_minhash_calibration_identical_docs_exact(spark, monkeypatch):
+    """Two identical documents: estimator 1.0, true Jaccard 1.0 → the one
+    candidate pair calibrates with zero error."""
+    from streamroom_bigdata_spark.operators import dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(spark, [(1, "src0", text), (2, "src1", text)])
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.dedup.load_table",
+        lambda spark_, sf_, name: docs,
+    )
+    r = dedup.minhash_jaccard_calibration(spark, "x").collect()[0]
+    assert r.n_pairs == 1
+    assert r.mae == pytest.approx(0.0)
+    assert r.bias == pytest.approx(0.0)
+    assert r.frac_within_025 == pytest.approx(1.0)

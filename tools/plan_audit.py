@@ -64,6 +64,15 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # above/below-median lag() over the day-DOMAIN sequence (the
     # cusum_changepoint shape — calendar-bounded, never data-sized)
     "runs_test_daily": 1,
+    # 7-observed-day rolling sum/count/sum-of-squares frame over the
+    # day-DOMAIN series (the seasonal_decompose shape)
+    "bollinger_daily_revenue": 1,
+    # lag(rev_c) first-difference over the day-DOMAIN series
+    "daily_return_profile": 1,
+    # running max over the day-DOMAIN series; 2 because the drawdown
+    # relation re-instantiates under the max-scalar aggregate AND the
+    # trough argmax join (the cusum subtree-reuse effect)
+    "max_drawdown_revenue": 2,
 }
 
 HEADER = (
