@@ -107,6 +107,16 @@ HEADLINE = [
                               # model-broadcast scoring join)
     "pca_power_iteration",    # MF5 iterative matvec (5 rounds, per-round
                               # localCheckpoint state materialization)
+    # round-11 representatives (reported separately vs the frozen r7
+    # table, same rule):
+    "kendall_tau_daily",      # ST15 day-domain pair stage + tie groupBys
+                              # (the round's new exchange shape)
+    "minhash_jaccard_calibration",  # SK9 full near-dup candidate pipeline
+                              # + two signature joins (heaviest new op)
+    "ohlc_daily_value",       # Q2 single-pass min_by/max_by day bars over
+                              # the event stream
+    "abc_classification",     # A12 ranking-kernel cumulative share over
+                              # the part table
 ]
 
 SF1_DIR = "/tmp/sf1_synth"

@@ -1095,3 +1095,177 @@ def counting_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(4 * F.col("cumc") >= 3 * F.col("n")).alias("p75"),
         F.max("n").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment latency percentiles (domain counting over lag days)
+# ---------------------------------------------------------------------------
+
+fulfillment_latency_oracle = """
+WITH lag AS (
+  SELECT o_orderpriority AS priority,
+         CAST(floor(epoch_ms(CAST(l_shipdate AS TIMESTAMP)) / 86400000.0)
+              - floor(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000.0)
+              AS BIGINT) AS days
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), cnts AS (
+  SELECT priority, days, count(*) AS c FROM lag GROUP BY 1, 2
+), cum AS (
+  SELECT priority, days, c,
+         sum(c) OVER (PARTITION BY priority ORDER BY days) AS cumc,
+         sum(c) OVER (PARTITION BY priority) AS n,
+         sum(days * c) OVER (PARTITION BY priority) AS sumd
+  FROM cnts
+)
+SELECT priority,
+       CAST(max(n) AS BIGINT) AS n_items,
+       round(CAST(max(sumd) AS DOUBLE) / max(n), 6) AS mean_days,
+       CAST(min(CASE WHEN 2 * cumc >= n THEN days END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN 10 * cumc >= 9 * n THEN days END) AS BIGINT)
+         AS p90,
+       CAST(min(CASE WHEN 100 * cumc >= 99 * n THEN days END) AS BIGINT)
+         AS p99
+FROM cum GROUP BY priority
+"""
+
+
+@register("fulfillment_latency_percentiles", fulfillment_latency_oracle)
+def fulfillment_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency SLA report per order priority: exact
+    p50/p90/p99 of (ship day − order day) by DOMAIN COUNTING — the
+    `counting_median` strategy over the lag-days domain (bounded by the
+    fulfillment policy, ~0–122 days, at ANY data scale). The ops-review
+    readout that tells a team whether '1-URGENT' actually ships faster
+    at the tail, not just on average.
+
+    Scale shape: one orderkey-keyed join + ONE combinable
+    (priority, days) count; the running sums scan ≤|priorities|·|days|
+    rows. All cuts are integer inequalities (2·cum ≥ n, 10·cum ≥ 9n,
+    100·cum ≥ 99n — lower-percentile convention), exact cross-engine;
+    the mean is one IEEE division of exact integer sums."""
+    from ..functions.timeutil import epoch_ms
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"), "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    day = lambda c: F.floor(  # noqa: E731
+        epoch_ms(F.col(c).cast("timestamp")) / 86400000
+    ).cast("bigint")
+    lag = od.join(li, od.o_orderkey == li.l_orderkey).select(
+        "priority", (day("l_shipdate") - day("o_orderdate")).alias("days")
+    )
+    cnts = lag.groupBy("priority", "days").agg(F.count("*").alias("c"))
+    wc = (
+        Window.partitionBy("priority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("priority")
+    cum = cnts.select(
+        "priority",
+        "days",
+        F.sum("c").over(wc).alias("cumc"),
+        F.sum("c").over(wn).alias("n"),
+        F.sum(F.col("days") * F.col("c")).over(wn).alias("sumd"),
+    )
+    pick = lambda cond: F.min(F.when(cond, F.col("days")))  # noqa: E731
+    return cum.groupBy("priority").agg(
+        F.max("n").alias("n_items"),
+        F.round(F.max("sumd").cast("double") / F.max("n"), 6).alias(
+            "mean_days"
+        ),
+        pick(2 * F.col("cumc") >= F.col("n")).alias("p50"),
+        pick(10 * F.col("cumc") >= 9 * F.col("n")).alias("p90"),
+        pick(100 * F.col("cumc") >= 99 * F.col("n")).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification (distributed cumulative-share ranking)
+# ---------------------------------------------------------------------------
+
+abc_oracle = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT l_partkey, rev_c,
+         sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey) AS cumc,
+         sum(rev_c) OVER () AS tot
+  FROM rev
+), classed AS (
+  SELECT CASE WHEN 5 * cumc <= 4 * tot THEN 'A'
+              WHEN 20 * cumc <= 19 * tot THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev_c, tot
+  FROM cum
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(rev_c) AS DOUBLE) / max(tot), 6) AS rev_share
+FROM classed GROUP BY abc_class
+"""
+
+
+@register("abc_classification", abc_oracle)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory analysis: parts ranked by revenue descending, split at
+    cumulative share ≤80 % (A) / ≤95 % (B) / rest (C) — the classic
+    Pareto stocking-policy classes, reported as class sizes + revenue
+    shares. Class membership is decided by INTEGER inequalities on exact
+    cents (5·cum ≤ 4·tot, 20·cum ≤ 19·tot — the boundary-crossing part
+    falls to the next class), so the cut can never flip on float noise.
+
+    Scale shape: the data-sized stages are one part-keyed revenue
+    aggregate and the `functions/ranking.py` range-partition kernel —
+    the global cumulative sum is per-partition offsets (O(P) collected)
+    + pid-PARTITIONED running sums; no single-task sort of the part
+    table at any scale (the zipf_law_fit lesson)."""
+    from ..functions.ranking import range_partition_offsets
+    from ..session import shuffle_partition_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "rev_c"
+        )
+    )
+    n_parts = shuffle_partition_count(spark)
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        rev.withColumn("neg_rev", -F.col("rev_c")),
+        ["neg_rev", "l_partkey"],
+        [("revsum", F.sum("rev_c"))],
+        n_parts,
+    )
+    tot = totals["revsum"]
+    lw = (
+        Window.partitionBy("pid")
+        .orderBy("neg_rev", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        ranged.withColumn("lcum", F.sum("rev_c").over(lw))
+        .join(F.broadcast(offsets_df), "pid")
+        .select(
+            "rev_c", (F.col("off_revsum") + F.col("lcum")).alias("cumc")
+        )
+    )
+    classed = cum.select(
+        F.when(5 * F.col("cumc") <= 4 * F.lit(tot), "A")
+        .when(20 * F.col("cumc") <= 19 * F.lit(tot), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_c",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("rev_c").cast("double") / float(tot), 6).alias(
+            "rev_share"
+        ),
+    )

@@ -252,3 +252,72 @@ def test_rolling_revenue_range_is_calendar_bounded(spark, tmp_path):
     assert got[1] == 100.0
     assert got[2] == 10.0          # the 10-day-old row is out of range
     assert got[3] == 13.0 and got[4] == 13.0  # same-day peers symmetric
+
+
+# --- ABC classification (round-11) -------------------------------------------
+
+
+def test_abc_integer_boundary_classes(spark, monkeypatch):
+    """10 parts: one worth 80 exactly (cum share 0.8 → A, boundary
+    INCLUSIVE via 5·cum <= 4·tot), then 15 spread over 3 parts reaching
+    0.95 exactly (→ B), rest C."""
+    import datetime as dt
+
+    from streamroom_bigdata_spark.operators import relational
+
+    vals = [80.0, 5.0, 5.0, 5.0] + [1.0] * 5  # total 100
+    li = spark.createDataFrame(
+        [
+            (i + 1, i + 1, 1, 1, 1.0, v, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 2))
+            for i, v in enumerate(vals)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.relational.load_table",
+        lambda spark_, sf_, name: li,
+    )
+    rows = {r.abc_class: r for r in
+            relational.abc_classification(spark, "x").collect()}
+    assert rows["A"].n_parts == 1 and rows["A"].rev_share == 0.8
+    assert rows["B"].n_parts == 3 and rows["B"].rev_share == 0.15
+    assert rows["C"].n_parts == 5 and rows["C"].rev_share == 0.05
+
+
+def test_fulfillment_latency_exact_percentiles(spark, monkeypatch):
+    """100 lineitems with lag days 1..100 on one priority → p50=50,
+    p90=90, p99=99 (lower-percentile convention), mean 50.5."""
+    import datetime as dt
+
+    from streamroom_bigdata_spark.operators import relational
+
+    base = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(k, 1, "O", 10.0, base, "1-URGENT") for k in range(1, 101)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (k, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+             base + dt.timedelta(days=k))
+            for k in range(1, 101)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    tables = {"orders": orders, "lineitem": li}
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.relational.load_table",
+        lambda spark_, sf_, name: tables[name],
+    )
+    r = relational.fulfillment_latency_percentiles(spark, "x").collect()[0]
+    assert (r.p50, r.p90, r.p99) == (50, 90, 99)
+    assert r.n_items == 100
+    assert abs(r.mean_days - 50.5) < 1e-9
