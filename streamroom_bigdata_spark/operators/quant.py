@@ -710,12 +710,16 @@ w AS (
 )
 SELECT d, round(rev_c / 100.0, 2) AS rev,
        round(s / {BOLL_WINDOW}.0 / 100.0, 4) AS ma7,
-       round((s / {BOLL_WINDOW}.0 + {BOLL_K} * sqrt(
-           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / {BOLL_WINDOW})
-           / {BOLL_WINDOW - 1})) / 100.0, 4) AS upper_band,
-       round((s / {BOLL_WINDOW}.0 - {BOLL_K} * sqrt(
-           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / {BOLL_WINDOW})
-           / {BOLL_WINDOW - 1})) / 100.0, 4) AS lower_band,
+       floor((s / {BOLL_WINDOW}.0 + {BOLL_K} * sqrt(
+           CAST(CAST({BOLL_WINDOW} AS HUGEINT) * q
+                - CAST(s AS HUGEINT) * s AS DOUBLE)
+           / {BOLL_WINDOW * (BOLL_WINDOW - 1)})) / 100.0 * 10000 + 0.5)
+         / 10000 AS upper_band,
+       floor((s / {BOLL_WINDOW}.0 - {BOLL_K} * sqrt(
+           CAST(CAST({BOLL_WINDOW} AS HUGEINT) * q
+                - CAST(s AS HUGEINT) * s AS DOUBLE)
+           / {BOLL_WINDOW * (BOLL_WINDOW - 1)})) / 100.0 * 10000 + 0.5)
+         / 10000 AS lower_band,
        ({BOLL_WINDOW - 1} * power(CAST({BOLL_WINDOW} AS HUGEINT) * rev_c
                                   - s, 2)
         > {BOLL_K * BOLL_K * BOLL_WINDOW}
@@ -752,13 +756,6 @@ def bollinger_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(c_dec * F.col("rev_c")).over(win).alias("q"),
     ).filter(F.col("wn") == BOLL_WINDOW)
     mean_c = F.col("s") / float(BOLL_WINDOW)
-    sd_c = F.sqrt(
-        (
-            F.col("q").cast("double")
-            - F.col("s").cast("double") * F.col("s") / BOLL_WINDOW
-        )
-        / (BOLL_WINDOW - 1)
-    )
     n_dec = F.lit(BOLL_WINDOW).cast("decimal(38,0)")
     dev = n_dec * F.col("rev_c").cast("decimal(38,0)") - F.col("s").cast(
         "decimal(38,0)"
@@ -766,12 +763,29 @@ def bollinger_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_num = n_dec * F.col("q") - F.col("s").cast("decimal(38,0)") * F.col(
         "s"
     ).cast("decimal(38,0)")
+    # sd from the EXACT 128-bit numerator 7Q − S² (the same quantity the
+    # flag uses), converted to double ONCE: the q − s²/7 double spelling
+    # cancels catastrophically at sf≥1 magnitudes — the sf≈1 gate caught a
+    # band value landing on opposite sides of the round-4 boundary between
+    # engines. A single nearest-double conversion of an exact integer is
+    # bit-identical everywhere.
+    sd_c = F.sqrt(
+        var_num.cast("double") / (BOLL_WINDOW * (BOLL_WINDOW - 1))
+    )
+    # band rounding is spelled as floor(x·10⁴ + 0.5)/10⁴ on BOTH engines:
+    # the ×100 corpus replication at synthetic scales shifts 6-decimal
+    # band values onto EXACT 4-decimal half-boundaries, where Spark's
+    # round() (HALF_UP on the shortest decimal string) and DuckDB's (on
+    # the double bits) disagree — the explicit floor spelling is the same
+    # IEEE ops everywhere. (ma7 = s/700 can never land on a half: 8k ≡ 7
+    # (mod 14) has no integer solution; rev = cents/100 is 2-exact.)
+    explicit_round4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
     return w.select(
         "d",
         F.round(F.col("rev_c") / 100.0, 2).alias("rev"),
         F.round(mean_c / 100.0, 4).alias("ma7"),
-        F.round((mean_c + BOLL_K * sd_c) / 100.0, 4).alias("upper_band"),
-        F.round((mean_c - BOLL_K * sd_c) / 100.0, 4).alias("lower_band"),
+        explicit_round4((mean_c + BOLL_K * sd_c) / 100.0).alias("upper_band"),
+        explicit_round4((mean_c - BOLL_K * sd_c) / 100.0).alias("lower_band"),
         (
             F.lit(BOLL_WINDOW - 1).cast("decimal(38,0)") * dev * dev
             > F.lit(BOLL_K * BOLL_K * BOLL_WINDOW).cast("decimal(38,0)")
