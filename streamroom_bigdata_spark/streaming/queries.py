@@ -223,3 +223,24 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
         ).alias("sum_value"),
     )
+
+
+def ohlc_agg(events: DataFrame) -> DataFrame:
+    """T8+ streaming twin of the batch `ohlc_daily_value` kernel (round-11
+    quant wave): OHLC candlestick bars per tumbling hour — first/max/min/
+    last `value`, open/close resolved by the unique (ts, event_id) struct
+    so bars are deterministic under timestamp ties, exactly as the batch
+    face. min_by/max_by/min/max are all declarative aggregates with
+    map-side partials, so streaming state per open window is ONE row of
+    four scalars + two keys — never the window's events. Works identically
+    on a batch frame (tests assert closed-window agreement) and on a
+    watermarked stream."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    out = events.groupBy(F.window("ts", TUMBLE)).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min_by("value", key), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", key), 6).alias("close"),
+    )
+    return _flatten_window(out)

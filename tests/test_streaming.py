@@ -1600,3 +1600,48 @@ def test_holt_drift_streaming_agrees_with_batch_twin(spark, tmp_path):
     assert streamed == batch
     assert [r[0] for r in batch if r[0] == 2] == []  # steady key never alarms
     assert len([r for r in batch if r[0] == 3]) >= 3  # saw re-alarms after reset
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    """T8+ (round-11): watermarked streaming OHLC bars converge to the
+    batch answer — including the (ts, event_id) tie-break on open/close
+    when two events share one timestamp across DIFFERENT micro-batches
+    (the ordering state the streaming aggregate must carry)."""
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2024-01-01T{i % 3:02d}:{(11 * i) % 60:02d}:00",
+            "user_id": i % 4,
+            "value": float((7 * i) % 23),
+        }
+        for i in range(30)
+    ]
+    # planted tie: event 100 (later id) arrives in batch 1 at the same
+    # timestamp as event 5 from batch 0 — open must stay event 5's value
+    rows_tie = [
+        {
+            "event_id": 100,
+            "ts": rows[5]["ts"],
+            "user_id": 1,
+            "value": 999.0,
+        }
+    ]
+    all_rows = rows + rows_tie
+    rows_df = spark.createDataFrame(
+        pd.DataFrame(all_rows).assign(ts=lambda d: pd.to_datetime(d.ts)),
+        EVENTS_DDL,
+    )
+    stream = _stream_events(spark, tmp_path, [rows[:15], rows[15:] + rows_tie])
+    streamed = sq.ohlc_agg(sq.with_watermark(stream))
+    _run_to_memory(streamed, "ohlc_sink", "append")
+    got = {
+        r.window_start: (r.n_events, r.open, r.high, r.low, r.close)
+        for r in spark.sql("select * from ohlc_sink").collect()
+    }
+    expected = {
+        r.window_start: (r.n_events, r.open, r.high, r.low, r.close)
+        for r in sq.ohlc_agg(rows_df).collect()
+    }
+    assert got  # at least the watermark-closed windows emitted
+    for k, v in got.items():
+        assert expected[k] == v
