@@ -344,3 +344,69 @@ def test_pareto_equals_bruteforce(spark, parts):
         if not any(dominated((i, s, p), o) for o in tuples if o[0] != i)
     )
     assert got == expected
+
+
+# --- Kendall τ-b / Mann-Kendall vs brute force (round-11) --------------------
+
+
+def _brute_kendall(rev, cnt):
+    """τ-b numerator/denominator terms from the textbook definition."""
+    import math
+
+    n = len(rev)
+    s = sum(
+        ((rev[j] > rev[i]) - (rev[j] < rev[i]))
+        * ((cnt[j] > cnt[i]) - (cnt[j] < cnt[i]))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    n0 = n * (n - 1) // 2
+    t1 = sum(
+        1 for i in range(n) for j in range(i + 1, n) if rev[i] == rev[j]
+    )
+    t2 = sum(
+        1 for i in range(n) for j in range(i + 1, n) if cnt[i] == cnt[j]
+    )
+    den = math.sqrt((n0 - t1) * (n0 - t2))
+    return s, (s / den if den else None)
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=4), min_size=3, max_size=10),
+    cents=st.lists(st.integers(min_value=1, max_value=5), min_size=3, max_size=10),
+)
+@SPARK_SETTINGS
+def test_kendall_tau_matches_brute_force(spark, counts, cents):
+    """Distributed τ-b (day-pair join + tie groupBys) equals the O(n²)
+    textbook computation on arbitrary small integer series — including
+    heavy ties in either variable and the fully-tied NULL degenerate."""
+    import datetime as dt
+
+    from unittest import mock
+
+    from streamroom_bigdata_spark.operators import quant
+
+    m = min(len(counts), len(cents))
+    counts, cents = counts[:m], cents[:m]
+    rows, ok = [], 0
+    for d, (n, price) in enumerate(zip(counts, cents), start=1):
+        for _ in range(n):
+            ok += 1
+            rows.append((ok, 1, "O", float(price), dt.datetime(2024, 1, d), "x"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with mock.patch(
+        "streamroom_bigdata_spark.operators.quant.load_table",
+        lambda spark_, sf_, name: df,
+    ):
+        r = quant.kendall_tau_daily(spark, "x").collect()[0]
+    rev = [n * p * 100 for n, p in zip(counts, cents)]  # cents per day
+    s, tau = _brute_kendall(rev, counts)
+    assert r.conc_minus_disc == s
+    if tau is None:
+        assert r.tau_b is None
+    else:
+        assert abs(r.tau_b - round(tau, 6)) < 2e-6
