@@ -410,3 +410,47 @@ def test_kendall_tau_matches_brute_force(spark, counts, cents):
         assert r.tau_b is None
     else:
         assert abs(r.tau_b - round(tau, 6)) < 2e-6
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=100, max_value=10_000_000), min_size=7, max_size=14
+    ),
+)
+@SPARK_SETTINGS
+def test_bollinger_flag_matches_numpy(spark, cents):
+    """The 128-bit integer breakout inequality equals the float definition
+    |rev − mean| > 2·sd recomputed in numpy on arbitrary cent series
+    (numpy evaluated away from the knife edge: the integer form IS the
+    ground truth at equality, so only clear cases are asserted)."""
+    import datetime as dt
+
+    from unittest import mock
+
+    import numpy as np
+
+    from streamroom_bigdata_spark.operators import quant
+
+    rows = [
+        (d, 1, "O", c / 100.0, dt.datetime(2024, 1, d), "x")
+        for d, c in enumerate(cents, start=1)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with mock.patch(
+        "streamroom_bigdata_spark.operators.quant.load_table",
+        lambda spark_, sf_, name: df,
+    ):
+        got = {r.d: r.breakout
+               for r in quant.bollinger_daily_revenue(spark, "x").collect()}
+    arr = np.array(cents, dtype=np.float64)
+    for i in range(6, len(arr)):
+        w = arr[i - 6 : i + 1]
+        mean, sd = w.mean(), w.std(ddof=1)
+        lhs, rhs = abs(arr[i] - mean), 2 * sd
+        if abs(lhs - rhs) > 1e-6 * max(rhs, 1.0):  # skip knife-edge cases
+            d = (dt.date(2024, 1, i + 1) - dt.date(1970, 1, 1)).days
+            assert got[d] == (lhs > rhs), (i, lhs, rhs)
