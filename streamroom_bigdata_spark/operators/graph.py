@@ -1277,20 +1277,36 @@ def scc_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dst"),
     ).distinct()
     lab = scc_labels(edges)
-    cls = lab.filter(F.col("fwd") == F.col("bwd")).select(
-        "id", F.col("fwd").alias("scc")
+    # ONE action over the label frame: unclassified nodes fall into a
+    # single NULL-scc group, so node-level counts (n_nodes,
+    # n_classified) and component-level stats come out of the same
+    # two-level aggregate. The previous spelling ran lab.count() and
+    # cls.count() as separate actions, re-executing the post-checkpoint
+    # iteration tail (rounds 5-6: four node-keyed min shuffles + joins)
+    # three times — the recompute class SURVEY §4.3.6 forbids
+    # (processing.scala:137,146 executes its results plan twice the
+    # same way). Every component's minimum member always has
+    # fwd == bwd == itself, so the classified set is non-empty whenever
+    # nodes exist — the NULL group never stands alone.
+    g = (
+        lab.withColumn(
+            "scc", F.when(F.col("fwd") == F.col("bwd"), F.col("fwd"))
+        )
+        .groupBy("scc")
+        .agg(F.count("*").alias("sz"))
     )
-    g = cls.groupBy("scc").agg(F.count("*").alias("sz"))
-    n_nodes = lab.count()
-    n_classified = cls.count()
+    classified = F.col("scc").isNotNull()
+    nontrivial = classified & (F.col("sz") >= 2)
     return g.agg(
-        F.lit(n_nodes).cast("long").alias("n_nodes"),
-        F.lit(n_classified).cast("long").alias("n_classified"),
-        F.count("*").cast("long").alias("n_scc"),
-        F.max("sz").cast("long").alias("max_scc_size"),
-        F.sum((F.col("sz") >= 2).cast("long")).cast("long")
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.sum(F.when(classified, F.col("sz")).otherwise(0))
+        .cast("long").alias("n_classified"),
+        F.sum(classified.cast("long")).cast("long").alias("n_scc"),
+        F.max(F.when(classified, F.col("sz"))).cast("long")
+        .alias("max_scc_size"),
+        F.sum(nontrivial.cast("long")).cast("long")
         .alias("n_nontrivial_scc"),
-        F.sum(F.when(F.col("sz") >= 2, F.col("sz")).otherwise(0))
+        F.sum(F.when(nontrivial, F.col("sz")).otherwise(0))
         .cast("long").alias("n_nodes_in_nontrivial"),
     )
 

@@ -281,6 +281,7 @@ char_entropy_oracle = f"""
 WITH pos AS (
   SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
   FROM documents
+  WHERE length(text) > 0
 ),
 chars AS (
   SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch FROM pos
@@ -329,7 +330,17 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     double value on both engines (knife-edge-safe only to the summation
     order — counts are alphabet-sized, ~70 terms, and the fixture band
     sits far from both bounds)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # empty docs MUST be excluded on both engines: Spark's
+        # sequence(1, 0) defaults to step -1 and yields [1, 0] (two
+        # phantom empty-char rows, entropy 0), while DuckDB's
+        # range(1, 1) is empty and omits the doc — filtering is the
+        # only spelling with identical semantics (matches pr_curve's
+        # length(text) > 0 guard above).
+        .filter(F.length("text") > 0)
+    )
     # substring with a COLUMN start position needs the expr() spelling
     chars = docs.select(
         "doc_id", F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"), "text"

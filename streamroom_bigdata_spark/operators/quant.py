@@ -720,8 +720,8 @@ SELECT d, round(rev_c / 100.0, 2) AS rev,
                 - CAST(s AS HUGEINT) * s AS DOUBLE)
            / {BOLL_WINDOW * (BOLL_WINDOW - 1)})) / 100.0 * 10000 + 0.5)
          / 10000 AS lower_band,
-       ({BOLL_WINDOW - 1} * power(CAST({BOLL_WINDOW} AS HUGEINT) * rev_c
-                                  - s, 2)
+       ({BOLL_WINDOW - 1} * ((CAST({BOLL_WINDOW} AS HUGEINT) * rev_c - s)
+                             * (CAST({BOLL_WINDOW} AS HUGEINT) * rev_c - s))
         > {BOLL_K * BOLL_K * BOLL_WINDOW}
           * (CAST({BOLL_WINDOW} AS HUGEINT) * q
              - CAST(s AS HUGEINT) * s)) AS breakout

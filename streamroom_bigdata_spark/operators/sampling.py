@@ -426,9 +426,18 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod(h, F.col("n_parts")) + 1).alias("neg_partkey"),
         )
     )
-    return cand.join(
-        pos,
-        (cand.o_custkey == pos.o_custkey)
-        & (cand.neg_partkey == pos.l_partkey),
+    # Explicit aliases on BOTH sides: cand derives its o_custkey lineage
+    # from pos (custs = pos.select(...).distinct()), so the attribute
+    # spelling cand.o_custkey == pos.o_custkey triggers Spark's
+    # "trivially true equals predicate" warning and leans on dataset-id
+    # disambiguation — correct today, but the one construction a Spark
+    # upgrade could silently re-resolve. Aliased qualifiers are
+    # unambiguous by name.
+    c = cand.alias("c")
+    p = pos.alias("p")
+    return c.join(
+        p,
+        (F.col("c.o_custkey") == F.col("p.o_custkey"))
+        & (F.col("c.neg_partkey") == F.col("p.l_partkey")),
         "left_anti",
-    ).select("o_custkey", "k", "neg_partkey")
+    ).select("c.o_custkey", "c.k", "c.neg_partkey")
