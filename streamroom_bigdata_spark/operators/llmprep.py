@@ -991,7 +991,12 @@ def _bpe_round_sql(k: int) -> str:
 )"""
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_chain() -> str:
+    """The shared WITH-chain: word dictionary → s0 symbol table →
+    BPE_ROUNDS unrolled merge rounds, ending at s{BPE_ROUNDS} — the
+    final per-word symbol table both the training AND the encoding
+    oracle read (train reports the b{k} argmaxes; encode reassembles
+    documents from s{BPE_ROUNDS})."""
     parts = [
         """
 WITH toks AS (
@@ -1008,37 +1013,37 @@ WITH toks AS (
     ]
     for k in range(BPE_ROUNDS):
         parts.append(_bpe_round_sql(k))
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {k + 1} AS merge_round, a AS left_sym, b AS right_sym, "
         f"pair_count FROM b{k}"
         for k in range(BPE_ROUNDS)
     )
-    parts.append(f"\nSELECT * FROM ({union})")
-    return "".join(parts)
+    return f"{_bpe_cte_chain()}\nSELECT * FROM ({union})"
 
 
-@register("bpe_train_merges", _bpe_oracle())
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016),
-    BPE_ROUNDS merge rounds: the learned merge table (round, left symbol,
-    right symbol, weighted pair count) — the stage that PRODUCES the
-    vocabulary `vocab_encode_docs` consumes, run as a first-class
-    distributed query.
+def _bpe_learn(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """Run BPE_ROUNDS merge rounds over the corpus's distinct-word
+    dictionary. Returns ``(merges, symbols)``: one 1-row merge frame per
+    round, plus the FINAL per-word symbol table (word, cnt, pos, sym) —
+    which IS the encoding of every distinct word under the learned
+    merges (train and encode share this loop; see `bpe_encode_docs`).
 
-    The classic scale insight makes this cheap at 100 TB: BPE trains on
-    the WORD-FREQUENCY DICTIONARY, not the corpus — the only data-sized
-    stage is one combinable word count; every merge round then runs on
-    the vocabulary-bounded symbol table (Σ|word| rows over DISTINCT
+    Scale shape (the classic tokenizer-training insight): the only
+    data-sized stage is one combinable word count; every merge round
+    runs on the vocabulary-bounded symbol table (Σ|word| over DISTINCT
     words). Per round: one pair count (map-side combinable), a 1-row
-    argmax broadcast (ties broken count DESC then pair ASC — exact
-    integer determinism), and the greedy leftmost-non-overlapping merge
-    spelled as gaps-islands parity (consecutive match runs only arise
-    when left == right, e.g. 'aaaa' + merge 'aa': keep matches 1 and 3
-    of the run). The symbol table is localCheckpointed per round —
-    vocabulary-sized, truncates the 5-round window-chain lineage."""
+    argmax broadcast (count DESC, pair ASC — exact integer
+    determinism), and greedy leftmost-non-overlapping merge spelled as
+    gaps-islands parity (consecutive match runs only arise when
+    left == right, e.g. 'aaaa' + merge 'aa': keep matches 1 and 3).
+    The symbol table is localCheckpointed per round — vocabulary-sized,
+    truncates the 5-round window-chain lineage."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -1146,7 +1151,117 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    return merges, s
+
+
+@register("bpe_train_merges", _bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016),
+    BPE_ROUNDS merge rounds: the learned merge table (round, left symbol,
+    right symbol, weighted pair count) — the stage that PRODUCES the
+    subword vocabulary `bpe_encode_docs` applies, run as a first-class
+    distributed query. Scale shape in `_bpe_learn`."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = _bpe_learn(docs)
     out = merges[0]
     for mdf in merges[1:]:
         out = out.unionByName(mdf)
     return out
+
+
+def _bpe_encode_oracle() -> str:
+    k = BPE_ROUNDS
+    return f"""{_bpe_cte_chain()},
+syms AS (SELECT DISTINCT sym FROM s{k}),
+vocab AS (
+  SELECT a.sym, CAST(1 + count(b.sym) AS BIGINT) AS id
+  FROM syms a LEFT JOIN syms b ON b.sym < a.sym
+  GROUP BY a.sym
+),
+wenc AS (
+  SELECT s.word,
+         array_to_string(list(CAST(v.id AS VARCHAR) ORDER BY s.pos), ' ')
+           AS ids,
+         CAST(count(*) AS BIGINT) AS n_syms
+  FROM s{k} s JOIN vocab v ON v.sym = s.sym
+  GROUP BY s.word
+),
+dtoks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(w.n_syms) AS BIGINT) AS n_syms,
+       string_agg(w.ids, ' ' ORDER BY t.pos) AS ids
+FROM dtoks t JOIN wenc w ON w.word = t.tok
+WHERE t.tok <> ''
+GROUP BY t.doc_id
+"""
+
+
+@register("bpe_encode_docs", _bpe_encode_oracle())
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — apply the merges `bpe_train_merges` learns to the
+    corpus itself, closing the tokenizer train→apply loop: every
+    document becomes its subword-id sequence (ids assigned by
+    lexicographic rank over the final symbol vocabulary), the integer
+    stream `pack_sequences` consumes. Also reports per-doc token and
+    subword counts (n_syms/n_toks is the fertility a tokenizer eval
+    tracks).
+
+    The scale insight is the same one that makes training cheap: merges
+    apply per DISTINCT WORD, so the iterative merge machinery never
+    touches the corpus — `_bpe_learn`'s final symbol table IS the
+    word→subwords dictionary, built on vocabulary-bounded data. The
+    corpus is touched exactly twice, both embarrassingly parallel: the
+    word-count explode inside `_bpe_learn`, and ONE dictionary join of
+    the (doc, pos, token) stream against the word encodings (AQE
+    broadcasts the dictionary side when it fits — at 100 TB it's a
+    few-GB word table vs a corpus-sized probe, the canonical broadcast
+    shape) followed by ONE doc-keyed reassembly shuffle of integer ids
+    (a fraction of the text bytes they replace). Symbol ids come from a
+    V² triangular join over the symbol vocabulary (alphabet + BPE_ROUNDS
+    merged symbols — tiny), never an unpartitioned window (the
+    vocab_top_tokens pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, s = _bpe_learn(docs)
+
+    syms = s.select("sym").distinct()
+    b = syms.select(F.col("sym").alias("b_sym"))
+    vocab = (
+        syms.join(b, F.col("b_sym") < F.col("sym"), "left")
+        .groupBy("sym")
+        .agg((1 + F.count("b_sym")).cast("long").alias("id"))
+    )
+    wenc = (
+        s.join(vocab, "sym")
+        .groupBy("word")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda st: st["id"].cast("string"),
+                ),
+                " ",
+            ).alias("ids"),
+            F.count("*").alias("n_syms"),
+        )
+    )
+    tok_pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    enc = tok_pos.join(wenc, tok_pos.tok == wenc.word)
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_toks"),
+        F.sum("n_syms").cast("long").alias("n_syms"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                lambda st: st["ids"],
+            ),
+            " ",
+        ).alias("ids"),
+    )

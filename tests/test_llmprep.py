@@ -340,3 +340,58 @@ def test_bpe_merges_match_python_replay(spark, monkeypatch):
     # ('a','a') appears 3 times per occurrence in pair COUNTING but merges
     # twice — the parity rule; assert the reference replay agreed with the
     # engine on every round, which the equality above already pins.
+
+
+def test_bpe_encode_matches_python_replay(spark, monkeypatch):
+    """bpe_encode_docs replayed in pure Python on the same Sennrich+
+    'aaaa' corpus: train merges (reference trainer above), encode every
+    word by greedy leftmost application, assign ids by lexicographic
+    rank over the final symbol vocabulary, concatenate in token order —
+    the engine's id stream, token count, and subword count must match
+    exactly (two docs pin per-doc assembly order)."""
+    from collections import Counter
+
+    from streamroom_bigdata_spark.operators import llmprep
+
+    doc0 = ["low"] * 3 + ["newest", "aaaa", "lower"]
+    doc1 = ["widest", "aaaa", "aaaa", "low"]
+    df = spark.createDataFrame(
+        [
+            (0, " ".join(doc0), "en", "s", 1),
+            (1, " ".join(doc1), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(
+        "streamroom_bigdata_spark.operators.llmprep.load_table",
+        lambda spark_, sf_, name: df,
+    )
+    out = {
+        r.doc_id: r for r in llmprep.bpe_encode_docs(spark, "ignored").collect()
+    }
+
+    words = Counter(doc0 + doc1)
+    seqs = {w: list(w) for w in words}
+    for _ in range(llmprep.BPE_ROUNDS):
+        pairs = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        (a, b), _c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in seqs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            seqs[w] = merged
+    vocab = {s: i + 1 for i, s in enumerate(sorted({s for v in seqs.values() for s in v}))}
+    for doc_id, toks in ((0, doc0), (1, doc1)):
+        ids = [vocab[s] for t in toks for s in seqs[t]]
+        row = out[doc_id]
+        assert row.n_toks == len(toks)
+        assert row.n_syms == len(ids)
+        assert row.ids == " ".join(str(i) for i in ids)
