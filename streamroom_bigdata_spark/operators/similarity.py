@@ -385,6 +385,254 @@ def ann_ivf_cosine(
     )
 
 
+# --- product quantization (L3 scale path #3: memory-bounded ANN) ----------
+PQ_M = 8  # subspaces (DIM/PQ_M dims each)
+PQ_K = 16  # centroids per subspace codebook → one 4-bit code per subspace
+PQ_ITERS = 3  # Lloyd rounds per subspace (2 codebook updates)
+_PQ_SUB = DIM // PQ_M
+
+
+def _pq_oracle() -> str:
+    """Full PQ replay in SQL: normalize → per-subspace Lloyd (unrolled,
+    the kmeans_clusters oracle pattern keyed by (m, cid)) → encode →
+    integer-micro-unit asymmetric dot tables → top-K."""
+    parts = [
+        f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+el AS MATERIALIZED (
+  SELECT vec_id, CAST(i // {_PQ_SUB} AS INT) AS m,
+         CAST(i % {_PQ_SUB} + 1 AS INT) AS pos,
+         CAST(floor(emb[CAST(i + 1 AS INT)] * 1000000 + 0.5) AS BIGINT) AS ei
+  FROM c, unnest(range(0, {DIM})) AS u(i)
+), nrm AS (
+  SELECT vec_id, sum(ei * ei) AS n2 FROM el GROUP BY vec_id
+), nl AS MATERIALIZED (
+  SELECT e.vec_id, e.m, e.pos,
+         CAST(floor(CAST(e.ei AS DOUBLE) * 1000000
+                    / sqrt(CAST(n.n2 AS DOUBLE)) + 0.5) AS BIGINT) AS val
+  FROM el e JOIN nrm n USING (vec_id)
+), c0 AS (
+  SELECT m, CAST(vec_id AS INT) AS cid, pos, val
+  FROM nl WHERE vec_id < {PQ_K}
+)"""
+    ]
+    for i in range(PQ_ITERS):
+        parts.append(
+            f""", d{i} AS (
+  SELECT n.vec_id, n.m, cc.cid,
+         sum((n.val - cc.val) * (n.val - cc.val)) AS dist
+  FROM nl n JOIN c{i} cc ON cc.m = n.m AND cc.pos = n.pos
+  GROUP BY n.vec_id, n.m, cc.cid
+), a{i} AS MATERIALIZED (
+  SELECT vec_id, m, cid AS cl FROM (
+    SELECT vec_id, m, cid, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+), m{i} AS (
+  SELECT a.m, a.cl AS cid, n.pos,
+         sum(n.val) AS s, count(*) AS cnt
+  FROM a{i} a JOIN nl n ON n.vec_id = a.vec_id AND n.m = a.m
+  GROUP BY a.m, a.cl, n.pos
+), c{i + 1} AS MATERIALIZED (
+  SELECT cc.m, cc.cid, cc.pos,
+         coalesce(CAST(floor((2.0 * mm.s + mm.cnt)
+                             / (2.0 * mm.cnt)) AS BIGINT),
+                  cc.val) AS val
+  FROM c{i} cc LEFT JOIN m{i} mm
+    ON mm.m = cc.m AND mm.cid = cc.cid AND mm.pos = cc.pos
+)"""
+        )
+    last = PQ_ITERS - 1
+    parts.append(
+        f""", q AS (
+  SELECT vec_id AS query_id, m, pos, val FROM nl
+  WHERE vec_id IN {QUERY_IDS}
+), adc AS MATERIALIZED (
+  SELECT q.query_id, cc.m, cc.cid, sum(q.val * cc.val) AS dot_i
+  FROM q JOIN c{last} cc ON cc.m = q.m AND cc.pos = q.pos
+  GROUP BY q.query_id, cc.m, cc.cid
+), est AS (
+  SELECT a.query_id, co.vec_id AS neighbor_id, sum(a.dot_i) AS est_i
+  FROM a{last} co JOIN adc a ON a.m = co.m AND a.cid = co.cl
+  WHERE co.vec_id <> a.query_id
+  GROUP BY a.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id, est_cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT query_id, neighbor_id,
+         CAST(est_i AS DOUBLE) / 1000000000000.0 AS est_cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY est_i DESC, neighbor_id) AS rnk
+  FROM est
+)
+WHERE rnk <= {TOP_K}"""
+    )
+    return "".join(parts)
+
+
+def _pq_quant(X: "np.ndarray") -> "np.ndarray":
+    """Unit-normalize rows into EXACT int64 micro-units — the shared
+    working representation of both engines, stronger than the
+    kmeans_clusters round-to-6dp discipline because nothing downstream
+    is float at all: raw values quantize to ints (floor(v·10⁶+0.5)),
+    the squared norm is an exact integer sum (≤64·(5·10⁶)² ≪ 2⁵³, so
+    every float64 partial sum is exact in ANY order), sqrt of an exact
+    integer is correctly rounded identically everywhere, and one IEEE
+    division + floor lands on the same int on both engines. All
+    distances, means, ADC dots, and scores stay in integer arithmetic —
+    no summation order can flip anything."""
+    E = np.floor(X * 1e6 + 0.5)
+    n2 = (E * E).sum(axis=1, keepdims=True)
+    return np.floor(E * 1e6 / np.sqrt(n2) + 0.5).astype(np.int64)
+
+
+@register("ann_pq_cosine", _pq_oracle())
+def ann_pq_cosine(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
+    """Approximate NN, product-quantization flavor (L3 scale path #3,
+    Jégou et al. 2011): the MEMORY-bounded member of the ANN family —
+    LSH/IVF prune candidates but still hold full vectors; PQ shrinks the
+    vectors themselves 32× (64 doubles → 8 4-bit codes) so a 100 TB
+    embedding corpus's index fits in RAM. DIM is split into PQ_M
+    subspaces; each learns a PQ_K-centroid codebook by Lloyd rounds;
+    every vector becomes its per-subspace nearest-centroid code; a query
+    scores candidates ASYMMETRICALLY — exact query subvector against the
+    codebook reconstruction — via an (M × K) lookup table, never
+    touching corpus floats again.
+
+    Scale/determinism design (the kmeans_clusters discipline, hardened):
+    codebooks live on the DRIVER between rounds (M·K·SUB = 1024 ints);
+    each training round is ONE vectorized mapInPandas scan emitting
+    M·K·SUB-bounded partial sums; encode+score is one final scan where
+    the ADC tables ride the closure. EVERYTHING after the one
+    quantizing normalization (`_pq_quant`) is EXACT int64 arithmetic —
+    squared distances, centroid means (round-half-up via integer floor
+    division), ADC dots, and the final score — so no partial-sum
+    reorder on either engine can flip an assignment, a tie-break, or an
+    output value; the single int→double division at the end is
+    bit-identical everywhere (no round() on the output at all). The
+    only data-sized shuffle is the per-query top-K window over |Q|·n
+    scored code rows."""
+    k = TOP_K if k is None else k
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    init = sorted(
+        emb.filter(F.col("vec_id") < PQ_K).collect(), key=lambda r: r.vec_id
+    )
+    X0 = _pq_quant(np.stack([np.asarray(r.emb, dtype=np.float64) for r in init]))
+    # C[m]: (PQ_K, SUB) int64 codebook for subspace m
+    C = [X0[:, m * _PQ_SUB : (m + 1) * _PQ_SUB].copy() for m in range(PQ_M)]
+
+    def _codes(X: np.ndarray, Cs: list[np.ndarray]) -> np.ndarray:
+        """(n, M) nearest-centroid codes; EXACT integer squared
+        distances, first-min argmin — ties to the lowest cid like the
+        oracle's row_number ORDER BY (dist, cid)."""
+        out = np.empty((X.shape[0], PQ_M), dtype=np.int64)
+        for m in range(PQ_M):
+            Xm = X[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            D = ((Xm[:, None, :] - Cs[m][None, :, :]) ** 2).sum(axis=2)
+            out[:, m] = D.argmin(axis=1)
+        return out
+
+    for _ in range(PQ_ITERS - 1):
+        Cs = [c.copy() for c in C]
+
+        def partials(batches, _Cs=Cs):
+            for pdf in batches:
+                X = _pq_quant(np.stack(pdf["emb"].to_numpy()))
+                codes = _codes(X, _Cs)
+                rows = []
+                for m in range(PQ_M):
+                    Xm = X[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                    for cid in np.unique(codes[:, m]):
+                        sel = Xm[codes[:, m] == cid]
+                        rows.append(
+                            pd.DataFrame(
+                                {
+                                    "m": m,
+                                    "cid": int(cid),
+                                    "pos": np.arange(1, _PQ_SUB + 1),
+                                    "s": sel.sum(axis=0),
+                                    "n": sel.shape[0],
+                                }
+                            )
+                        )
+                yield pd.concat(rows) if rows else pd.DataFrame(
+                    {"m": [], "cid": [], "pos": [], "s": [], "n": []}
+                )
+
+        stats = (
+            emb.mapInPandas(partials, "m int, cid int, pos int, s long, n long")
+            .groupBy("m", "cid", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()  # bounded: M×K×SUB = 1024 rows
+        )
+        for r in stats:  # empty cells keep their previous centroid
+            # round-half-up of the exact rational mean s/n, in EXACT
+            # Python integer floor division; the oracle's
+            # floor((2s+cnt)/(2cnt)) double spelling agrees because the
+            # true quotient is never closer than 1/(2n) to an integer
+            # without equaling it — orders of magnitude above double
+            # rounding error at any gate scale
+            C[r.m][r.cid][r.pos - 1] = (2 * int(r.s) + int(r.n)) // (
+                2 * int(r.n)
+            )
+
+    # ADC lookup tables in INTEGER micro-units: lut[m][cid, qi]
+    qrows = sorted(
+        emb.filter(F.col("vec_id").isin(*QUERY_IDS)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = _pq_quant(
+        np.stack([np.asarray(r.emb, dtype=np.float64) for r in qrows])
+    )
+    # ADC lookup tables: int64 matmul of int64 operands — exact in any
+    # order (products ≤ 10¹², per-subspace sums ≤ 8·10¹²)
+    lut = [
+        C[m] @ Q[:, m * _PQ_SUB : (m + 1) * _PQ_SUB].T for m in range(PQ_M)
+    ]
+    Cf = [c.copy() for c in C]
+
+    def score(batches, _Cs=Cf, _lut=lut):
+        for pdf in batches:
+            X = _pq_quant(np.stack(pdf["emb"].to_numpy()))
+            codes = _codes(X, _Cs)
+            est = np.zeros((X.shape[0], len(qids)), dtype=np.int64)
+            for m in range(PQ_M):
+                est += _lut[m][codes[:, m], :]
+            n = X.shape[0]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), len(qids)),
+                    "est_i": est.ravel(),
+                }
+            )
+
+    scored = emb.mapInPandas(
+        score, "query_id long, neighbor_id long, est_i long"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("est_i"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("est_i").cast("double") / F.lit(1.0e12)).alias(
+                "est_cosine"
+            ),
+            "rnk",
+        )
+    )
+
+
 NEAR_DUP_COSINE = 0.4
 
 embedding_near_dup_oracle = f"""

@@ -68,6 +68,28 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         assert q not in ns and len(ns) <= similarity.TOP_K
 
 
+def test_pq_recall_and_code_fidelity(spark, sf_dir):
+    """PQ scores the whole corpus through 8 4-bit codes: recall@10 must
+    clear a useful floor (coarse codes, no candidate pruning — the
+    memory-bounded tradeoff), self is excluded, exactly TOP_K rows per
+    query, and every estimated cosine is a plausible unit-dot (|est|
+    bounded by ~1 plus quantization slack)."""
+    exact = {}
+    for r in similarity.cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rows = similarity.ann_pq_cosine(spark, sf_dir).collect()
+    approx: dict[int, set[int]] = {}
+    for r in rows:
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert abs(r.est_cosine) <= 1.05
+    recalls = [
+        len(approx.get(q, set()) & ns) / len(ns) for q, ns in exact.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.15
+    for q, ns in approx.items():
+        assert q not in ns and len(ns) == similarity.TOP_K
+
+
 def test_near_dup_lsh_subset_of_exact(spark, sf_dir):
     """Every LSH-candidate pair is a true near-dup (no false positives after
     the exact re-filter) and recall is above the sign-LSH theoretical floor

@@ -64,6 +64,15 @@ def main() -> int:
         t0 = time.time()
         got = _topk_sets(sim.ann_ivf_cosine(spark, SF_DIR, n_probe=np_, k=K))
         rows.append((f"ivf n_probe={np_}", recall(got), time.time() - t0))
+    t0 = time.time()
+    got = _topk_sets(sim.ann_pq_cosine(spark, SF_DIR, k=K))
+    rows.append(
+        (
+            f"pq m={sim.PQ_M} k*={sim.PQ_K} (32x compressed codes)",
+            recall(got),
+            time.time() - t0,
+        )
+    )
 
     print(f"\n| setting | recall@{K} | wall s |")
     print("|---|---|---|")
