@@ -1,0 +1,217 @@
+"""Incremental corpus near-duplication: the BATCH twin of the streaming
+crawl filter (streaming/neardup.py), built on the manifest table's
+committed generations (sources/manifest_table.py) — the operation a real
+crawl pipeline runs daily: yesterday's corpus is already signatured and
+indexed; today's batch probes the index and appends to it, and NO
+document's text is ever re-read or re-signatured after its own batch.
+
+Index layout (two manifest tables under one directory):
+
+- ``{index}/bands``    — (doc_id, n_sh, band_id, band_key): the MinHash
+  LSH band rows of every ingested document (N_BANDS rows × 3 longs per
+  doc) — candidate generation probes THIS, never the text.
+- ``{index}/shingles`` — DISTINCT (doc_id, h) hashed-shingle rows —
+  exact-Jaccard verification reads only the rows of candidate-involved
+  documents (semi-join pushdown), never the corpus.
+
+Per arriving batch the protocol is PROBE then INGEST:
+
+1. ``neardup_probe_pairs`` signatures the batch once, pulls ONLY the
+   history band rows whose (band_id, band_key) collide with the batch
+   (left-semi probe — the shuffle is keyed on the batch's band keys, so
+   its cost follows the batch and its collisions, not history size),
+   reuses the exact ``lsh_candidate_pairs`` machinery (hot-bucket star
+   cap included) over batch ∪ colliding-history bands, restricts to
+   pairs touching the batch, and verifies with the same join-count
+   exact Jaccard as ``near_dup_pairs``.
+2. ``neardup_index_ingest`` appends the batch's band and shingle rows as
+   a new BLIND-APPEND manifest generation — O(batch) committed bytes,
+   the index is never rewritten.
+
+Emission invariant: a near-dup pair is emitted exactly once — by the
+probe of the batch that completes it (both-new pairs at their shared
+batch; new-vs-history pairs when the newer side arrives). The union of
+all probe outputs over any batch partitioning of a corpus EQUALS the
+full-recompute ``near_dup_pairs`` on that corpus (property-tested across
+chained commits; the registered query runs a 3-batch chain against the
+UNCHANGED full-corpus oracle). One documented divergence at the margin:
+the hot-bucket cap engages on bucket size AS OF PROBE TIME, so a bucket
+that only later grows past the cap keeps its earlier all-pairs output —
+the semantics any incremental pipeline has, and invisible below the cap.
+
+Laziness is SAFE by construction: ``manifest_read`` pins a plan to the
+current generation's immutable data directory at build time, so a probe
+DataFrame collected AFTER later ingests still reads exactly the index
+state it was built against (the manifest time-travel property doing real
+work).
+
+Scale shape at 100 TB: the per-batch cost is one batch signature pass +
+one band-index scan (4 flat-int rows/doc — the scan is over the INDEX,
+~1e-4 of corpus text bytes; a bloom sidecar on band_key,
+sources/bloom_index.py, can prune it further) + shuffles proportional to
+batch ∪ collisions. Reference lens: the reference dedups only within
+its stream by full-row equality (consumer.scala:60-94 dropDuplicates);
+this is the [EXT] corpus-scale generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from ..sources.manifest_table import manifest_append, manifest_read
+from .dedup import (
+    JACCARD_THRESHOLD,
+    counted_bands,
+    exploded_shingles_of,
+    lsh_candidate_pairs,
+    minhash_signatures_of,
+    near_dup_oracle,
+    signature_bands,
+)
+
+__all__ = [
+    "neardup_probe_pairs",
+    "neardup_index_ingest",
+    "incremental_neardup_pairs",
+]
+
+_BANDS = "bands"
+_SHINGLES = "shingles"
+
+
+def _batch_features(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(distinct shingle rows, band rows with n_sh) for one batch —
+    the same shingle/minhash/band math as ``near_dup_pairs``, computed
+    once per batch (the stored shingle rows are DISTINCT so the index
+    never carries the explode's ~0.1% within-doc duplicates)."""
+    ex = exploded_shingles_of(docs).select("doc_id", "h").distinct()
+    sigs = minhash_signatures_of(ex, with_size=True)
+    return ex, signature_bands(sigs, keep=("n_sh",))
+
+
+def _read_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame | None, DataFrame | None]:
+    try:
+        return (
+            manifest_read(spark, f"{index_dir}/{_BANDS}"),
+            manifest_read(spark, f"{index_dir}/{_SHINGLES}"),
+        )
+    except FileNotFoundError:  # first batch: no index yet
+        return None, None
+
+
+def neardup_probe_pairs(
+    spark: SparkSession, index_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, jaccard) with at least one
+    side in ``docs``, against the index at ``index_dir`` plus the batch
+    itself. Run BEFORE ``neardup_index_ingest`` of the same batch."""
+    ex_new, bands_new = _batch_features(docs)
+    hist_bands, hist_sh = _read_index(spark, index_dir)
+    if hist_bands is not None:
+        # the probe: only history band rows COLLIDING with the batch's
+        # band keys enter candidate generation — shuffle cost keyed on
+        # the batch, never on history size. Every member of a colliding
+        # bucket is pulled, so bucket counts (and the hot-bucket
+        # star/all-pairs decision and hub identity) match what a full
+        # recompute would see for every bucket that can emit a
+        # batch-touching pair.
+        keys_new = bands_new.select("band_id", "band_key").distinct()
+        hit = hist_bands.join(keys_new, ["band_id", "band_key"], "left_semi")
+        all_bands = bands_new.unionByName(hit)
+    else:
+        all_bands = bands_new
+    counted = counted_bands(all_bands)
+    cand = lsh_candidate_pairs(counted, pre_counted=True, carry_sizes=True)
+
+    new_ids = bands_new.select("doc_id").distinct()
+    cand = (
+        cand.join(
+            new_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        )
+        .unionByName(
+            cand.join(
+                new_ids.withColumnRenamed("doc_id", "doc_b"),
+                "doc_b",
+                "left_semi",
+            )
+        )
+        .distinct()  # a both-new pair survives both semi-joins
+    )
+
+    # exact verification over ONLY the involved documents' shingle rows:
+    # batch rows are in hand; history rows semi-join down to candidates
+    ex_all = ex_new
+    if hist_sh is not None:
+        involved = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+            cand.select(F.col("doc_b").alias("doc_id"))
+        ).distinct()
+        ex_all = ex_new.unionByName(
+            hist_sh.join(involved, "doc_id", "left_semi")
+        )
+    # shuffle_hash for the same reason as near_dup_pairs: the shingle
+    # frame is corpus-class — never let a size ESTIMATE pick broadcast
+    ex_a = ex_all.select(F.col("doc_id").alias("doc_a"), "h").hint(
+        "shuffle_hash"
+    )
+    ex_b = ex_all.select(F.col("doc_id").alias("doc_b"), "h").hint(
+        "shuffle_hash"
+    )
+    inter = (
+        cand.join(ex_a, "doc_a")
+        .join(ex_b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count_distinct(F.col("h")).alias("n_common"))
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def neardup_index_ingest(
+    spark: SparkSession, index_dir: str, docs: DataFrame
+) -> int:
+    """Append ``docs``'s band + shingle rows to the index, one new
+    BLIND-APPEND generation per table — O(batch) committed bytes; the
+    index is never copied (manifest_append; at 100 TB a daily batch
+    writes its own rows, full stop — run manifest_compact on a cadence
+    to pay down the file-count debt). Ingest each batch exactly once
+    (probe-then-ingest); if your pipeline can replay a batch, swap in
+    manifest_upsert(key='doc_id') and pay its copy-on-write. Returns the
+    shingle table's new generation."""
+    ex_new, bands_new = _batch_features(docs)
+    manifest_append(spark, f"{index_dir}/{_BANDS}", bands_new)
+    return manifest_append(spark, f"{index_dir}/{_SHINGLES}", ex_new)
+
+
+@register("incremental_neardup_pairs", near_dup_oracle)
+def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental machinery exercised end-to-end as a query: the
+    documents corpus arrives as THREE chained commits (doc_id mod 3);
+    each batch probes the index built by its predecessors, then ingests.
+    The union of the three probe outputs must equal the full-corpus
+    ``near_dup_pairs`` — so this registers against the UNCHANGED
+    near-dup oracle, making the emit-exactly-once invariant itself the
+    correctness gate."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = tempfile.mkdtemp(prefix="sr_neardup_idx_")
+    outs = []
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == b)
+        # probe plans pin their manifest generation at BUILD time
+        # (immutable data dirs), so collecting them after later ingests
+        # still reads exactly the pre-ingest index state
+        outs.append(neardup_probe_pairs(spark, index_dir, batch))
+        neardup_index_ingest(spark, index_dir, batch)
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])

@@ -133,6 +133,13 @@ def manifest_write(
     return gen
 
 
+def _generation_dirs(rec: dict) -> list[str]:
+    """Data dirs of one committed generation: append commits carry a
+    ``data_dirs`` list (prior dirs + the new one); full-rewrite commits
+    carry a single ``data_dir``."""
+    return rec.get("data_dirs") or [rec["data_dir"]]
+
+
 def manifest_read(
     spark: SparkSession, table_dir: str, generation: int | None = None
 ) -> DataFrame:
@@ -154,12 +161,46 @@ def manifest_read(
                 f"(have {sorted(by_gen)}; older ones may be vacuumed)"
             )
         rec = _read_manifest(spark, by_gen[generation])
-    fs, jvm = _fs(spark, rec["data_dir"])
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(rec["data_dir"])):
-        raise FileNotFoundError(
-            f"generation {rec['generation']} data was vacuumed from {table_dir}"
-        )
-    return spark.read.parquet(rec["data_dir"])
+    dirs = _generation_dirs(rec)
+    fs, jvm = _fs(spark, dirs[0])
+    for d in dirs:
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
+            raise FileNotFoundError(
+                f"generation {rec['generation']} data was vacuumed from "
+                f"{table_dir}"
+            )
+    return spark.read.parquet(*dirs)
+
+
+def manifest_append(
+    spark: SparkSession, table_dir: str, new_rows: DataFrame
+) -> int:
+    """BLIND-APPEND commit: stages ONLY ``new_rows`` into a fresh data dir
+    and publishes a generation whose manifest references the previous
+    generation's data dirs plus the new one — O(batch) write, never a
+    copy of the table (the Delta/Iceberg append path; ``manifest_upsert``
+    / ``manifest_delete`` / ``manifest_compact`` remain the copy-on-write
+    path, and any of them — compact in particular — pays down a long
+    append chain back to one dir). No key semantics: appending rows whose
+    keys already exist duplicates them, by design; use
+    ``manifest_upsert`` when replays are possible. Returns the new
+    generation."""
+    commits = _list_commits(spark, table_dir)
+    if not commits:
+        return manifest_write(spark, table_dir, new_rows)
+    prev = _read_manifest(spark, commits[-1][1])
+    gen = commits[-1][0] + 1
+    data_dir, n_new = _stage_generation(new_rows, table_dir, gen)
+    _commit(
+        spark, table_dir, gen,
+        {
+            "generation": gen,
+            "data_dir": data_dir,
+            "data_dirs": _generation_dirs(prev) + [data_dir],
+            "n_rows": prev.get("n_rows", 0) + n_new,
+        },
+    )
+    return gen
 
 
 def manifest_history(spark: SparkSession, table_dir: str) -> list[dict]:
@@ -402,12 +443,13 @@ def manifest_vacuum(
     fs, jvm = _fs(spark, table_dir)
     commits = _list_commits(spark, table_dir)
     live = commits[-keep:] if keep > 0 else []
-    # qualify through the filesystem so "file:/x" and "/x" compare equal
+    # qualify through the filesystem so "file:/x" and "/x" compare equal;
+    # an append generation keeps EVERY dir it references alive, not just
+    # the one it staged
     live_dirs = {
-        fs.makeQualified(
-            jvm.org.apache.hadoop.fs.Path(_read_manifest(spark, p)["data_dir"])
-        ).toString()
+        fs.makeQualified(jvm.org.apache.hadoop.fs.Path(d)).toString()
         for _, p in live
+        for d in _generation_dirs(_read_manifest(spark, p))
     }
     removed = 0
     data_root = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/data")
