@@ -1082,3 +1082,109 @@ def cross_corr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil T index with between/within-nation decomposition
+# ---------------------------------------------------------------------------
+
+theil_oracle = """
+WITH cust AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS x
+  FROM cust
+), grp AS (
+  SELECT c.c_nationkey,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(c.cents) AS BIGINT) AS x_g,
+         sum((CAST(c.cents AS DOUBLE) / t.x)
+             * ln(CAST(c.cents AS DOUBLE) * t.n / t.x)) AS t_contrib
+  FROM cust c, tot t
+  GROUP BY c.c_nationkey, t.n, t.x
+)
+SELECT n.n_name,
+       g.n_g AS n_customers,
+       round(CAST(g.x_g AS DOUBLE) / t.x, 6) AS revenue_share,
+       round(g.t_contrib
+             - (CAST(g.x_g AS DOUBLE) / t.x)
+               * ln((CAST(g.x_g AS DOUBLE) / t.x)
+                    / (CAST(g.n_g AS DOUBLE) / t.n)), 6) AS theil_within,
+       round((CAST(g.x_g AS DOUBLE) / t.x)
+             * ln((CAST(g.x_g AS DOUBLE) / t.x)
+                  / (CAST(g.n_g AS DOUBLE) / t.n)), 6) AS theil_between
+FROM grp g JOIN nation n ON n.n_nationkey = g.c_nationkey, tot t
+"""
+
+
+@register("theil_index_nations", theil_oracle)
+def theil_index_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-customer revenue, exactly
+    decomposed between and within nations — the decomposability Gini
+    LACKS (`gini_customer_revenue` reports one scalar; Theil answers
+    "is the inequality BETWEEN markets or INSIDE them?", the question a
+    data team asks next). Per nation: its revenue share s_g, its
+    between-group term s_g·ln(s_g/p_g), and its within contribution
+    s_g·T_g; summing the two term columns over all rows reproduces the
+    total T = Σ (x_i/X)·ln(x_i·N/X).
+
+    Plan: per-customer revenue is ONE combinable groupBy (cents-exact
+    BIGINT), the 1-row (N, X) total is broadcast, and the per-nation
+    terms are a second combinable aggregate over the customer frame —
+    nothing bigger than |customers| crosses a shuffle, and the nation
+    join is a 25-row broadcast. Floats enter only at ln() over exact
+    integer ratios; every sum is sign-uniform within a group up to the
+    final subtraction of exact-ratio logs, so round-6 is hash-stable."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey", "o_totalprice"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    tot = cust.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("x")
+    )
+    x_d = F.col("cents").cast("double")
+    grp = (
+        cust.crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum("cents").alias("x_g"),
+            F.sum(
+                (x_d / F.col("x"))
+                * F.log(x_d * F.col("n") / F.col("x"))
+            ).alias("t_contrib"),
+            F.any_value("n").alias("n"),
+            F.any_value("x").alias("x"),
+        )
+    )
+    share = F.col("x_g").cast("double") / F.col("x")
+    p_g = F.col("n_g").cast("double") / F.col("n")
+    between = share * F.log(share / p_g)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return grp.join(
+        F.broadcast(nation), grp.c_nationkey == nation.n_nationkey
+    ).select(
+        "n_name",
+        F.col("n_g").alias("n_customers"),
+        F.round(share, 6).alias("revenue_share"),
+        F.round(F.col("t_contrib") - between, 6).alias("theil_within"),
+        F.round(between, 6).alias("theil_between"),
+    )

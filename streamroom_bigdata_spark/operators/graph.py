@@ -1442,3 +1442,161 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_nodes))
         .select("n_edges", "n_nodes", "assortativity")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the directed customer→supplier graph
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 6
+_HITS_CKPT_EVERY = 3
+
+
+def _hits_oracle() -> str:
+    """Unrolled K-round HITS with L1 normalization each half-step —
+    mechanically generated aggregate-join CTEs, each exactly one Spark
+    round's math (the `_pagerank_oracle` pattern)."""
+    iters = []
+    for k in range(1, HITS_ITERS + 1):
+        iters.append(
+            f"""a{k}r AS MATERIALIZED (
+  SELECT e.s, sum(h.h) AS a FROM edges e
+  JOIN h{k - 1} h ON h.c = e.c GROUP BY e.s
+), a{k} AS MATERIALIZED (
+  SELECT s, a / (SELECT sum(a) FROM a{k}r) AS a FROM a{k}r
+), h{k}r AS MATERIALIZED (
+  SELECT e.c, sum(a.a) AS h FROM edges e
+  JOIN a{k} a ON a.s = e.s GROUP BY e.c
+), h{k} AS MATERIALIZED (
+  SELECT c, h / (SELECT sum(h) FROM h{k}r) AS h FROM h{k}r
+)"""
+        )
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+h0 AS (
+  SELECT c, 1.0 / (SELECT count(DISTINCT c) FROM edges) AS h
+  FROM (SELECT DISTINCT c FROM edges)
+),
+{', '.join(iters)}
+SELECT 'customer' AS node_type, c AS node_key, round(h, 5) AS hits_score,
+       'hub' AS role
+FROM h{HITS_ITERS}
+UNION ALL
+SELECT 'supplier', s, round(a, 5), 'authority' FROM a{HITS_ITERS}
+"""
+
+
+@register("hits_hubs_authorities", _hits_oracle())
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hub/authority scores over the DIRECTED
+    customer→supplier purchase graph — the directed counterpart of
+    `pagerank_transactions` on the same relation: a supplier is
+    authoritative if good hub customers buy from it, a customer is a good
+    hub if it buys from authoritative suppliers. L1 normalization each
+    half-step (sum-normalized mass, the pagerank convention here) keeps
+    the fixed K=6 rounds engine-comparable; the oracle unrolls the same
+    rounds as chained SQL aggregates — exact value check, not rows-only.
+
+    Scale: the distinct edge table is entity-bounded (≤ |cust|·|supp|,
+    saturating as facts replicate — measured flat across the sf≈1→sf≈10
+    rehearsal for the same reason as scc_min_label), derived by ONE
+    combinable distinct over the order join and checkpointed once; each
+    round is two key-partitioned shuffles over node-sized frames plus a
+    1-row L1-mass broadcast, lineage truncated every
+    ``_HITS_CKPT_EVERY`` rounds (pagerank cadence)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ckpt = _checkpointer(spark, None)
+    edges = ckpt(
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    if edges.count() <= _PR_DRIVER_MAX_EDGES:
+        return _driver_hits(edges)
+    n_hubs = edges.select("c").distinct().count()
+    hubs = edges.select("c").distinct().withColumn(
+        "h", F.lit(1.0 / n_hubs)
+    )
+    auth = None
+    for k in range(1, HITS_ITERS + 1):
+        a_raw = (
+            edges.join(hubs, "c")
+            .groupBy("s")
+            .agg(F.sum("h").alias("a"))
+        )
+        a_mass = a_raw.agg(F.sum("a").alias("mass"))
+        auth = a_raw.crossJoin(F.broadcast(a_mass)).select(
+            "s", (F.col("a") / F.col("mass")).alias("a")
+        )
+        h_raw = (
+            edges.join(auth, "s")
+            .groupBy("c")
+            .agg(F.sum("a").alias("h"))
+        )
+        h_mass = h_raw.agg(F.sum("h").alias("mass"))
+        hubs = h_raw.crossJoin(F.broadcast(h_mass)).select(
+            "c", (F.col("h") / F.col("mass")).alias("h")
+        )
+        if k % _HITS_CKPT_EVERY == 0 and k < HITS_ITERS:
+            hubs = ckpt(hubs)
+            auth = ckpt(auth)
+    return hubs.select(
+        F.lit("customer").alias("node_type"),
+        F.col("c").alias("node_key"),
+        F.round("h", 5).alias("hits_score"),
+        F.lit("hub").alias("role"),
+    ).unionByName(
+        auth.select(
+            F.lit("supplier").alias("node_type"),
+            F.col("s").alias("node_key"),
+            F.round("a", 5).alias("hits_score"),
+            F.lit("authority").alias("role"),
+        )
+    )
+
+
+def _driver_hits(edges: DataFrame) -> DataFrame:
+    """Bounded-graph fast path (`_driver_pagerank` rationale, same
+    ``_PR_DRIVER_MAX_EDGES`` bound): vectorized numpy half-steps over the
+    Arrow-collected entity-bounded edge table. Matches the distributed
+    loop to accumulation-order float noise, far below the round-5 output
+    precision."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    pdf = edges.toPandas()
+    c = pdf["c"].to_numpy(dtype=np.int64)
+    s = pdf["s"].to_numpy(dtype=np.int64)
+    cids = np.unique(c)
+    sids = np.unique(s)
+    ci = np.searchsorted(cids, c)
+    si = np.searchsorted(sids, s)
+    h = np.full(len(cids), 1.0 / len(cids))
+    a = np.zeros(len(sids))
+    for _ in range(HITS_ITERS):
+        a = np.bincount(si, weights=h[ci], minlength=len(sids))
+        a /= a.sum()
+        h = np.bincount(ci, weights=a[si], minlength=len(cids))
+        h /= h.sum()
+
+    spark = edges.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("node_type", T.StringType(), False),
+            T.StructField("node_key", T.LongType(), False),
+            T.StructField("hits_score", T.DoubleType(), False),
+            T.StructField("role", T.StringType(), False),
+        ]
+    )
+    rows = [
+        ("customer", int(k), round(float(v), 5), "hub")
+        for k, v in zip(cids, h)
+    ] + [
+        ("supplier", int(k), round(float(v), 5), "authority")
+        for k, v in zip(sids, a)
+    ]
+    return spark.createDataFrame(rows, schema)

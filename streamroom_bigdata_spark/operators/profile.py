@@ -819,3 +819,111 @@ def hll_union_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation from count-min sketch inner products
+# ---------------------------------------------------------------------------
+
+#: wider than the token sketch: partkey cardinality (200k at sf1) needs
+#: width ≫ heavy-hitter count for a usable F2/join-size estimate
+JSE_WIDTH = 1024
+
+
+def _jse_bucket_sql(expr: str, seed: int) -> str:
+    from ..functions.hashing import sql_hash64
+
+    seeded = f"concat('j{seed}:', {expr})"
+    return f"({sql_hash64(seeded)} % {JSE_WIDTH})"
+
+
+def _jse_oracle() -> str:
+    return f"""
+WITH keys AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+), cells AS (
+  SELECT u.seed,
+         CASE u.seed
+           {" ".join(f"WHEN {s} THEN {_jse_bucket_sql('k', s)}" for s in range(CMS_DEPTH))}
+         END AS bucket,
+         CAST(count(*) AS BIGINT) AS cell
+  FROM keys, (SELECT unnest([{", ".join(str(s) for s in range(CMS_DEPTH))}]) AS seed) u
+  GROUP BY u.seed, bucket
+), est AS (
+  SELECT seed, CAST(sum(cell * cell) AS BIGINT) AS est_pairs
+  FROM cells GROUP BY seed
+), truth AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS true_pairs
+  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)
+)
+SELECT e.seed, e.est_pairs, t.true_pairs,
+       e.est_pairs - t.true_pairs AS overestimate
+FROM est e, truth t
+ORDER BY e.seed
+"""
+
+
+@register("join_size_estimate_cm", _jse_oracle())
+def join_size_estimate_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join cardinality estimation from count-min sketch inner
+    products (Alon-Matias-Szegedy F2 via CM, Cormode/Muthukrishnan §4.2):
+    |lineitem ⋈_partkey lineitem| = Σ_k c(k)² is estimated per sketch row
+    as Σ_w cell_w² — the pre-join statistic an optimizer consults before
+    choosing a strategy, computed WITHOUT materializing the join. Each
+    row overestimates by at most ~N²/width w.h.p.; min over seeds is the
+    estimate (the output keeps per-seed rows so the min AND the spread
+    are visible, alongside the exact Σc² ground truth).
+
+    Scale: sketch build is one (seed, bucket)-keyed combinable aggregate —
+    every task's stream collapses to ≤ DEPTH×WIDTH cells map-side, the
+    exchange carries only those partials, and the estimate reduces
+    DEPTH×WIDTH rows. Ground truth is one partkey-keyed combinable count.
+    All counters are exact BIGINT on both engines — integer-exact oracle,
+    no float tolerance anywhere."""
+    from ..functions.hashing import portable_hash64
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+
+    def bucket(col, seed: int):
+        return F.pmod(
+            portable_hash64(F.concat(F.lit(f"j{seed}:"), col)),
+            F.lit(JSE_WIDTH),
+        )
+
+    seeded = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        bucket(F.col("k"), s).alias("bucket"),
+                    )
+                    for s in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("sb")
+    ).select("sb.seed", "sb.bucket")
+    est = (
+        seeded.groupBy("seed", "bucket")
+        .agg(F.count("*").alias("cell"))
+        .groupBy("seed")
+        .agg(F.sum(F.col("cell") * F.col("cell")).alias("est_pairs"))
+    )
+    truth = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("true_pairs"))
+    )
+    return (
+        est.crossJoin(F.broadcast(truth))
+        .select(
+            "seed",
+            "est_pairs",
+            "true_pairs",
+            (F.col("est_pairs") - F.col("true_pairs")).alias("overestimate"),
+        )
+        .orderBy("seed")
+    )

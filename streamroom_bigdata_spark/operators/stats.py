@@ -753,3 +753,261 @@ def roc_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H — k-group rank test (the nonparametric ANOVA)
+# ---------------------------------------------------------------------------
+
+#: the five order priorities (fixture domain, embedded as literals so both
+#: engines aggregate the same fixed group columns in the same order)
+KW_GROUPS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _kw_oracle() -> str:
+    gcols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN o_orderpriority = '{g}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS g{j}"
+        for j, g in enumerate(KW_GROUPS)
+    )
+    rsums = ",\n         ".join(
+        f"CAST(sum(g{j}) AS BIGINT) AS n{j}, "
+        f"sum(g{j} * (cum_before + (cnt + 1) / 2.0)) AS r{j}"
+        for j in range(len(KW_GROUPS))
+    )
+    # explicit 5-term sum — identical evaluation order on both engines
+    ssq = " + ".join(f"r{j} * r{j} / n{j}" for j in range(len(KW_GROUPS)))
+    return f"""
+WITH vals AS (
+  SELECT o_totalprice AS v,
+         CAST(count(*) AS BIGINT) AS cnt,
+         {gcols}
+  FROM orders
+  GROUP BY 1
+), ranked AS (
+  SELECT *,
+         COALESCE(sum(cnt) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM vals
+), s AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_sum,
+         {rsums}
+  FROM ranked
+)
+SELECT n AS n_total,
+       round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * ({ssq})
+             - 3.0 * (n + 1), 6) AS h_stat,
+       round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * ({ssq})
+              - 3.0 * (n + 1))
+             / (1.0 - tie_sum / (CAST(n AS DOUBLE) * n * n - n)), 6)
+         AS h_tie_adj,
+       round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * ({ssq})
+              - 3.0 * (n + 1)) * (n + 1)
+             / (CAST(n AS DOUBLE) * n - 1.0), 6) AS epsilon_sq
+FROM s
+"""
+
+
+@register("kruskal_wallis_h", _kw_oracle())
+def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of o_totalprice across the five order
+    priorities — the k-group generalization of `mann_whitney_u` and the
+    rank-based (distribution-free) counterpart of `anova_f_oneway`: does
+    ANY priority class price differently? Reports the raw H, the
+    tie-corrected H (H / (1 - Σ(t³−t)/(N³−N))), and the ε² effect size.
+
+    Same distributed-ranking discipline as mann_whitney_u: observations
+    collapse to per-distinct-price counts carrying the FIVE group
+    occupancy columns (one combinable groupBy — the only data-sized
+    exchange), the collapsed table is range-partitioned with O(P) rank
+    offsets (`functions/ranking.py`), and every rank-sum R_j accumulates
+    exact multiples of 0.5 (binary-exact doubles below 2^52), so the five
+    R_j are bit-identical cross-engine. The H formula is then spelled as
+    the SAME explicit 5-term expression in both engines — no
+    accumulation-order noise enters anywhere before the final round-6."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderpriority"
+    )
+    vals = orders.groupBy("v").agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum((F.col("o_orderpriority") == g).cast("long")).alias(f"g{j}")
+            for j, g in enumerate(KW_GROUPS)
+        ],
+    )
+    n_parts = shuffle_partition_count(spark)
+    ranged, _, offsets_df, _ = range_partition_offsets(
+        vals, ["v"], [("tot", F.sum("cnt"))], n_parts
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    midrank = F.col("cum_before") + (F.col("cnt") + 1) / 2.0
+    s = (
+        ranged.withColumn("cum_local", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .join(F.broadcast(offsets_df), "pid")
+        .withColumn("cum_before", F.col("off_tot") + F.col("cum_local"))
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(
+                F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+                - F.col("cnt")
+            ).alias("tie_sum"),
+            *[
+                x
+                for j in range(len(KW_GROUPS))
+                for x in (
+                    F.sum(F.col(f"g{j}")).alias(f"n{j}"),
+                    F.sum(F.col(f"g{j}") * midrank).alias(f"r{j}"),
+                )
+            ],
+        )
+    )
+    n_d = F.col("n").cast("double")
+    ssq = None
+    for j in range(len(KW_GROUPS)):
+        term = F.col(f"r{j}") * F.col(f"r{j}") / F.col(f"n{j}")
+        ssq = term if ssq is None else ssq + term
+    h = 12.0 / (n_d * (F.col("n") + 1)) * ssq - 3.0 * (F.col("n") + 1)
+    return s.select(
+        F.col("n").alias("n_total"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(
+            h / (1.0 - F.col("tie_sum") / (n_d * F.col("n") * F.col("n") - F.col("n"))),
+            6,
+        ).alias("h_tie_adj"),
+        F.round(h * (F.col("n") + 1) / (n_d * F.col("n") - 1.0), 6).alias(
+            "epsilon_sq"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth mover's) distance between two samples
+# ---------------------------------------------------------------------------
+
+WS_GROUP_A = "purchase"
+WS_GROUP_B = "click"
+
+wasserstein_oracle = f"""
+WITH vals AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = '{WS_GROUP_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a_cnt,
+         CAST(sum(CASE WHEN event_type = '{WS_GROUP_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b_cnt
+  FROM events WHERE event_type IN ('{WS_GROUP_A}', '{WS_GROUP_B}')
+  GROUP BY 1
+), cdf AS (
+  SELECT v,
+         sum(a_cnt) OVER (ORDER BY v) AS cum_a,
+         sum(b_cnt) OVER (ORDER BY v) AS cum_b,
+         lead(v) OVER (ORDER BY v) AS v_next
+  FROM vals
+), tot AS (
+  SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a,
+         CAST(sum(b_cnt) AS BIGINT) AS n_b
+  FROM vals
+)
+SELECT n_a, n_b,
+       round(sum(abs(cum_a * n_b - cum_b * n_a) * (v_next - v))
+             / (CAST(n_a AS DOUBLE) * n_b), 6) AS w1_distance
+FROM cdf, tot
+WHERE v_next IS NOT NULL
+GROUP BY n_a, n_b
+"""
+
+
+@register("wasserstein_1d_values", wasserstein_oracle)
+def wasserstein_1d_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between the `value`
+    distributions of two event types — W1 = ∫|F_A − F_B| dx over the
+    pooled support. `mann_whitney_u` (same two samples) says WHETHER the
+    distributions differ; this says BY HOW MUCH, in the value's own units
+    (the metric drift monitors threshold on, cf. `drift_psi_event_types`
+    which needs binning; W1 is bin-free).
+
+    Distributed exact CDF integration WITHOUT a global sort: per-distinct-
+    value counts (one combinable groupBy), then the collapsed table rides
+    the `functions/ranking.py` range-partition kernel — inclusive
+    cumulative counts = broadcast per-partition offsets + local window;
+    the integration gap (v_next − v) at each partition's LAST row comes
+    from the O(P) driver-collected per-pid minima broadcast back (no row
+    crosses partitions). The integrand |cumA·n_b − cumB·n_a| is exact
+    BIGINT at any scale; only the final nonnegative-term sum is float, so
+    accumulation noise is ~1e-15 relative and round-6 is hash-stable."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(WS_GROUP_A, WS_GROUP_B))
+        .select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == WS_GROUP_A).cast("long").alias("is_a"),
+            (F.col("event_type") == WS_GROUP_B).cast("long").alias("is_b"),
+        )
+    )
+    vals = ev.groupBy("v").agg(
+        F.sum("is_a").alias("a_cnt"), F.sum("is_b").alias("b_cnt")
+    )
+    n_parts = shuffle_partition_count(spark)
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        vals,
+        ["v"],
+        [("a", F.sum("a_cnt")), ("b", F.sum("b_cnt"))],
+        n_parts,
+    )
+    # O(P) driver rows (ranged is pid-pinned by localCheckpoint, so this
+    # second tiny job reads the checkpointed partitions, not a re-sample):
+    # each pid's successor value is the NEXT non-empty partition's minimum
+    # (None for the last: its final gap term is zero)
+    mins = sorted(
+        ranged.groupBy("pid").agg(F.min("v").alias("vmin")).collect(),
+        key=lambda r: r.pid,
+    )
+    next_min = {
+        mins[i].pid: float(mins[i + 1]["vmin"]) for i in range(len(mins) - 1)
+    }
+    nm_df = spark.createDataFrame(
+        [(int(p), v) for p, v in next_min.items()] or [(int(-1), float(0.0))],
+        "pid int, next_vmin double",
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lead_w = Window.partitionBy("pid").orderBy("v")
+    n_a, n_b = int(totals["a"]), int(totals["b"])
+    cdf = (
+        ranged.withColumn("cum_a_loc", F.sum("a_cnt").over(w))
+        .withColumn("cum_b_loc", F.sum("b_cnt").over(w))
+        .withColumn("v_lead", F.lead("v").over(lead_w))
+        .join(F.broadcast(offsets_df), "pid")
+        .join(F.broadcast(nm_df), "pid", "left")
+        .select(
+            (F.col("off_a") + F.col("cum_a_loc")).alias("cum_a"),
+            (F.col("off_b") + F.col("cum_b_loc")).alias("cum_b"),
+            (F.coalesce(F.col("v_lead"), F.col("next_vmin")) - F.col("v")).alias(
+                "gap"
+            ),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return cdf.agg(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.round(
+            F.sum(
+                F.abs(F.col("cum_a") * n_b - F.col("cum_b") * n_a) * F.col("gap")
+            )
+            / (float(n_a) * n_b),
+            6,
+        ).alias("w1_distance"),
+    )
