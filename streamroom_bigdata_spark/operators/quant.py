@@ -900,3 +900,85 @@ def daily_return_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_over_std"),
         F.round(F.avg((F.col("r") > 0).cast("double")), 6).alias("frac_up"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RSI (Cutler's SMA form) over daily revenue — exact-integer regime flags
+# ---------------------------------------------------------------------------
+
+RSI_WINDOW = 14  # observed (trading) days, gaps skipped — bollinger convention
+RSI_HI = 70  # overbought threshold
+RSI_LO = 30  # oversold threshold
+_RSI_HI_10 = RSI_HI // 10
+_RSI_LO_10 = RSI_LO // 10
+
+rsi_oracle = f"""
+WITH daily AS MATERIALIZED ({_DAILY_CENTS_SQL}),
+diffed AS (
+  SELECT d, rev_c,
+         rev_c - lag(rev_c) OVER (ORDER BY d) AS diff
+  FROM daily
+), gl AS (
+  SELECT d, rev_c,
+         greatest(diff, 0) AS gain,
+         greatest(-diff, 0) AS loss,
+         CAST(count(diff) OVER win AS BIGINT) AS wn,
+         CAST(sum(greatest(diff, 0)) OVER win AS BIGINT) AS g,
+         CAST(sum(greatest(-diff, 0)) OVER win AS BIGINT) AS l
+  FROM diffed
+  WINDOW win AS (ORDER BY d ROWS BETWEEN {RSI_WINDOW - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT d, round(rev_c / 100.0, 2) AS rev,
+       floor(100.0 * g / nullif(g + l, 0) * 10000 + 0.5) / 10000 AS rsi,
+       (10 * g > {_RSI_HI_10} * (g + l)) AS overbought,
+       (10 * g < {_RSI_LO_10} * (g + l)) AS oversold
+FROM gl WHERE wn = {RSI_WINDOW}
+"""
+
+
+@register("rsi_daily_revenue", rsi_oracle)
+def rsi_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (Cutler's SMA form — the window-algebra
+    spelling; Wilder's EWMA variant is `ewma_values`' recursive family)
+    over the daily revenue series: RSI = 100·G/(G+L) where G/L are the
+    trailing 14-observed-day sums of up-moves and down-moves in cents.
+    The overbought/oversold flags are decided ENTIRELY in exact int64
+    (100G > 70(G+L) ⟺ 10G > 7(G+L), integers both sides — the bollinger
+    breakout discipline), so a threshold-touching day can never flip on
+    float noise; the displayed RSI uses the explicit
+    floor(x·10⁴+0.5)/10⁴ spelling (identical IEEE ops both engines).
+
+    Scale: ONE combinable daily groupBy is the data-sized stage; diffs
+    and the rolling G/L ride the day-DOMAIN window (calendar-bounded,
+    plan-audit allowlisted — seasonal_decompose shape)."""
+    daily = _daily_cents(spark, sf_dir).select("d", "rev_c")
+    w_lag = Window.orderBy("d")
+    win = Window.orderBy("d").rowsBetween(-(RSI_WINDOW - 1), 0)
+    diffed = daily.select(
+        "d",
+        "rev_c",
+        (F.col("rev_c") - F.lag("rev_c").over(w_lag)).alias("diff"),
+    )
+    gl = diffed.select(
+        "d",
+        "rev_c",
+        F.count("diff").over(win).alias("wn"),
+        F.sum(F.greatest(F.col("diff"), F.lit(0))).over(win).alias("g"),
+        F.sum(F.greatest(-F.col("diff"), F.lit(0))).over(win).alias("l"),
+    ).filter(F.col("wn") == RSI_WINDOW)
+    tot = F.col("g") + F.col("l")
+    return gl.select(
+        "d",
+        F.round(F.col("rev_c") / 100.0, 2).alias("rev"),
+        (
+            F.floor(
+                100.0 * F.col("g") / F.nullif(tot.cast("double"), F.lit(0.0))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("rsi"),
+        (10 * F.col("g") > (RSI_HI // 10) * tot).alias("overbought"),
+        (10 * F.col("g") < (RSI_LO // 10) * tot).alias("oversold"),
+    )

@@ -91,3 +91,76 @@ def sessionize(events: DataFrame, gap_ms: int = _GAP_MS) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak session concurrency per day — distributed sweep line
+# ---------------------------------------------------------------------------
+
+concurrency_oracle = f"""
+WITH sess AS MATERIALIZED ({sessionize_oracle}),
+b AS (
+  SELECT session_start AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT session_end, -1 FROM sess
+), g AS (
+  SELECT t, delta, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+), run AS (
+  SELECT t, sum(delta * c) OVER (ORDER BY t, delta) AS conc FROM g
+)
+SELECT CAST(t AS DATE) AS day,
+       CAST(max(conc) AS BIGINT) AS peak_concurrent,
+       CAST(count(*) AS BIGINT) AS n_boundaries
+FROM run GROUP BY 1
+"""
+
+
+@register("session_concurrency_profile", concurrency_oracle)
+def session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via a DISTRIBUTED sweep line over
+    session boundaries — the capacity question (how many users were on
+    AT ONCE, Little's-law input) that per-day session COUNTS
+    (`rolling_active_users`) cannot answer, because overlap depends on
+    interval structure, not volume. Convention: at equal timestamps ends
+    sort before starts (half-open [start, end) occupancy — adjacent
+    back-to-back sessions never double-count).
+
+    Shape: sessionize (the `sessionize_events` gaps-and-islands core) →
+    ±1 boundary rows → ONE combinable (t, delta) collapse → the
+    `functions/ranking.py` range-partition kernel turns the global
+    running sum into per-partition window sums + O(P) broadcast signed
+    offsets (no single-task global window) → combinable per-day max.
+    Counts are exact integers end-to-end — integer-exact oracle."""
+    from ..functions.ranking import range_partition_offsets
+    from ..session import shuffle_partition_count
+
+    sess = sessionize(load_table(spark, sf_dir, "events"))
+    b = sess.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(F.col("session_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    g = b.groupBy("t", "delta").agg(F.count("*").alias("c"))
+    n_parts = shuffle_partition_count(spark)
+    ranged, _, offsets_df, _ = range_partition_offsets(
+        g,
+        ["t", "delta"],
+        [("sd", F.sum(F.col("delta") * F.col("c")))],
+        n_parts,
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = (
+        ranged.withColumn("cum_local", F.sum(F.col("delta") * F.col("c")).over(w))
+        .join(F.broadcast(offsets_df), "pid")
+        .select(
+            "t", (F.col("off_sd") + F.col("cum_local")).alias("conc")
+        )
+    )
+    return run.groupBy(F.to_date("t").alias("day")).agg(
+        F.max("conc").alias("peak_concurrent"),
+        F.count("*").alias("n_boundaries"),
+    )

@@ -856,3 +856,139 @@ def hampel_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 hampel_outlier_days.__doc__ = hampel_outlier_days.__doc__.format(
     K=HAMPEL_K, W=HAMPEL_HALF_WIN
 )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (weekly cycle) over daily revenue
+# ---------------------------------------------------------------------------
+
+HW_M = 7  # season length (weekly cycle on a daily series)
+HW_ALPHA = 0.3  # level gain
+HW_BETA = 0.1  # trend gain
+HW_GAMMA = 0.2  # seasonal gain
+_HW_OMA = 1.0 - HW_ALPHA
+_HW_OMB = 1.0 - HW_BETA
+_HW_OMG = 1.0 - HW_GAMMA
+
+
+def _hw_oracle() -> str:
+    # the new-level expression is inlined into the trend/seasonal updates
+    # with the SAME operand order as the pandas loop — bitwise-identical
+    # double arithmetic off the quantized y (the holt_linear convention);
+    # the seasonal state rides the recursion as a DOUBLE[] of the last m
+    # seasonals (ss[1] is s_{t-m}), initialized at rn=m from the carried
+    # y-prefix list.
+    lnew = f"{HW_ALPHA!r} * (i.y - h.ss[1]) + {_HW_OMA!r} * (h.l + h.b)"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 6) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM daily
+), hw(rn, day, y, acc, ys, l, b, ss, su, f) AS (
+  SELECT rn, day, y, y, [y],
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE[]), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.rn, i.day, i.y,
+         h.acc + i.y,
+         CASE WHEN i.rn <= {HW_M} THEN list_append(h.ys, i.y) ELSE h.ys END,
+         CASE WHEN i.rn < {HW_M} THEN NULL
+              WHEN i.rn = {HW_M} THEN (h.acc + i.y) / {float(HW_M)!r}
+              ELSE {lnew} END,
+         CASE WHEN i.rn < {HW_M} THEN NULL
+              WHEN i.rn = {HW_M} THEN 0.0
+              ELSE {HW_BETA!r} * (({lnew}) - h.l) + {_HW_OMB!r} * h.b END,
+         CASE WHEN i.rn < {HW_M} THEN NULL
+              WHEN i.rn = {HW_M} THEN list_transform(
+                list_append(h.ys, i.y),
+                x -> x - (h.acc + i.y) / {float(HW_M)!r})
+              ELSE list_append(h.ss[2:],
+                {HW_GAMMA!r} * (i.y - ({lnew})) + {_HW_OMG!r} * h.ss[1]) END,
+         CASE WHEN i.rn <= {HW_M} THEN NULL ELSE h.ss[1] END,
+         CASE WHEN i.rn <= {HW_M} THEN NULL ELSE h.l + h.b + h.ss[1] END
+  FROM hw h JOIN idx i ON i.rn = h.rn + 1
+)
+SELECT day, y,
+       round(l, 4) AS level, round(b, 4) AS trend,
+       round(su, 4) AS seasonal,
+       round(f, 4) AS forecast,
+       round(abs(y - f), 4) AS abs_err
+FROM hw WHERE f IS NOT NULL
+"""
+
+
+@register("holt_winters_seasonal", _hw_oracle())
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (weekly cycle m=7) of the
+    daily revenue series with a one-step-ahead backtest — the seasonal
+    member of the smoothing family: `ewma_values` (level only) →
+    `holt_linear_forecast` (level+trend) → this (level+trend+seasonal),
+    answering the question `seasonal_decompose_daily` diagnoses but
+    cannot FORECAST. Deterministic textbook init: level = mean of the
+    first m observations (accumulated sequentially), trend = 0, seasonal_i
+    = y_i − level; from t > m: f = l + b + s_{t−m}, then the coupled
+    level/trend/seasonal updates.
+
+    The recurrence carries the last m seasonals as STATE, so it is not
+    window-lag algebra — the day-DOMAIN series (calendar-bounded at any
+    data scale, the holt_linear argument) runs through one applyInPandas
+    group; the data-sized stage is the combinable daily groupBy.
+    Cross-engine determinism: daily y quantized to 6 decimals FIRST; the
+    oracle's recursive CTE then runs the identical double arithmetic in
+    the identical operand order, carrying the seasonal list through the
+    recursion — outputs agree bitwise before the final round-4."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("y")
+    )
+
+    def hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out = []
+        acc = 0.0
+        ys: list = []
+        l = b = None
+        ss: list = []
+        for day, y in zip(pdf["day"], pdf["y"]):
+            rn = len(ys) + 1
+            if rn < HW_M:
+                acc += y
+                ys.append(y)
+            elif rn == HW_M:
+                acc += y
+                ys.append(y)
+                l = acc / float(HW_M)
+                b = 0.0
+                ss = [x - l for x in ys]
+            else:
+                ys.append(y)  # rn bookkeeping only
+                su = ss[0]
+                f = l + b + su
+                l_new = HW_ALPHA * (y - su) + _HW_OMA * (l + b)
+                b = HW_BETA * (l_new - l) + _HW_OMB * b
+                s_new = HW_GAMMA * (y - l_new) + _HW_OMG * su
+                l = l_new
+                ss = ss[1:] + [s_new]
+                out.append((day, y, l, b, su, f, abs(y - f)))
+        return pd.DataFrame(
+            out, columns=["day", "y", "l", "b", "su", "f", "ae"]
+        )
+
+    smoothed = daily.groupBy(F.lit(1).alias("g")).applyInPandas(
+        hw,
+        "day date, y double, l double, b double, su double, f double,"
+        " ae double",
+    )
+    return smoothed.select(
+        "day",
+        "y",
+        F.round("l", 4).alias("level"),
+        F.round("b", 4).alias("trend"),
+        F.round("su", 4).alias("seasonal"),
+        F.round("f", 4).alias("forecast"),
+        F.round("ae", 4).alias("abs_err"),
+    )
