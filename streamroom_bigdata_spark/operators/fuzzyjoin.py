@@ -460,3 +460,140 @@ def ed1_self_join(df: DataFrame, col: str) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phonetic (soundex) blocking over part-name words
+# ---------------------------------------------------------------------------
+
+#: standard American-Soundex letter→digit map (a0 b1 c2 d3 e0 f1 g2 h0 i0
+#: j2 k2 l4 m5 n5 o0 p1 q2 r6 s2 t3 u0 v1 w0 x2 y0 z2)
+_SDX_FROM = "abcdefghijklmnopqrstuvwxyz"
+_SDX_TO = "01230120022455012623010202"
+
+
+def _sdx_sql(expr: str) -> str:
+    """Simplified soundex as a DuckDB expression — identical chain to the
+    Spark spelling below. RE2 has no backreferences, so adjacent-run
+    collapse is a per-digit regexp chain (runs of '0' need no collapse:
+    zeros are dropped afterwards). DEVIATION from full soundex, on BOTH
+    engines identically: the H/W-transparency rule is omitted (adjacent
+    equal codes separated by h/w stay separate)."""
+    s = f"translate({expr}, '{_SDX_FROM}', '{_SDX_TO}')"
+    for d in "123456":
+        s = f"regexp_replace({s}, '{d}{d}+', '{d}', 'g')"
+    return (
+        f"upper(substr({expr}, 1, 1)) || "
+        f"rpad(substr(replace(substr({s}, 2), '0', ''), 1, 3), 3, '0')"
+    )
+
+
+def _sdx_col(col):
+    """The Spark twin of :func:`_sdx_sql` — same ops, same order."""
+    s = F.translate(col, _SDX_FROM, _SDX_TO)
+    for d in "123456":
+        s = F.regexp_replace(s, f"{d}{d}+", d)
+    return F.concat(
+        F.upper(col.substr(1, 1)),
+        F.rpad(
+            F.substring(F.regexp_replace(F.substring(s, 2, 1000), "0", ""), 1, 3),
+            3,
+            "0",
+        ),
+    )
+
+
+soundex_blocking_oracle = f"""
+WITH names AS (
+  SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL
+), coded AS (
+  SELECT p_name,
+         {_sdx_sql("string_split(p_name, ' ')[1]")} || '-' ||
+         {_sdx_sql("string_split(p_name, ' ')[2]")} AS block_code
+  FROM names
+), pairs AS (
+  SELECT a.block_code,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+  FROM coded a JOIN coded b
+    ON a.block_code = b.block_code AND a.p_name < b.p_name
+)
+SELECT c.block_code,
+       CAST(count(DISTINCT c.p_name) AS BIGINT) AS n_names,
+       CAST(count(DISTINCT p.lev) AS BIGINT) AS n_distinct_dists,
+       CAST(coalesce(sum_p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum_p.sum_lev, 0) AS BIGINT) AS sum_lev,
+       CAST(coalesce(sum_p.min_lev, 0) AS BIGINT) AS min_lev
+FROM coded c
+LEFT JOIN pairs p ON p.block_code = c.block_code
+LEFT JOIN (
+  SELECT block_code, count(*) AS n_pairs, sum(lev) AS sum_lev,
+         min(lev) AS min_lev
+  FROM pairs GROUP BY block_code
+) sum_p ON sum_p.block_code = c.block_code
+GROUP BY c.block_code, sum_p.n_pairs, sum_p.sum_lev, sum_p.min_lev
+"""
+
+
+@register("soundex_blocking_pairs", soundex_blocking_oracle)
+def soundex_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic record-linkage blocking: every DISTINCT part name is coded
+    by the word-wise simplified soundex of its two name words, candidate
+    pairs form ONLY within a block (the classic blocking step that turns
+    O(n²) linkage into Σ block²), and in-block pairs are scored with
+    exact Levenshtein. Output is the per-block audit table (block size,
+    pair count, distance mass) a linkage pipeline uses to tune its
+    blocking key. Complements `fuzzy_name_pairs` (q-gram) and
+    `edit_distance_pairs` (deletion-neighborhood): phonetic blocking
+    catches sound-alike variants those misses.
+
+    Soundex is spelled as the IDENTICAL translate + per-digit-collapse +
+    zero-strip chain on both engines (see `_sdx_sql` for the documented
+    H/W deviation) — never each engine's builtin, whose editions differ.
+
+    Scale: names are deduped FIRST, so every later stage is bounded by
+    the name VOCABULARY (colors × nouns), not the part count — the
+    data-sized stage is one combinable distinct; in-block pairing is an
+    equi-self-join on the block code."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").isNotNull())
+        .select("p_name")
+        .distinct()
+    )
+    words = F.split("p_name", " ")
+    coded = names.select(
+        "p_name",
+        F.concat(
+            _sdx_col(F.element_at(words, 1)),
+            F.lit("-"),
+            _sdx_col(F.element_at(words, 2)),
+        ).alias("block_code"),
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_code") == F.col("b.block_code"))
+        & (F.col("a.p_name") < F.col("b.p_name")),
+    ).select(
+        F.col("a.block_code").alias("block_code"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        .cast("long")
+        .alias("lev"),
+    )
+    per_block = pairs.groupBy("block_code").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("lev").alias("sum_lev"),
+        F.min("lev").alias("min_lev"),
+        F.count_distinct("lev").alias("n_distinct_dists"),
+    )
+    sizes = coded.groupBy("block_code").agg(
+        F.count_distinct("p_name").alias("n_names")
+    )
+    return sizes.join(per_block, "block_code", "left").select(
+        "block_code",
+        "n_names",
+        F.coalesce("n_distinct_dists", F.lit(0)).alias("n_distinct_dists"),
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("sum_lev", F.lit(0)).alias("sum_lev"),
+        F.coalesce("min_lev", F.lit(0)).alias("min_lev"),
+    )

@@ -842,3 +842,67 @@ def decision_stump_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(gini, 6).alias("weighted_gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lognormal MLE fit of the document-length distribution
+# ---------------------------------------------------------------------------
+
+lognormal_fit_oracle = """
+WITH ln AS (
+  SELECT ln(CAST(n_chars AS DOUBLE)) AS lx, CAST(n_chars AS DOUBLE) AS x
+  FROM documents WHERE n_chars > 0
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         avg(lx) AS mu,
+         stddev_samp(lx) AS sigma,
+         avg(x) AS mean_obs
+  FROM ln
+)
+SELECT n AS n_docs,
+       round(mu, 6) AS mu,
+       round(sigma, 6) AS sigma,
+       round(exp(mu), 4) AS median_fit,
+       round(exp(mu + sigma * sigma / 2), 4) AS mean_fit,
+       round(mean_obs, 4) AS mean_obs,
+       round(mean_obs / exp(mu + sigma * sigma / 2), 6) AS mean_ratio
+FROM s
+"""
+
+
+@register("lognormal_fit_doclen", lognormal_fit_oracle)
+def lognormal_fit_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal MLE fit of document lengths — μ̂ = mean(ln x), σ̂ =
+    sample std of ln x (the exact closed-form MLE), plus the fitted
+    median e^μ and mean e^(μ+σ²/2) against the observed mean. The
+    mean/median GAP is the heavy-tail readout a curation pipeline uses
+    to size `chunk_documents` / `pack_sequences` budgets (document
+    lengths are canonically lognormal-ish; mean_ratio far from 1 flags a
+    tail the fit misses — cf. `hill_tail_index` for the Pareto tail and
+    `heaps_law_fit` for the vocabulary curve).
+
+    One combinable aggregate over per-row projections — nothing but a
+    1-row reduce crosses the shuffle at any scale. Cross-engine floats:
+    ln/exp enter on identical double inputs; sums are sign-uniform, so
+    round-6/4 is hash-stable (the heaps_law/zipf precedent)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    ln = docs.select(
+        F.log(F.col("n_chars").cast("double")).alias("lx"),
+        F.col("n_chars").cast("double").alias("x"),
+    )
+    s = ln.agg(
+        F.count("*").alias("n"),
+        F.avg("lx").alias("mu"),
+        F.stddev_samp("lx").alias("sigma"),
+        F.avg("x").alias("mean_obs"),
+    )
+    mean_fit = F.exp(F.col("mu") + F.col("sigma") * F.col("sigma") / 2)
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.round("mu", 6).alias("mu"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round(F.exp("mu"), 4).alias("median_fit"),
+        F.round(mean_fit, 4).alias("mean_fit"),
+        F.round("mean_obs", 4).alias("mean_obs"),
+        F.round(F.col("mean_obs") / mean_fit, 6).alias("mean_ratio"),
+    )

@@ -1136,3 +1136,64 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "tok1", "tok2")
         .limit(COLLOC_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility profile per (lang, source)
+# ---------------------------------------------------------------------------
+
+_FERT_PAT = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+@register(
+    "tokenizer_fertility",
+    f"""
+    WITH per_doc AS (
+      SELECT lang, source,
+             CAST(len(regexp_extract_all(text, '{_FERT_PAT}')) AS BIGINT)
+               AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           round(CAST(sum(toks) AS DOUBLE) / sum(words), 6)
+             AS tokens_per_word,
+           round(100.0 * sum(toks) / sum(chars), 6) AS tokens_per_100_chars
+    FROM per_doc
+    GROUP BY lang, source
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (lang, source): BPE-ish regex tokens per
+    whitespace word and per 100 characters — the compression-rate readout
+    a pretraining team checks before committing a tokenizer to a corpus
+    mix (high fertility on a slice = that slice pays more sequence budget
+    per word; the per-slice table is what `token_budget_apportion`
+    allocates FROM). Reuses the `token_count_regex` pre-tokenizer shape.
+
+    Shape: one stage — regex counts are per-row projections inside
+    whole-stage codegen, then ONE combinable (lang, source) aggregate;
+    ratios of exact BIGINT sums → round-6 hash-stable."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_FERT_PAT), 0))
+        .cast("long")
+        .alias("toks"),
+        F.size(F.split("text", " ")).cast("long").alias("words"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.round(
+            F.sum("toks").cast("double") / F.sum("words"), 6
+        ).alias("tokens_per_word"),
+        F.round(100.0 * F.sum("toks") / F.sum("chars"), 6).alias(
+            "tokens_per_100_chars"
+        ),
+    )
