@@ -697,3 +697,171 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return assets.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual (difference-hash) image near-dup over REAL decoded pixels
+# ---------------------------------------------------------------------------
+
+DH_W, DH_H = 9, 8  # dHash canonical grid: 9x8 grayscale → 8x8 neighbor bits
+_DH_RASTER = DH_W * DH_H * 3  # 216 raster bytes
+DH_HAM_MAX = 7  # ≤7 of 64 bits: 8 one-byte bands make the blocking LOSSLESS
+
+
+def _dh_gray_sql(x: int, y: int) -> str:
+    """Grayscale (r+g+b)//3 of grid cell (x, y), replayed on the text
+    bytes the in-plan PPM assembly uses as raster (ASCII-guarded)."""
+    p = 3 * (y * DH_W + x)
+    return (
+        f"(ascii(substr(text, {p + 1}, 1)) + ascii(substr(text, {p + 2}, 1))"
+        f" + ascii(substr(text, {p + 3}, 1))) // 3"
+    )
+
+
+def _dh_rowbyte_sql(y: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_dh_gray_sql(x + 1, y)} > {_dh_gray_sql(x, y)} "
+        f"THEN {1 << x} ELSE 0 END)"
+        for x in range(8)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def _dhash_neardup_oracle() -> str:
+    rowbytes = ",\n         ".join(
+        f"{_dh_rowbyte_sql(y)} AS rb{y}" for y in range(DH_H)
+    )
+    ham = " + ".join(f"bit_count(xor(a.rb{y}, b.rb{y}))" for y in range(DH_H))
+    return f"""
+WITH fp AS MATERIALIZED (
+  SELECT doc_id AS asset_id,
+         {rowbytes}
+  FROM documents
+  WHERE length(text) >= {_DH_RASTER} AND strlen(text) = length(text)
+)
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       CAST({ham} AS INT) AS hamming
+FROM fp a JOIN fp b ON a.asset_id < b.asset_id
+WHERE {ham} <= {DH_HAM_MAX}
+"""
+
+
+@register("image_dhash_neardup", _dhash_neardup_oracle())
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplication via difference hash (dHash) over
+    REAL decoded pixels: a 9×8 P6 PPM is assembled per document in-plan
+    (the `multimodal_image_decode` pattern — header + 216 text bytes as
+    raster), the actual PPM parser + numpy grayscale/neighbor-gradient
+    run inside mapInPandas, and the 64-bit fingerprint (8 row-bytes) is
+    banded so candidate pairs form ONLY on an equal row-byte — the
+    pigeonhole makes the blocking LOSSLESS for hamming ≤ 7 (8 bands, ≤7
+    differing bits leave ≥1 band untouched). Exact per-row-byte popcount
+    verifies candidates. The image twin of `simhash_near_dup`: robust to
+    brightness-uniform shifts (gradient signs survive), unlike the
+    byte-exact `ingest_content_dedup`.
+
+    The oracle replays grayscale → gradient bits → popcount on the text
+    bytes directly and verifies the FULL quadratic — two genuinely
+    different algorithms (banded LSH vs brute force), one result.
+
+    Scale: fingerprints are one mapInPandas scan (real decode, 24-byte
+    output/asset); the band join shuffles 8 hash-keyed rows per asset;
+    hot bands self-cap at the band-equality selectivity (the
+    `hamming_self_join` argument). Integer math end to end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    header = f"P6\n{DH_W} {DH_H}\n255\n".encode()
+    assets = docs.filter(
+        (F.length("text") >= _DH_RASTER)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(
+            F.lit(header),
+            F.encode(F.substring("text", 1, _DH_RASTER), "UTF-8"),
+        ).alias("payload"),
+    )
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_image_pixels(bytes(payload))  # (h, w, 3) uint8
+                g = img.astype(np.int64).sum(axis=2) // 3  # (8, 9) gray
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)  # (8, 8)
+                rbs = (bits << np.arange(8)).sum(axis=1)  # 8 row-bytes
+                out.append((aid, *map(int, rbs)))
+            yield pd.DataFrame(
+                out, columns=["asset_id"] + [f"rb{y}" for y in range(DH_H)]
+            )
+
+    schema = T.StructType(
+        [T.StructField("asset_id", T.LongType(), False)]
+        + [T.StructField(f"rb{y}", T.LongType(), False) for y in range(DH_H)]
+    )
+    fp = assets.mapInPandas(fingerprint, schema).localCheckpoint()
+
+    bands = fp.select(
+        "asset_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(y).alias("band"), F.col(f"rb{y}").alias("val")
+                    )
+                    for y in range(DH_H)
+                ]
+            )
+        ).alias("b"),
+    ).select("asset_id", "b.band", "b.val")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.asset_id") < F.col("y.asset_id")),
+        )
+        .select(
+            F.col("x.asset_id").alias("asset_a"),
+            F.col("y.asset_id").alias("asset_b"),
+        )
+        .distinct()
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    ham = None
+    for y in range(DH_H):
+        t = F.bit_count(
+            F.col(f"a.rb{y}").bitwiseXOR(F.col(f"b.rb{y}"))
+        )
+        ham = t if ham is None else ham + t
+    return (
+        cand.join(a, cand.asset_a == F.col("a.asset_id"))
+        .join(b, cand.asset_b == F.col("b.asset_id"))
+        .select("asset_a", "asset_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= DH_HAM_MAX)
+    )
+
+
+def decode_image_pixels(payload: bytes):
+    """Full-raster counterpart of :func:`decode_image` (which reduces to
+    channel means): returns the (h, w, 3) uint8 RGB array of a P6 PPM —
+    the pixel surface perceptual hashing needs. Same header parser, same
+    NotImplementedError boundary for compressed formats."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise NotImplementedError("only P6 PPM rasters here")
+    (w, h, maxval), i = _ppm_tokens(payload, 3)
+    if maxval >= 256:
+        raise NotImplementedError("16-bit PPM not supported")
+    raster = payload[i + 1 : i + 1 + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)

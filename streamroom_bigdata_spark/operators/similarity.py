@@ -1160,3 +1160,133 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vv", 6).alias("loading"),
         F.round("nrm", 3).alias("eigenvalue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy (farthest-first) diversity sampling over embeddings
+# ---------------------------------------------------------------------------
+
+KC_K = 8  # selections AFTER the seed
+KC_DIM = 64
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled K-round farthest-first traversal: each round distances to
+    the newest center are rounded to 6 BEFORE the running-min (the
+    kmeans per-round rounding convention), so both engines compare the
+    same quantized doubles; argmax ties break on min vec_id."""
+    parts = [
+        f"""
+WITH emb_long AS MATERIALIZED (
+  SELECT vec_id, unnest(generate_series(1, {KC_DIM})) AS pos,
+         list_extract(embedding::DOUBLE[], unnest(generate_series(1, {KC_DIM}))) AS val
+  FROM embeddings
+), seed AS (SELECT min(vec_id) AS v FROM embeddings)"""
+    ]
+    prev_sel = "(SELECT v FROM seed)"
+    prev_dmin = None
+    for k in range(1, KC_K + 1):
+        dist = f"""dist{k} AS MATERIALIZED (
+  SELECT e.vec_id,
+         round(sum((e.val - c.val) * (e.val - c.val)), 6) AS d
+  FROM emb_long e JOIN (
+    SELECT pos, val FROM emb_long WHERE vec_id = {prev_sel}
+  ) c ON c.pos = e.pos
+  GROUP BY e.vec_id
+)"""
+        if prev_dmin is None:
+            dmin = f"""dmin{k} AS MATERIALIZED (
+  SELECT vec_id, d FROM dist{k}
+)"""
+        else:
+            dmin = f"""dmin{k} AS MATERIALIZED (
+  SELECT p.vec_id, least(p.d, n.d) AS d
+  FROM {prev_dmin} p JOIN dist{k} n ON n.vec_id = p.vec_id
+)"""
+        sel = f"""sel{k} AS MATERIALIZED (
+  SELECT vec_id, d FROM dmin{k} ORDER BY d DESC, vec_id ASC LIMIT 1
+)"""
+        parts.append(", " + dist + ", " + dmin + ", " + sel)
+        prev_sel = f"(SELECT vec_id FROM sel{k})"
+        prev_dmin = f"dmin{k}"
+    selects = ["SELECT 0 AS sel_order, (SELECT v FROM seed) AS vec_id, 0.0 AS radius_sq"]
+    for k in range(1, KC_K + 1):
+        selects.append(
+            f"SELECT {k}, (SELECT vec_id FROM sel{k}), (SELECT d FROM sel{k})"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+@register("k_center_diversity", _kcenter_oracle())
+def k_center_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-first traversal, Gonzalez 1985) over the
+    embedding table: starting from the min-vec_id seed, repeatedly select
+    the point FARTHEST from every center chosen so far — the classic
+    2-approximation to the k-center cover, and the diversity-sampling
+    primitive a curation pipeline uses to pick maximally-spread exemplars
+    (the opposite selection pressure from `semantic_dedup_clusters`,
+    which REMOVES near-neighbors; the radius_sq column is the coverage
+    radius the next selection would fix). Deterministic end to end: fixed
+    seed, per-round distances rounded to 6 before the running min (the
+    kmeans convention), ties broken on min vec_id.
+
+    Scale: the greedy loop is inherently sequential in K, but each round
+    is ONE vectorized mapInPandas scan (numpy distances to the ≤K-row
+    centers matrix carried in the closure — never a data-sized
+    broadcast) + a 1-row argmax aggregate; nothing data-sized ever
+    shuffles or collects. K scans of a 100 TB table is the honest cost
+    of exact farthest-first; cheaper approximations (sample-then-greedy)
+    compose from `bernoulli_sample` upstream."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    seed = emb.agg(F.min("vec_id")).collect()[0][0]
+    seed_vec = np.array(
+        emb.filter(F.col("vec_id") == seed).collect()[0]["emb"]
+    )
+    centers = [(int(seed), seed_vec)]
+    out_rows = [(0, int(seed), 0.0)]
+
+    def round6(a):
+        return np.floor(a * 1e6 + 0.5) / 1e6  # dists are nonnegative
+
+    for k in range(1, KC_K + 1):
+        c_mat = np.stack([v for _, v in centers])  # ≤K × DIM, closure-carried
+
+        def dmin_scan(batches, _c=c_mat):
+            for pdf in batches:
+                x = np.stack(pdf["emb"].to_numpy())
+                # (n, k) squared euclidean, each center's column rounded
+                # to 6 BEFORE the row-wise min (oracle order)
+                d = ((x[:, None, :] - _c[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "d": round6(d).min(axis=1)}
+                )
+
+        dmin = emb.mapInPandas(
+            dmin_scan, T.StructType([
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("d", T.DoubleType()),
+            ])
+        )
+        top = dmin.agg(
+            F.min(F.struct((-F.col("d")).alias("nd"), F.col("vec_id").alias("v")))
+        ).collect()[0][0]
+        sel_id, sel_d = int(top["v"]), -float(top["nd"])
+        sel_vec = np.array(
+            emb.filter(F.col("vec_id") == sel_id).collect()[0]["emb"]
+        )
+        centers.append((sel_id, sel_vec))
+        out_rows.append((k, sel_id, sel_d))
+
+    schema = T.StructType([
+        T.StructField("sel_order", T.IntegerType(), False),
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("radius_sq", T.DoubleType(), False),
+    ])
+    return spark.createDataFrame(out_rows, schema)
