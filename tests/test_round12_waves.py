@@ -1,0 +1,346 @@
+"""Round-12 wave tests: rank stats, sweep line, phonetic blocking,
+k-center, dHash, fertility, Holt-Winters — planted-case and textbook
+agreement, complementing the SQL oracles (which verify cross-engine, not
+cross-ALGORITHM)."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from streamroom_bigdata_spark.operators import (
+    fuzzyjoin,
+    multimodal,
+    quant,
+    sessions,
+    similarity,
+    stats,
+    timeseries,
+)
+from streamroom_bigdata_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis vs the textbook O(n log n) single-machine computation
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_matches_textbook(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderpriority")
+        .collect()
+    )
+    vals = sorted((r.o_totalprice, r.o_orderpriority) for r in rows)
+    n = len(vals)
+    # tie-averaged midranks
+    ranks: dict[int, float] = {}
+    i = 0
+    tie_sum = 0.0
+    while i < n:
+        j = i
+        while j < n and vals[j][0] == vals[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[k] = mid
+        t = j - i
+        tie_sum += t**3 - t
+        i = j
+    r_sum: dict[str, float] = {}
+    n_g: dict[str, int] = {}
+    for k, (_, g) in enumerate(vals):
+        r_sum[g] = r_sum.get(g, 0.0) + ranks[k]
+        n_g[g] = n_g.get(g, 0) + 1
+    h = 12.0 / (n * (n + 1)) * sum(
+        r * r / n_g[g] for g, r in r_sum.items()
+    ) - 3.0 * (n + 1)
+    h_adj = h / (1.0 - tie_sum / (float(n) ** 3 - n))
+    got = stats.kruskal_wallis_h(spark, sf_dir).collect()[0]
+    assert got.n_total == n
+    assert got.h_stat == pytest.approx(h, abs=1e-4)
+    assert got.h_tie_adj == pytest.approx(h_adj, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein vs the sorted-sample textbook integral
+# ---------------------------------------------------------------------------
+
+
+def test_wasserstein_matches_textbook(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(stats.WS_GROUP_A, stats.WS_GROUP_B))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(r.value for r in ev if r.event_type == stats.WS_GROUP_A)
+    b = sorted(r.value for r in ev if r.event_type == stats.WS_GROUP_B)
+    support = sorted(set(a) | set(b))
+    w1 = 0.0
+    ia = ib = 0
+    for v, v_next in zip(support, support[1:]):
+        while ia < len(a) and a[ia] <= v:
+            ia += 1
+        while ib < len(b) and b[ib] <= v:
+            ib += 1
+        w1 += abs(ia / len(a) - ib / len(b)) * (v_next - v)
+    got = stats.wasserstein_1d_values(spark, sf_dir).collect()[0]
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert got.w1_distance == pytest.approx(w1, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency on a PLANTED interval set
+# ---------------------------------------------------------------------------
+
+
+def test_concurrency_planted_intervals(spark):
+    # user 1: two overlapping sessions are impossible (sessionize merges
+    # within-gap events), so overlap comes from DIFFERENT users:
+    # u1 [00:00, 00:10], u2 [00:05, 00:15], u3 [00:12, 00:20]
+    # peak = 2 (u1∩u2, then u2∩u3); back-to-back end/start at the same
+    # second must NOT double-count (half-open convention)
+    rows = [
+        (101, 1, "2024-01-01 00:00:00", 1.0),
+        (102, 1, "2024-01-01 00:10:00", 1.0),
+        (201, 2, "2024-01-01 00:05:00", 1.0),
+        (202, 2, "2024-01-01 00:15:00", 1.0),
+        (301, 3, "2024-01-01 00:12:00", 1.0),
+        (302, 3, "2024-01-01 00:20:00", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    sess = sessions.sessionize(ev)
+    assert sess.count() == 3  # one session per user (10-15 min spans < gap)
+    b = sess.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(F.col("session_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    run = sorted(
+        b.groupBy("t", "delta").agg(F.count("*").alias("c")).collect(),
+        key=lambda r: (r.t, r.delta),
+    )
+    conc, peak = 0, 0
+    for r in run:
+        conc += r.delta * r.c
+        peak = max(peak, conc)
+    assert peak == 2
+
+
+def test_concurrency_profile_matches_replay(spark, sf_dir):
+    """Full single-machine sweep-line replay over the collected sessions —
+    verifies the distributed running sum, the ends-before-starts tie
+    order, and the per-day max (zero-length sessions occupy nothing under
+    the half-open convention, so peak 0 days are legitimate)."""
+    sess = sessions.sessionize(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    bounds: dict = {}
+    for s in sess:
+        bounds[(s.session_start, 1)] = bounds.get((s.session_start, 1), 0) + 1
+        bounds[(s.session_end, -1)] = bounds.get((s.session_end, -1), 0) + 1
+    conc = 0
+    peaks: dict = {}
+    for (t, delta), c in sorted(bounds.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        conc += delta * c
+        d = t.date()
+        peaks[d] = max(peaks.get(d, conc), conc)
+    got = {
+        r.day: r.peak_concurrent
+        for r in sessions.session_concurrency_profile(spark, sf_dir).collect()
+    }
+    assert got == peaks
+
+
+# ---------------------------------------------------------------------------
+# Soundex chain: known codes + the documented H/W deviation, engine parity
+# ---------------------------------------------------------------------------
+
+
+def test_soundex_known_codes(spark):
+    import duckdb
+
+    words = ["red", "widget", "ring", "robert", "rupert", "tymczak", "pfister"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.code
+        for r in df.select(
+            "w", fuzzyjoin._sdx_col(F.col("w")).alias("code")
+        ).collect()
+    }
+    # classic pairs agree where H/W transparency doesn't matter
+    assert got["robert"] == got["rupert"] == "R163"
+    assert got["red"] == "R300"
+    # engine parity: the DuckDB spelling produces the identical codes
+    duck = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT w, {fuzzyjoin._sdx_sql('w')} FROM (SELECT unnest("
+            f"{[*words]}) AS w)"
+        )
+        .fetchall()
+    )
+    assert duck == got
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy on a PLANTED configuration
+# ---------------------------------------------------------------------------
+
+
+def test_k_center_matches_numpy_replay(spark, sf_dir):
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    seed = ids[0]
+    centers = [seed]
+    expected = [(0, seed, 0.0)]
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for k in range(1, similarity.KC_K + 1):
+        best = None
+        for vid in ids:
+            d = min(
+                r6(float(((emb[vid] - emb[c]) ** 2).sum())) for c in centers
+            )
+            cand = (-d, vid)
+            if best is None or cand < best:
+                best = cand
+        d, vid = -best[0], best[1]
+        centers.append(vid)
+        expected.append((k, vid, d))
+    got = sorted(
+        (r.sel_order, r.vec_id, r.radius_sq)
+        for r in similarity.k_center_diversity(spark, sf_dir).collect()
+    )
+    assert [(o, v) for o, v, _ in got] == [(o, v) for o, v, _ in expected]
+    for (_, _, g), (_, _, e) in zip(got, expected):
+        assert g == pytest.approx(e, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# dHash: brightness invariance + sensitivity (the perceptual contract)
+# ---------------------------------------------------------------------------
+
+
+def _dhash_bits(raster: bytes) -> np.ndarray:
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(
+        multimodal.DH_H, multimodal.DH_W, 3
+    )
+    g = img.astype(np.int64).sum(axis=2) // 3
+    return (g[:, 1:] > g[:, :-1]).astype(np.int64)
+
+
+def test_dhash_brightness_invariant_content_sensitive():
+    rng = np.random.default_rng(7)
+    base = rng.integers(40, 200, size=multimodal._DH_RASTER, dtype=np.uint8)
+    brighter = np.clip(base.astype(int) + 20, 0, 255).astype(np.uint8)
+    assert (
+        _dhash_bits(base.tobytes()) == _dhash_bits(brighter.tobytes())
+    ).all(), "uniform brightness shift must not change gradient signs"
+    scrambled = base.copy()
+    scrambled[::2] = rng.integers(0, 255, size=len(scrambled[::2]))
+    assert (
+        (_dhash_bits(base.tobytes()) ^ _dhash_bits(scrambled.tobytes())).sum()
+        > multimodal.DH_HAM_MAX
+    ), "content change must move the fingerprint"
+
+
+def test_dhash_pairs_are_exact_duplicates_at_zero(spark, sf_dir):
+    pairs = multimodal.image_dhash_neardup(spark, sf_dir)
+    docs = {
+        r.doc_id: r.text[: multimodal._DH_RASTER]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in pairs.filter(F.col("hamming") == 0).collect():
+        assert (
+            _dhash_bits(docs[r.asset_a].encode())
+            == _dhash_bits(docs[r.asset_b].encode())
+        ).all()
+
+
+def test_decode_image_pixels_roundtrip():
+    rng = np.random.default_rng(3)
+    raster = rng.integers(0, 255, size=(8, 9, 3), dtype=np.uint8)
+    payload = b"P6\n9 8\n255\n" + raster.tobytes()
+    out = multimodal.decode_image_pixels(payload)
+    assert (out == raster).all()
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_pixels(b"\x89PNG....")
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters: python replay equals the operator on the fixture series
+# ---------------------------------------------------------------------------
+
+
+def test_holt_winters_matches_replay(spark, sf_dir):
+    daily = sorted(
+        (r.day, r.y)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+        .collect()
+    )
+    m = timeseries.HW_M
+    acc = 0.0
+    ys = []
+    expected = {}
+    l = b = None
+    ss = []
+    for day, y in daily:
+        rn = len(ys) + 1
+        ys.append(y)
+        if rn < m:
+            acc += y
+        elif rn == m:
+            acc += y
+            l = acc / float(m)
+            b = 0.0
+            ss = [x - l for x in ys]
+        else:
+            su = ss[0]
+            f = l + b + su
+            l_new = timeseries.HW_ALPHA * (y - su) + timeseries._HW_OMA * (l + b)
+            b = timeseries.HW_BETA * (l_new - l) + timeseries._HW_OMB * b
+            s_new = timeseries.HW_GAMMA * (y - l_new) + timeseries._HW_OMG * su
+            l = l_new
+            ss = ss[1:] + [s_new]
+            expected[day] = (round(f, 4), round(abs(y - f), 4))
+    got = {
+        r.day: (r.forecast, r.abs_err)
+        for r in timeseries.holt_winters_seasonal(spark, sf_dir).collect()
+    }
+    assert got.keys() == expected.keys()
+    for d in expected:
+        assert got[d][0] == pytest.approx(expected[d][0], abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# RSI flags: exact-integer threshold agrees with the float definition
+# ---------------------------------------------------------------------------
+
+
+def test_rsi_flags_match_float_definition(spark, sf_dir):
+    for r in quant.rsi_daily_revenue(spark, sf_dir).collect():
+        if r.rsi is None:
+            continue
+        assert r.overbought == (r.rsi > quant.RSI_HI) or abs(
+            r.rsi - quant.RSI_HI
+        ) < 1e-3  # knife-edge: integer compare is the truth, display rounds
+        assert r.oversold == (r.rsi < quant.RSI_LO) or abs(
+            r.rsi - quant.RSI_LO
+        ) < 1e-3
