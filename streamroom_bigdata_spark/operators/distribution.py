@@ -1188,3 +1188,74 @@ def theil_index_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("t_contrib") - between, 6).alias("theil_within"),
         F.round(between, 6).alias("theil_between"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile alignment map across document sources (normalization grid)
+# ---------------------------------------------------------------------------
+
+QA_GRID = [round(0.1 * k, 1) for k in range(1, 10)]  # deciles 0.1..0.9
+
+
+def _qalign_sql() -> str:
+    grid = ", ".join(repr(p) for p in QA_GRID)
+    return f"""
+WITH per_src AS (
+  SELECT source, quantile_cont(n_chars, [{grid}]) AS qs,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), pooled AS (
+  SELECT quantile_cont(n_chars, [{grid}]) AS qs FROM documents
+), grid AS (
+  SELECT CAST(unnest([{grid}]) AS DOUBLE) AS p,
+         unnest(range(1, {len(QA_GRID) + 1})) AS i
+)
+SELECT s.source, g.p AS decile, s.n_docs,
+       round(s.qs[g.i], 4) AS source_q,
+       round(o.qs[g.i], 4) AS pooled_q,
+       round(o.qs[g.i] - s.qs[g.i], 4) AS shift
+FROM per_src s, pooled o, grid g
+"""
+
+
+@register("quantile_align_sources", _qalign_sql())
+def quantile_align_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization map of document length across sources: per
+    (source, decile), the source's own quantile, the pooled corpus
+    quantile at the same probability, and the additive shift that aligns
+    them — the grid a curation pipeline applies to remove per-source
+    length bias before mixing (the bioinformatics quantile-normalization
+    recipe at decile resolution; full-resolution mapping composes this
+    with `asof_join` on percent rank). Both engines share the type-7
+    interpolated quantile definition (Spark `percentile` ≡ DuckDB
+    `quantile_cont` — verified to the last ulp), so the map is
+    hash-exact at round-4.
+
+    Shape: TWO combinable aggregates (per-source and pooled percentile
+    sketches — partial-aggregable, nothing row-sized shuffles) and a
+    |sources|×9 broadcast grid product."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid_arr = F.array(*[F.lit(p) for p in QA_GRID])
+    per_src = docs.groupBy("source").agg(
+        F.percentile("n_chars", grid_arr).alias("qs"),
+        F.count("*").alias("n_docs"),
+    )
+    pooled = docs.agg(F.percentile("n_chars", grid_arr).alias("pqs"))
+    grid = spark.createDataFrame(
+        [(p, i + 1) for i, p in enumerate(QA_GRID)], "p double, i int"
+    )
+    return (
+        per_src.crossJoin(F.broadcast(pooled))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "source",
+            F.col("p").alias("decile"),
+            "n_docs",
+            F.round(F.element_at("qs", F.col("i")), 4).alias("source_q"),
+            F.round(F.element_at("pqs", F.col("i")), 4).alias("pooled_q"),
+            F.round(
+                F.element_at("pqs", F.col("i")) - F.element_at("qs", F.col("i")),
+                4,
+            ).alias("shift"),
+        )
+    )

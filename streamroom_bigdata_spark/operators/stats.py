@@ -1011,3 +1011,317 @@ def wasserstein_1d_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w1_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) equality-of-spread test
+# ---------------------------------------------------------------------------
+
+brown_forsythe_oracle = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+), z AS (
+  SELECT e.event_type, abs(e.value - m.med) AS z
+  FROM events e JOIN med m ON m.event_type = e.event_type
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         avg(z) AS mean_z, var_samp(z) AS var_z
+  FROM z GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS k,
+         sum(n * mean_z) / sum(n) AS grand_mean
+  FROM g
+), s AS (
+  SELECT sum(g.n * (g.mean_z - t.grand_mean) * (g.mean_z - t.grand_mean))
+           AS ssb,
+         sum((g.n - 1) * g.var_z) AS ssw,
+         any_value(t.k) AS k,
+         any_value(t.n_total) AS n_total
+  FROM g, tot t
+)
+SELECT k AS k_groups, n_total,
+       round((ssb / (k - 1)) / (ssw / (n_total - k)), 6) AS f_stat
+FROM s
+"""
+
+
+@register("brown_forsythe_spread", brown_forsythe_oracle)
+def brown_forsythe_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (median-based Levene) of spread equality of
+    `value` across event types — do the groups differ in VARIABILITY,
+    not location? The robust pre-check behind `anova_f_oneway` (whose F
+    assumes equal variances) and `welch_t_test` (which exists because
+    they often aren't): one-way ANOVA on z = |x − median_group|, with
+    the group median's outlier-resistance replacing classic Levene's
+    mean. Both engines use the same interpolated-median definition
+    (Spark percentile ≡ DuckDB median = percentile_cont), so z is
+    identical before any aggregation.
+
+    Shape: per-group medians are one combinable aggregate (Spark's
+    percentile is a partial-aggregable sketch of the k-group values —
+    here k=5 groups of bounded value domain), broadcast back as a k-row
+    join; then the `anova_f_oneway` plan on z — one group-cardinality
+    shuffle and a 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("z").alias("mean_z"),
+        F.var_samp("z").alias("var_z"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n_total"),
+        F.count("*").alias("k"),
+        (F.sum(F.col("n") * F.col("mean_z")) / F.sum("n")).alias("grand_mean"),
+    )
+    s = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n")
+            * (F.col("mean_z") - F.col("grand_mean"))
+            * (F.col("mean_z") - F.col("grand_mean"))
+        ).alias("ssb"),
+        F.sum((F.col("n") - 1) * F.col("var_z")).alias("ssw"),
+        F.any_value("k").alias("k"),
+        F.any_value("n_total").alias("n_total"),
+    )
+    return s.select(
+        F.col("k").alias("k_groups"),
+        "n_total",
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel (EV-I) method-of-moments fit of daily extreme values
+# ---------------------------------------------------------------------------
+
+_EULER_GAMMA = 0.5772156649015329
+_SQRT6_PI = 0.7796968012336093  # √6/π, embedded identically both engines
+GUMBEL_RETURN_P = 0.99  # 1-in-100-days return level
+
+gumbel_oracle = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, max(value) AS mx
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         avg(mx) AS mean_mx,
+         stddev_samp(mx) AS sd_mx,
+         max(mx) AS worst
+  FROM daily
+)
+SELECT n_days,
+       round(mean_mx, 6) AS mean_daily_max,
+       round(sd_mx * {_SQRT6_PI!r}, 6) AS beta,
+       round(mean_mx - {_EULER_GAMMA!r} * sd_mx * {_SQRT6_PI!r}, 6) AS mu,
+       round((mean_mx - {_EULER_GAMMA!r} * sd_mx * {_SQRT6_PI!r})
+             - sd_mx * {_SQRT6_PI!r} * ln(-ln({GUMBEL_RETURN_P!r})), 6)
+         AS return_level_100d,
+       round(1.0 - exp(-exp(-((worst
+             - (mean_mx - {_EULER_GAMMA!r} * sd_mx * {_SQRT6_PI!r}))
+             / (sd_mx * {_SQRT6_PI!r})))), 6) AS p_exceed_worst
+FROM s
+"""
+
+
+@register("gumbel_fit_daily_max", gumbel_oracle)
+def gumbel_fit_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (extreme-value type I) fit of the DAILY MAXIMUM event value
+    by method of moments — β̂ = s·√6/π, μ̂ = x̄ − γβ̂ (Euler-Mascheroni γ
+    embedded as an identical literal on both engines) — plus the
+    1-in-100-days return level μ − β·ln(−ln 0.99) and the fitted
+    exceedance probability of the observed worst day. Block-maxima EVT
+    is the capacity-planning question (`fulfillment_latency_percentiles`
+    reads the bulk; this reads the TAIL the bulk never shows —
+    cf. `hill_tail_index` for the power-law alternative).
+
+    Shape: ONE combinable daily-max groupBy (the day-domain argument),
+    then a 1-row moments reduce. Ratios/exp/ln of identical doubles →
+    round-6 hash-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.max("value").alias("mx")
+    )
+    s = daily.agg(
+        F.count("*").alias("n_days"),
+        F.avg("mx").alias("mean_mx"),
+        F.stddev_samp("mx").alias("sd_mx"),
+        F.max("mx").alias("worst"),
+    )
+    beta = F.col("sd_mx") * _SQRT6_PI
+    mu = F.col("mean_mx") - _EULER_GAMMA * beta
+    return s.select(
+        "n_days",
+        F.round("mean_mx", 6).alias("mean_daily_max"),
+        F.round(beta, 6).alias("beta"),
+        F.round(mu, 6).alias("mu"),
+        F.round(
+            mu - beta * F.log(-F.log(F.lit(GUMBEL_RETURN_P))), 6
+        ).alias("return_level_100d"),
+        F.round(
+            1.0 - F.exp(-F.exp(-((F.col("worst") - mu) / beta))), 6
+        ).alias("p_exceed_worst"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-brand two-proportion return-rate tests
+# ---------------------------------------------------------------------------
+
+BH_Q = 0.10  # target false-discovery rate
+
+#: Abramowitz-Stegun 26.2.17 Φ approximation constants — embedded as the
+#: SAME literals in both engines; |error| < 7.5e-8, far above round-8
+_AS_T = 0.2316419
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _phi_tail_sql(z: str) -> str:
+    """1 − Φ(|z|) as the A&S polynomial, Horner order fixed — identical
+    arithmetic on both engines (`z` must be a nonnegative expression)."""
+    b1, b2, b3, b4, b5 = _AS_B
+    t = f"(1.0 / (1.0 + {_AS_T!r} * {z}))"
+    horner = (
+        f"((((({b5!r} * {t} + {b4!r}) * {t} + {b3!r}) * {t} + {b2!r})"
+        f" * {t} + {b1!r}) * {t})"
+    )
+    return f"(exp(-({z}) * ({z}) / 2.0) * {_INV_SQRT_2PI!r} * {horner})"
+
+
+def _bh_oracle() -> str:
+    z = "abs(g.z)"
+    p = f"(2.0 * {_phi_tail_sql(z)})"
+    return f"""
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x1
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS n, CAST(sum(x1) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS m
+  FROM b
+), g AS (
+  SELECT b.brand, b.n1, b.x1, t.m,
+         (CAST(b.x1 AS DOUBLE) / b.n1
+          - CAST(t.x - b.x1 AS DOUBLE) / (t.n - b.n1))
+         / sqrt((CAST(t.x AS DOUBLE) / t.n) * (1.0 - CAST(t.x AS DOUBLE) / t.n)
+                * (1.0 / b.n1 + 1.0 / (t.n - b.n1))) AS z
+  FROM b, tot t
+), pv AS (
+  SELECT brand, n1, x1, m, z, {p} AS p_value FROM g
+), ranked AS (
+  SELECT a.brand, a.n1, a.x1, a.m, a.z, a.p_value,
+         (SELECT count(*) FROM pv x
+          WHERE x.p_value < a.p_value
+             OR (x.p_value = a.p_value AND x.brand <= a.brand)) AS r
+  FROM pv a
+), kk AS (
+  SELECT coalesce(max(r), 0) AS k FROM ranked
+  WHERE p_value <= r * {BH_Q!r} / m
+)
+SELECT r.brand, r.n1 AS n_items, r.x1 AS n_returned,
+       round(r.z, 6) AS z_score,
+       round(r.p_value, 8) AS p_value,
+       CAST(r.r AS BIGINT) AS p_rank,
+       round(r.r * {BH_Q!r} / r.m, 8) AS bh_threshold,
+       (r.r <= k.k) AS rejected
+FROM ranked r, kk k
+"""
+
+
+@register("bh_fdr_brand_returns", _bh_oracle())
+def bh_fdr_brand_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-brand return-rate
+    screen: each brand gets a two-proportion z test (brand vs rest-of-
+    corpus return rate), p-values rank ascending, and the step-up rule
+    rejects ranks ≤ max{i : p_i ≤ i·q/m} at q = 0.10 — the
+    multiple-testing discipline `ab_test_proportions` needs the moment
+    it runs per-segment (25 brands at α=.05 expects ~1 false alarm;
+    BH bounds the EXPECTED FALSE-DISCOVERY share instead). Φ is the
+    Abramowitz-Stegun 26.2.17 polynomial spelled with identical literals
+    and Horner order on both engines — no engine's own erf is trusted.
+
+    Shape: ONE combinable (brand) aggregate over the part join is the
+    data-sized stage; z/p are per-row algebra on exact integer counts
+    (bit-identical cross-engine up to libm exp's last ulp); the rank is
+    a brand² (≤625-row) comparison join — never a window, never a sort —
+    and the step-up cutoff is a 1-row reduce broadcast back."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n1"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("x1"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n1").alias("n"), F.sum("x1").alias("x"), F.count("*").alias("m")
+    )
+    g = b.crossJoin(F.broadcast(tot))
+    p_hat = F.col("x").cast("double") / F.col("n")
+    z = (
+        F.col("x1").cast("double") / F.col("n1")
+        - (F.col("x") - F.col("x1")).cast("double") / (F.col("n") - F.col("n1"))
+    ) / F.sqrt(
+        p_hat * (1.0 - p_hat)
+        * (1.0 / F.col("n1") + 1.0 / (F.col("n") - F.col("n1")))
+    )
+    az = F.abs(F.col("z"))
+    t = 1.0 / (1.0 + _AS_T * az)
+    b1, b2, b3, b4, b5 = _AS_B
+    horner = ((((F.lit(b5) * t + b4) * t + b3) * t + b2) * t + b1) * t
+    tail = F.exp(-az * az / 2.0) * _INV_SQRT_2PI * horner
+    pv = g.select(
+        "brand", "n1", "x1", "m", z.alias("z")
+    ).withColumn("p_value", 2.0 * tail)
+    a, x = pv.alias("a"), pv.alias("x")
+    ranked = (
+        a.join(
+            x,
+            (F.col("x.p_value") < F.col("a.p_value"))
+            | (
+                (F.col("x.p_value") == F.col("a.p_value"))
+                & (F.col("x.brand") <= F.col("a.brand"))
+            ),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand"),
+            F.col("a.n1").alias("n1"),
+            F.col("a.x1").alias("x1"),
+            F.col("a.m").alias("m"),
+            F.col("a.z").alias("z"),
+            F.col("a.p_value").alias("p_value"),
+        )
+        .agg(F.count("*").alias("r"))
+    )
+    kk = ranked.filter(
+        F.col("p_value") <= F.col("r") * BH_Q / F.col("m")
+    ).agg(F.coalesce(F.max("r"), F.lit(0)).alias("k"))
+    return ranked.crossJoin(F.broadcast(kk)).select(
+        "brand",
+        F.col("n1").alias("n_items"),
+        F.col("x1").alias("n_returned"),
+        F.round("z", 6).alias("z_score"),
+        F.round("p_value", 8).alias("p_value"),
+        F.col("r").alias("p_rank"),
+        F.round(F.col("r") * BH_Q / F.col("m"), 8).alias("bh_threshold"),
+        (F.col("r") <= F.col("k")).alias("rejected"),
+    )

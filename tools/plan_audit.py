@@ -67,6 +67,10 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # 7-observed-day rolling sum/count/sum-of-squares frame over the
     # day-DOMAIN series (the seasonal_decompose shape)
     "bollinger_daily_revenue": 1,
+    # lag() diff + 14-observed-day rolling gain/loss sums over the same
+    # day-DOMAIN series (the bollinger shape; data-sized stage is the
+    # combinable daily groupBy)
+    "rsi_daily_revenue": 1,
     # lag(rev_c) first-difference over the day-DOMAIN series
     "daily_return_profile": 1,
     # running max over the day-DOMAIN series; 2 because the drawdown
