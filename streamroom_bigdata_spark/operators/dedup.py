@@ -1491,3 +1491,59 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_within_025"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document n-gram novelty against the doc_id-ordered corpus prefix
+# ---------------------------------------------------------------------------
+
+novelty_oracle = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({sql_shingles(SHINGLE_N)}) AS sh
+  FROM toks
+), owner AS (
+  SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM sh s JOIN owner o ON o.sh = s.sh
+GROUP BY s.doc_id
+"""
+
+
+@register("ngram_novelty", novelty_oracle)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty against the doc_id-ordered corpus: a
+    document's 3-gram is NOVEL iff no lower-doc_id document contains it,
+    and novelty = novel/total distinct shingles. The incremental-crawl
+    question (`incremental_neardup_pairs` asks "which docs duplicate the
+    index"; this asks "how much NEW text does each arriving doc add") and
+    the aggregate complement of `contamination_trigrams`' benchmark
+    overlap — low-novelty docs are what `near_dup_pairs` will catch, but
+    novelty also exposes boilerplate mosaics no single pair shows.
+
+    Shape: the codegen lead()-window shingle kernel (`exact_shingle_rows`
+    — the measured-at-sf≈10 spelling), ONE combinable min(doc_id) per
+    shingle, and one shingle-keyed join back — everything shuffles on the
+    shingle hash, no pair stage at all. Integer counts; round-6 ratio."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = exact_shingle_rows(docs, SHINGLE_N)
+    owner = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(owner, "sh")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+            "n_novel"
+        ),
+        F.round(
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("novelty"),
+    )

@@ -203,3 +203,163 @@ def compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning effectiveness: linear vs z-order layout
+# ---------------------------------------------------------------------------
+
+ZM_FILES = 64  # simulated files per layout
+_ZM_FILE_BITS = 6  # log2(ZM_FILES)
+#: the probe predicate selects the middle 2% of each key's range
+ZM_SEL_LO, ZM_SEL_HI = 0.49, 0.51
+
+
+def _zm_file_linear_sql() -> str:
+    top = ZM_FILES - 1
+    return (
+        f"least(CAST(floor((l_orderkey - omin) * {ZM_FILES} / "
+        f"(CASE WHEN omax = omin THEN 1 ELSE omax - omin + 1 END)) "
+        f"AS BIGINT), {top})"
+    )
+
+
+def _zm_oracle() -> str:
+    z = _interleave_sql(
+        _scale_expr_sql("l_partkey", "pmin", "pmax"),
+        _scale_expr_sql("l_suppkey", "smin", "smax"),
+    )
+    plo = f"(pmin + CAST(floor({ZM_SEL_LO!r} * (pmax - pmin)) AS BIGINT))"
+    phi = f"(pmin + CAST(floor({ZM_SEL_HI!r} * (pmax - pmin)) AS BIGINT))"
+    slo = f"(smin + CAST(floor({ZM_SEL_LO!r} * (smax - smin)) AS BIGINT))"
+    shi = f"(smin + CAST(floor({ZM_SEL_HI!r} * (smax - smin)) AS BIGINT))"
+    return f"""
+WITH bounds AS (
+  SELECT min(l_orderkey) AS omin, max(l_orderkey) AS omax,
+         min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem
+), coded AS (
+  SELECT l_partkey, l_suppkey,
+         {_zm_file_linear_sql()} AS f_linear,
+         ({z}) >> {2 * Z_BITS - _ZM_FILE_BITS} AS f_zorder
+  FROM lineitem, bounds
+), stacked AS (
+  SELECT 'linear' AS layout, f_linear AS file_id, l_partkey, l_suppkey
+  FROM coded
+  UNION ALL
+  SELECT 'zorder', f_zorder, l_partkey, l_suppkey FROM coded
+), files AS (
+  SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
+         min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi
+  FROM stacked GROUP BY 1, 2
+), flags AS (
+  SELECT f.layout, f.n_rows,
+         (f.p_hi < {plo} OR f.p_lo > {phi}) AS prune_part,
+         (f.s_hi < {slo} OR f.s_lo > {shi}) AS prune_supp
+  FROM files f, bounds
+), q AS (
+  SELECT layout,
+         unnest(['part_range', 'supp_range', 'both']) AS query,
+         unnest([prune_part, prune_supp, prune_part OR prune_supp])
+           AS pruned,
+         n_rows
+  FROM flags
+)
+SELECT layout, query,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       round(sum(CASE WHEN pruned THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS frac_pruned,
+       CAST(sum(CASE WHEN pruned THEN 0 ELSE n_rows END) AS BIGINT)
+         AS rows_scanned
+FROM q GROUP BY 1, 2
+"""
+
+
+@register("zonemap_prune_stats", _zm_oracle())
+def zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) pruning effectiveness of two file
+    layouts under the same 3-predicate probe workload — the number that
+    justifies `zorder_layout` at 100 TB: a scan-heavy engine skips a file
+    iff the predicate range misses its [min, max]. 64 simulated files per
+    layout: `linear` = orderkey-range binning (the natural ingest order,
+    where partkey/suppkey zone maps are USELESS — every file spans the
+    whole key range), `zorder` = top-6 Morton bits of (partkey, suppkey)
+    (both dims semi-clustered, both predicates prune). Probes select the
+    middle 2% of each key range; bounds are integer-exact both engines.
+
+    Shape: one scan computes both file ids as flat codegen bit algebra
+    (shared `interleave_bits` kernel), ONE combinable (layout, file)
+    min/max/count aggregate (128 groups), then constant-domain flag
+    algebra — the decision table costs two shuffled rows per file at any
+    data scale."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    bounds = li.agg(
+        F.min("l_orderkey").alias("omin"), F.max("l_orderkey").alias("omax"),
+        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"), F.max("l_suppkey").alias("smax"),
+    )
+    j = li.crossJoin(F.broadcast(bounds))
+    orng = F.when(
+        F.col("omax") == F.col("omin"), F.lit(1)
+    ).otherwise(F.col("omax") - F.col("omin") + 1)
+    f_linear = F.least(
+        F.floor((F.col("l_orderkey") - F.col("omin")) * ZM_FILES / orng)
+        .cast("bigint"),
+        F.lit(ZM_FILES - 1),
+    )
+    f_zorder = F.shiftright(
+        interleave_bits(
+            scale_to_bits(F.col("l_partkey"), F.col("pmin"), F.col("pmax")),
+            scale_to_bits(F.col("l_suppkey"), F.col("smin"), F.col("smax")),
+        ),
+        2 * Z_BITS - _ZM_FILE_BITS,
+    )
+    stacked = j.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("linear").alias("layout"), f_linear.alias("file_id")),
+                F.struct(F.lit("zorder").alias("layout"), f_zorder.alias("file_id")),
+            )
+        ).alias("lf"),
+        "l_partkey",
+        "l_suppkey",
+    ).select("lf.layout", "lf.file_id", "l_partkey", "l_suppkey")
+    files = stacked.groupBy("layout", "file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").alias("p_lo"), F.max("l_partkey").alias("p_hi"),
+        F.min("l_suppkey").alias("s_lo"), F.max("l_suppkey").alias("s_hi"),
+    )
+    fb = files.crossJoin(F.broadcast(bounds))
+    plo = F.col("pmin") + F.floor(ZM_SEL_LO * (F.col("pmax") - F.col("pmin"))).cast("bigint")
+    phi = F.col("pmin") + F.floor(ZM_SEL_HI * (F.col("pmax") - F.col("pmin"))).cast("bigint")
+    slo = F.col("smin") + F.floor(ZM_SEL_LO * (F.col("smax") - F.col("smin"))).cast("bigint")
+    shi = F.col("smin") + F.floor(ZM_SEL_HI * (F.col("smax") - F.col("smin"))).cast("bigint")
+    prune_part = (F.col("p_hi") < plo) | (F.col("p_lo") > phi)
+    prune_supp = (F.col("s_hi") < slo) | (F.col("s_lo") > shi)
+    q = fb.select(
+        "layout",
+        "n_rows",
+        F.explode(
+            F.array(
+                F.struct(F.lit("part_range").alias("query"), prune_part.alias("pruned")),
+                F.struct(F.lit("supp_range").alias("query"), prune_supp.alias("pruned")),
+                F.struct(F.lit("both").alias("query"), (prune_part | prune_supp).alias("pruned")),
+            )
+        ).alias("qp"),
+    ).select("layout", "qp.query", "qp.pruned", "n_rows")
+    return q.groupBy("layout", "query").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.col("pruned").cast("long")).alias("n_pruned"),
+        F.round(
+            F.sum(F.col("pruned").cast("long")) / F.count("*").cast("double"),
+            4,
+        ).alias("frac_pruned"),
+        F.sum(
+            F.when(F.col("pruned"), F.lit(0)).otherwise(F.col("n_rows"))
+        ).alias("rows_scanned"),
+    )

@@ -24,6 +24,8 @@ so its windows run over <= K rows — bounded and allowlisted.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -280,3 +282,174 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance re-ranking of a cosine candidate pool
+# ---------------------------------------------------------------------------
+
+MMR_QUERY_ID = 0
+MMR_CAND = 20  # candidate pool (exact top-k by cosine)
+MMR_K = 10  # reranked results
+MMR_LAMBDA = 0.7
+
+_MMR_COS = """
+  list_dot_product({a}.emb, {b}.emb)
+    / (sqrt(list_dot_product({a}.emb, {a}.emb))
+       * sqrt(list_dot_product({b}.emb, {b}.emb)))
+"""
+
+
+def _mmr_oracle() -> str:
+    lam, oml = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    parts = [
+        f"""
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), q AS (SELECT emb FROM corpus WHERE vec_id = {MMR_QUERY_ID}),
+cand AS MATERIALIZED (
+  SELECT c.vec_id, round({_MMR_COS.format(a='q', b='c')}, 6) AS rel, c.emb
+  FROM corpus c, q WHERE c.vec_id <> {MMR_QUERY_ID}
+  ORDER BY rel DESC, c.vec_id LIMIT {MMR_CAND}
+), sim AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round({_MMR_COS.format(a='a', b='b')}, 6) AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+p1 AS MATERIALIZED (
+  SELECT vec_id, rel, {lam!r} * rel AS score FROM cand
+  ORDER BY score DESC, vec_id LIMIT 1
+), sel1 AS (SELECT vec_id FROM p1)"""
+    ]
+    for k in range(2, MMR_K + 1):
+        parts.append(
+            f""", p{k} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel,
+         {lam!r} * c.rel - {oml!r} * (
+           SELECT max(s.s) FROM sim s
+           WHERE s.a = c.vec_id AND s.b IN (SELECT vec_id FROM sel{k - 1})
+         ) AS score
+  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+  ORDER BY score DESC, vec_id LIMIT 1
+), sel{k} AS (
+  SELECT vec_id FROM sel{k - 1} UNION ALL SELECT vec_id FROM p{k}
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS mmr_rank, vec_id, rel AS relevance,"
+        f" round(score, 6) AS mmr_score FROM p{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+@register("mmr_rerank", _mmr_oracle())
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell-Goldstein) re-ranking of the
+    exact cosine top-20 for one query: greedily pick argmax
+    λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the diversity-aware result
+    list `cosine_topk` alone cannot give (its top-k around a dense query
+    is near-duplicates of one answer; MMR trades relevance for coverage,
+    λ=0.7). The retrieval-side cousin of `k_center_diversity` (pure
+    diversity, no query).
+
+    Determinism: rel and pairwise sims are quantized to 6 BEFORE the
+    greedy (k-center convention); driver pairwise dots use SEQUENTIAL
+    summation — the same operand order as DuckDB's list_dot_product —
+    and ties break on min vec_id.
+
+    Scale: the data-sized stage is ONE mapInPandas corpus scan + a
+    top-20 aggregate (the cosine_topk shape); the greedy runs on the
+    BOUNDED 20-row pool on the driver (documented bounded collect —
+    20·(64+1) doubles), pairwise sims 20² driver floats. At 100 TB only
+    the candidate scan grows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qvec = np.array(
+        emb.filter(F.col("vec_id") == MMR_QUERY_ID).collect()[0]["emb"]
+    )
+    qn = float(np.sqrt((qvec * qvec).sum()))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["emb"].to_numpy())
+            rel = x @ qvec / (np.sqrt((x * x).sum(axis=1)) * qn)
+            rel = np.floor(np.abs(rel) * 1e6 + 0.5) / 1e6 * np.sign(rel)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "rel": rel})
+
+    scored = emb.filter(F.col("vec_id") != MMR_QUERY_ID).mapInPandas(
+        score,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("rel", T.DoubleType()),
+            ]
+        ),
+    )
+    # top-20 pool: a K-row sort-limit aggregate (Spark TakeOrdered), then
+    # the bounded driver-side greedy
+    pool_ids = [
+        r.vec_id
+        for r in scored.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CAND)
+        .collect()
+    ]
+    pool = {
+        r.vec_id: (r.rel, list(r.emb))
+        for r in scored.join(
+            emb, "vec_id"
+        ).filter(F.col("vec_id").isin(pool_ids)).collect()
+    }
+
+    def sdot(a, b):  # sequential order == DuckDB list_dot_product
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def r6(x):
+        return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
+
+    sims = {}
+    for a in pool_ids:
+        for b in pool_ids:
+            if a != b:
+                va, vb = pool[a][1], pool[b][1]
+                sims[(a, b)] = r6(
+                    sdot(va, vb)
+                    / (math.sqrt(sdot(va, va)) * math.sqrt(sdot(vb, vb)))
+                )
+    selected: list[int] = []
+    out = []
+    lam, oml = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for d in pool_ids:
+            if d in selected:
+                continue
+            pen = max(sims[(d, s)] for s in selected) if selected else 0.0
+            sc = lam * pool[d][0] - oml * pen if selected else lam * pool[d][0]
+            key = (-sc, d)
+            if best is None or key < best[0]:
+                best = (key, d, sc)
+        _, d, sc = best
+        selected.append(d)
+        out.append((rank, int(d), float(pool[d][0]), round(sc, 6)))
+    schema = T.StructType(
+        [
+            T.StructField("mmr_rank", T.IntegerType(), False),
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("relevance", T.DoubleType(), False),
+            T.StructField("mmr_score", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+

@@ -441,3 +441,59 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c.neg_partkey") == F.col("p.l_partkey")),
         "left_anti",
     ).select("c.o_custkey", "c.k", "c.neg_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Group-aware k-fold assignment (no customer straddles two folds)
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+_KF_KEY = "concat('kf:', CAST(o_custkey AS VARCHAR))"
+
+group_kfold_oracle = f"""
+WITH assigned AS (
+  SELECT o_custkey,
+         CAST({sql_hash64(_KF_KEY)} % {KFOLD_K} AS INT) AS fold,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT fold,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM assigned GROUP BY fold
+"""
+
+
+@register("group_kfold_assign", group_kfold_oracle)
+def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold split: every order lands in the fold of ITS
+    CUSTOMER (fold = salted portable hash of custkey mod K), so no
+    customer's history straddles train and validation — the leakage
+    hygiene `train_val_split` (row-level) cannot give when rows of one
+    entity correlate. Same-corpus determinism at any cluster size /
+    partitioning (the `negative_sampling_pairs` reproducibility
+    property); the per-fold balance table (customers, orders, revenue)
+    is the skew audit run before trusting the split.
+
+    Shape: fold assignment is per-row hash algebra in codegen; ONE
+    combinable fold aggregate (K groups, count-distinct via partial
+    sets bounded by |customers|). Exact integers everywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    assigned = orders.select(
+        "o_custkey",
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit("kf:"), F.col("o_custkey").cast("string"))
+            ),
+            F.lit(KFOLD_K),
+        )
+        .cast("int")
+        .alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return assigned.groupBy("fold").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
