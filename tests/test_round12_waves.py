@@ -344,3 +344,122 @@ def test_rsi_flags_match_float_definition(spark, sf_dir):
         assert r.oversold == (r.rsi < quant.RSI_LO) or abs(
             r.rsi - quant.RSI_LO
         ) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# HITS: the distributed round loop must agree with the numpy fast path
+# ---------------------------------------------------------------------------
+
+
+def test_hits_distributed_equals_driver(spark, sf_dir, monkeypatch):
+    from streamroom_bigdata_spark.operators import graph
+
+    fast = {
+        (r.node_type, r.node_key): r.hits_score
+        for r in graph.hits_hubs_authorities(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(graph, "_PR_DRIVER_MAX_EDGES", 0)
+    dist = {
+        (r.node_type, r.node_key): r.hits_score
+        for r in graph.hits_hubs_authorities(spark, sf_dir).collect()
+    }
+    assert dist.keys() == fast.keys()
+    for k in fast:
+        assert dist[k] == pytest.approx(fast[k], abs=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Zone maps: z-order must dominate the ingest-ordered layout on both dims
+# ---------------------------------------------------------------------------
+
+
+def test_zonemap_zorder_dominates_linear(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import layout
+
+    rows = {
+        (r.layout, r.query): r
+        for r in layout.zonemap_prune_stats(spark, sf_dir).collect()
+    }
+    for q in ("part_range", "supp_range", "both"):
+        assert (
+            rows[("zorder", q)].n_pruned >= rows[("linear", q)].n_pruned
+        )
+        assert (
+            rows[("zorder", q)].rows_scanned
+            <= rows[("linear", q)].rows_scanned
+        )
+    # the conjunction can only prune MORE files than either single dim
+    for lay in ("linear", "zorder"):
+        assert rows[(lay, "both")].n_pruned >= max(
+            rows[(lay, "part_range")].n_pruned,
+            rows[(lay, "supp_range")].n_pruned,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Novelty: the first document is 100% novel; novelty sums tie out
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_contract(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import dedup
+
+    rows = {r.doc_id: r for r in dedup.ngram_novelty(spark, sf_dir).collect()}
+    first = min(rows)
+    assert rows[first].novelty == 1.0
+    # Σ n_novel over docs = global distinct shingle count (each shingle is
+    # novel exactly once, in its min-doc_id owner)
+    sh = dedup.exact_shingle_rows(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        dedup.SHINGLE_N,
+    )
+    assert sum(r.n_novel for r in rows.values()) == sh.select(
+        "sh"
+    ).distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# MMR: first pick is the relevance argmax; no duplicates; scores decay rule
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_contract(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import retrieval
+
+    rows = sorted(
+        retrieval.mmr_rerank(spark, sf_dir).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert len(rows) == retrieval.MMR_K
+    assert len({r.vec_id for r in rows}) == retrieval.MMR_K
+    # rank 1 maximizes pure relevance (λ·rel with empty S)
+    assert rows[0].relevance == max(r.relevance for r in rows)
+    # every later score is λ·rel − (1−λ)·pen with pen a COSINE to some
+    # selected item — recover pen and check it is a legal cosine (it may
+    # be negative: anti-correlated pool members REWARD selection)
+    for r in rows[1:]:
+        pen = (retrieval.MMR_LAMBDA * r.relevance - r.mmr_score) / (
+            1.0 - retrieval.MMR_LAMBDA
+        )
+        assert -1.0 - 1e-6 <= pen <= 1.0 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Group k-fold: folds partition customers; assignment is hash-deterministic
+# ---------------------------------------------------------------------------
+
+
+def test_group_kfold_partitions_customers(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import sampling
+
+    folds = sampling.group_kfold_assign(spark, sf_dir).collect()
+    assert len(folds) == sampling.KFOLD_K
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_customers for r in folds) == n_cust  # no straddling
+    assert sum(r.n_orders for r in folds) == n_orders
