@@ -1325,3 +1325,78 @@ def bh_fdr_brand_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r") * BH_Q / F.col("m"), 8).alias("bh_threshold"),
         (F.col("r") <= F.col("k")).alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SPRT — Wald's sequential probability ratio test on daily conversion
+# ---------------------------------------------------------------------------
+
+SPRT_P0 = 0.18  # H0 purchase share
+SPRT_P1 = 0.22  # H1 purchase share
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+_SPRT_W1 = math.log(SPRT_P1 / SPRT_P0)  # per-conversion LLR weight
+_SPRT_W0 = math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))  # per-miss weight
+_SPRT_HI = math.log((1.0 - SPRT_BETA) / SPRT_ALPHA)  # accept H1 above
+_SPRT_LO = math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))  # accept H0 below
+
+sprt_oracle = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT day, n, x,
+         sum(x * {_SPRT_W1!r} + (n - x) * {_SPRT_W0!r})
+           OVER (ORDER BY day) AS llr
+  FROM daily
+)
+SELECT day, n, x, round(llr, 6) AS llr,
+       CASE WHEN llr >= {_SPRT_HI!r} THEN 'reject_h0'
+            WHEN llr <= {_SPRT_LO!r} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum
+"""
+
+
+@register("sprt_ab_sequential", sprt_oracle)
+def sprt_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT run day by day on the purchase share: cumulative
+    log-likelihood ratio of H1 (p=0.22) against H0 (p=0.18) with ±ln
+    boundaries at α=β=0.05 — the SEQUENTIAL experiment monitor that can
+    stop early with controlled error, where `ab_test_proportions` is the
+    fixed-horizon test a peeking analyst invalidates. Per day: the LLR
+    and the decision the boundary implies at that day.
+
+    Determinism: daily (n, x) are exact integers; the two LLR weights and
+    both boundaries are Python-computed literals embedded identically in
+    both engines; the cumulative sums identical doubles in identical day
+    order. The data-sized stage is ONE combinable daily aggregate; the
+    cumulative rides the day-DOMAIN window (calendar-bounded,
+    plan-audit-allowlisted — the cusum_changepoint shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("x"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.withColumn(
+        "llr",
+        F.sum(
+            F.col("x") * _SPRT_W1 + (F.col("n") - F.col("x")) * _SPRT_W0
+        ).over(w),
+    )
+    return cum.select(
+        "day",
+        "n",
+        "x",
+        F.round("llr", 6).alias("llr"),
+        F.when(F.col("llr") >= _SPRT_HI, F.lit("reject_h0"))
+        .when(F.col("llr") <= _SPRT_LO, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

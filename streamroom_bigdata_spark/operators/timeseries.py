@@ -992,3 +992,99 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("f", 4).alias("forecast"),
         F.round("ae", 4).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval for the seasonal-naive forecaster
+# ---------------------------------------------------------------------------
+
+CONF_LEVEL = 0.9  # nominal coverage
+
+conformal_oracle = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 6) AS y
+  FROM events GROUP BY 1
+), paired AS (
+  SELECT a.day, abs(a.y - f.y) AS resid
+  FROM daily a JOIN daily f ON f.day = a.day - INTERVAL 7 DAY
+), split AS (
+  SELECT min(day) + CAST(floor(date_diff('day', min(day), max(day)) / 2)
+                         AS BIGINT) * INTERVAL 1 DAY AS mid
+  FROM paired
+), cal AS (
+  SELECT quantile_cont(resid, {CONF_LEVEL!r}) AS q_hat,
+         CAST(count(*) AS BIGINT) AS n_cal
+  FROM paired, split WHERE day <= mid
+), ev AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN resid <= (SELECT q_hat FROM cal)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS covered
+  FROM paired, split WHERE day > mid
+)
+SELECT c.n_cal, e.n_eval,
+       round(c.q_hat, 4) AS q_hat,
+       round(CAST(e.covered AS DOUBLE) / e.n_eval, 6) AS coverage,
+       CAST({CONF_LEVEL!r} AS DOUBLE) AS nominal
+FROM cal c, ev e
+"""
+
+
+@register("conformal_interval_daily", conformal_oracle)
+def conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval around the weekly seasonal-naive
+    forecaster: residuals |y_d − y_{d−7}| on the FIRST half of the
+    calendar calibrate q̂ = the 90th-percentile score, and the second half
+    measures empirical coverage of ±q̂ — the distribution-free guarantee
+    (coverage ≥ nominal, up to finite-sample slack) that
+    `seasonal_naive_backtest`'s MAE/MAPE point metrics cannot give.
+    Calibration/evaluation split at the calendar MIDPOINT (integer day
+    arithmetic — no ranking, no window anywhere).
+
+    Shape: one combinable daily groupBy, a calendar self-join (day−7),
+    a 1-row percentile sketch over the calibration half, and a 1-row
+    coverage reduce — day-domain relations throughout. Spark percentile ≡
+    DuckDB quantile_cont (type-7, ulp-verified), residuals off quantized
+    y → round-4/6 hash-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("y")
+    )
+    a, f_ = daily.alias("a"), daily.alias("f")
+    paired = a.join(
+        f_, F.col("a.day") == F.date_add(F.col("f.day"), 7)
+    ).select(
+        F.col("a.day").alias("day"),
+        F.abs(F.col("a.y") - F.col("f.y")).alias("resid"),
+    )
+    split = paired.agg(
+        F.date_add(
+            F.min("day"),
+            F.floor(F.datediff(F.max("day"), F.min("day")) / 2).cast("int"),
+        ).alias("mid")
+    )
+    j = paired.crossJoin(F.broadcast(split))
+    cal = j.filter(F.col("day") <= F.col("mid")).agg(
+        F.percentile("resid", CONF_LEVEL).alias("q_hat"),
+        F.count("*").alias("n_cal"),
+    )
+    evh = (
+        j.filter(F.col("day") > F.col("mid"))
+        .crossJoin(F.broadcast(cal))
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum((F.col("resid") <= F.col("q_hat")).cast("long")).alias(
+                "covered"
+            ),
+            F.any_value("q_hat").alias("q_hat"),
+            F.any_value("n_cal").alias("n_cal"),
+        )
+    )
+    return evh.select(
+        "n_cal",
+        "n_eval",
+        F.round("q_hat", 4).alias("q_hat"),
+        F.round(
+            F.col("covered").cast("double") / F.col("n_eval"), 6
+        ).alias("coverage"),
+        F.lit(CONF_LEVEL).alias("nominal"),
+    )

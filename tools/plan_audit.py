@@ -71,6 +71,9 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # day-DOMAIN series (the bollinger shape; data-sized stage is the
     # combinable daily groupBy)
     "rsi_daily_revenue": 1,
+    # cumulative LLR over the day-DOMAIN daily-conversion series (the
+    # cusum_changepoint shape)
+    "sprt_ab_sequential": 1,
     # lag(rev_c) first-difference over the day-DOMAIN series
     "daily_return_profile": 1,
     # running max over the day-DOMAIN series; 2 because the drawdown
