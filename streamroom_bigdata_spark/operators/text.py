@@ -1197,3 +1197,122 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_100_chars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (stopword-delimited phrases, degree/frequency)
+# ---------------------------------------------------------------------------
+
+RAKE_TOP = 20
+#: reuse the evaluation stopword list (operators/quality.py) as the RAKE
+#: delimiter set — one shared definition, embedded in both engines
+from .quality import EN_STOPWORDS as _RAKE_STOPS  # noqa: E402
+
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+
+
+def _rake_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.pos, t.tok
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+    FROM documents
+  ) t(doc_id, tok, pos)
+), content AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM tok WHERE tok NOT IN ({_RAKE_STOPS_SQL}) AND tok <> ''
+), phrases AS (
+  SELECT doc_id, island,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM content GROUP BY doc_id, island
+), words AS (
+  SELECT c.tok, p.plen
+  FROM content c JOIN phrases p
+    ON p.doc_id = c.doc_id AND p.island = c.island
+), wscore AS (
+  SELECT tok, CAST(sum(plen) AS BIGINT) AS deg,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM words GROUP BY tok
+), pscore AS (
+  SELECT p.phrase,
+         sum(CAST(w.deg AS DOUBLE) / w.freq) AS score
+  FROM phrases p
+  JOIN content c ON c.doc_id = p.doc_id AND c.island = p.island
+  JOIN wscore w ON w.tok = c.tok
+  GROUP BY p.doc_id, p.island, p.phrase
+)
+SELECT phrase,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       round(max(score), 6) AS score
+FROM pscore
+GROUP BY phrase
+ORDER BY round(max(score), 6) DESC, phrase
+LIMIT {RAKE_TOP}
+"""
+
+
+@register("rake_keywords", _rake_oracle())
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    stopword-delimited phrases via GAPS-AND-ISLANDS (consecutive
+    non-stopword tokens share island = pos − row_number, the
+    `gaps_islands_activity` kernel applied to text), word score =
+    degree/frequency (degree = Σ phrase length over a word's
+    occurrences), phrase score = Σ member word scores; top-20 phrases.
+    The unsupervised complement of `tf_idf` (which needs a background
+    corpus) and `bigram_collocations` (fixed length 2 — RAKE phrases are
+    variable-length).
+
+    Scale: token posexplode is the data-sized stage; islands ride the
+    doc-PARTITIONED window (per-doc sequences, never corpus-wide);
+    word/phrase scores are two combinable vocabulary-bounded aggregates.
+    Scores are sums of positive int ratios → round-6 hash-stable."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    content = tok.filter(
+        (~F.col("tok").isin(*_RAKE_STOPS)) & (F.col("tok") != "")
+    ).withColumn("island", F.col("pos") - F.row_number().over(w))
+    phrases = content.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    words = content.join(phrases, ["doc_id", "island"]).select("tok", "plen")
+    wscore = words.groupBy("tok").agg(
+        F.sum("plen").alias("deg"), F.count("*").alias("freq")
+    )
+    pscore = (
+        phrases.join(content, ["doc_id", "island"])
+        .join(wscore, "tok")
+        .groupBy("doc_id", "island", "phrase")
+        .agg(
+            F.sum(F.col("deg").cast("double") / F.col("freq")).alias("score")
+        )
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            # the top-k boundary orders on the ROUNDED score: raw doubles
+            # may differ in the last ulp across engines, and a boundary
+            # tie must break on (rounded score, phrase) identically
+            F.round(F.max("score"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(RAKE_TOP)
+    )
