@@ -705,7 +705,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DH_W, DH_H = 9, 8  # dHash canonical grid: 9x8 grayscale → 8x8 neighbor bits
 _DH_RASTER = DH_W * DH_H * 3  # 216 raster bytes
-DH_HAM_MAX = 7  # ≤7 of 64 bits: 8 one-byte bands make the blocking LOSSLESS
+DH_HAM_MAX = 3  # ≤3 of 64 bits: 4 two-byte bands make the blocking LOSSLESS
+_DH_BANDS = 4  # band b = rows (2b, 2b+1) as one 16-bit key
 
 
 def _dh_gray_sql(x: int, y: int) -> str:
@@ -753,10 +754,14 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the `multimodal_image_decode` pattern — header + 216 text bytes as
     raster), the actual PPM parser + numpy grayscale/neighbor-gradient
     run inside mapInPandas, and the 64-bit fingerprint (8 row-bytes) is
-    banded so candidate pairs form ONLY on an equal row-byte — the
-    pigeonhole makes the blocking LOSSLESS for hamming ≤ 7 (8 bands, ≤7
-    differing bits leave ≥1 band untouched). Exact per-row-byte popcount
-    verifies candidates. The image twin of `simhash_near_dup`: robust to
+    banded so candidate pairs form ONLY on an equal TWO-ROW (16-bit) band
+    — the pigeonhole makes the blocking LOSSLESS for hamming ≤ 3 (4
+    bands, ≤3 differing bits leave ≥1 band untouched). 16-bit bands, not
+    single row-bytes, are the scale decision: an 8-bit band has only 256
+    values, so its buckets fill at N/256 and candidate pairs grow ~N²/256
+    (measured 1.8M candidate rows from 5k docs); 65,536-value bands cut
+    that 256-fold for the same lossless guarantee at the tighter
+    threshold. Exact per-row-byte popcount verifies candidates. The image twin of `simhash_near_dup`: robust to
     brightness-uniform shifts (gradient signs survive), unlike the
     byte-exact `ingest_content_dedup`.
 
@@ -812,9 +817,13 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(y).alias("band"), F.col(f"rb{y}").alias("val")
+                        F.lit(b).alias("band"),
+                        (
+                            F.col(f"rb{2 * b}")
+                            + F.col(f"rb{2 * b + 1}") * 256
+                        ).alias("val"),
                     )
-                    for y in range(DH_H)
+                    for b in range(_DH_BANDS)
                 ]
             )
         ).alias("b"),
