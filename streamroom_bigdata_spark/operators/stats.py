@@ -1400,3 +1400,228 @@ def sprt_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (Fleming-Harrington survival)
+# ---------------------------------------------------------------------------
+
+nelson_aalen_oracle = f"""
+WITH pu AS (
+  SELECT user_id,
+         epoch_ms(CAST(min(ts) AS TIMESTAMP)) AS first_ms,
+         epoch_ms(CAST(min(CASE WHEN event_type = 'purchase'
+                                 AND value > {KM_VALUE_THRESHOLD}
+                                THEN ts END) AS TIMESTAMP)) AS hit_ms
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT max(epoch_ms(CAST(ts AS TIMESTAMP))) AS end_ms FROM events
+), marked AS (
+  SELECT CAST(floor((COALESCE(hit_ms, end_ms) - first_ms) / 86400000.0)
+              AS BIGINT) AS t_days,
+         CASE WHEN hit_ms IS NOT NULL THEN 1 ELSE 0 END AS converted
+  FROM pu, horizon
+), lt AS (
+  SELECT t_days,
+         CAST(sum(converted) AS BIGINT) AS d,
+         CAST(count(*) - sum(converted) AS BIGINT) AS c
+  FROM marked GROUP BY t_days
+), tot AS (SELECT sum(d + c) AS n_users FROM lt),
+risk AS (
+  SELECT t_days, d, c,
+         n_users - COALESCE(sum(d + c) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM lt, tot
+), haz AS (
+  SELECT t_days, d, c, n_at_risk,
+         sum(CAST(d AS DOUBLE) / n_at_risk)
+           OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h,
+         sum(CAST(d AS DOUBLE) / (CAST(n_at_risk AS DOUBLE) * n_at_risk))
+           OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM risk
+)
+SELECT t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS n_converted,
+       round(h, 6) AS cum_hazard,
+       round(sqrt(v), 6) AS hazard_se,
+       round(exp(-h), 6) AS fh_survival
+FROM haz WHERE d > 0
+"""
+
+
+@register("nelson_aalen_hazard", nelson_aalen_oracle)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{u≤t} d_u/n_u over the same
+    time-to-conversion lifetable as `kaplan_meier_conversion`, with the
+    Poisson-variance standard error √(Σ d/n²) and the Fleming-Harrington
+    survival exp(−H) — the estimator preferred over KM in small risk sets
+    (no product term ever hits zero while anyone is at risk) and the
+    quantity hazard-RATE models are fit against. One estimator family,
+    two readouts: KM answers "what fraction survives", this answers "how
+    much hazard has accumulated".
+
+    Scale shape: identical to KM — ONE combinable user groupBy, then the
+    duration-DOMAIN lifetable (day-span bounded) carries the cumulative
+    windows (plan-audit allowlisted, KM precedent). Hazard increments are
+    positive ratios of exact integers summed in the same order both
+    engines → round-6 hash-stable."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        epoch_ms(F.min("ts").cast("timestamp")).alias("first_ms"),
+        epoch_ms(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > KM_VALUE_THRESHOLD),
+                    F.col("ts"),
+                )
+            ).cast("timestamp")
+        ).alias("hit_ms"),
+    )
+    horizon = ev.agg(epoch_ms(F.max("ts").cast("timestamp")).alias("end_ms"))
+    marked = pu.crossJoin(F.broadcast(horizon)).select(
+        F.floor(
+            (F.coalesce(F.col("hit_ms"), F.col("end_ms")) - F.col("first_ms"))
+            / 86400000.0
+        )
+        .cast("bigint")
+        .alias("t_days"),
+        F.col("hit_ms").isNotNull().cast("long").alias("converted"),
+    )
+    lt = marked.groupBy("t_days").agg(
+        F.sum("converted").alias("d"),
+        (F.count("*") - F.sum("converted")).alias("c"),
+    )
+    tot = lt.agg(F.sum(F.col("d") + F.col("c")).alias("n_users"))
+    w_before = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    risk = lt.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk",
+        F.col("n_users")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_before), F.lit(0)),
+    )
+    haz = risk.withColumn(
+        "h", F.sum(F.col("d").cast("double") / F.col("n_at_risk")).over(w_run)
+    ).withColumn(
+        "v",
+        F.sum(
+            F.col("d").cast("double")
+            / (F.col("n_at_risk").cast("double") * F.col("n_at_risk"))
+        ).over(w_run),
+    )
+    return haz.filter(F.col("d") > 0).select(
+        "t_days",
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("n_converted"),
+        F.round("h", 6).alias("cum_hazard"),
+        F.round(F.sqrt("v"), 6).alias("hazard_se"),
+        F.round(F.exp(-F.col("h")), 6).alias("fh_survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Randomized response: plausibly-deniable proportion estimation
+# ---------------------------------------------------------------------------
+
+RR_Q = 0.25  # probability a respondent answers with the coin, not the truth
+
+
+def _rr_oracle() -> str:
+    from ..functions.hashing import sql_hash64
+
+    key1 = "concat('rr1:', CAST(c_custkey AS VARCHAR))"
+    key2 = "concat('rr2:', CAST(c_custkey AS VARCHAR))"
+    use_coin = f"({sql_hash64(key1)} % 4 = 0)"
+    coin = f"({sql_hash64(key2)} % 2 = 0)"
+    return f"""
+WITH resp AS (
+  SELECT c_custkey,
+         (c_mktsegment = 'BUILDING') AS truth,
+         CASE WHEN {use_coin} THEN {coin}
+              ELSE (c_mktsegment = 'BUILDING') END AS answer
+  FROM customer
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN answer THEN 1 ELSE 0 END) AS BIGINT) AS n_yes
+  FROM resp
+)
+SELECT n, n_true, n_yes,
+       round(CAST(n_true AS DOUBLE) / n, 6) AS true_p,
+       round(CAST(n_yes AS DOUBLE) / n, 6) AS observed_p,
+       round((CAST(n_yes AS DOUBLE) / n - {RR_Q!r} / 2.0)
+             / (1.0 - {RR_Q!r}), 6) AS estimated_p,
+       round(abs((CAST(n_yes AS DOUBLE) / n - {RR_Q!r} / 2.0)
+             / (1.0 - {RR_Q!r}) - CAST(n_true AS DOUBLE) / n), 6)
+         AS abs_err
+FROM s
+"""
+
+
+@register("randomized_response_estimate", _rr_oracle())
+def randomized_response_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner-style randomized response over a sensitive bit (market
+    segment = BUILDING): with probability q each respondent answers a
+    coin flip instead of the truth, giving per-row plausible deniability;
+    the population share is still recoverable as
+    p̂ = (observed − q/2)/(1 − q). The LOCAL-privacy counterpart of the
+    aggregate-side governance ops (`k_anonymity_profile` suppresses
+    quasi-identifiers; this perturbs at COLLECTION time). Both the coin
+    and the use-coin choice are salted portable hashes — the mechanism is
+    deterministic, replayable, and engine-identical, so the estimator and
+    its realized error are exact-checkable (a production rollout swaps
+    the hash for true randomness; the ESTIMATOR algebra is what's under
+    test).
+
+    Shape: one scan, one 1-row combinable reduce — integer counts, one
+    final ratio."""
+    from ..functions.hashing import portable_hash64
+
+    cust = load_table(spark, sf_dir, "customer")
+    truth = F.col("c_mktsegment") == "BUILDING"
+    use_coin = (
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit("rr1:"), F.col("c_custkey").cast("string"))
+            ),
+            F.lit(4),
+        )
+        == 0
+    )
+    coin = (
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit("rr2:"), F.col("c_custkey").cast("string"))
+            ),
+            F.lit(2),
+        )
+        == 0
+    )
+    resp = cust.select(
+        truth.alias("truth"),
+        F.when(use_coin, coin).otherwise(truth).alias("answer"),
+    )
+    s = resp.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("truth").cast("long")).alias("n_true"),
+        F.sum(F.col("answer").cast("long")).alias("n_yes"),
+    )
+    obs = F.col("n_yes").cast("double") / F.col("n")
+    est = (obs - RR_Q / 2.0) / (1.0 - RR_Q)
+    return s.select(
+        "n",
+        "n_true",
+        "n_yes",
+        F.round(F.col("n_true").cast("double") / F.col("n"), 6).alias("true_p"),
+        F.round(obs, 6).alias("observed_p"),
+        F.round(est, 6).alias("estimated_p"),
+        F.round(
+            F.abs(est - F.col("n_true").cast("double") / F.col("n")), 6
+        ).alias("abs_err"),
+    )

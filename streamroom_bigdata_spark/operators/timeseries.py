@@ -1088,3 +1088,115 @@ def conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coverage"),
         F.lit(CONF_LEVEL).alias("nominal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary segmentation: two-level CUSUM changepoint tree
+# ---------------------------------------------------------------------------
+
+binseg_oracle = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS day, avg(value) AS m
+  FROM events GROUP BY 1
+), mu0 AS (SELECT avg(m) AS mu FROM daily),
+c0 AS (
+  SELECT day, m,
+         sum(m - mu) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM daily, mu0
+), cp0 AS MATERIALIZED (
+  SELECT day AS cp, round(abs(s), 6) AS peak
+  FROM c0 ORDER BY round(abs(s), 6) DESC, day LIMIT 1
+), seg AS MATERIALIZED (
+  SELECT d.day, d.m,
+         CASE WHEN d.day <= p.cp THEN 'left' ELSE 'right' END AS side
+  FROM daily d, cp0 p
+), mus AS (SELECT side, avg(m) AS mu FROM seg GROUP BY side),
+c1 AS (
+  SELECT s.side, s.day, s.m,
+         sum(s.m - u.mu) OVER (PARTITION BY s.side ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+  FROM seg s JOIN mus u ON u.side = s.side
+), cp1 AS (
+  SELECT side, day AS cp, round(abs(s2), 6) AS peak,
+         row_number() OVER (PARTITION BY side
+                            ORDER BY round(abs(s2), 6) DESC, day) AS rn
+  FROM c1
+)
+SELECT 0 AS level, 'all' AS segment, p.cp AS changepoint_day, p.peak
+FROM cp0 p
+UNION ALL
+SELECT 1, side, cp, peak FROM cp1 WHERE rn = 1
+"""
+
+
+@register("binary_segmentation_changepoints", binseg_oracle)
+def binary_segmentation_changepoints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary segmentation (two levels) of the daily mean-value series:
+    the level-0 CUSUM peak splits the calendar, then each half is
+    re-scanned against its OWN mean for the strongest sub-shift — the
+    multi-changepoint extension of `cusum_changepoint` (which can only
+    name ONE shift; a series with two regime breaks puts the single peak
+    between them and misleads). Output: the root changepoint and the
+    best candidate inside each half with its peak mass.
+
+    Determinism: every argmax orders by the ROUNDED peak with day
+    tie-break (the cusum convention). Scale shape: one combinable daily
+    groupBy is the data-sized stage; both scan levels run on the
+    day-DOMAIN table — level 0 on the allowlisted bounded window, level
+    1 PARTITIONED by segment side."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("m")
+    )
+    mu0 = daily.agg(F.avg("m").alias("mu"))
+    w0 = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c0 = daily.crossJoin(F.broadcast(mu0)).withColumn(
+        "s", F.sum(F.col("m") - F.col("mu")).over(w0)
+    )
+    cp0 = (
+        c0.select("day", F.round(F.abs("s"), 6).alias("peak"))
+        .orderBy(F.desc("peak"), F.asc("day"))
+        .limit(1)
+        .select(F.col("day").alias("cp"), "peak")
+    )
+    seg = daily.crossJoin(F.broadcast(cp0)).select(
+        "day",
+        "m",
+        F.when(F.col("day") <= F.col("cp"), F.lit("left"))
+        .otherwise(F.lit("right"))
+        .alias("side"),
+    )
+    mus = seg.groupBy("side").agg(F.avg("m").alias("mu"))
+    w1 = (
+        Window.partitionBy("side")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c1 = seg.join(F.broadcast(mus), "side").withColumn(
+        "s2", F.sum(F.col("m") - F.col("mu")).over(w1)
+    )
+    w_rank = Window.partitionBy("side").orderBy(
+        F.desc(F.round(F.abs("s2"), 6)), F.asc("day")
+    )
+    cp1 = (
+        c1.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit(1).alias("level"),
+            F.col("side").alias("segment"),
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs("s2"), 6).alias("peak"),
+        )
+    )
+    root = cp0.select(
+        F.lit(0).alias("level"),
+        F.lit("all").alias("segment"),
+        F.col("cp").alias("changepoint_day"),
+        "peak",
+    )
+    return root.unionByName(cp1)

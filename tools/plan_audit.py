@@ -45,6 +45,9 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # the duration-DOMAIN table — bounded by the corpus day span, never
     # data-sized (counting_median domain-count strategy)
     "kaplan_meier_conversion": 2,
+    # same duration-DOMAIN lifetable as kaplan_meier (risk-set cumsum +
+    # hazard cumsum)
+    "nelson_aalen_hazard": 2,
     # largest-remainder ranking over the source-cardinality table
     "token_budget_apportion": 1,
     # order-statistic cut over the BOOT_REPS-row replica-mean table
@@ -74,6 +77,9 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # cumulative LLR over the day-DOMAIN daily-conversion series (the
     # cusum_changepoint shape)
     "sprt_ab_sequential": 1,
+    # level-0 CUSUM cumsum over the day-DOMAIN series (level 1 is
+    # PARTITIONED by segment side)
+    "binary_segmentation_changepoints": 1,
     # lag(rev_c) first-difference over the day-DOMAIN series
     "daily_return_profile": 1,
     # running max over the day-DOMAIN series; 2 because the drawdown
