@@ -1259,3 +1259,147 @@ def quantile_align_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test on the daily revenue series
+# ---------------------------------------------------------------------------
+
+LB_MAX_LAG = 10
+
+ljung_box_oracle = f"""
+WITH daily AS ({_DAILY_SQL}),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+m AS (
+  SELECT avg(rev) AS mu,
+         sum((rev - (SELECT avg(rev) FROM daily)) ^ 2) AS ss
+  FROM daily
+),
+lags AS (SELECT unnest(range(1, {LB_MAX_LAG} + 1)) AS lag),
+rho AS (
+  SELECT l.lag,
+         sum((a.rev - m.mu) * (b.rev - m.mu)) / m.ss AS r
+  FROM lags l
+  JOIN daily a ON true
+  JOIN daily b ON b.d = a.d + l.lag, m
+  GROUP BY l.lag, m.ss
+)
+SELECT CAST(rho.lag AS INT) AS lag,
+       round(rho.r, 6) AS acf,
+       round(nn.n * (nn.n + 2.0) * rho.r * rho.r / (nn.n - rho.lag), 6)
+         AS q_term,
+       round(sum(nn.n * (nn.n + 2.0) * rho.r * rho.r / (nn.n - rho.lag))
+             OVER (ORDER BY rho.lag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS q_cum
+FROM rho, nn
+"""
+
+
+@register("ljung_box_q", ljung_box_oracle)
+def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic on the daily revenue series:
+    Q(h) = n(n+2) Σ_{k≤h} ρ̂²_k/(n−k), cumulative per lag up to h=10 —
+    the joint whiteness TEST over the per-lag readout
+    `acf_daily_revenue` reports (one large lag is noise; a large Q is
+    memory). Compared against χ²(h) off-engine; the engine's job is the
+    statistic.
+
+    Same bounded machinery as acf: ONE combinable daily groupBy, a
+    10-row lag spine against the day-DOMAIN table, ratio-of-centered-sums
+    ρ̂ (noise cancels), and a lag-domain cumulative (≤10 rows — the
+    allowlisted bounded-window class)."""
+    from pyspark.sql import Window
+
+    daily = _daily_orders(spark, sf_dir).select("d", "rev")
+    nn = daily.agg(F.count("*").alias("n"))
+    mu = daily.agg(F.avg("rev").alias("mu"))
+    centered = daily.crossJoin(F.broadcast(mu)).select(
+        "d", (F.col("rev") - F.col("mu")).alias("dev")
+    )
+    ss = centered.agg(F.sum(F.pow("dev", F.lit(2))).alias("ss"))
+    lags = daily.sparkSession.range(1, LB_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a, b = centered.alias("a"), centered.alias("b")
+    rho = (
+        lags.join(a, F.lit(True))
+        .join(b, F.col("b.d") == F.col("a.d") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("a.dev") * F.col("b.dev")).alias("num"))
+        .crossJoin(F.broadcast(ss))
+        .select("lag", (F.col("num") / F.col("ss")).alias("r"))
+    )
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    out = rho.crossJoin(F.broadcast(nn)).select(
+        "lag",
+        F.round("r", 6).alias("acf"),
+        (
+            F.col("n") * (F.col("n") + 2.0) * F.col("r") * F.col("r")
+            / (F.col("n") - F.col("lag"))
+        ).alias("term"),
+    )
+    return out.select(
+        "lag",
+        "acf",
+        F.round("term", 6).alias("q_term"),
+        F.round(F.sum("term").over(w), 6).alias("q_cum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week quantile bands (calendar seasonality profile)
+# ---------------------------------------------------------------------------
+
+DOW_QS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+def _dow_bands_sql() -> str:
+    qs = ", ".join(repr(q) for q in DOW_QS)
+    cols = ",\n       ".join(
+        f"round(qs[{i + 1}], 4) AS q{int(q * 100)}"
+        for i, q in enumerate(DOW_QS)
+    )
+    return f"""
+WITH daily AS ({_DAILY_SQL}),
+dow AS (
+  SELECT CAST((d + 3) % 7 AS INT) AS day_of_week, rev FROM daily
+)
+SELECT day_of_week, n_days, {cols}
+FROM (
+  SELECT day_of_week,
+         CAST(count(*) AS BIGINT) AS n_days,
+         quantile_cont(rev, [{qs}]) AS qs
+  FROM dow GROUP BY day_of_week
+)
+"""
+
+
+@register("dow_quantile_bands", _dow_bands_sql())
+def dow_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week quantile bands of daily revenue (0 = Monday, computed
+    as (epoch_day + 3) mod 7 — pure integer arithmetic, NEVER an engine
+    dayofweek builtin, whose week-start conventions differ): the
+    calendar-seasonality profile behind `seasonal_decompose_daily`'s
+    weekly term, as distribution BANDS rather than one mean — the shape
+    an anomaly monitor thresholds against ("is this Monday unusual FOR A
+    MONDAY?"). Spark percentile ≡ DuckDB quantile_cont (ulp-verified).
+
+    Shape: one combinable daily groupBy, then a 7-group percentile
+    sketch — nothing larger than the day domain moves."""
+    daily = _daily_orders(spark, sf_dir).select("d", "rev")
+    grid = F.array(*[F.lit(q) for q in DOW_QS])
+    g = daily.groupBy(
+        F.pmod(F.col("d") + 3, F.lit(7)).cast("int").alias("day_of_week")
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.percentile("rev", grid).alias("qs"),
+    )
+    return g.select(
+        "day_of_week",
+        "n_days",
+        *[
+            F.round(F.element_at("qs", i + 1), 4).alias(f"q{int(q * 100)}")
+            for i, q in enumerate(DOW_QS)
+        ],
+    )

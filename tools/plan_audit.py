@@ -80,6 +80,8 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # level-0 CUSUM cumsum over the day-DOMAIN series (level 1 is
     # PARTITIONED by segment side)
     "binary_segmentation_changepoints": 1,
+    # cumulative Q over the 10-row LAG domain (smaller than day-domain)
+    "ljung_box_q": 1,
     # lag(rev_c) first-difference over the day-DOMAIN series
     "daily_return_profile": 1,
     # running max over the day-DOMAIN series; 2 because the drawdown
