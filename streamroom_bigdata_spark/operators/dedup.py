@@ -1535,7 +1535,11 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = exact_shingle_rows(docs, SHINGLE_N)
     owner = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    j = sh.join(owner, "sh")
+    # shuffle_hash pin: the owner table is SHINGLE-VOCABULARY-sized and
+    # grows with the corpus — AQE happily broadcast 320 MiB of it at sf≈1
+    # (3.2 GB at sf≈10, an executor OOM at 100 TB); both sides are already
+    # hash-partitioned on sh, so the shuffle join is the scale-safe shape
+    j = sh.join(owner.hint("shuffle_hash"), "sh")
     return j.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
         F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(

@@ -1292,18 +1292,30 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phrase"),
         F.count("*").alias("plen"),
     )
-    words = content.join(phrases, ["doc_id", "island"]).select("tok", "plen")
-    wscore = words.groupBy("tok").agg(
+    # scale shape: phrase STRINGS never ride the hot shuffles. Scores are
+    # computed over (doc_id, island, tok, plen) — plen from a string-free
+    # island-length groupBy, NOT the phrases frame — and the phrase text
+    # is attached by ONE final island-keyed join of two island-sized
+    # relations. shuffle_hash pins throughout: all the join sides here are
+    # corpus/vocabulary-sized (AQE auto-broadcast 360 MiB at sf≈1 in the
+    # first spelling — not a 100 TB shape).
+    ilen = content.groupBy("doc_id", "island").agg(
+        F.count("*").alias("plen")
+    )
+    cw = content.select("doc_id", "island", "tok").join(
+        ilen.hint("shuffle_hash"), ["doc_id", "island"]
+    )
+    wscore = cw.groupBy("tok").agg(
         F.sum("plen").alias("deg"), F.count("*").alias("freq")
     )
-    pscore = (
-        phrases.join(content, ["doc_id", "island"])
-        .join(wscore, "tok")
-        .groupBy("doc_id", "island", "phrase")
+    pnum = (
+        cw.join(wscore.hint("shuffle_hash"), "tok")
+        .groupBy("doc_id", "island")
         .agg(
             F.sum(F.col("deg").cast("double") / F.col("freq")).alias("score")
         )
     )
+    pscore = pnum.join(phrases.hint("shuffle_hash"), ["doc_id", "island"])
     return (
         pscore.groupBy("phrase")
         .agg(

@@ -463,3 +463,126 @@ def test_group_kfold_partitions_customers(spark, sf_dir):
     n_orders = load_table(spark, sf_dir, "orders").count()
     assert sum(r.n_customers for r in folds) == n_cust  # no straddling
     assert sum(r.n_orders for r in folds) == n_orders
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box: Q recomputed from the registered ACF query's own values
+# ---------------------------------------------------------------------------
+
+
+def test_ljung_box_consistent_with_acf(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import distribution
+
+    lb = sorted(
+        distribution.ljung_box_q(spark, sf_dir).collect(),
+        key=lambda r: r.lag,
+    )
+    n = distribution._daily_orders(spark, sf_dir).count()
+    q = 0.0
+    for r in lb:
+        q += n * (n + 2.0) * r.acf**2 / (n - r.lag)
+        # acf column is rounded; the replay must agree to round noise
+        assert r.q_cum == pytest.approx(q, rel=1e-3)
+    assert lb[-1].q_cum > 0
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen vs Kaplan-Meier: H ≥ −ln(S_KM), agreement in small-hazard limit
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_vs_km(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import stats as st
+
+    na = {
+        r.t_days: r for r in st.nelson_aalen_hazard(spark, sf_dir).collect()
+    }
+    km = {
+        r.t_days: r
+        for r in st.kaplan_meier_conversion(spark, sf_dir).collect()
+    }
+    assert na.keys() == km.keys()
+    for t in na:
+        assert na[t].n_at_risk == km[t].n_at_risk
+        # exp(−H) ≥ S_KM always (AM-GM on the factors), equality as d/n → 0
+        if km[t].survival > 0:
+            assert na[t].fh_survival >= km[t].survival - 1e-9
+        # hazard increments are cumulative and positive
+    ts = sorted(na)
+    for a, b in zip(ts, ts[1:]):
+        assert na[b].cum_hazard >= na[a].cum_hazard - 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Randomized response: the estimator inverts the mechanism exactly
+# ---------------------------------------------------------------------------
+
+
+def test_randomized_response_inverts_mechanism(spark, sf_dir):
+    from streamroom_bigdata_spark.functions.hashing import portable_hash64
+    from streamroom_bigdata_spark.operators import stats as st
+
+    row = st.randomized_response_estimate(spark, sf_dir).collect()[0]
+    # replay the deterministic mechanism from the raw table
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").alias("t"),
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit("rr1:"), F.col("c_custkey").cast("string"))
+            ),
+            F.lit(4),
+        ).alias("h1"),
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit("rr2:"), F.col("c_custkey").cast("string"))
+            ),
+            F.lit(2),
+        ).alias("h2"),
+    ).collect()
+    n_yes = sum(
+        1
+        for r in cust
+        if ((r.h2 == 0) if r.h1 == 0 else r.t)
+    )
+    assert row.n_yes == n_yes
+    est = (n_yes / len(cust) - st.RR_Q / 2.0) / (1.0 - st.RR_Q)
+    assert row.estimated_p == pytest.approx(est, abs=1e-6)
+    # the realized estimator error is small (mechanism noise only)
+    assert row.abs_err < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Binary segmentation: root matches cusum_changepoint; children nest
+# ---------------------------------------------------------------------------
+
+
+def test_binseg_root_matches_cusum(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import timeseries as ts
+
+    rows = {
+        (r.level, r.segment): r
+        for r in ts.binary_segmentation_changepoints(spark, sf_dir).collect()
+    }
+    cp = ts.cusum_changepoint(spark, sf_dir).collect()[0]
+    assert rows[(0, "all")].changepoint_day == cp.changepoint_day
+    assert rows[(1, "left")].changepoint_day <= rows[(0, "all")].changepoint_day
+    assert rows[(1, "right")].changepoint_day > rows[(0, "all")].changepoint_day
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week bands: quantiles ordered, weekday arithmetic correct
+# ---------------------------------------------------------------------------
+
+
+def test_dow_bands_contract(spark, sf_dir):
+    import datetime
+
+    from streamroom_bigdata_spark.operators import distribution
+
+    rows = distribution.dow_quantile_bands(spark, sf_dir).collect()
+    assert {r.day_of_week for r in rows} <= set(range(7))
+    for r in rows:
+        assert r.q10 <= r.q25 <= r.q50 <= r.q75 <= r.q90
+    # (epoch_day + 3) % 7 == 0 must be a Monday
+    assert (datetime.date(1970, 1, 1) + datetime.timedelta(days=4)).weekday() == 0
