@@ -1403,3 +1403,97 @@ def dow_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, q in enumerate(DOW_QS)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve at decile resolution (equi-depth revenue concentration)
+# ---------------------------------------------------------------------------
+
+LORENZ_QS = [round(0.1 * k, 1) for k in range(1, 10)]
+
+
+def _lorenz_sql() -> str:
+    qs = ", ".join(repr(q) for q in LORENZ_QS)
+    return f"""
+WITH cust AS (
+  SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), bounds AS (
+  SELECT quantile_cont(cents, [{qs}]) AS qb FROM cust
+), binned AS (
+  SELECT least(
+           9,
+           (SELECT 9 - count(*) FROM unnest((SELECT qb FROM bounds)) t(b)
+            WHERE c.cents <= b)
+         ) AS decile,
+         c.cents
+  FROM cust c
+), agg AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM binned GROUP BY decile
+), tot AS (
+  SELECT CAST(sum(n_customers) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS x
+  FROM agg
+)
+SELECT a.decile, a.n_customers,
+       round(CAST(a.cents AS DOUBLE) / t.x, 6) AS revenue_share,
+       round(sum(CAST(a.cents AS DOUBLE)) OVER (ORDER BY a.decile) / t.x, 6)
+         AS cum_share
+FROM agg a, tot t
+"""
+
+
+@register("lorenz_curve_deciles", _lorenz_sql())
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of per-customer revenue at decile resolution — the
+    CURVE `gini_customer_revenue` integrates to one number: per
+    equi-depth revenue decile, its customer count, revenue share, and
+    cumulative share (the "bottom 50% hold X%" readout). Deciles are
+    assigned by counting how many of the 9 broadcast quantile boundaries
+    each customer exceeds — identical interpolated boundaries both
+    engines (percentile ≡ quantile_cont), identical ≤ comparisons, so
+    bin membership can never straddle engines.
+
+    Shape: ONE combinable customer groupBy (exact cents), a 9-double
+    boundary broadcast, a 10-group aggregate, and a 10-row cumulative —
+    nothing data-sized past the first aggregate."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    grid = F.array(*[F.lit(q) for q in LORENZ_QS])
+    bounds = cust.agg(F.percentile("cents", grid).alias("qb"))
+    binned = cust.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        F.least(
+            F.lit(9),
+            F.lit(9)
+            - F.size(
+                F.filter(F.col("qb"), lambda b: F.col("cents") <= b)
+            ),
+        ).alias("decile"),
+    )
+    agg = binned.groupBy("decile").agg(
+        F.count("*").alias("n_customers"), F.sum("cents").alias("cents")
+    )
+    tot = agg.agg(F.sum("cents").alias("x"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("cents").cast("double") / F.col("x"), 6).alias(
+                "revenue_share"
+            ),
+            F.round(
+                F.sum(F.col("cents").cast("double")).over(w) / F.col("x"), 6
+            ).alias("cum_share"),
+        )
+    )

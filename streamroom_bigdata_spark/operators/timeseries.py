@@ -1200,3 +1200,226 @@ def binary_segmentation_changepoints(
         "peak",
     )
     return root.unionByName(cp1)
+
+
+# ---------------------------------------------------------------------------
+# XmR (individuals & moving range) control chart on daily revenue
+# ---------------------------------------------------------------------------
+
+#: Shewhart individuals-chart constants: 2.66 = 3/d2(2), 3.267 = D4(2),
+#: embedded as identical literals in both engines
+_XMR_E2 = 2.66
+_XMR_D4 = 3.267
+
+xmr_oracle = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 6) AS y
+  FROM events GROUP BY 1
+), mr AS (
+  SELECT day, y, abs(y - lag(y) OVER (ORDER BY day)) AS mrange
+  FROM daily
+), lim AS (
+  SELECT avg(y) AS xbar, avg(mrange) AS mrbar FROM mr
+)
+SELECT m.day, m.y, round(m.mrange, 6) AS mrange,
+       round(l.xbar, 6) AS center,
+       round(l.xbar + {_XMR_E2!r} * l.mrbar, 6) AS ucl,
+       round(l.xbar - {_XMR_E2!r} * l.mrbar, 6) AS lcl,
+       (m.y > l.xbar + {_XMR_E2!r} * l.mrbar
+        OR m.y < l.xbar - {_XMR_E2!r} * l.mrbar) AS out_of_control,
+       (m.mrange > {_XMR_D4!r} * l.mrbar) AS mr_out_of_control
+FROM mr m, lim l
+"""
+
+
+@register("xmr_control_chart", xmr_oracle)
+def xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart XmR (individuals & moving-range) control chart on daily
+    revenue: center line x̄, natural process limits x̄ ± 2.66·m̄R, and the
+    D4 upper limit on the moving range itself — the SPC readout that
+    separates routine variation from special causes, tighter-tailed than
+    `event_zscore_grouped`'s z (mR̄ estimates short-term variation, so a
+    slow drift trips it where a global σ hides it). Both flags compare
+    the same doubles on both engines (constants are shared literals; y is
+    quantized at 6 upstream).
+
+    Shape: ONE combinable daily groupBy; lag + the two 1-row means ride
+    the day-DOMAIN table (allowlisted bounded window)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("y")
+    )
+    w = Window.orderBy("day")
+    mr = daily.withColumn(
+        "mrange", F.abs(F.col("y") - F.lag("y").over(w))
+    )
+    lim = mr.agg(
+        F.avg("y").alias("xbar"), F.avg("mrange").alias("mrbar")
+    )
+    j = mr.crossJoin(F.broadcast(lim))
+    ucl = F.col("xbar") + _XMR_E2 * F.col("mrbar")
+    lcl = F.col("xbar") - _XMR_E2 * F.col("mrbar")
+    return j.select(
+        "day",
+        "y",
+        F.round("mrange", 6).alias("mrange"),
+        F.round("xbar", 6).alias("center"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ((F.col("y") > ucl) | (F.col("y") < lcl)).alias("out_of_control"),
+        (F.col("mrange") > _XMR_D4 * F.col("mrbar")).alias(
+            "mr_out_of_control"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic RANSAC line fit of the daily revenue trend
+# ---------------------------------------------------------------------------
+
+RANSAC_TRIALS = 32
+RANSAC_EPS_SD = 0.5  # inlier tolerance, in global-sd units
+
+
+def _ransac_oracle() -> str:
+    from ..functions.hashing import sql_hash64
+
+    h1 = sql_hash64("concat('ra:', CAST(t.trial AS VARCHAR))")
+    h2 = sql_hash64("concat('rb:', CAST(t.trial AS VARCHAR))")
+    return f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 86400000.0) AS BIGINT)
+           AS d,
+         round(sum(value), 6) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT d, y, row_number() OVER (ORDER BY d) AS rn FROM daily
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 stddev_samp(y) AS sd FROM daily),
+trials AS (
+  SELECT unnest(range(0, {RANSAC_TRIALS})) AS trial
+), picks AS (
+  SELECT t.trial,
+         1 + ({h1} % (SELECT n FROM nn)) AS i1,
+         1 + ({h2} % (SELECT n FROM nn)) AS i2
+  FROM trials t
+), lines AS (
+  SELECT p.trial, a.d AS d1, a.y AS y1,
+         (b.y - a.y) / (b.d - a.d) AS slope
+  FROM picks p
+  JOIN idx a ON a.rn = p.i1
+  JOIN idx b ON b.rn = p.i2
+  WHERE p.i1 <> p.i2
+), scored AS (
+  SELECT l.trial, l.d1, l.slope,
+         CAST(sum(CASE WHEN abs(dd.y - (l.y1 + l.slope * (dd.d - l.d1)))
+                            <= {RANSAC_EPS_SD!r} * (SELECT sd FROM nn)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS inliers
+  FROM lines l, daily dd
+  GROUP BY l.trial, l.d1, l.y1, l.slope
+)
+SELECT trial, round(slope, 6) AS slope,
+       CAST(inliers AS BIGINT) AS inliers,
+       (row_number() OVER (ORDER BY inliers DESC, trial) = 1) AS is_best
+FROM scored
+"""
+
+
+@register("ransac_trend_daily", _ransac_oracle())
+def ransac_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANSAC line fit of the daily revenue trend: 32
+    trials each anchor a line through two hash-chosen days (salted
+    portable hash of the trial id — replayable, engine-identical, the
+    `negative_sampling_pairs` determinism convention) and count inlier
+    days within 0.5·sd of the line; the max-inlier trial wins. The
+    breakdown-point complement of `theil_sen_daily_trend` (median of all
+    pairwise slopes): RANSAC survives >50% contamination when a
+    consensus structure exists, and its inlier COUNT is itself the
+    structure readout.
+
+    Shape: everything after the ONE combinable daily groupBy is
+    day-DOMAIN bounded — a 32-row trial spine, two rank joins, and a
+    trials×days (32·|days|) scoring aggregate. Degenerate trials
+    (i1 = i2) drop on both engines; ranks ride the allowlisted
+    day-domain window."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash64
+    from ..functions.timeutil import epoch_ms as _ems
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(_ems(F.col("ts").cast("timestamp")) / 86400000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    w = Window.orderBy("d")
+    idx = daily.withColumn("rn", F.row_number().over(w))
+    nn = daily.agg(
+        F.count("*").alias("n"), F.stddev_samp("y").alias("sd")
+    )
+    trials = daily.sparkSession.range(0, RANSAC_TRIALS).select(
+        F.col("id").cast("int").alias("trial")
+    )
+    picks = trials.crossJoin(F.broadcast(nn)).select(
+        "trial",
+        "sd",
+        (
+            1
+            + F.pmod(
+                portable_hash64(
+                    F.concat(F.lit("ra:"), F.col("trial").cast("string"))
+                ),
+                F.col("n"),
+            )
+        ).alias("i1"),
+        (
+            1
+            + F.pmod(
+                portable_hash64(
+                    F.concat(F.lit("rb:"), F.col("trial").cast("string"))
+                ),
+                F.col("n"),
+            )
+        ).alias("i2"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    lines = (
+        picks.join(F.broadcast(a), F.col("i1") == F.col("a.rn"))
+        .join(F.broadcast(b), F.col("i2") == F.col("b.rn"))
+        .filter(F.col("i1") != F.col("i2"))
+        .select(
+            "trial",
+            "sd",
+            F.col("a.d").alias("d1"),
+            F.col("a.y").alias("y1"),
+            (
+                (F.col("b.y") - F.col("a.y"))
+                / (F.col("b.d") - F.col("a.d"))
+            ).alias("slope"),
+        )
+    )
+    scored = (
+        lines.crossJoin(daily.select(F.col("d").alias("dd"), F.col("y").alias("yy")))
+        .groupBy("trial", "d1", "y1", "slope")
+        .agg(
+            F.sum(
+                (
+                    F.abs(
+                        F.col("yy")
+                        - (F.col("y1") + F.col("slope") * (F.col("dd") - F.col("d1")))
+                    )
+                    <= RANSAC_EPS_SD * F.col("sd")
+                ).cast("long")
+            ).alias("inliers")
+        )
+    )
+    w_best = Window.orderBy(F.desc("inliers"), F.asc("trial"))
+    return scored.select(
+        "trial",
+        F.round("slope", 6).alias("slope"),
+        "inliers",
+        (F.row_number().over(w_best) == 1).alias("is_best"),
+    )

@@ -101,6 +101,37 @@ _FACT_COLS = {
 #: boundedness argument. Anything else that force-broadcasts a fact subtree
 #: fails the audit — at 100× scale that hint is the classic OOM.
 _ALLOWED_FACT_BROADCASTS = {
+    # round-12 waves — every hinted side is a 1-row scalar aggregate or a
+    # domain-bounded sketch over a fact table (the in-plan scalar pattern;
+    # counts include plan-tree reuse of the same bounded side):
+    # 1-row (N, X) customer-revenue totals
+    "theil_index_nations": 1,
+    # 1-row exact self-join cardinality
+    "join_size_estimate_cm": 1,
+    # 1-row (n, n_pos, brier_sum) totals
+    "brier_score_decomposition": 1,
+    # 5-row per-group medians + 1-row grand totals (+ reuse)
+    "brown_forsythe_spread": 3,
+    # 1-row pooled percentile sketch
+    "quantile_align_sources": 1,
+    # 1-row corpus totals + 1-row BH cutoff, reused across the rank join
+    "bh_fdr_brand_returns": 5,
+    # 1-row global key-range bounds on both layout paths
+    "zonemap_prune_stats": 2,
+    # 1-row calendar split + 1-row calibration quantile (+ reuse)
+    "conformal_interval_daily": 3,
+    # 1-row horizon + 1-row lifetable totals (+ reuse)
+    "nelson_aalen_hazard": 3,
+    # 1-row mu0/cp0 + 2-row segment means, reused across both levels
+    "binary_segmentation_changepoints": 6,
+    # 1-row n/mu/ss scalars reused across the 10-lag spine
+    "ljung_box_q": 5,
+    # 9-double decile boundary sketch + 1-row revenue total (+ reuse)
+    "lorenz_curve_deciles": 3,
+    # 1-row (xbar, mRbar) limits
+    "xmr_control_chart": 1,
+    # 1-row (n, sd) + two day-DOMAIN rank-row lookups (calendar-bounded)
+    "ransac_trend_daily": 3,
     # 1-row global aggregates (max usage / corpus count): one row crosses
     "recommend_rooms": 1,
     "recommend_rmse": 1,
