@@ -586,3 +586,108 @@ def test_dow_bands_contract(spark, sf_dir):
         assert r.q10 <= r.q25 <= r.q50 <= r.q75 <= r.q90
     # (epoch_day + 3) % 7 == 0 must be a Monday
     assert (datetime.date(1970, 1, 1) + datetime.timedelta(days=4)).weekday() == 0
+
+
+# ---------------------------------------------------------------------------
+# Lorenz deciles: curve convex, shares tie out, consistent with Gini's sign
+# ---------------------------------------------------------------------------
+
+
+def test_lorenz_deciles_contract(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import distribution
+
+    rows = sorted(
+        distribution.lorenz_curve_deciles(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert rows[-1].cum_share == pytest.approx(1.0, abs=1e-6)
+    # equi-depth deciles of an unequal distribution: shares increase
+    shares = [r.revenue_share for r in rows]
+    assert shares == sorted(shares)
+    # cumulative share of the bottom k deciles stays ≤ k/10 (Lorenz below
+    # the diagonal)
+    for r in rows[:-1]:
+        assert r.cum_share <= (r.decile + 1) / 10 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# XmR: flags recomputed from the chart's own limits
+# ---------------------------------------------------------------------------
+
+
+def test_xmr_flags_consistent(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import timeseries as ts
+
+    for r in ts.xmr_control_chart(spark, sf_dir).collect():
+        assert r.out_of_control == (r.y > r.ucl or r.y < r.lcl) or abs(
+            r.y - (r.ucl if r.y > r.center else r.lcl)
+        ) < 1e-4  # knife-edge: flag decided on unrounded doubles
+        assert r.ucl > r.center > r.lcl
+
+
+# ---------------------------------------------------------------------------
+# RANSAC: exactly one best trial; its inliers dominate; replayable picks
+# ---------------------------------------------------------------------------
+
+
+def test_ransac_best_trial(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import timeseries as ts
+
+    rows = ts.ransac_trend_daily(spark, sf_dir).collect()
+    best = [r for r in rows if r.is_best]
+    assert len(best) == 1
+    assert best[0].inliers == max(r.inliers for r in rows)
+    assert best[0].inliers >= 2  # the two anchor days are always inliers
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: components are closed under the edge relation
+# ---------------------------------------------------------------------------
+
+
+def test_entity_resolution_components_closed(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import fuzzyjoin as fz
+
+    rows = fz.entity_resolution_names(spark, sf_dir).collect()
+    comp = {r.p_name: r.component for r in rows}
+    ids = {r.p_name: r.name_id for r in rows}
+    canon = {r.component: r.canonical_name for r in rows}
+    # canonical name is the member whose name_id equals the component id
+    for r in rows:
+        assert ids[canon[r.component]] == r.component
+    # any two names within lev<=2 sharing a block end up in one component
+    import itertools
+
+    from streamroom_bigdata_spark.operators.fuzzyjoin import ER_MAX_LEV
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > ER_MAX_LEV:
+            return ER_MAX_LEV + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    blocks = {
+        r.p_name: r.block_code
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .select(
+            "p_name",
+            F.concat(
+                fz._sdx_col(F.element_at(F.split("p_name", " "), 1)),
+                F.lit("-"),
+                fz._sdx_col(F.element_at(F.split("p_name", " "), 2)),
+            ).alias("block_code"),
+        )
+        .collect()
+    }
+    for a, b in itertools.combinations(sorted(blocks), 2):
+        if blocks[a] == blocks[b] and lev(a, b) <= ER_MAX_LEV:
+            assert comp[a] == comp[b], (a, b)

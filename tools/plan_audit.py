@@ -82,6 +82,12 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     "binary_segmentation_changepoints": 1,
     # cumulative Q over the 10-row LAG domain (smaller than day-domain)
     "ljung_box_q": 1,
+    # 10-row decile-domain cumulative share
+    "lorenz_curve_deciles": 1,
+    # lag() moving range over the day-DOMAIN series (bollinger shape)
+    "xmr_control_chart": 1,
+    # day-DOMAIN rank spine + 32-row trial-domain best-rank
+    "ransac_trend_daily": 2,
     # lag(rev_c) first-difference over the day-DOMAIN series
     "daily_return_profile": 1,
     # running max over the day-DOMAIN series; 2 because the drawdown
