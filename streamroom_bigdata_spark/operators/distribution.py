@@ -1497,3 +1497,143 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Exact Pareto cutoff: fewest customers covering 80% of revenue
+# ---------------------------------------------------------------------------
+
+PARETO_NUM = 4  # target share = PARETO_NUM / PARETO_DEN (kept integer-exact)
+PARETO_DEN = 5
+
+pareto_cutoff_oracle = f"""
+WITH cust AS (
+  SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), vals AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM cust GROUP BY cents
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(cents * cnt) AS BIGINT) AS x
+  FROM vals
+), runs AS (
+  SELECT cents, cnt,
+         COALESCE(sum(cnt) OVER (ORDER BY cents DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS rows_before,
+         COALESCE(sum(cents * cnt) OVER (ORDER BY cents DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM vals
+), hit AS (
+  SELECT r.rows_before
+         + CAST(ceil((CAST({PARETO_NUM} * t.x - {PARETO_DEN} * r.cum_before
+                      AS DOUBLE)) / ({PARETO_DEN} * r.cents)) AS BIGINT)
+           AS k,
+         r.cum_before, r.cents
+  FROM runs r, tot t
+  WHERE {PARETO_DEN} * (r.cum_before + r.cnt * r.cents) >= {PARETO_NUM} * t.x
+    AND {PARETO_DEN} * r.cum_before < {PARETO_NUM} * t.x
+)
+SELECT t.n AS n_customers, h.k AS k_top,
+       round(CAST(h.k AS DOUBLE) / t.n, 6) AS customer_share,
+       round((h.cum_before
+              + (h.k - (SELECT rows_before FROM runs r2
+                        WHERE r2.cents = h.cents)) * h.cents)
+             / CAST(t.x AS DOUBLE), 6) AS revenue_share_at_k
+FROM tot t, hit h
+"""
+
+
+@register("pareto_cutoff_exact", pareto_cutoff_oracle)
+def pareto_cutoff_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Pareto point: the smallest k such that the top-k customers by
+    revenue hold ≥ 80% of it — the single number `lorenz_curve_deciles`
+    reads off a 10-point grid, located exactly and WITHOUT a global sort.
+    The threshold test is kept in pure integers (5·cum ≥ 4·X — no float
+    share ever compared), and the crossing position inside the boundary
+    value's tie run is closed-form (equal-cents permutations cannot move
+    it), so k is bit-determined on both engines.
+
+    Shape: per-customer cents (ONE combinable groupBy) collapse further
+    to per-DISTINCT-value counts (second combinable groupBy — the
+    mann_whitney trick, so the ranked relation is value-domain-sized);
+    the descending cumulative rides the `functions/ranking.py` kernel
+    (O(P) offsets, no single-task sort); the crossing row is a filter +
+    1-row reduce."""
+    from pyspark.sql import Window
+
+    from ..functions.ranking import range_partition_offsets
+    from ..session import shuffle_partition_count
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    vals = cust.groupBy("cents").agg(F.count("*").alias("cnt"))
+    # rank DESC: range-partition on the negated key so the kernel's
+    # ascending offsets become descending-revenue cumulative sums
+    vals = vals.withColumn("negc", -F.col("cents"))
+    n_parts = shuffle_partition_count(spark)
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        vals,
+        ["negc"],
+        [("rows", F.sum("cnt")), ("mass", F.sum(F.col("cents") * F.col("cnt")))],
+        n_parts,
+    )
+    n, x = int(totals["rows"]), int(totals["mass"])
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("negc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = (
+        ranged.withColumn(
+            "rows_local", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        )
+        .withColumn(
+            "mass_local",
+            F.coalesce(F.sum(F.col("cents") * F.col("cnt")).over(w), F.lit(0)),
+        )
+        .join(F.broadcast(offsets_df), "pid")
+        .select(
+            "cents",
+            "cnt",
+            (F.col("off_rows") + F.col("rows_local")).alias("rows_before"),
+            (F.col("off_mass") + F.col("mass_local")).alias("cum_before"),
+        )
+    )
+    hit = runs.filter(
+        (
+            PARETO_DEN * (F.col("cum_before") + F.col("cnt") * F.col("cents"))
+            >= PARETO_NUM * x
+        )
+        & (PARETO_DEN * F.col("cum_before") < PARETO_NUM * x)
+    ).select(
+        (
+            F.col("rows_before")
+            + F.ceil(
+                (PARETO_NUM * x - PARETO_DEN * F.col("cum_before")).cast(
+                    "double"
+                )
+                / (PARETO_DEN * F.col("cents"))
+            ).cast("bigint")
+        ).alias("k"),
+        "cum_before",
+        "rows_before",
+        "cents",
+    )
+    return hit.select(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        F.col("k").alias("k_top"),
+        F.round(F.col("k").cast("double") / n, 6).alias("customer_share"),
+        F.round(
+            (
+                F.col("cum_before")
+                + (F.col("k") - F.col("rows_before")) * F.col("cents")
+            ).cast("double")
+            / x,
+            6,
+        ).alias("revenue_share_at_k"),
+    )

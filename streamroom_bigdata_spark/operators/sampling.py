@@ -497,3 +497,72 @@ def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+WRS_K = 100
+_WRS_U_MOD = 1_000_000
+
+
+def _wrs_oracle() -> str:
+    from ..functions.hashing import sql_hash64
+
+    key = "concat('wr:', CAST(doc_id AS VARCHAR))"
+    u = f"(({sql_hash64(key)} % {_WRS_U_MOD}) + 0.5) / {_WRS_U_MOD}.0"
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         round(ln({u}) / n_chars, 8) AS log_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, log_key,
+       CAST(row_number() OVER (ORDER BY log_key DESC, doc_id) AS INT)
+         AS sample_rank
+FROM keyed
+ORDER BY log_key DESC, doc_id
+LIMIT {WRS_K}
+"""
+
+
+@register("weighted_reservoir_sample", _wrs_oracle())
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res):
+    each document draws key u^(1/w) from a salted-hash uniform u and
+    weight w = n_chars; the top-K keys are the sample — inclusion
+    probability proportional to weight, no replacement, and (unlike
+    `weighted_sample`'s with-replacement draw) no document twice. The
+    log-key spelling ln(u)/w avoids pow() underflow at large weights;
+    keys are ROUNDED to 8 before the top-K boundary (the rake_keywords
+    ulp rule) with doc_id tie-break. Deterministic at any partitioning —
+    the same-corpus-same-sample property the k-fold/negative-sampling
+    family shares.
+
+    Shape: per-row hash algebra in codegen + ONE top-K TakeOrdered
+    (K-bounded at any scale); nothing else moves."""
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit("wr:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(_WRS_U_MOD),
+        )
+        + 0.5
+    ) / float(_WRS_U_MOD)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 8).alias("log_key"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("log_key"), F.asc("doc_id"))
+    return (
+        keyed.orderBy(F.desc("log_key"), F.asc("doc_id"))
+        .limit(WRS_K)
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+    )

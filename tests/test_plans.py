@@ -132,6 +132,9 @@ _ALLOWED_FACT_BROADCASTS = {
     "xmr_control_chart": 1,
     # 1-row (n, sd) + two day-DOMAIN rank-row lookups (calendar-bounded)
     "ransac_trend_daily": 3,
+    # 9-double score-decile boundary sketch + 1-row totals, the boundary
+    # sketch reused by both bin paths (subtree reuse)
+    "gains_chart_stopword": 3,
     # 1-row global aggregates (max usage / corpus count): one row crosses
     "recommend_rooms": 1,
     "recommend_rmse": 1,

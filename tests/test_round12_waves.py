@@ -691,3 +691,95 @@ def test_entity_resolution_components_closed(spark, sf_dir):
     for a, b in itertools.combinations(sorted(blocks), 2):
         if blocks[a] == blocks[b] and lev(a, b) <= ER_MAX_LEV:
             assert comp[a] == comp[b], (a, b)
+
+
+# ---------------------------------------------------------------------------
+# Exact Pareto cutoff agrees with a single-machine sorted replay
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_cutoff_matches_replay(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import distribution as dist
+
+    cust = sorted(
+        (
+            r.cents
+            for r in load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).alias("cents")
+            )
+            .collect()
+        ),
+        reverse=True,
+    )
+    x = sum(cust)
+    cum = 0
+    k = 0
+    for c in cust:
+        cum += c
+        k += 1
+        if dist.PARETO_DEN * cum >= dist.PARETO_NUM * x:
+            break
+    row = dist.pareto_cutoff_exact(spark, sf_dir).collect()[0]
+    assert row.n_customers == len(cust)
+    assert row.k_top == k
+    assert row.revenue_share_at_k == pytest.approx(cum / x, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir: heavier docs oversampled; deterministic; no dupes
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_reservoir_contract(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import sampling
+
+    rows = sampling.weighted_reservoir_sample(spark, sf_dir).collect()
+    assert len(rows) == min(
+        sampling.WRS_K,
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .count(),
+    )
+    assert len({r.doc_id for r in rows}) == len(rows)  # without replacement
+    # weight bias: the sample's mean length exceeds the corpus mean
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    # determinism: second run identical
+    again = sampling.weighted_reservoir_sample(spark, sf_dir).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+
+
+# ---------------------------------------------------------------------------
+# Gains chart: shares tie out and the top decile dominates the base rate
+# ---------------------------------------------------------------------------
+
+
+def test_gains_chart_contract(spark, sf_dir):
+    from streamroom_bigdata_spark.operators import quality
+
+    rows = sorted(
+        quality.gains_chart_stopword(spark, sf_dir).collect(),
+        key=lambda r: -r.decile,
+    )
+    assert rows[-1].cum_pos_share == pytest.approx(1.0, abs=1e-6)
+    shares = [r.cum_pos_share for r in rows]
+    assert shares == sorted(shares)  # cumulative from the top down
+    # lift × base rate × n_docs reproduces each decile's positives (the
+    # fixture's synthetic text makes no monotone-lift promise — the chart
+    # REPORTS the score's value, it doesn't presume it)
+    n = sum(r.n_docs for r in rows)
+    pos = sum(r.n_pos for r in rows)
+    for r in rows:
+        assert r.lift == pytest.approx(
+            (r.n_pos / r.n_docs) / (pos / n), abs=1e-4
+        )

@@ -78,16 +78,25 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # cusum_changepoint shape)
     "sprt_ab_sequential": 1,
     # level-0 CUSUM cumsum over the day-DOMAIN series (level 1 is
-    # PARTITIONED by segment side)
-    "binary_segmentation_changepoints": 1,
+    # PARTITIONED by segment side); 3 because the cp0 subtree
+    # re-instantiates under the segment join and the root row (the
+    # max_drawdown subtree-reuse effect)
+    "binary_segmentation_changepoints": 3,
     # cumulative Q over the 10-row LAG domain (smaller than day-domain)
     "ljung_box_q": 1,
     # 10-row decile-domain cumulative share
     "lorenz_curve_deciles": 1,
-    # lag() moving range over the day-DOMAIN series (bollinger shape)
-    "xmr_control_chart": 1,
-    # day-DOMAIN rank spine + 32-row trial-domain best-rank
-    "ransac_trend_daily": 2,
+    # lag() moving range over the day-DOMAIN series (bollinger shape);
+    # 2 because the mR subtree re-instantiates under the limits aggregate
+    # AND the chart join (max_drawdown subtree-reuse effect)
+    "xmr_control_chart": 2,
+    # day-DOMAIN rank spine (re-instantiated under BOTH anchor-row
+    # lookups — subtree reuse) + 32-row trial-domain best-rank
+    "ransac_trend_daily": 3,
+    # sample_rank row_number over the K-row (WRS_K=100) top-k result
+    "weighted_reservoir_sample": 1,
+    # 10-row decile-domain cumulative positive share
+    "gains_chart_stopword": 1,
     # lag(rev_c) first-difference over the day-DOMAIN series
     "daily_return_profile": 1,
     # running max over the day-DOMAIN series; 2 because the drawdown
