@@ -911,10 +911,11 @@ WITH RECURSIVE daily AS (
   FROM hw h JOIN idx i ON i.rn = h.rn + 1
 )
 SELECT day, y,
-       round(l, 4) AS level, round(b, 4) AS trend,
-       round(su, 4) AS seasonal,
-       round(f, 4) AS forecast,
-       round(abs(y - f), 4) AS abs_err
+       floor(l * 10000 + 0.5) / 10000 AS level,
+       floor(b * 10000 + 0.5) / 10000 AS trend,
+       floor(su * 10000 + 0.5) / 10000 AS seasonal,
+       floor(f * 10000 + 0.5) / 10000 AS forecast,
+       floor(abs(y - f) * 10000 + 0.5) / 10000 AS abs_err
 FROM hw WHERE f IS NOT NULL
 """
 
@@ -983,14 +984,21 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day date, y double, l double, b double, su double, f double,"
         " ae double",
     )
+    # explicit floor(x·10⁴+0.5)/10⁴ on BOTH engines (round-half-toward-+∞
+    # in identical IEEE ops): Spark round() (HALF_UP on the shortest
+    # decimal string) and DuckDB round() (on the double bits) disagreed on
+    # ONE sf≈1 level value sitting exactly on a .00005 boundary — the
+    # bollinger band-rounding lesson applied here after the sf≈1 gate
+    # caught it
+    r4 = lambda c: F.floor(F.col(c) * 10000 + F.lit(0.5)) / 10000  # noqa: E731
     return smoothed.select(
         "day",
         "y",
-        F.round("l", 4).alias("level"),
-        F.round("b", 4).alias("trend"),
-        F.round("su", 4).alias("seasonal"),
-        F.round("f", 4).alias("forecast"),
-        F.round("ae", 4).alias("abs_err"),
+        r4("l").alias("level"),
+        r4("b").alias("trend"),
+        r4("su").alias("seasonal"),
+        r4("f").alias("forecast"),
+        r4("ae").alias("abs_err"),
     )
 
 

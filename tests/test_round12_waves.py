@@ -319,7 +319,11 @@ def test_holt_winters_matches_replay(spark, sf_dir):
             s_new = timeseries.HW_GAMMA * (y - l_new) + timeseries._HW_OMG * su
             l = l_new
             ss = ss[1:] + [s_new]
-            expected[day] = (round(f, 4), round(abs(y - f), 4))
+            # mirror the engines' explicit floor(x·10⁴+0.5) spelling
+            expected[day] = (
+                math.floor(f * 1e4 + 0.5) / 1e4,
+                math.floor(abs(y - f) * 1e4 + 0.5) / 1e4,
+            )
     got = {
         r.day: (r.forecast, r.abs_err)
         for r in timeseries.holt_winters_seasonal(spark, sf_dir).collect()
