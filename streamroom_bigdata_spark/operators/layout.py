@@ -319,21 +319,26 @@ def zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         2 * Z_BITS - _ZM_FILE_BITS,
     )
-    stacked = j.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("linear").alias("layout"), f_linear.alias("file_id")),
-                F.struct(F.lit("zorder").alias("layout"), f_zorder.alias("file_id")),
+    # two scans, ONE file-id evaluation each: packing both ids into an
+    # exploded array-of-structs duplicated the 129-term Morton expression
+    # into every output row's projection (measured 9.5 s vs 1.4 s for the
+    # zorder_layout groupBy over the same scan); per-branch groupBys keep
+    # the bit algebra in one whole-stage-codegen pass per layout and the
+    # union is 128 aggregate rows
+    def _files(layout: str, file_col):
+        return (
+            j.groupBy(file_col.alias("file_id"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("l_partkey").alias("p_lo"),
+                F.max("l_partkey").alias("p_hi"),
+                F.min("l_suppkey").alias("s_lo"),
+                F.max("l_suppkey").alias("s_hi"),
             )
-        ).alias("lf"),
-        "l_partkey",
-        "l_suppkey",
-    ).select("lf.layout", "lf.file_id", "l_partkey", "l_suppkey")
-    files = stacked.groupBy("layout", "file_id").agg(
-        F.count("*").alias("n_rows"),
-        F.min("l_partkey").alias("p_lo"), F.max("l_partkey").alias("p_hi"),
-        F.min("l_suppkey").alias("s_lo"), F.max("l_suppkey").alias("s_hi"),
-    )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    files = _files("linear", f_linear).unionByName(_files("zorder", f_zorder))
     fb = files.crossJoin(F.broadcast(bounds))
     plo = F.col("pmin") + F.floor(ZM_SEL_LO * (F.col("pmax") - F.col("pmin"))).cast("bigint")
     phi = F.col("pmin") + F.floor(ZM_SEL_HI * (F.col("pmax") - F.col("pmin"))).cast("bigint")
