@@ -116,8 +116,10 @@ _ALLOWED_FACT_BROADCASTS = {
     "quantile_align_sources": 1,
     # 1-row corpus totals + 1-row BH cutoff, reused across the rank join
     "bh_fdr_brand_returns": 5,
-    # 1-row global key-range bounds on both layout paths
-    "zonemap_prune_stats": 2,
+    # 1-row global key-range bounds: both per-layout groupBy branches +
+    # the flag-algebra join (the post-rework per-branch spelling — 9.5 s
+    # → 1.8 s warm; same bounded 1-row side three times)
+    "zonemap_prune_stats": 3,
     # 1-row calendar split + 1-row calibration quantile (+ reuse)
     "conformal_interval_daily": 3,
     # 1-row horizon + 1-row lifetable totals (+ reuse)
