@@ -1409,29 +1409,31 @@ def dow_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lorenz curve at decile resolution (equi-depth revenue concentration)
 # ---------------------------------------------------------------------------
 
-LORENZ_QS = [round(0.1 * k, 1) for k in range(1, 10)]
 
 
 def _lorenz_sql() -> str:
-    qs = ", ".join(repr(q) for q in LORENZ_QS)
-    return f"""
+    return """
 WITH cust AS (
   SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS cents
   FROM orders GROUP BY o_custkey
-), bounds AS (
-  SELECT quantile_cont(cents, [{qs}]) AS qb FROM cust
+), vals AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM cust GROUP BY cents
+), tot0 AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vals
+), runs AS (
+  SELECT cents, cnt,
+         sum(cnt) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM vals
 ), binned AS (
-  SELECT least(
-           9,
-           (SELECT 9 - count(*) FROM unnest((SELECT qb FROM bounds)) t(b)
-            WHERE c.cents <= b)
-         ) AS decile,
-         c.cents
-  FROM cust c
+  SELECT CAST((10 * r.cum - 1) // t.n AS INT) AS decile,
+         r.cnt, r.cents * r.cnt AS mass
+  FROM runs r, tot0 t
 ), agg AS (
-  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
-         CAST(sum(cents) AS BIGINT) AS cents
+  SELECT decile, CAST(sum(cnt) AS BIGINT) AS n_customers,
+         CAST(sum(mass) AS BIGINT) AS cents
   FROM binned GROUP BY decile
 ), tot AS (
   SELECT CAST(sum(n_customers) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS x
@@ -1450,16 +1452,26 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve of per-customer revenue at decile resolution — the
     CURVE `gini_customer_revenue` integrates to one number: per
     equi-depth revenue decile, its customer count, revenue share, and
-    cumulative share (the "bottom 50% hold X%" readout). Deciles are
-    assigned by counting how many of the 9 broadcast quantile boundaries
-    each customer exceeds — identical interpolated boundaries both
-    engines (percentile ≡ quantile_cont), identical ≤ comparisons, so
-    bin membership can never straddle engines.
+    cumulative share (the "bottom 50% hold X%" readout).
 
-    Shape: ONE combinable customer groupBy (exact cents), a 9-double
-    boundary broadcast, a 10-group aggregate, and a 10-row cumulative —
-    nothing data-sized past the first aggregate."""
+    Deciles are assigned by integer RANK CUTS over per-distinct-cents
+    counts (decile = (10·cum − 1) div n, the `pareto_cutoff_exact`
+    spelling), NOT by comparing cents against interpolated quantile
+    boundaries: the round-12 `gains_chart_stopword` defect proved that
+    a 1-ulp cross-engine interpolation difference can flip an entire
+    tie-run at a decile boundary at scales the gate doesn't run.
+    Integer cents shrink but don't eliminate that window — this query
+    was migrated preventively (round-13 brief #3). Tie-runs never
+    split; every comparison is integer.
+
+    Shape: ONE combinable customer groupBy (exact cents), a value-
+    domain-sized distinct collapse, O(P) ranking offsets, a 10-group
+    aggregate, and a 10-row cumulative — nothing data-sized past the
+    first aggregate."""
     from pyspark.sql import Window
+
+    from ..functions.ranking import range_partition_offsets
+    from ..session import shuffle_partition_count
 
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
@@ -1467,20 +1479,31 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
-    grid = F.array(*[F.lit(q) for q in LORENZ_QS])
-    bounds = cust.agg(F.percentile("cents", grid).alias("qb"))
-    binned = cust.crossJoin(F.broadcast(bounds)).select(
-        "cents",
-        F.least(
-            F.lit(9),
-            F.lit(9)
-            - F.size(
-                F.filter(F.col("qb"), lambda b: F.col("cents") <= b)
-            ),
-        ).alias("decile"),
+    vals = cust.groupBy("cents").agg(F.count("*").alias("cnt"))
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        vals,
+        ["cents"],
+        [("rows", F.sum("cnt"))],
+        shuffle_partition_count(spark),
+    )
+    n = int(totals["rows"])
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = (
+        ranged.withColumn("cum_local", F.sum("cnt").over(wloc))
+        .join(F.broadcast(offsets_df), "pid")
+        .select(
+            "cnt",
+            (F.col("cents") * F.col("cnt")).alias("mass"),
+            F.expr(f"CAST((10 * (off_rows + cum_local) - 1) DIV {n} AS INT)")
+            .alias("decile"),
+        )
     )
     agg = binned.groupBy("decile").agg(
-        F.count("*").alias("n_customers"), F.sum("cents").alias("cents")
+        F.sum("cnt").alias("n_customers"), F.sum("mass").alias("cents")
     )
     tot = agg.agg(F.sum("cents").alias("x"))
     w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)

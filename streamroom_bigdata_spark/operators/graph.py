@@ -11,6 +11,8 @@ iterations, so the DuckDB oracle stays a first-class value check.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1592,11 +1594,19 @@ def _driver_hits(edges: DataFrame) -> DataFrame:
             T.StructField("role", T.StringType(), False),
         ]
     )
+    # explicit HALF_UP floor spelling, NOT Python round() (half-to-even):
+    # the distributed path uses F.round and the oracle DuckDB round, both
+    # HALF_UP — which path runs depends on the _PR_DRIVER_MAX_EDGES
+    # threshold, so a .000005-boundary score must round identically on all
+    # three (scores are positive: sums normalized to 1)
+    def _r5(v: float) -> float:
+        return math.floor(v * 1e5 + 0.5) / 1e5
+
     rows = [
-        ("customer", int(k), round(float(v), 5), "hub")
+        ("customer", int(k), _r5(float(v)), "hub")
         for k, v in zip(cids, h)
     ] + [
-        ("supplier", int(k), round(float(v), 5), "authority")
+        ("supplier", int(k), _r5(float(v)), "authority")
         for k, v in zip(sids, a)
     ]
     return spark.createDataFrame(rows, schema)

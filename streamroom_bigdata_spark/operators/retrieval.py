@@ -442,7 +442,10 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best = (key, d, sc)
         _, d, sc = best
         selected.append(d)
-        out.append((rank, int(d), float(pool[d][0]), round(sc, 6)))
+        # r6, not Python round(): round() is half-to-even while the oracle's
+        # DuckDB round and rel/sims use floor(|x|·1e6 + 0.5); 0.7·rel with
+        # rel a 1e-6 multiple lands ON .0000005 boundaries for ~10% of values
+        out.append((rank, int(d), float(pool[d][0]), r6(sc)))
     schema = T.StructType(
         [
             T.StructField("mmr_rank", T.IntegerType(), False),
