@@ -15,10 +15,17 @@ It runs, in order, refusing to write ANY artifact on the first red:
    files are the artifacts this tool guards.
 3. the two plan-guard pytest modules (``tests/test_plans.py``,
    ``tests/test_registry_contract.py``)
-4. a registry-vs-artifact count check: every artifact it just wrote must
+4. the full oracle run at sf0.1 → ``CHECK_SF01_r{N}.json``. NOT optional:
+   the round-12 judge proved this scale is a distinct witness —
+   `gains_chart_stopword` was green at sf0.01 AND synthetic sf≈1 yet
+   engine-divergent at sf0.1, because tie-run sizes and quantile-boundary
+   positions move with n; one (or two) scales cannot witness them all.
+   Skip only with ``--skip-sf01`` for partial dry-runs — a round-closing
+   commit must not carry that flag.
+5. a registry-vs-artifact count check: every artifact it just wrote must
    list exactly the registered query count — the drift this tool exists to
    prevent (rounds 8-9 shipped artifacts 14 queries short of the registry).
-5. optionally (``--sf1-dir``): the full oracle run at a synthetic sf≈1
+6. optionally (``--sf1-dir``): the full oracle run at a synthetic sf≈1
    directory (built with ``tools/make_scale.py``) → ``CHECK_SF1_r{N}.json``.
 
 Exit 0 means: artifacts written, counts agree, safe to commit. Any other
@@ -37,7 +44,8 @@ import sys
 
 sys.path.insert(0, ".")
 
-USAGE = "usage: python tools/close_round.py <round_number> [--sf1-dir DIR]"
+USAGE = ("usage: python tools/close_round.py <round_number> "
+         "[--sf1-dir DIR] [--skip-sf01]")
 
 
 #: temp artifact paths created so far — removed TOGETHER on any red, so a
@@ -95,6 +103,16 @@ def main() -> int:
          "tests/test_registry_contract.py", "-x", "-q"])
 
     pending = [(tmp_local, local_json)]
+    if "--skip-sf01" not in sys.argv:
+        sf01_json = f"CHECK_SF01_r{rnd}.json"
+        tmp_sf01 = sf01_json + ".tmp"
+        _TMPS.append(tmp_sf01)
+        run(
+            "full oracle gate at sf0.1 (the round-12 gains_chart scale hole)",
+            [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.1",
+             "--json", tmp_sf01],
+        )
+        pending.append((tmp_sf01, sf01_json))
     if sf1_dir:
         sf1_json = f"CHECK_SF1_r{rnd}.json"
         tmp_sf1 = sf1_json + ".tmp"
