@@ -1551,3 +1551,147 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup: maximal cross-doc duplicated regions (round 13)
+# ---------------------------------------------------------------------------
+
+#: minimum duplicated run length, in tokens — the "50-token" knob of the
+#: published suffix-array pretraining-dedup protocol, scaled to the fixture
+SUB_L = 6
+
+
+def _substring_sql() -> str:
+    l = SUB_L
+    gram = " || '|' || ".join(["w"] + [f"w{j}" for j in range(1, l)])
+    leads = ", ".join(
+        f"lead(w, {j}) OVER win AS w{j}" for j in range(1, l)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, CAST(i AS INT) AS p, t[CAST(i + 1 AS INT)] AS w
+  FROM toks, unnest(range(0, len(t))) AS u(i)
+), led AS (
+  SELECT doc_id, p, w, {leads}
+  FROM pos WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+), grams AS (
+  SELECT doc_id, p, {sql_hash64(f"({gram})")} AS gh
+  FROM led WHERE w{l - 1} IS NOT NULL
+), dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING min(doc_id) <> max(doc_id)
+), hits AS (
+  SELECT g.doc_id, g.p FROM grams g JOIN dup USING (gh)
+), isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM hits
+), spans AS (
+  SELECT doc_id, min(p) AS s, max(p) + {l - 1} AS e
+  FROM isl GROUP BY doc_id, grp
+), marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_region
+  FROM spans
+), regions AS (
+  SELECT doc_id,
+         sum(new_region) OVER (
+           PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid,
+         s, e
+  FROM marked
+), runion AS (
+  SELECT doc_id, rid, min(s) AS rs, max(e) AS re
+  FROM regions GROUP BY doc_id, rid
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_regions,
+       CAST(sum(re - rs + 1) AS BIGINT) AS dup_tokens,
+       CAST(max(re - rs + 1) AS BIGINT) AS max_region_len
+FROM runion GROUP BY doc_id
+"""
+
+
+@register("repeated_substring_spans", _substring_sql())
+def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-level dedup at ARBITRARY token alignment — the
+    granularity between `block_dup_stats` (fixed non-overlapping
+    BLOCK_K blocks: a duplicated run straddling a block boundary is
+    invisible) and `winnowing_fingerprints` (sampled fingerprints:
+    probabilistic recall). Per document, the maximal regions every one
+    of whose SUB_L-token windows also occurs in ANOTHER document —
+    exactly the duplicated text a suffix-array pretraining-dedup
+    protocol (Lee et al. 2022, "Deduplicating Training Data") cuts at
+    threshold L, computed WITHOUT any global suffix sort: a repeated
+    substring of length ≥ L is precisely a run of duplicated L-grams at
+    EVERY offset, so seed-and-extend (sliding L-gram match + two
+    gaps-islands merges) reconstructs the identical maximal regions a
+    suffix-array + LCP pass yields, and every stage is a keyed shuffle.
+
+    Plan: posexplode + lead() builds the sliding grams inside
+    whole-stage codegen (one (doc_id, pos) exchange — the
+    exact_shingle_rows kernel, positions kept); ONE combinable
+    min/max(doc_id) per gram hash marks cross-doc duplicates; a
+    gh-keyed join back (hash rows, never text) restricts to duplicated
+    positions; consecutive positions collapse via p − row_number
+    (gaps-islands) into spans, and overlapping span extents merge with
+    a per-doc running-max interval union. All windows are partitioned
+    by doc_id; shuffle cost is corpus-token-linear rows of flat ints —
+    no pair stage, no O(n²) anywhere. Output is integer-exact (counts
+    and token extents only), so the DuckDB oracle hash-matches bitwise
+    at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    tok = docs.filter(F.size(toks) >= SUB_L).select(
+        "doc_id", F.posexplode(toks).alias("p", "w")
+    )
+    wl = Window.partitionBy("doc_id").orderBy("p")
+    leads = [F.lead("w", j).over(wl) for j in range(1, SUB_L)]
+    grams = (
+        tok.select(
+            "doc_id",
+            "p",
+            F.concat_ws("|", F.col("w"), *leads).alias("g"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .select("doc_id", "p", portable_hash64(F.col("g")).alias("gh"))
+    )
+    dup = grams.groupBy("gh").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("_x")
+    ).filter(F.col("_x")).select("gh")
+    # gh-keyed join: both sides hash-partitioned on gh; the dup-key table
+    # is gram-vocabulary-sized and grows with the corpus — same
+    # shuffle_hash rationale as ngram_novelty's owner table
+    hits = grams.join(dup.hint("shuffle_hash"), "gh").select("doc_id", "p")
+    isl = hits.withColumn(
+        "grp", F.col("p") - F.row_number().over(wl)
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("p").alias("s"), (F.max("p") + SUB_L - 1).alias("e")
+    )
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.withColumn(
+        "new_region",
+        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("long"),
+    )
+    regions = marked.withColumn(
+        "rid",
+        F.sum("new_region").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runion = regions.groupBy("doc_id", "rid").agg(
+        F.min("s").alias("rs"), F.max("e").alias("re")
+    )
+    return runion.groupBy("doc_id").agg(
+        F.count("*").alias("n_regions"),
+        F.sum(F.col("re") - F.col("rs") + 1).alias("dup_tokens"),
+        F.max(F.col("re") - F.col("rs") + 1).alias("max_region_len"),
+    )

@@ -310,6 +310,36 @@ WHERE rnk <= {TOP_K}
 """
 
 
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse quantizer: per-label centroids (deterministic —
+    label-seeded, no sampled init), k = |label| rows."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode(as_double("embedding")).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("pairs"))
+        .select(
+            F.col("label").alias("list_id"),
+            F.transform("pairs", lambda p: p.cv).alias("c_emb"),
+        )
+    )
+
+
+def _nearest_lists(df, centroids, id_col, emb_col, keep):
+    """id → the `keep` nearest list ids by cosine-to-centroid (ties to
+    the lowest list_id, matching the oracles' row_number order)."""
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("list_id"))
+    return (
+        df.join(F.broadcast(centroids))
+        .withColumn("c_cos", cosine(F.col(emb_col), F.col("c_emb")))
+        .withColumn("c_rnk", F.row_number().over(w))
+        .filter(F.col("c_rnk") <= keep)
+        .select(id_col, emb_col, "list_id")
+    )
+
+
 @register("ann_ivf_cosine", ann_ivf_oracle)
 def ann_ivf_cosine(
     spark: SparkSession,
@@ -335,37 +365,13 @@ def ann_ivf_cosine(
     corpus = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    centroids = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("label", F.posexplode(as_double("embedding")).alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(F.avg("v").alias("cv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("pairs"))
-        .select(
-            F.col("label").alias("list_id"),
-            F.transform("pairs", lambda p: p.cv).alias("c_emb"),
-        )
-    )
-
-    def nearest_lists(df, id_col, emb_col, keep):
-        """id → the `keep` nearest list ids by cosine-to-centroid."""
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("c_cos"), F.asc("list_id")
-        )
-        return (
-            df.join(F.broadcast(centroids))
-            .withColumn("c_cos", cosine(F.col(emb_col), F.col("c_emb")))
-            .withColumn("c_rnk", F.row_number().over(w))
-            .filter(F.col("c_rnk") <= keep)
-            .select(id_col, emb_col, "list_id")
-        )
-
-    assigned = nearest_lists(corpus, "vec_id", "emb", keep=1)
-    queries = nearest_lists(
+    centroids = _ivf_centroids(spark, sf_dir)
+    assigned = _nearest_lists(corpus, centroids, "vec_id", "emb", keep=1)
+    queries = _nearest_lists(
         corpus.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
             F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
         ),
+        centroids,
         "query_id",
         "q_emb",
         keep=n_probe,
@@ -392,13 +398,16 @@ PQ_ITERS = 3  # Lloyd rounds per subspace (2 codebook updates)
 _PQ_SUB = DIM // PQ_M
 
 
-def _pq_oracle() -> str:
-    """Full PQ replay in SQL: normalize → per-subspace Lloyd (unrolled,
-    the kmeans_clusters oracle pattern keyed by (m, cid)) → encode →
-    integer-micro-unit asymmetric dot tables → top-K."""
+def _pq_train_sql() -> str:
+    """The shared PQ-training CTE chain (normalize → per-subspace Lloyd,
+    unrolled — the kmeans_clusters oracle pattern keyed by (m, cid)),
+    ending at codebook c{PQ_ITERS-1}+assignments a{PQ_ITERS-1}; reused
+    verbatim by the PQ and IVF-PQ oracles so the two can never train
+    different codebooks. ``c`` carries ``label`` for the IVF coarse
+    quantizer (unused by plain PQ)."""
     parts = [
         f"""
-WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
 el AS MATERIALIZED (
   SELECT vec_id, CAST(i // {_PQ_SUB} AS INT) AS m,
          CAST(i % {_PQ_SUB} + 1 AS INT) AS pos,
@@ -443,8 +452,14 @@ el AS MATERIALIZED (
     ON mm.m = cc.m AND mm.cid = cc.cid AND mm.pos = cc.pos
 )"""
         )
+    return "".join(parts)
+
+
+def _pq_oracle() -> str:
+    """Full PQ replay in SQL: shared training chain → encode →
+    integer-micro-unit asymmetric dot tables → top-K."""
     last = PQ_ITERS - 1
-    parts.append(
+    return _pq_train_sql() + (
         f""", q AS (
   SELECT vec_id AS query_id, m, pos, val FROM nl
   WHERE vec_id IN {QUERY_IDS}
@@ -468,7 +483,6 @@ FROM (
 )
 WHERE rnk <= {TOP_K}"""
     )
-    return "".join(parts)
 
 
 def _pq_quant(X: "np.ndarray") -> "np.ndarray":
@@ -487,55 +501,30 @@ def _pq_quant(X: "np.ndarray") -> "np.ndarray":
     return np.floor(E * 1e6 / np.sqrt(n2) + 0.5).astype(np.int64)
 
 
-@register("ann_pq_cosine", _pq_oracle())
-def ann_pq_cosine(
-    spark: SparkSession, sf_dir: str, k: int | None = None
-) -> DataFrame:
-    """Approximate NN, product-quantization flavor (L3 scale path #3,
-    Jégou et al. 2011): the MEMORY-bounded member of the ANN family —
-    LSH/IVF prune candidates but still hold full vectors; PQ shrinks the
-    vectors themselves 32× (64 doubles → 8 4-bit codes) so a 100 TB
-    embedding corpus's index fits in RAM. DIM is split into PQ_M
-    subspaces; each learns a PQ_K-centroid codebook by Lloyd rounds;
-    every vector becomes its per-subspace nearest-centroid code; a query
-    scores candidates ASYMMETRICALLY — exact query subvector against the
-    codebook reconstruction — via an (M × K) lookup table, never
-    touching corpus floats again.
+def _pq_codes(X: "np.ndarray", Cs: list["np.ndarray"]) -> "np.ndarray":
+    """(n, M) nearest-centroid codes; EXACT integer squared distances,
+    first-min argmin — ties to the lowest cid like the oracles'
+    row_number ORDER BY (dist, cid)."""
+    out = np.empty((X.shape[0], PQ_M), dtype=np.int64)
+    for m in range(PQ_M):
+        Xm = X[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        D = ((Xm[:, None, :] - Cs[m][None, :, :]) ** 2).sum(axis=2)
+        out[:, m] = D.argmin(axis=1)
+    return out
 
-    Scale/determinism design (the kmeans_clusters discipline, hardened):
-    codebooks live on the DRIVER between rounds (M·K·SUB = 1024 ints);
-    each training round is ONE vectorized mapInPandas scan emitting
-    M·K·SUB-bounded partial sums; encode+score is one final scan where
-    the ADC tables ride the closure. EVERYTHING after the one
-    quantizing normalization (`_pq_quant`) is EXACT int64 arithmetic —
-    squared distances, centroid means (round-half-up via integer floor
-    division), ADC dots, and the final score — so no partial-sum
-    reorder on either engine can flip an assignment, a tie-break, or an
-    output value; the single int→double division at the end is
-    bit-identical everywhere (no round() on the output at all). The
-    only data-sized shuffle is the per-query top-K window over |Q|·n
-    scored code rows."""
-    k = TOP_K if k is None else k
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    )
+
+def _pq_train(emb: DataFrame) -> list["np.ndarray"]:
+    """Learn the PQ_M per-subspace codebooks (PQ_K centroids each) by
+    PQ_ITERS−1 Lloyd updates — the kmeans_clusters discipline: codebooks
+    live on the DRIVER between rounds (M·K·SUB = 1024 ints); each round
+    is ONE vectorized mapInPandas scan emitting M·K·SUB-bounded partial
+    sums. Shared by ``ann_pq_cosine`` and ``ann_ivfpq_cosine`` so the
+    two can never train different codebooks."""
     init = sorted(
         emb.filter(F.col("vec_id") < PQ_K).collect(), key=lambda r: r.vec_id
     )
     X0 = _pq_quant(np.stack([np.asarray(r.emb, dtype=np.float64) for r in init]))
-    # C[m]: (PQ_K, SUB) int64 codebook for subspace m
     C = [X0[:, m * _PQ_SUB : (m + 1) * _PQ_SUB].copy() for m in range(PQ_M)]
-
-    def _codes(X: np.ndarray, Cs: list[np.ndarray]) -> np.ndarray:
-        """(n, M) nearest-centroid codes; EXACT integer squared
-        distances, first-min argmin — ties to the lowest cid like the
-        oracle's row_number ORDER BY (dist, cid)."""
-        out = np.empty((X.shape[0], PQ_M), dtype=np.int64)
-        for m in range(PQ_M):
-            Xm = X[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
-            D = ((Xm[:, None, :] - Cs[m][None, :, :]) ** 2).sum(axis=2)
-            out[:, m] = D.argmin(axis=1)
-        return out
 
     for _ in range(PQ_ITERS - 1):
         Cs = [c.copy() for c in C]
@@ -543,7 +532,7 @@ def ann_pq_cosine(
         def partials(batches, _Cs=Cs):
             for pdf in batches:
                 X = _pq_quant(np.stack(pdf["emb"].to_numpy()))
-                codes = _codes(X, _Cs)
+                codes = _pq_codes(X, _Cs)
                 rows = []
                 for m in range(PQ_M):
                     Xm = X[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
@@ -580,6 +569,42 @@ def ann_pq_cosine(
             C[r.m][r.cid][r.pos - 1] = (2 * int(r.s) + int(r.n)) // (
                 2 * int(r.n)
             )
+    return C
+
+
+@register("ann_pq_cosine", _pq_oracle())
+def ann_pq_cosine(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
+    """Approximate NN, product-quantization flavor (L3 scale path #3,
+    Jégou et al. 2011): the MEMORY-bounded member of the ANN family —
+    LSH/IVF prune candidates but still hold full vectors; PQ shrinks the
+    vectors themselves 32× (64 doubles → 8 4-bit codes) so a 100 TB
+    embedding corpus's index fits in RAM. DIM is split into PQ_M
+    subspaces; each learns a PQ_K-centroid codebook by Lloyd rounds;
+    every vector becomes its per-subspace nearest-centroid code; a query
+    scores candidates ASYMMETRICALLY — exact query subvector against the
+    codebook reconstruction — via an (M × K) lookup table, never
+    touching corpus floats again.
+
+    Scale/determinism design (the kmeans_clusters discipline, hardened):
+    codebooks live on the DRIVER between rounds (M·K·SUB = 1024 ints);
+    each training round is ONE vectorized mapInPandas scan emitting
+    M·K·SUB-bounded partial sums; encode+score is one final scan where
+    the ADC tables ride the closure. EVERYTHING after the one
+    quantizing normalization (`_pq_quant`) is EXACT int64 arithmetic —
+    squared distances, centroid means (round-half-up via integer floor
+    division), ADC dots, and the final score — so no partial-sum
+    reorder on either engine can flip an assignment, a tie-break, or an
+    output value; the single int→double division at the end is
+    bit-identical everywhere (no round() on the output at all). The
+    only data-sized shuffle is the per-query top-K window over |Q|·n
+    scored code rows."""
+    k = TOP_K if k is None else k
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    C = _pq_train(emb)  # C[m]: (PQ_K, SUB) int64 codebook for subspace m
 
     # ADC lookup tables in INTEGER micro-units: lut[m][cid, qi]
     qrows = sorted(
@@ -600,7 +625,7 @@ def ann_pq_cosine(
     def score(batches, _Cs=Cf, _lut=lut):
         for pdf in batches:
             X = _pq_quant(np.stack(pdf["emb"].to_numpy()))
-            codes = _codes(X, _Cs)
+            codes = _pq_codes(X, _Cs)
             est = np.zeros((X.shape[0], len(qids)), dtype=np.int64)
             for m in range(PQ_M):
                 est += _lut[m][codes[:, m], :]
@@ -625,6 +650,189 @@ def ann_pq_cosine(
         .select(
             "query_id",
             "neighbor_id",
+            (F.col("est_i").cast("double") / F.lit(1.0e12)).alias(
+                "est_cosine"
+            ),
+            "rnk",
+        )
+    )
+
+
+# --- IVF-PQ: the composed index (L3 scale path #4) -------------------------
+
+
+def _ivfpq_oracle() -> str:
+    """IVF candidate pruning composed with PQ asymmetric-distance
+    scoring: the shared PQ training chain, then the ann_ivf_oracle's
+    coarse-quantizer CTEs generate candidates, and only THOSE pairs are
+    ADC-scored — the est join is restricted to cand instead of the full
+    corpus."""
+    last = PQ_ITERS - 1
+    return _pq_train_sql() + f""", cent AS (
+  SELECT label AS list_id, list(cv ORDER BY dim) AS c_emb
+  FROM (
+    SELECT label, i AS dim, avg(emb[i + 1]) AS cv
+    FROM c, unnest(range(0, {DIM})) AS u(i)
+    GROUP BY label, i
+  )
+  GROUP BY label
+), assigned AS (
+  SELECT vec_id, list_id
+  FROM (
+    SELECT c.vec_id, cent.list_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_duck_cosine('c.emb', 'cent.c_emb')} DESC, cent.list_id
+           ) AS c_rnk
+    FROM c CROSS JOIN cent
+  )
+  WHERE c_rnk <= 1
+), qiv AS (
+  SELECT query_id, list_id
+  FROM (
+    SELECT c.vec_id AS query_id, cent.list_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_duck_cosine('c.emb', 'cent.c_emb')} DESC, cent.list_id
+           ) AS c_rnk
+    FROM c CROSS JOIN cent
+    WHERE c.vec_id IN {QUERY_IDS}
+  )
+  WHERE c_rnk <= {N_PROBE}
+), cand AS (
+  SELECT qiv.query_id, a.vec_id AS neighbor_id
+  FROM qiv JOIN assigned a USING (list_id)
+  WHERE a.vec_id <> qiv.query_id
+), qpq AS (
+  SELECT vec_id AS query_id, m, pos, val FROM nl
+  WHERE vec_id IN {QUERY_IDS}
+), adc AS MATERIALIZED (
+  SELECT q.query_id, cc.m, cc.cid, sum(q.val * cc.val) AS dot_i
+  FROM qpq q JOIN c{last} cc ON cc.m = q.m AND cc.pos = q.pos
+  GROUP BY q.query_id, cc.m, cc.cid
+), est AS (
+  SELECT cd.query_id, cd.neighbor_id, sum(a.dot_i) AS est_i
+  FROM cand cd
+  JOIN a{last} co ON co.vec_id = cd.neighbor_id
+  JOIN adc a ON a.query_id = cd.query_id AND a.m = co.m AND a.cid = co.cl
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT query_id, neighbor_id, est_cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT query_id, neighbor_id,
+         CAST(est_i AS DOUBLE) / 1000000000000.0 AS est_cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY est_i DESC, neighbor_id) AS rnk
+  FROM est
+)
+WHERE rnk <= {TOP_K}"""
+
+
+@register("ann_ivfpq_cosine", _ivfpq_oracle())
+def ann_ivfpq_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Approximate NN, IVF-PQ flavor (L3 scale path #4; Jégou et al.
+    2011 §IV) — the COMPOSED index a 100 TB ANN actually deploys: IVF
+    prunes WHICH vectors to score (each query touches only its N_PROBE
+    inverted lists, ~n·probe/k candidates), PQ compresses WHAT is read
+    to score them (8 4-bit codes per vector, 32× smaller than floats).
+    Separately, IVF still reads full vectors inside its lists and PQ
+    still scans every code; together the scored bytes shrink
+    multiplicatively — the recall/cost point neither index reaches
+    alone (BASELINE.md knob table).
+
+    Shape: codebook training is the shared `_pq_train` driver loop
+    (1024-int codebooks, one scan per round); list assignment is the
+    shared `_nearest_lists` broadcast-centroid argmin (one scan);
+    encoding is one mapInPandas scan emitting the flat (vec_id, m, cid)
+    code index — 8 small-int rows per vector, the thing that fits in
+    RAM at 100 TB; scoring is ALL JVM-side from there: candidates join
+    their 8 code rows, a broadcast M·K·|Q| = 640-row integer ADC table
+    supplies the per-subspace dots, and one combinable groupBy sums
+    them. Everything after `_pq_quant` is exact int64 — no float can
+    flip a rank on either engine."""
+    n_probe = N_PROBE if n_probe is None else n_probe
+    k = TOP_K if k is None else k
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    C = _pq_train(emb)
+    centroids = _ivf_centroids(spark, sf_dir)
+    assigned = _nearest_lists(emb, centroids, "vec_id", "emb", keep=1).select(
+        "vec_id", "list_id"
+    )
+    queries = _nearest_lists(
+        emb.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        ),
+        centroids,
+        "query_id",
+        "q_emb",
+        keep=n_probe,
+    ).select("query_id", "list_id")
+    cand = (
+        assigned.join(F.broadcast(queries), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+    # the compressed index: one encode scan → flat (vec_id, m, cid)
+    Cs = [c.copy() for c in C]
+
+    def encode(batches, _Cs=Cs):
+        for pdf in batches:
+            X = _pq_quant(np.stack(pdf["emb"].to_numpy()))
+            codes = _pq_codes(X, _Cs)
+            n = X.shape[0]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), PQ_M),
+                    "m": np.tile(np.arange(PQ_M, dtype=np.int32), n),
+                    "cid": codes.ravel().astype(np.int32),
+                }
+            )
+
+    codes_df = emb.mapInPandas(encode, "vec_id long, m int, cid int")
+
+    # integer ADC lookup RELATION (vs plain PQ's closure-riding numpy
+    # tables): M×K×|Q| = 640 rows broadcast, so the scoring join + sum
+    # stay in whole-stage codegen
+    qrows = sorted(
+        emb.filter(F.col("vec_id").isin(*QUERY_IDS)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    Q = _pq_quant(
+        np.stack([np.asarray(r.emb, dtype=np.float64) for r in qrows])
+    )
+    lut_rows = []
+    for m in range(PQ_M):
+        L = C[m] @ Q[:, m * _PQ_SUB : (m + 1) * _PQ_SUB].T  # (K, |Q|) exact
+        for cid in range(PQ_K):
+            for qi, r in enumerate(qrows):
+                lut_rows.append((m, cid, int(r.vec_id), int(L[cid, qi])))
+    lut_df = spark.createDataFrame(
+        lut_rows, "m int, cid int, query_id long, dot_i long"
+    )
+
+    scored = (
+        cand.join(codes_df, "vec_id")
+        .join(F.broadcast(lut_df), ["m", "cid", "query_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dot_i").alias("est_i"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("est_i"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
             (F.col("est_i").cast("double") / F.lit(1.0e12)).alias(
                 "est_cosine"
             ),

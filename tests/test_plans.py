@@ -149,6 +149,11 @@ _ALLOWED_FACT_BROADCASTS = {
     # centroids: Aggregate keyed on the quantizer's label domain (k lists,
     # fixed by design) — 2 assignment paths + 1 query path
     "ann_ivf_cosine": 3,
+    # round-13 composition: the same label-domain centroid broadcast under
+    # both _nearest_lists paths + the |Q|·n_probe-row probed-list table
+    # (literal-key-bounded QUERY_IDS); the 640-row integer ADC table is
+    # createDataFrame-built, not fact-derived
+    "ann_ivfpq_cosine": 3,
     # documented O(n²) small-scale oracle for its LSH twin
     "embedding_near_dup": 1,
     # Misra-Gries candidates: ≤ partitions × capacity rows by construction

@@ -73,6 +73,16 @@ def main() -> int:
             time.time() - t0,
         )
     )
+    for np_ in (3, 5):
+        t0 = time.time()
+        got = _topk_sets(sim.ann_ivfpq_cosine(spark, SF_DIR, n_probe=np_, k=K))
+        rows.append(
+            (
+                f"ivfpq n_probe={np_} (pruned + 32x compressed)",
+                recall(got),
+                time.time() - t0,
+            )
+        )
 
     print(f"\n| setting | recall@{K} | wall s |")
     print("|---|---|---|")
