@@ -927,3 +927,95 @@ def join_size_estimate_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile (round 13): the pre-join planning statistic
+# ---------------------------------------------------------------------------
+
+#: exact upper-percentile rank cut for the key-frequency distribution,
+#: as a fraction: rank ≥ SKEW_P_NUM/SKEW_P_DEN of keys (ascending) = p99
+SKEW_P_NUM = 99
+SKEW_P_DEN = 100
+
+join_key_skew_oracle = f"""
+WITH kc AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_partkey
+), cc AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS nk FROM kc GROUP BY c
+), tot AS (
+  SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+         CAST(sum(c * nk) AS BIGINT) AS n_rows,
+         CAST(max(c) AS BIGINT) AS max_cnt
+  FROM cc
+), runs AS (
+  SELECT c, nk,
+         sum(nk) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM cc
+), p99 AS (
+  SELECT min(c) AS p99_cnt
+  FROM runs, tot
+  WHERE {SKEW_P_DEN} * cum >= {SKEW_P_NUM} * n_keys
+)
+SELECT t.n_keys, t.n_rows, t.max_cnt, p.p99_cnt,
+       round(CAST(t.max_cnt AS DOUBLE) * t.n_keys / t.n_rows, 6)
+         AS skew_ratio,
+       round(CAST(t.max_cnt AS DOUBLE) / t.n_rows, 6) AS top1_share
+FROM tot t, p99 p
+"""
+
+
+@register("join_key_skew_profile", join_key_skew_oracle)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frequency skew profile of the lineitem⋈part join key — the
+    statistic a planner (or an engineer) reads BEFORE the join to decide
+    between plain hash join, AQE skew splitting, and explicit salting
+    (functions/skew.py): max and p99 per-key multiplicity, the
+    max-to-mean skew ratio (how many×slower the hottest reducer runs
+    than the average under hash partitioning), and the hot key's row
+    share. Complements `join_size_estimate_cm` (output size) with the
+    BALANCE dimension, and `partition_balance` (physical partitions)
+    with the logical-key view that survives repartitioning.
+
+    Shape: ONE combinable per-key count, collapsed again to the
+    counts-of-counts domain (multiplicity values — tiny at any scale),
+    where the p99 is an integer rank cut (100·cum ≥ 99·n_keys — the
+    pareto_cutoff_exact spelling, no interpolated percentile) over the
+    ascending multiplicity cumulative; max/sums ride the same tiny
+    relation. Nothing data-sized moves after the first groupBy."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    cc = kc.groupBy("c").agg(F.count("*").alias("nk"))
+    tot = cc.agg(
+        F.sum("nk").alias("n_keys"),
+        F.sum(F.col("c") * F.col("nk")).alias("n_rows"),
+        F.max("c").alias("max_cnt"),
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    runs = cc.withColumn("cum", F.sum("nk").over(w))
+    p99 = (
+        runs.crossJoin(F.broadcast(tot))
+        .filter(
+            SKEW_P_DEN * F.col("cum") >= SKEW_P_NUM * F.col("n_keys")
+        )
+        .agg(F.min("c").alias("p99_cnt"))
+    )
+    return tot.crossJoin(F.broadcast(p99)).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "p99_cnt",
+        F.round(
+            F.col("max_cnt").cast("double") * F.col("n_keys")
+            / F.col("n_rows"),
+            6,
+        ).alias("skew_ratio"),
+        F.round(F.col("max_cnt").cast("double") / F.col("n_rows"), 6).alias(
+            "top1_share"
+        ),
+    )

@@ -616,3 +616,139 @@ def gains_chart_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hosmer-Lemeshow goodness-of-fit (round 13): calibration TEST on rank bins
+# ---------------------------------------------------------------------------
+
+
+def _hl_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH scored AS (
+  SELECT CAST(lang = 'en' AS INT) AS y,
+         len(list_filter(string_split(text, ' '),
+                         t -> list_contains([{stop}], t)))::DOUBLE
+           / len(string_split(text, ' ')) AS p
+  FROM documents WHERE length(text) > 0
+), q AS (
+  SELECT y, p,
+         CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS pq
+  FROM scored
+), vals AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(pq) AS BIGINT) AS pqs
+  FROM q GROUP BY p
+), tot0 AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vals
+), runs AS (
+  SELECT cnt, pos, pqs,
+         sum(cnt) OVER (ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM vals
+), agg AS (
+  SELECT CAST((10 * r.cum - 1) // t.n AS INT) AS decile,
+         CAST(sum(r.cnt) AS BIGINT) AS n_docs,
+         CAST(sum(r.pos) AS BIGINT) AS obs_pos,
+         CAST(sum(r.pqs) AS BIGINT) AS exp_micro
+  FROM runs r, tot0 t
+  GROUP BY 1
+)
+SELECT decile, n_docs, obs_pos,
+       round(exp_micro / 1000000.0, 6) AS exp_pos,
+       round(CASE WHEN exp_micro > 0 AND exp_micro < n_docs * 1000000
+                  THEN (obs_pos - exp_micro / 1000000.0)
+                       * (obs_pos - exp_micro / 1000000.0) * n_docs
+                       / ((exp_micro / 1000000.0)
+                          * (n_docs - exp_micro / 1000000.0))
+                  END, 6) AS hl_term
+FROM agg
+"""
+
+
+@register("hosmer_lemeshow_gof", _hl_sql())
+def hosmer_lemeshow_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow calibration goodness-of-fit of the
+    stopword-density score read as P(en): per equal-depth score decile,
+    observed vs expected positives and the χ² contribution
+    (O−E)²·n/(E·(n−E)) — the TEST companion to
+    `brier_score_decomposition` (decomposes) and `gains_chart_stopword`
+    (budgets); a decile with a large term is WHERE the score lies.
+
+    Deciles come from the same integer rank-cut kernel the round-13
+    gains fix installed ((10·cum − 1) div n over per-distinct-score
+    counts — tie-runs never split, no interpolated boundaries). The
+    expected count E = Σp is order-sensitive as a double sum, so p is
+    quantized to micro-units ONCE (floor(p·1e6 + 0.5)) and E
+    accumulates as an EXACT integer; every division happens once, on
+    exact ints, identically in both engines. Degenerate bins (E = 0 or
+    E = n) yield SQL NULL terms rather than ±inf.
+
+    Shape: one scoring pass, a value-domain distinct collapse, O(P)
+    ranking offsets, a 10-group combinable aggregate."""
+    from pyspark.sql import Window
+
+    from ..functions.ranking import range_partition_offsets
+    from ..session import shuffle_partition_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split("text", " ")
+    p = (
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        p.alias("p"),
+        F.floor(p * 1000000 + 0.5).cast("bigint").alias("pq"),
+    )
+    vals = scored.groupBy("p").agg(
+        F.count("*").alias("cnt"),
+        F.sum("y").alias("pos"),
+        F.sum("pq").alias("pqs"),
+    )
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        vals, ["p"], [("rows", F.sum("cnt"))], shuffle_partition_count(spark)
+    )
+    n = int(totals["rows"])
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    agg = (
+        ranged.withColumn("cum_local", F.sum("cnt").over(wloc))
+        .join(F.broadcast(offsets_df), "pid")
+        .select(
+            "cnt",
+            "pos",
+            "pqs",
+            F.expr(f"CAST((10 * (off_rows + cum_local) - 1) DIV {n} AS INT)")
+            .alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.sum("pos").alias("obs_pos"),
+            F.sum("pqs").alias("exp_micro"),
+        )
+    )
+    e = F.col("exp_micro") / 1000000.0
+    o = F.col("obs_pos")
+    nd = F.col("n_docs")
+    return agg.select(
+        "decile",
+        "n_docs",
+        "obs_pos",
+        F.round(e, 6).alias("exp_pos"),
+        F.round(
+            F.when(
+                (F.col("exp_micro") > 0)
+                & (F.col("exp_micro") < nd * 1000000),
+                (o - e) * (o - e) * nd / (e * (nd - e)),
+            ),
+            6,
+        ).alias("hl_term"),
+    )

@@ -612,3 +612,116 @@ def price_elasticity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("ln_q", "ln_p"), 6).alias("elasticity"),
         F.round(F.regr_r2("ln_q", "ln_p"), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indexes (round 13)
+# ---------------------------------------------------------------------------
+
+price_index_oracle = """
+WITH bm AS (
+  SELECT p.p_brand AS brand,
+         CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT)
+           AS ym,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), priced AS (
+  SELECT brand, ym, qty,
+         CAST(floor(cents * 10000.0 / qty + 0.5) AS BIGINT) AS p_micro
+  FROM bm
+), base AS (
+  SELECT min(ym) AS ym0 FROM priced
+), b0 AS (
+  SELECT brand, qty AS q0, p_micro AS p0
+  FROM priced, base WHERE ym = ym0
+), joined AS (
+  SELECT m.ym, m.brand, m.qty AS qm, m.p_micro AS pm, b.q0, b.p0
+  FROM priced m JOIN b0 b USING (brand)
+)
+SELECT ym AS month,
+       CAST(count(*) AS BIGINT) AS n_brands,
+       round(CAST(sum(q0 * pm) AS DOUBLE) / sum(q0 * p0), 6) AS laspeyres,
+       round(CAST(sum(qm * pm) AS DOUBLE) / sum(qm * p0), 6) AS paasche,
+       round(sqrt((CAST(sum(q0 * pm) AS DOUBLE) / sum(q0 * p0))
+                  * (CAST(sum(qm * pm) AS DOUBLE) / sum(qm * p0))), 6)
+         AS fisher
+FROM joined GROUP BY ym
+"""
+
+
+@register("price_index_laspeyres", price_index_oracle)
+def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Laspeyres, Paasche and Fisher price indexes over the
+    brand basket (base = the corpus's first month): Laspeyres weights
+    price relatives by BASE-month quantities ("what would the old
+    basket cost now"), Paasche by CURRENT quantities, Fisher is their
+    geometric mean — the econometric price-level readout
+    `mom_revenue_growth` (revenue mixes price AND volume) and
+    `price_elasticity_brand` (per-brand response) both lack. Brands
+    absent from the base month drop from the basket (standard
+    fixed-basket convention; n_brands tracks coverage).
+
+    Exactness: unit price per (brand, month) is an exact cents/qty
+    rational quantized ONCE to 10⁻⁴ cents (floor(E·10⁴/Q + 0.5),
+    identical IEEE ops both engines); every index numerator/denominator
+    is then an EXACT integer Σq·p_micro, divided once — no float
+    accumulation anywhere.
+
+    Shape: one combinable (brand, month) groupBy over the
+    part-broadcast join is the data-sized stage; everything after runs
+    on the brand×month domain (bounded by catalog × calendar at ANY
+    data scale); base-month weights broadcast back via a brand-keyed
+    join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("ym"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    bm = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("brand", "ym")
+        .agg(F.sum("cents").alias("cents"), F.sum("qty").alias("qty"))
+    )
+    priced = bm.select(
+        "brand",
+        "ym",
+        "qty",
+        F.floor(F.col("cents") * 10000.0 / F.col("qty") + 0.5)
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+    base = priced.agg(F.min("ym").alias("ym0"))
+    b0 = (
+        priced.crossJoin(F.broadcast(base))
+        .filter(F.col("ym") == F.col("ym0"))
+        .select(
+            "brand", F.col("qty").alias("q0"), F.col("p_micro").alias("p0")
+        )
+    )
+    joined = priced.join(F.broadcast(b0), "brand").select(
+        "ym",
+        (F.col("q0") * F.col("p_micro")).alias("l_num"),
+        (F.col("q0") * F.col("p0")).alias("l_den"),
+        (F.col("qty") * F.col("p_micro")).alias("p_num"),
+        (F.col("qty") * F.col("p0")).alias("p_den"),
+    )
+    lasp = F.sum("l_num").cast("double") / F.sum("l_den")
+    paas = F.sum("p_num").cast("double") / F.sum("p_den")
+    return joined.groupBy("ym").agg(
+        F.count("*").alias("n_brands"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).select(
+        F.col("ym").alias("month"), "n_brands", "laspeyres", "paasche",
+        "fisher",
+    )

@@ -1498,3 +1498,97 @@ def k_center_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("radius_sq", T.DoubleType(), False),
     ])
     return spark.createDataFrame(out_rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift per label vs the global centroid (round 13)
+# ---------------------------------------------------------------------------
+
+embedding_drift_oracle = f"""
+WITH lc AS (
+  SELECT label, CAST(i AS INT) AS dim,
+         CAST(floor(abs(avg(embedding[i + 1]::DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT)
+         * CASE WHEN avg(embedding[i + 1]::DOUBLE) >= 0 THEN 1 ELSE -1 END
+           AS v_micro,
+         count(*) AS n
+  FROM embeddings, unnest(range(0, {DIM})) AS u(i)
+  GROUP BY label, i
+), gc AS (
+  SELECT CAST(i AS INT) AS dim,
+         CAST(floor(abs(avg(embedding[i + 1]::DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT)
+         * CASE WHEN avg(embedding[i + 1]::DOUBLE) >= 0 THEN 1 ELSE -1 END
+           AS g_micro
+  FROM embeddings, unnest(range(0, {DIM})) AS u(i)
+  GROUP BY i
+)
+SELECT l.label, CAST(max(l.n) AS BIGINT) AS n_vectors,
+       round(sqrt(CAST(sum((l.v_micro - g.g_micro) * (l.v_micro - g.g_micro))
+                       AS DOUBLE)) / 1000000.0, 6) AS l2_drift,
+       round(sum(CAST(l.v_micro AS DOUBLE) * g.g_micro)
+             / (sqrt(CAST(sum(l.v_micro * l.v_micro) AS DOUBLE))
+                * sqrt(CAST(sum(g.g_micro * g.g_micro) AS DOUBLE))), 6)
+         AS cos_to_global
+FROM lc l JOIN gc g USING (dim)
+GROUP BY l.label
+"""
+
+
+@register("embedding_label_drift", embedding_drift_oracle)
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift against the GLOBAL embedding centroid:
+    L2 distance and cosine — the monitoring readout over
+    `embedding_centroids`' raw table ("which slice of the corpus has
+    moved away from the center of mass"), the embedding-space analogue
+    of `drift_psi_event_types`; a retrain/re-embed trigger reads this,
+    not the raw centroids.
+
+    Determinism: per-dimension means quantize to micro-units
+    (floor(|x|·1e6 + 0.5)·sign — the davies_bouldin coordinate
+    recovery), so both the L2 and the cosine are computed from EXACT
+    integers with one final sqrt/division each. Sums of v² ≤ 64·(5·10⁶)²
+    stay far inside int64.
+
+    Shape: TWO combinable posexplode aggregates ((label, dim) and
+    (dim)), a 64-row broadcast join — nothing data-sized after the
+    explode scan at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = lambda c: (  # noqa: E731
+        F.floor(F.abs(c) * 1000000 + 0.5).cast("bigint")
+        * F.when(c >= 0, F.lit(1)).otherwise(F.lit(-1))
+    )
+    lc = (
+        emb.select(
+            "label", F.posexplode(as_double("embedding")).alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(q(F.avg("v")).alias("v_micro"), F.count("*").alias("n"))
+    )
+    gc = (
+        emb.select(F.posexplode(as_double("embedding")).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(q(F.avg("v")).alias("g_micro"))
+    )
+    j = lc.join(F.broadcast(gc), "dim")
+    return j.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("v_micro") - F.col("g_micro"))
+                    * (F.col("v_micro") - F.col("g_micro"))
+                ).cast("double")
+            )
+            / 1000000.0,
+            6,
+        ).alias("l2_drift"),
+        F.round(
+            F.sum(F.col("v_micro").cast("double") * F.col("g_micro"))
+            / (
+                F.sqrt(F.sum(F.col("v_micro") * F.col("v_micro")).cast("double"))
+                * F.sqrt(F.sum(F.col("g_micro") * F.col("g_micro")).cast("double"))
+            ),
+            6,
+        ).alias("cos_to_global"),
+    )

@@ -1014,6 +1014,115 @@ def wasserstein_1d_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Two-sample Cramér–von Mises statistic (round 13): the L2 member
+# ---------------------------------------------------------------------------
+
+cvm_oracle = f"""
+WITH vals AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = '{WS_GROUP_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a_cnt,
+         CAST(sum(CASE WHEN event_type = '{WS_GROUP_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b_cnt
+  FROM events WHERE event_type IN ('{WS_GROUP_A}', '{WS_GROUP_B}')
+  GROUP BY 1
+), cdf AS (
+  SELECT a_cnt + b_cnt AS w,
+         sum(a_cnt) OVER (ORDER BY v) AS cum_a,
+         sum(b_cnt) OVER (ORDER BY v) AS cum_b
+  FROM vals
+), tot AS (
+  SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a,
+         CAST(sum(b_cnt) AS BIGINT) AS n_b
+  FROM vals
+), num AS (
+  SELECT sum(CAST(w AS HUGEINT)
+             * CAST(cum_a * n_b - cum_b * n_a AS HUGEINT)
+             * CAST(cum_a * n_b - cum_b * n_a AS HUGEINT)) AS s
+  FROM cdf, tot
+)
+SELECT t.n_a, t.n_b,
+       round(CAST(m.s AS DOUBLE)
+             / (CAST(t.n_a + t.n_b AS DOUBLE) * (t.n_a + t.n_b)
+                * t.n_a * t.n_b), 6) AS t_stat,
+       round(CAST(m.s AS DOUBLE)
+             / (CAST(t.n_a + t.n_b AS DOUBLE) * (t.n_a + t.n_b)
+                * t.n_a * t.n_b)
+             - (t.n_a + t.n_b + 1.0) / (6.0 * (t.n_a + t.n_b)), 6)
+         AS excess_over_null
+FROM tot t, num m
+"""
+
+
+@register("cramer_von_mises", cvm_oracle)
+def cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic between the same two
+    event-type value distributions as `ks_two_sample_price` /
+    `wasserstein_1d_values` — completing the two-sample trio: KS reads
+    the SUP of |F_A − F_B| (one worst point), W1 its L1 integral (units
+    of value), CvM its L2 energy T = n_a·n_b/N² · Σ(F_A−F_B)² over the
+    pooled points — sensitive to broad mid-distribution shifts a single
+    KS extremum misses, scale-free unlike W1. Ties handled exactly by
+    evaluating at per-DISTINCT values weighted by pooled multiplicity.
+
+    Shape: the wasserstein kernel minus the gap machinery — one
+    combinable per-distinct-value groupBy, ranking-kernel inclusive
+    cumulatives, and a single reduce. The summand w·(cumA·n_b −
+    cumB·n_a)² overflows int64 at sf0.1 (cum·n ~ 1e10, squared 1e20),
+    so it accumulates EXACTLY in Spark DECIMAL(38,0) / DuckDB HUGEINT
+    (the bollinger variance-numerator discipline) and converts to
+    double ONCE for the two output divisions."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(WS_GROUP_A, WS_GROUP_B))
+        .select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == WS_GROUP_A).cast("long").alias("is_a"),
+            (F.col("event_type") == WS_GROUP_B).cast("long").alias("is_b"),
+        )
+    )
+    vals = ev.groupBy("v").agg(
+        F.sum("is_a").alias("a_cnt"), F.sum("is_b").alias("b_cnt")
+    )
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        vals,
+        ["v"],
+        [("a", F.sum("a_cnt")), ("b", F.sum("b_cnt"))],
+        shuffle_partition_count(spark),
+    )
+    n_a, n_b = int(totals["a"]), int(totals["b"])
+    n = n_a + n_b
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    diff = (
+        (F.col("off_a") + F.sum("a_cnt").over(w)) * n_b
+        - (F.col("off_b") + F.sum("b_cnt").over(w)) * n_a
+    ).cast("decimal(38,0)")
+    summand = (
+        (F.col("a_cnt") + F.col("b_cnt")).cast("decimal(38,0)") * diff * diff
+    )
+    num = (
+        ranged.join(F.broadcast(offsets_df), "pid")
+        .select(summand.alias("s"))
+        .agg(F.sum("s").alias("s"))
+    )
+    t_stat = F.col("s").cast("double") / (
+        float(n) * n * n_a * n_b
+    )
+    return num.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(t_stat - (n + 1.0) / (6.0 * n), 6).alias("excess_over_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Brown-Forsythe (median-based Levene) equality-of-spread test
 # ---------------------------------------------------------------------------
 
@@ -1624,4 +1733,175 @@ def randomized_response_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.abs(est - F.col("n_true").cast("double") / F.col("n")), 6
         ).alias("abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-group log-rank test (round 13): the survival-curve TEST
+# ---------------------------------------------------------------------------
+
+logrank_oracle = f"""
+WITH pu AS (
+  SELECT user_id, user_id % 2 AS arm,
+         epoch_ms(CAST(min(ts) AS TIMESTAMP)) AS first_ms,
+         epoch_ms(CAST(min(CASE WHEN event_type = 'purchase'
+                                 AND value > {KM_VALUE_THRESHOLD}
+                                THEN ts END) AS TIMESTAMP)) AS hit_ms
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT max(epoch_ms(CAST(ts AS TIMESTAMP))) AS end_ms FROM events
+), marked AS (
+  SELECT arm,
+         CAST(floor((COALESCE(hit_ms, end_ms) - first_ms) / 86400000.0)
+              AS BIGINT) AS t_days,
+         CASE WHEN hit_ms IS NOT NULL THEN 1 ELSE 0 END AS converted
+  FROM pu, horizon
+), lt AS (
+  SELECT t_days,
+         CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+           AS d1,
+         CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+           AS d0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0
+  FROM marked GROUP BY t_days
+), tot AS (
+  SELECT CAST(sum(m1) AS BIGINT) AS nu1, CAST(sum(m0) AS BIGINT) AS nu0
+  FROM lt
+), risk AS (
+  SELECT t_days, d1, d0,
+         nu1 - COALESCE(sum(m1) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+         nu0 - COALESCE(sum(m0) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0
+  FROM lt, tot
+), terms AS (
+  SELECT d1 + d0 AS d, n1 + n0 AS n, d1, n1, n0,
+         CAST(floor((d1 - ((d1 + d0) * CAST(n1 AS DOUBLE)) / (n1 + n0))
+                    * 1000000 + 0.5) AS BIGINT) AS oe_micro,
+         CAST(floor((((d1 + d0) * CAST(n1 AS DOUBLE)) / (n1 + n0))
+                    * (CAST(n0 AS DOUBLE) / (n1 + n0))
+                    * (CAST(n1 + n0 - d1 - d0 AS DOUBLE)
+                       / (n1 + n0 - 1))
+                    * 1000000 + 0.5) AS BIGINT) AS v_micro
+  FROM risk
+  WHERE d1 + d0 > 0 AND n1 + n0 > 1
+)
+SELECT t.nu1 AS n_arm1, t.nu0 AS n_arm0,
+       CAST(sum(x.d1) AS BIGINT) AS events_arm1,
+       round(sum(x.oe_micro) / 1000000.0, 6) AS o_minus_e,
+       round((sum(x.oe_micro) / 1000000.0)
+             / sqrt(sum(x.v_micro) / 1000000.0), 6) AS z_score,
+       round((sum(x.oe_micro) / 1000000.0)
+             * (sum(x.oe_micro) / 1000000.0)
+             / (sum(x.v_micro) / 1000000.0), 6) AS chi2
+FROM terms x, tot t
+GROUP BY t.nu1, t.nu0
+"""
+
+
+@register("logrank_test_conversion", logrank_oracle)
+def logrank_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group (Mantel-Cox) log-rank test over time-to-conversion: do
+    the even/odd user arms share one survival curve? The TEST completing
+    the survival family — `kaplan_meier_conversion` draws the curve,
+    `nelson_aalen_hazard` its hazard, this says whether two curves
+    DIFFER, using censored users correctly (a naive conversion-rate
+    z-test throws censoring away). At each event day: O₁ = d₁, E₁ =
+    d·n₁/n under the hypergeometric null, V its variance; Z =
+    Σ(O−E)/√ΣV.
+
+    Determinism discipline: per-day O−E and V are rationals of bounded
+    integers computed as IEEE doubles in an EXPLICIT shared operand
+    order (each factor parenthesized identically in both engines —
+    products like d·n₁·n₀·(n−d) overflow int64 at scale, so the
+    factored-double form is the exact-enough spelling), then quantized
+    to micro-units (floor(x·1e6 + 0.5)) BEFORE summation — the sums are
+    exact integers, so no accumulation order on either engine can move
+    the round-6 outputs.
+
+    Shape: one combinable user groupBy (the data-sized stage), a
+    duration-DOMAIN lifetable with BOTH arms as columns (no second
+    shuffle), two allowlisted day-domain windows, one reduce."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        epoch_ms(F.min("ts").cast("timestamp")).alias("first_ms"),
+        epoch_ms(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > KM_VALUE_THRESHOLD),
+                    F.col("ts"),
+                )
+            ).cast("timestamp")
+        ).alias("hit_ms"),
+    ).select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+        "first_ms",
+        "hit_ms",
+    )
+    horizon = ev.agg(epoch_ms(F.max("ts").cast("timestamp")).alias("end_ms"))
+    marked = pu.crossJoin(F.broadcast(horizon)).select(
+        "arm",
+        F.floor(
+            (F.coalesce(F.col("hit_ms"), F.col("end_ms")) - F.col("first_ms"))
+            / 86400000.0
+        )
+        .cast("bigint")
+        .alias("t_days"),
+        F.col("hit_ms").isNotNull().cast("long").alias("converted"),
+    )
+    one = F.lit(1)
+    lt = marked.groupBy("t_days").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("arm") == 1, one).otherwise(0)).alias("m1"),
+        F.sum(F.when(F.col("arm") == 0, one).otherwise(0)).alias("m0"),
+    )
+    tot = lt.agg(F.sum("m1").alias("nu1"), F.sum("m0").alias("nu0"))
+    w_before = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = lt.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "d1",
+        "d0",
+        (F.col("nu1") - F.coalesce(F.sum("m1").over(w_before), F.lit(0))).alias("n1"),
+        (F.col("nu0") - F.coalesce(F.sum("m0").over(w_before), F.lit(0))).alias("n0"),
+        "nu1",
+        "nu0",
+    )
+    d = F.col("d1") + F.col("d0")
+    n = F.col("n1") + F.col("n0")
+    e1 = (d * F.col("n1").cast("double")) / n
+    v = (
+        e1
+        * (F.col("n0").cast("double") / n)
+        * ((n - d).cast("double") / (n - 1))
+    )
+    terms = risk.filter((d > 0) & (n > 1)).select(
+        "d1",
+        "nu1",
+        "nu0",
+        F.floor((F.col("d1") - e1) * 1000000 + 0.5).cast("bigint").alias(
+            "oe_micro"
+        ),
+        F.floor(v * 1000000 + 0.5).cast("bigint").alias("v_micro"),
+    )
+    oe = F.sum("oe_micro") / 1000000.0
+    vv = F.sum("v_micro") / 1000000.0
+    return terms.groupBy("nu1", "nu0").agg(
+        F.sum("d1").alias("events_arm1"),
+        F.round(oe, 6).alias("o_minus_e"),
+        F.round(oe / F.sqrt(vv), 6).alias("z_score"),
+        F.round(oe * oe / vv, 6).alias("chi2"),
+    ).select(
+        F.col("nu1").alias("n_arm1"),
+        F.col("nu0").alias("n_arm0"),
+        "events_arm1",
+        "o_minus_e",
+        "z_score",
+        "chi2",
     )

@@ -1328,3 +1328,145 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("phrase"))
         .limit(RAKE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing unseen mass (round 13): vocabulary-coverage estimator
+# ---------------------------------------------------------------------------
+
+good_turing_oracle = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, tok
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(c), 6) AS unseen_mass,
+       round(CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0
+                  THEN 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                       / sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                  END, 6) AS gt_singleton_mult
+FROM tf GROUP BY source
+"""
+
+
+@register("good_turing_unseen_mass", good_turing_oracle)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing estimate of the UNSEEN-token probability mass per
+    source: P(next token is out-of-vocabulary) ≈ n₁/N (tokens seen
+    exactly once over total tokens — Good 1953), plus the Good-Turing
+    count multiplier 2·n₂/n₁ that re-estimates singleton frequency. The
+    vocabulary-coverage readout a tokenizer/LM pipeline reads before
+    freezing a vocab: a source with high unseen mass is still producing
+    novel tokens and will fragment under the trained vocab — the
+    forward-looking complement of `heaps_law_fit` (growth curve so far)
+    and `tokenizer_fertility` (damage already done).
+
+    Shape: one explode + ONE combinable (source, token) groupBy, then a
+    source-count-sized frequency-of-frequencies aggregate — nothing
+    beyond the token-count shuffle at any scale. Integer counts; one
+    rounded division per output."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    n1 = F.sum((F.col("c") == 1).cast("long"))
+    n2 = F.sum((F.col("c") == 2).cast("long"))
+    return tf.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        n1.alias("n1"),
+        n2.alias("n2"),
+        F.round(n1.cast("double") / F.sum("c"), 6).alias("unseen_mass"),
+        F.round(
+            F.when(n1 > 0, 2.0 * n2 / n1), 6
+        ).alias("gt_singleton_mult"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness (round 13): Fano factor of per-doc counts per token
+# ---------------------------------------------------------------------------
+
+#: minimum document frequency for a token to be scored (rate-limits the
+#: output to tokens with enough evidence; the relation stays vocab-sized)
+BURST_MIN_DF = 20
+BURST_TOP = 20
+
+burstiness_oracle = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), percnt AS (
+  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY tok, doc_id
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), stats AS (
+  SELECT tok,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS cf,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM percnt GROUP BY tok HAVING count(*) >= {BURST_MIN_DF}
+)
+SELECT s.tok, s.df, s.cf,
+       round((CAST(s.s2 AS DOUBLE) * d.n_docs - CAST(s.cf AS DOUBLE) * s.cf)
+             / (CAST(d.n_docs AS DOUBLE) * s.cf), 6) AS fano
+FROM stats s, nd d
+ORDER BY fano DESC, s.tok
+LIMIT {BURST_TOP}
+"""
+
+
+@register("token_burstiness", burstiness_oracle)
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor, var/mean over ALL docs including zeros)
+    of each frequent token's per-document count: content words clump —
+    they recur within the few docs that mention them (Fano ≫ 1) —
+    while function words spread evenly (Fano ≈ 1, the Poisson line) —
+    Church & Gale's burstiness, the signal that separates topical terms
+    from glue BEFORE any stopword list exists (feeds stopword-free
+    keyword extraction and the quality family's lexical features).
+
+    Zeros never materialize: with N docs, counts c over mentioning docs
+    give mean = cf/N and E[x²] = Σc²/N, so var/mean =
+    (N·Σc² − cf²)/(N·cf) — exact integers up to one final division.
+    Top-{BURST_TOP} boundary ordered on the ROUNDED score (cross-engine
+    ulp rule), token as tiebreak.
+
+    Shape: explode → ONE combinable (token, doc) groupBy → vocab-sized
+    per-token aggregate with a DF floor; 1-row doc count broadcast; the
+    top-k is a TakeOrdered, never a sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    percnt = tok.groupBy("tok", "doc_id").agg(F.count("*").alias("c"))
+    stats = (
+        percnt.groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("c").alias("cf"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+        .filter(F.col("df") >= BURST_MIN_DF)
+    )
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scored = stats.crossJoin(F.broadcast(nd)).select(
+        "tok",
+        "df",
+        "cf",
+        F.round(
+            (
+                F.col("s2").cast("double") * F.col("n_docs")
+                - F.col("cf").cast("double") * F.col("cf")
+            )
+            / (F.col("n_docs").cast("double") * F.col("cf")),
+            6,
+        ).alias("fano"),
+    )
+    # TakeOrdered boundary on the ROUNDED score (the rake_keywords rule)
+    return scored.orderBy(F.desc("fano"), F.asc("tok")).limit(BURST_TOP)

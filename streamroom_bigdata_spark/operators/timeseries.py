@@ -1431,3 +1431,128 @@ def ransac_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inliers",
         (F.row_number().over(w_best) == 1).alias("is_best"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley sequential drift detector (round 13)
+# ---------------------------------------------------------------------------
+
+#: slack, as a fraction of the grand daily mean (δ = mean/10): drift must
+#: exceed the slack PER DAY before it accumulates — the knob that makes
+#: Page-Hinkley ignore noise CUSUM would integrate
+PH_DELTA_NUM = 1
+PH_DELTA_DEN = 10
+#: alarm threshold λ, in units of the grand daily mean
+PH_LAMBDA_MEANS = 3
+
+page_hinkley_oracle = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000.0)
+              AS BIGINT) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev_c) AS BIGINT) AS s
+  FROM daily
+), m AS (
+  -- m_t scaled by DEN·n (exact): DEN·n·Σx − t·(DEN + NUM/…)·S …
+  SELECT d,
+         {PH_DELTA_DEN} * t.n
+           * sum(CAST(rev_c AS HUGEINT)) OVER (ORDER BY d)
+         - CAST(row_number() OVER (ORDER BY d) AS HUGEINT)
+           * ({PH_DELTA_DEN} + {PH_DELTA_NUM}) * t.s AS ms
+  FROM daily, tot t
+), ph AS (
+  SELECT d,
+         ms - min(ms) OVER (ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS phs
+  FROM m
+)
+SELECT t.n AS n_days,
+       round(CAST(max(p.phs) AS DOUBLE) / ({PH_DELTA_DEN} * t.s), 6)
+         AS ph_max_over_mean,
+       CAST(min(CASE WHEN p.phs > {PH_LAMBDA_MEANS * PH_DELTA_DEN} * t.s
+                     THEN p.d END) AS BIGINT) AS first_alarm_day,
+       CAST(sum(CASE WHEN p.phs > {PH_LAMBDA_MEANS * PH_DELTA_DEN} * t.s
+                     THEN 1 ELSE 0 END) AS BIGINT) AS alarm_days
+FROM ph p, tot t
+GROUP BY t.n, t.s
+"""
+
+
+@register("page_hinkley_drift", page_hinkley_oracle)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector over daily revenue: the
+    SEQUENTIAL test PH_t = m_t − min_{i≤t} m_i with m_t =
+    Σ(x_i − x̄ − δ) — the running-minimum reset is what
+    `cusum_changepoint` lacks (CUSUM locates ONE retrospective shift;
+    PH raises an alarm the first day cumulative drift since the best
+    recent level exceeds λ, the online-monitor semantics), and the
+    slack δ = x̄/10 is what keeps zero-mean noise from accumulating.
+    Reports the peak drift (in daily-mean units), the FIRST alarm day
+    (λ = 3 daily means) and the alarm-day count.
+
+    Everything is EXACT integer arithmetic: m_t is scaled by
+    DEN·n (n·Σx − t·(DEN+NUM)/DEN·S cleared of both denominators) and
+    accumulated in DECIMAL(38,0)/HUGEINT — cents × day-count × 10 would
+    pass int64 at a 100 TB year but not with margin; the threshold
+    compare is integer (phs > 30·S), so no alarm day can flip on float
+    noise. One combinable daily groupBy is the data-sized stage; the
+    running sum/min ride day-DOMAIN windows (cusum shape,
+    plan-audit allowlisted)."""
+    from ..functions.timeutil import epoch_ms
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = (
+        od.select(
+            F.floor(epoch_ms(F.col("o_orderdate").cast("timestamp")) / 86400000)
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("rev_c"))
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("rev_c").alias("s")
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wrn = Window.orderBy("d")
+    m = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        "s",
+        (
+            F.lit(PH_DELTA_DEN)
+            * F.col("n")
+            * F.sum(F.col("rev_c").cast("decimal(38,0)")).over(wcum)
+            - F.row_number().over(wrn).cast("decimal(38,0)")
+            * (PH_DELTA_DEN + PH_DELTA_NUM)
+            * F.col("s")
+        ).alias("ms"),
+    )
+    ph = m.select(
+        "d",
+        "n",
+        "s",
+        (F.col("ms") - F.min("ms").over(wcum)).alias("phs"),
+    )
+    lam = F.lit(PH_LAMBDA_MEANS * PH_DELTA_DEN).cast("decimal(38,0)")
+    return ph.groupBy("n", "s").agg(
+        F.round(
+            F.max("phs").cast("double") / (PH_DELTA_DEN * F.col("s")), 6
+        ).alias("ph_max_over_mean"),
+        F.min(
+            F.when(F.col("phs") > lam * F.col("s"), F.col("d"))
+        ).alias("first_alarm_day"),
+        F.sum(
+            (F.col("phs") > lam * F.col("s")).cast("long")
+        ).alias("alarm_days"),
+    ).select(
+        F.col("n").alias("n_days"),
+        "ph_max_over_mean",
+        "first_alarm_day",
+        "alarm_days",
+    )

@@ -154,6 +154,18 @@ _ALLOWED_FACT_BROADCASTS = {
     # (literal-key-bounded QUERY_IDS); the 640-row integer ADC table is
     # createDataFrame-built, not fact-derived
     "ann_ivfpq_cosine": 3,
+    # round-13 wave — every hinted side a 1-row scalar or a
+    # catalog/domain-bounded aggregate:
+    # 1-row corpus doc count
+    "token_burstiness": 1,
+    # 1-row key totals + 1-row p99 rank cut
+    "join_key_skew_profile": 2,
+    # 1-row (n_days, revenue_total)
+    "page_hinkley_drift": 1,
+    # 1-row horizon + 1-row per-arm user totals (+ subtree reuse)
+    "logrank_test_conversion": 3,
+    # 1-row base month + brand-DOMAIN base-basket weights (catalog-bounded)
+    "price_index_laspeyres": 2,
     # documented O(n²) small-scale oracle for its LSH twin
     "embedding_near_dup": 1,
     # Misra-Gries candidates: ≤ partitions × capacity rows by construction

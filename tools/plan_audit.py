@@ -103,6 +103,15 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # relation re-instantiates under the max-scalar aggregate AND the
     # trough argmax join (the cusum subtree-reuse effect)
     "max_drawdown_revenue": 2,
+    # round 13 — all over bounded domains:
+    # ascending cumulative over the multiplicity DOMAIN (counts-of-counts
+    # of the join key — tiny at any scale)
+    "join_key_skew_profile": 1,
+    # running sum + running min over the day-DOMAIN series (cusum shape)
+    "page_hinkley_drift": 1,
+    # at-risk cumsum over the duration-DOMAIN lifetable (the
+    # kaplan_meier shape, both arms as columns of ONE table)
+    "logrank_test_conversion": 1,
 }
 
 HEADER = (
