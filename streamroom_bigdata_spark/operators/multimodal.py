@@ -874,3 +874,146 @@ def decode_image_pixels(payload: bytes):
     if len(raster) != w * h * 3:
         raise ValueError("truncated PPM raster")
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# audio_silence_segments: gaps-islands over frame energy (round 13)
+# ---------------------------------------------------------------------------
+
+
+def silence_segments(samples) -> dict:
+    """Pure integer kernel: a frame (WAV_FRAME samples) is SILENT iff its
+    energy is below half the asset's mean frame energy (2·fe·n_frames <
+    Σfe — pure integers, no float threshold anywhere); silent runs
+    collapse to segments. Returns counts + the longest run."""
+    import numpy as np
+
+    v = np.asarray(samples, dtype=np.int64)
+    sq = v * v
+    starts = np.arange(0, v.size, WAV_FRAME)
+    fe = (
+        np.add.reduceat(sq, starts)
+        if v.size
+        else np.array([], dtype=np.int64)
+    )
+    nf = int(fe.size)
+    tot = int(fe.sum())
+    silent = (2 * fe * nf) < tot
+    n_silent = int(silent.sum())
+    # run-length: segment starts where silent and (first or prev loud)
+    if nf:
+        start_mask = silent & np.concatenate(([True], ~silent[:-1]))
+        n_seg = int(start_mask.sum())
+        longest = 0
+        run = 0
+        for s in silent:
+            run = run + 1 if s else 0
+            longest = max(longest, run)
+    else:
+        n_seg, longest = 0, 0
+    return {
+        "n_frames": nf,
+        "silent_frames": n_silent,
+        "n_segments": n_seg,
+        "longest_segment": longest,
+    }
+
+
+SILENCE_SCHEMA = (
+    "asset_id long, n_frames int, silent_frames int, n_segments int, "
+    "longest_segment int"
+)
+
+silence_oracle = f"""
+WITH s AS (
+  SELECT doc_id, i,
+         ascii(substr(text, CAST(2 * i + 1 AS BIGINT), 1))
+         + 256 * ascii(substr(text, CAST(2 * i + 2 AS BIGINT), 1)) AS v
+  FROM documents, range(0, {WAV_N_SAMPLES}) t(i)
+  WHERE length(text) >= {_WAV_DATA} AND strlen(text) = length(text)
+), f AS (
+  SELECT doc_id, i // {WAV_FRAME} AS frame, sum(v * v) AS fe
+  FROM s GROUP BY doc_id, frame
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nf, CAST(sum(fe) AS BIGINT)
+           AS te
+  FROM f GROUP BY doc_id
+), marked AS (
+  SELECT f.doc_id, f.frame,
+         CASE WHEN 2 * f.fe * t.nf < t.te THEN 1 ELSE 0 END AS silent
+  FROM f JOIN tot t USING (doc_id)
+), isl AS (
+  SELECT doc_id, frame,
+         frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame)
+           AS grp
+  FROM marked WHERE silent = 1
+), seg AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS seg_len
+  FROM isl GROUP BY doc_id, grp
+), per AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_segments,
+         CAST(sum(seg_len) AS INT) AS silent_frames,
+         CAST(max(seg_len) AS INT) AS longest_segment
+  FROM seg GROUP BY doc_id
+)
+SELECT t.doc_id AS asset_id, CAST(t.nf AS INT) AS n_frames,
+       COALESCE(p.silent_frames, 0) AS silent_frames,
+       COALESCE(p.n_segments, 0) AS n_segments,
+       COALESCE(p.longest_segment, 0) AS longest_segment
+FROM tot t LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("audio_silence_segments", silence_oracle)
+def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-segment detection over REAL decoded PCM (L5): frames whose
+    energy falls below HALF the asset's mean frame energy collapse into
+    runs — per asset, how many silent frames/segments and the longest run
+    (the trim/VAD pre-processing an audio-corpus pipeline runs before
+    transcription; `multimodal_audio_features`' energy_flux says bursts
+    EXIST, this says WHERE and HOW LONG). The threshold compare and the
+    run-length logic are pure integers (2·fe·n_frames < Σfe), so output
+    is bit-determined; the oracle replays frame energies off the
+    characters and runs the same gaps-islands in SQL — parser, framing,
+    threshold, and segmentation all value-checked.
+
+    Shape: one mapInPandas scan (real chunk-walk decode + an O(frames)
+    numpy pass per asset); per-asset work is duration-bounded, the scan
+    is embarrassingly parallel, nothing shuffles at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    header = _wav_header(_WAV_DATA)
+    assets = docs.filter(
+        (F.length("text") >= _WAV_DATA)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(
+            F.lit(header), F.encode(F.substring("text", 1, _WAV_DATA), "UTF-8")
+        ).alias("payload"),
+    )
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "asset_id", "n_frames", "silent_frames", "n_segments",
+            "longest_segment",
+        ]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [
+                silence_segments(decode_wav_samples(bytes(p))[1])
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame(rows)
+            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
+            yield out[cols].astype(
+                {
+                    "n_frames": "int32",
+                    "silent_frames": "int32",
+                    "n_segments": "int32",
+                    "longest_segment": "int32",
+                }
+            )
+
+    return assets.mapInPandas(seg, SILENCE_SCHEMA)

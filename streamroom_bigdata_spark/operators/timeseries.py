@@ -1556,3 +1556,321 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_alarm_day",
         "alarm_days",
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality, order volume → revenue (round 13)
+# ---------------------------------------------------------------------------
+
+granger_oracle = """
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000.0)
+              AS BIGINT) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS y,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT y, lag(y) OVER (ORDER BY d) AS y1, lag(x) OVER (ORDER BY d) AS x1
+  FROM daily
+), obs AS (
+  SELECT CAST(y AS HUGEINT) AS y, CAST(y1 AS HUGEINT) AS y1,
+         CAST(x1 AS HUGEINT) AS x1
+  FROM lagged WHERE y1 IS NOT NULL
+), mom AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(y) AS sy, sum(y1) AS s1, sum(x1) AS s2,
+         sum(y1 * y1) AS s11, sum(x1 * x1) AS s22, sum(y1 * x1) AS s12,
+         sum(y * y1) AS sy1, sum(y * x1) AS sy2, sum(y * y) AS syy
+  FROM obs
+), cm AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+         CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+         CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+         CAST(n * sy1 - sy * s1 AS DOUBLE) AS cy1,
+         CAST(n * sy2 - sy * s2 AS DOUBLE) AS cy2,
+         CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+  FROM mom
+)
+SELECT n AS n_days,
+       round((cy2 * c11 - cy1 * c12)
+             / (c11 * c22 - c12 * c12) / 100.0, 6) AS b_volume_lag,
+       round(((cyy - cy1 * cy1 / c11)
+              - (cyy - (cy1 * (cy1 * c22 - cy2 * c12)
+                        + cy2 * (cy2 * c11 - cy1 * c12))
+                       / (c11 * c22 - c12 * c12)))
+             / ((cyy - (cy1 * (cy1 * c22 - cy2 * c12)
+                        + cy2 * (cy2 * c11 - cy1 * c12))
+                       / (c11 * c22 - c12 * c12))
+                / (n - 3)), 6) AS f_stat
+FROM cm
+"""
+
+
+@register("granger_causality_daily", granger_oracle)
+def granger_causality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality test, lag-1: does yesterday's order VOLUME help
+    predict today's REVENUE beyond yesterday's revenue itself? F-test of
+    the unrestricted regression y_t ~ y_{t−1} + x_{t−1} against the
+    restricted y_t ~ y_{t−1} — the predictive-direction readout
+    `cross_corr_lagged` (symmetric correlation) can't give. b_volume_lag
+    is reported in cents-per-order units ÷100 (dollars/order).
+
+    Determinism: every regression moment (Σy, Σy₁², Σy·x₁, …) is an
+    EXACT integer over cents/counts, accumulated in HUGEINT/DECIMAL(38,0)
+    (n·Σyy − (Σy)² ~ 10²⁶ at a 100 TB year — far past int64, the
+    bollinger variance-numerator discipline); the centered moments
+    convert to double ONCE and both engines evaluate the identical
+    closed-form determinant algebra. Nothing float is ever summed.
+
+    Shape: one combinable daily groupBy (the data-sized stage), one lag
+    window over the day DOMAIN (allowlisted, cusum shape), one moment
+    reduce, driver-free."""
+    from ..functions.timeutil import epoch_ms
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = (
+        od.select(
+            F.floor(epoch_ms(F.col("o_orderdate").cast("timestamp")) / 86400000)
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("y"), F.count("*").alias("x"))
+    )
+    wl = Window.orderBy("d")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    obs = (
+        daily.select(
+            "d",
+            "y",
+            F.lag("y").over(wl).alias("y1"),
+            F.lag("x").over(wl).alias("x1"),
+        )
+        .filter(F.col("y1").isNotNull())
+        .select(dec(F.col("y")).alias("y"), dec(F.col("y1")).alias("y1"),
+                dec(F.col("x1")).alias("x1"))
+    )
+    mom = obs.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("y1").alias("s1"),
+        F.sum("x1").alias("s2"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s22"),
+        F.sum(F.col("y1") * F.col("x1")).alias("s12"),
+        F.sum(F.col("y") * F.col("y1")).alias("sy1"),
+        F.sum(F.col("y") * F.col("x1")).alias("sy2"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = dec(F.col("n"))
+    cm = mom.select(
+        F.col("n"),
+        (nd * F.col("s11") - F.col("s1") * F.col("s1")).cast("double").alias("c11"),
+        (nd * F.col("s22") - F.col("s2") * F.col("s2")).cast("double").alias("c22"),
+        (nd * F.col("s12") - F.col("s1") * F.col("s2")).cast("double").alias("c12"),
+        (nd * F.col("sy1") - F.col("sy") * F.col("s1")).cast("double").alias("cy1"),
+        (nd * F.col("sy2") - F.col("sy") * F.col("s2")).cast("double").alias("cy2"),
+        (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    rss_r = F.col("cyy") - F.col("cy1") * F.col("cy1") / F.col("c11")
+    rss_u = F.col("cyy") - (
+        F.col("cy1") * (F.col("cy1") * F.col("c22") - F.col("cy2") * F.col("c12"))
+        + F.col("cy2") * (F.col("cy2") * F.col("c11") - F.col("cy1") * F.col("c12"))
+    ) / det
+    return cm.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("cy2") * F.col("c11") - F.col("cy1") * F.col("c12"))
+            / det
+            / 100.0,
+            6,
+        ).alias("b_volume_lag"),
+        F.round((rss_r - rss_u) / (rss_u / (F.col("n") - 3)), 6).alias(
+            "f_stat"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newey-West (HAC) standard error for the daily revenue trend (round 13)
+# ---------------------------------------------------------------------------
+
+NW_LAGS = 5  # Bartlett-kernel truncation
+
+nw_oracle = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000.0)
+              AS BIGINT) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), mom AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(d AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(d AS HUGEINT) * d) AS sxx,
+         sum(CAST(d AS HUGEINT) * y) AS sxy
+  FROM daily
+), fit AS (
+  SELECT CAST(n AS BIGINT) AS n, sx,
+         CAST(n * sxx - sx * sx AS HUGEINT) AS cxx,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+  FROM mom
+), resid AS (
+  SELECT d,
+         CAST(floor(abs((y - f.ybar) - f.b * (d - f.xbar)) + 0.5) AS BIGINT)
+         * CASE WHEN (y - f.ybar) - f.b * (d - f.xbar) >= 0
+                THEN 1 ELSE -1 END AS eq,
+         CAST(f.n AS HUGEINT) * d - f.sx AS xcn
+  FROM daily, fit f
+), u AS (
+  SELECT d, CAST(eq AS HUGEINT) AS eq, CAST(eq AS HUGEINT) * xcn AS ut
+  FROM resid
+), lagged AS (
+  SELECT eq, ut,
+         {", ".join(
+             f"lag(ut, {k}) OVER (ORDER BY d) AS ul{k}"
+             for k in range(1, NW_LAGS + 1))}
+  FROM u
+), gam AS (
+  SELECT sum(eq * eq) AS rssq,
+         sum(ut * ut) AS g0,
+         {", ".join(
+             f"sum(ut * ul{k}) AS g{k}"
+             for k in range(1, NW_LAGS + 1))}
+  FROM lagged
+)
+SELECT f.n AS n_days,
+       round(f.b / 100.0, 6) AS slope_per_day,
+       round(sqrt(CAST(g.rssq AS DOUBLE) * f.n
+                  / ((f.n - 2) * CAST(f.cxx AS DOUBLE))) / 100.0, 6)
+         AS ols_se,
+       round(sqrt((CAST({NW_LAGS + 1} AS HUGEINT) * g.g0
+                   + 2 * ({" + ".join(
+                       f"CAST({NW_LAGS + 1 - k} AS HUGEINT) * g.g{k}"
+                       for k in range(1, NW_LAGS + 1))})
+                  )::DOUBLE / {NW_LAGS + 1})
+             / CAST(f.cxx AS DOUBLE) / 100.0, 6) AS nw_se
+FROM fit f, gam g
+"""
+
+
+@register("newey_west_se", nw_oracle)
+def newey_west_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (HAC, Bartlett kernel, {NW_LAGS} lags) standard error
+    of the daily-revenue OLS slope, next to the i.i.d. OLS SE — daily
+    revenue is autocorrelated (see `acf_daily_revenue`), so the naive SE
+    understates uncertainty and every trend "significance" read off it
+    is too confident; the NW/OLS ratio IS the honesty correction. The
+    inference companion to `regression_trend` (point estimate),
+    `theil_sen_daily_trend` / `ransac_trend_daily` (robust estimates).
+
+    Determinism: OLS moments are exact HUGEINT/DECIMAL(38,0); residuals
+    are identical IEEE doubles on both engines (same closed-form a, b)
+    quantized to INTEGER CENTS before any sum, and all autocovariance
+    products Σu_t·u_{t−l} (u = e·(n·d − Σd), exact ints ~10¹⁶ — their
+    products force the wide type) accumulate exactly; the Bartlett
+    weights (1 − l/(L+1)) are cleared to integers by scaling the whole
+    kernel sum by (L+1). Three sqrt/division ops at the end, identical
+    both engines.
+
+    Shape: one combinable daily groupBy; lag windows over the day
+    DOMAIN (one ordering, allowlisted); two 1-row reduces."""
+    from ..functions.timeutil import epoch_ms
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = (
+        od.select(
+            F.floor(epoch_ms(F.col("o_orderdate").cast("timestamp")) / 86400000)
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("y"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("d")) * F.col("d")).alias("sxx"),
+        F.sum(dec(F.col("d")) * F.col("y")).alias("sxy"),
+    )
+    nd = dec(F.col("n"))
+    fit = mom.select(
+        "n",
+        "sx",
+        (nd * F.col("sxx") - dec(F.col("sx")) * F.col("sx")).alias("cxx"),
+        (
+            (nd * F.col("sxy") - dec(F.col("sx")) * F.col("sy")).cast("double")
+            / (nd * F.col("sxx") - dec(F.col("sx")) * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("b"),
+        (F.col("sy").cast("double") / F.col("n").cast("double")).alias("ybar"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("xbar"),
+    )
+    e = (F.col("y") - F.col("ybar")) - F.col("b") * (F.col("d") - F.col("xbar"))
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "d",
+        "n",
+        "cxx",
+        "b",
+        (
+            F.floor(F.abs(e) + 0.5).cast("bigint")
+            * F.when(e >= 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias("eq"),
+        (dec(F.col("n")) * F.col("d") - dec(F.col("sx"))).alias("xcn"),
+    )
+    u = resid.select(
+        "d",
+        "n",
+        "cxx",
+        "b",
+        dec(F.col("eq")).alias("eqd"),
+        (dec(F.col("eq")) * F.col("xcn")).alias("ut"),
+    )
+    wl = Window.orderBy("d")
+    lags = [F.lag("ut", k).over(wl).alias(f"ul{k}") for k in range(1, NW_LAGS + 1)]
+    lagged = u.select("n", "cxx", "b", "eqd", "ut", *lags)
+    gam = lagged.agg(
+        F.max("n").alias("n"),
+        F.max("cxx").alias("cxx"),
+        F.max("b").alias("b"),
+        F.sum(F.col("eqd") * F.col("eqd")).alias("rssq"),
+        F.sum(F.col("ut") * F.col("ut")).alias("g0"),
+        *[
+            F.sum(F.col("ut") * F.col(f"ul{k}")).alias(f"g{k}")
+            for k in range(1, NW_LAGS + 1)
+        ],
+    )
+    kernel = F.lit(NW_LAGS + 1).cast("decimal(38,0)") * F.col("g0")
+    for k in range(1, NW_LAGS + 1):
+        kernel = kernel + F.lit(2 * (NW_LAGS + 1 - k)).cast(
+            "decimal(38,0)"
+        ) * F.col(f"g{k}")
+    return gam.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("b") / 100.0, 6).alias("slope_per_day"),
+        F.round(
+            F.sqrt(
+                F.col("rssq").cast("double")
+                * F.col("n")
+                / ((F.col("n") - 2) * F.col("cxx").cast("double"))
+            )
+            / 100.0,
+            6,
+        ).alias("ols_se"),
+        F.round(
+            F.sqrt(kernel.cast("double") / (NW_LAGS + 1))
+            / F.col("cxx").cast("double")
+            / 100.0,
+            6,
+        ).alias("nw_se"),
+    )

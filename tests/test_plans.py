@@ -166,6 +166,10 @@ _ALLOWED_FACT_BROADCASTS = {
     "logrank_test_conversion": 3,
     # 1-row base month + brand-DOMAIN base-basket weights (catalog-bounded)
     "price_index_laspeyres": 2,
+    # 1-row OLS fit scalars (n, Σx, cxx, b, means)
+    "newey_west_se": 1,
+    # 64-row (DIM-bounded) global-centroid table
+    "embedding_label_drift": 1,
     # documented O(n²) small-scale oracle for its LSH twin
     "embedding_near_dup": 1,
     # Misra-Gries candidates: ≤ partitions × capacity rows by construction

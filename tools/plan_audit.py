@@ -112,6 +112,11 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # at-risk cumsum over the duration-DOMAIN lifetable (the
     # kaplan_meier shape, both arms as columns of ONE table)
     "logrank_test_conversion": 1,
+    # lag-1 window over the day-DOMAIN series (cusum shape)
+    "granger_causality_daily": 1,
+    # residual-autocovariance lag windows over the day-DOMAIN series
+    # (one ordering, NW_LAGS lag columns in a single Window node)
+    "newey_west_se": 1,
 }
 
 HEADER = (
