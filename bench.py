@@ -117,6 +117,15 @@ HEADLINE = [
                               # the event stream
     "abc_classification",     # A12 ranking-kernel cumulative share over
                               # the part table
+    # round-13 representatives (reported separately vs the frozen r7
+    # table, same rule):
+    "repeated_substring_spans",  # L2c exact substring dedup: sliding-gram
+                              # seed + double gaps-islands (the round's
+                              # heaviest new shuffle shape)
+    "ann_ivfpq_cosine",       # L3 composed IVF-PQ (skinny-argmin
+                              # assignment + code-join ADC scoring)
+    "cramer_von_mises",       # ST18 two-sample L2 via the ranking kernel
+                              # with DECIMAL-exact summands
 ]
 
 SF1_DIR = "/tmp/sf1_synth"

@@ -276,7 +276,8 @@ WITH c AS (
     SELECT c.vec_id, c.emb, cent.list_id,
            row_number() OVER (
              PARTITION BY c.vec_id
-             ORDER BY {_duck_cosine('c.emb', 'cent.c_emb')} DESC, cent.list_id
+             ORDER BY round({_duck_cosine('c.emb', 'cent.c_emb')}, 6) DESC,
+                      cent.list_id
            ) AS c_rnk
     FROM c CROSS JOIN cent
   )
@@ -287,7 +288,8 @@ WITH c AS (
     SELECT c.vec_id AS query_id, c.emb AS q_emb, cent.list_id,
            row_number() OVER (
              PARTITION BY c.vec_id
-             ORDER BY {_duck_cosine('c.emb', 'cent.c_emb')} DESC, cent.list_id
+             ORDER BY round({_duck_cosine('c.emb', 'cent.c_emb')}, 6) DESC,
+                      cent.list_id
            ) AS c_rnk
     FROM c CROSS JOIN cent
     WHERE c.vec_id IN {QUERY_IDS}
@@ -327,17 +329,54 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nearest_lists(df, centroids, id_col, emb_col, keep):
-    """id → the `keep` nearest list ids by cosine-to-centroid (ties to
-    the lowest list_id, matching the oracles' row_number order)."""
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("list_id"))
-    return (
-        df.join(F.broadcast(centroids))
-        .withColumn("c_cos", cosine(F.col(emb_col), F.col("c_emb")))
-        .withColumn("c_rnk", F.row_number().over(w))
-        .filter(F.col("c_rnk") <= keep)
-        .select(id_col, emb_col, "list_id")
-    )
+def _nearest_lists(df, centroids, id_col, emb_col, keep, with_emb=True):
+    """id → the `keep` nearest list ids by 6-dp-rounded
+    cosine-to-centroid (ties to the lowest list_id, matching the
+    oracles' row_number over (round(cos, 6) DESC, list_id)).
+
+    Round-13 rework — scan-shaped scoring goes VECTORIZED (the
+    functions/vector.py rule and the kmeans_clusters discipline): the
+    first spelling fanned the corpus out ×K through a
+    BroadcastNestedLoopJoin and evaluated THREE interpreted
+    higher-order-function folds per (vector, centroid) row — ~600M
+    interpreted lambda calls at sf≈10 (200k vectors × 16 lists), ~40 s
+    of the old 45 s wall. Now the label-DOMAIN centroid matrix (K×DIM,
+    bounded by design) collects to the driver and ONE mapInPandas scan
+    does a single normalized matmul per Arrow batch; cosines are
+    quantized to 6 dp BEFORE the arg-top so numpy-vs-SQL fold-order ulp
+    noise can't flip a rank (exactly kmeans' rounded-distance argmin).
+    Embeddings rejoin by key only when the caller needs them
+    (``with_emb``); IVF-PQ scores codes, not floats, and skips the
+    join entirely."""
+    crows = sorted(centroids.collect(), key=lambda r: r.list_id)
+    lids = np.array([int(r.list_id) for r in crows], dtype=np.int64)
+    C = np.stack([np.asarray(r.c_emb, dtype=np.float64) for r in crows])
+    Cn = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+    k = min(keep, len(lids))
+    spark = df.sparkSession
+
+    def nearest(batches, _Cn=Cn, _lids=lids, _k=k):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[emb_col].to_numpy())
+            S = X @ _Cn.T / np.sqrt((X * X).sum(axis=1, keepdims=True))
+            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            # lexsort on (list_id asc) then stable argsort on -cos keeps
+            # the (cos DESC, list_id ASC) tie rule of the oracle
+            order = np.argsort(-S, axis=1, kind="stable")[:, :_k]
+            n = X.shape[0]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), _k),
+                    "list_id": _lids[order].ravel(),
+                }
+            )
+
+    ids = df.mapInPandas(nearest, f"{id_col} long, list_id int")
+    if not with_emb:
+        return ids
+    return ids.join(df, id_col).select(id_col, emb_col, "list_id")
 
 
 @register("ann_ivf_cosine", ann_ivf_oracle)
@@ -375,19 +414,49 @@ def ann_ivf_cosine(
         "query_id",
         "q_emb",
         keep=n_probe,
+        with_emb=False,
     )
-    cand = assigned.join(
-        F.broadcast(queries), ["list_id"]
-    ).filter(F.col("vec_id") != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        cand.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
+    cand = assigned.join(F.broadcast(queries), ["list_id"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    # scan-shaped re-rank (round-13): the candidate rows carry ONE corpus
+    # vector each; the |Q| query vectors ride the closure (literal-key
+    # bounded) and each Arrow batch is a single normalized matmul slice —
+    # the old pair-shaped interpreted-HOF cosine cost ~0.1 ms/candidate
+    # (~300k candidates = the other half of the sf≈10 wall)
+    qrows = sorted(
+        corpus.filter(F.col("vec_id").isin(*QUERY_IDS)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = np.array([int(r.vec_id) for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.emb, dtype=np.float64) for r in qrows])
+    Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    def rerank(batches, _Qn=Qn, _qpos=qpos):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["emb"].to_numpy())
+            S = X @ _Qn.T / np.sqrt((X * X).sum(axis=1, keepdims=True))
+            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            qi = pdf["query_id"].map(_qpos).to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "cosine": S[np.arange(len(qi)), qi],
+                }
+            )
+
+    scored = cand.mapInPandas(
+        rerank, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
     )
 
 
@@ -682,7 +751,8 @@ def _ivfpq_oracle() -> str:
     SELECT c.vec_id, cent.list_id,
            row_number() OVER (
              PARTITION BY c.vec_id
-             ORDER BY {_duck_cosine('c.emb', 'cent.c_emb')} DESC, cent.list_id
+             ORDER BY round({_duck_cosine('c.emb', 'cent.c_emb')}, 6) DESC,
+                      cent.list_id
            ) AS c_rnk
     FROM c CROSS JOIN cent
   )
@@ -693,7 +763,8 @@ def _ivfpq_oracle() -> str:
     SELECT c.vec_id AS query_id, cent.list_id,
            row_number() OVER (
              PARTITION BY c.vec_id
-             ORDER BY {_duck_cosine('c.emb', 'cent.c_emb')} DESC, cent.list_id
+             ORDER BY round({_duck_cosine('c.emb', 'cent.c_emb')}, 6) DESC,
+                      cent.list_id
            ) AS c_rnk
     FROM c CROSS JOIN cent
     WHERE c.vec_id IN {QUERY_IDS}
@@ -762,8 +833,10 @@ def ann_ivfpq_cosine(
     )
     C = _pq_train(emb)
     centroids = _ivf_centroids(spark, sf_dir)
-    assigned = _nearest_lists(emb, centroids, "vec_id", "emb", keep=1).select(
-        "vec_id", "list_id"
+    # with_emb=False: PQ scores CODES, so the assignment stays the skinny
+    # (vec_id, list_id) relation — no float vector ever rejoins
+    assigned = _nearest_lists(
+        emb, centroids, "vec_id", "emb", keep=1, with_emb=False
     )
     queries = _nearest_lists(
         emb.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
@@ -773,7 +846,8 @@ def ann_ivfpq_cosine(
         "query_id",
         "q_emb",
         keep=n_probe,
-    ).select("query_id", "list_id")
+        with_emb=False,
+    )
     cand = (
         assigned.join(F.broadcast(queries), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
