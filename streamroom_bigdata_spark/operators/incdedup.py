@@ -130,7 +130,14 @@ def neardup_probe_pairs(
         # recompute would see for every bucket that can emit a
         # batch-touching pair.
         keys_new = bands_new.select("band_id", "band_key").distinct()
-        hit = hist_bands.join(keys_new, ["band_id", "band_key"], "left_semi")
+        # shuffle_hash pin (round-13 sf≈10 audit): the probe-key table
+        # is BATCH-sized — a real daily crawl batch can be 100M+ docs,
+        # so AQE must never broadcast it; both sides key on the band
+        hit = hist_bands.join(
+            keys_new.hint("shuffle_hash"),
+            ["band_id", "band_key"],
+            "left_semi",
+        )
         all_bands = bands_new.unionByName(hit)
     else:
         all_bands = bands_new
@@ -138,13 +145,19 @@ def neardup_probe_pairs(
     cand = lsh_candidate_pairs(counted, pre_counted=True, carry_sizes=True)
 
     new_ids = bands_new.select("doc_id").distinct()
+    # batch-sized semi-join sides: shuffle_hash for the same reason as
+    # the probe-key pin above
     cand = (
         cand.join(
-            new_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+            new_ids.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"),
+            "doc_a",
+            "left_semi",
         )
         .unionByName(
             cand.join(
-                new_ids.withColumnRenamed("doc_id", "doc_b"),
+                new_ids.withColumnRenamed("doc_id", "doc_b").hint(
+                    "shuffle_hash"
+                ),
                 "doc_b",
                 "left_semi",
             )
@@ -160,7 +173,7 @@ def neardup_probe_pairs(
             cand.select(F.col("doc_b").alias("doc_id"))
         ).distinct()
         ex_all = ex_new.unionByName(
-            hist_sh.join(involved, "doc_id", "left_semi")
+            hist_sh.join(involved.hint("shuffle_hash"), "doc_id", "left_semi")
         )
     # shuffle_hash for the same reason as near_dup_pairs: the shingle
     # frame is corpus-class — never let a size ESTIMATE pick broadcast

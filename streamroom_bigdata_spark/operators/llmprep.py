@@ -1218,10 +1218,14 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     word→subwords dictionary, built on vocabulary-bounded data. The
     corpus is touched exactly twice, both embarrassingly parallel: the
     word-count explode inside `_bpe_learn`, and ONE dictionary join of
-    the (doc, pos, token) stream against the word encodings (AQE
-    broadcasts the dictionary side when it fits — at 100 TB it's a
-    few-GB word table vs a corpus-sized probe, the canonical broadcast
-    shape) followed by ONE doc-keyed reassembly shuffle of integer ids
+    the (doc, pos, token) stream against the word encodings — pinned
+    shuffle_hash, NOT broadcast: the word dictionary (with its subword-id
+    string payload) grows with the corpus vocabulary, and the round-13
+    sf≈10 shuffle audit measured AQE auto-broadcasting 3,168 MiB of it
+    (the executor-killer class the round-12 rake/ngram_novelty fix
+    established; both sides hash-partition on the token, so the shuffle
+    join is the scale-safe shape) — followed by ONE doc-keyed
+    reassembly shuffle of integer ids
     (a fraction of the text bytes they replace). Symbol ids come from a
     V² triangular join over the symbol vocabulary (alphabet + BPE_ROUNDS
     merged symbols — tiny), never an unpartitioned window (the
@@ -1253,7 +1257,9 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_pos = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     ).filter(F.col("tok") != "")
-    enc = tok_pos.join(wenc, tok_pos.tok == wenc.word)
+    enc = tok_pos.join(
+        wenc.hint("shuffle_hash"), tok_pos.tok == wenc.word
+    )
     return enc.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_toks"),
         F.sum("n_syms").cast("long").alias("n_syms"),

@@ -892,8 +892,12 @@ def ann_ivfpq_cosine(
         lut_rows, "m int, cid int, query_id long, dot_i long"
     )
 
+    # shuffle_hash pin: BOTH sides grow with the corpus (codes = 8 rows
+    # per vector, candidates ≈ probe/k of the corpus × |Q|) — the sf≈10
+    # audit caught AQE auto-broadcasting 105 MiB of one of them; only
+    # the 640-row ADC table is legitimately broadcast
     scored = (
-        cand.join(codes_df, "vec_id")
+        cand.join(codes_df.hint("shuffle_hash"), "vec_id")
         .join(F.broadcast(lut_df), ["m", "cid", "query_id"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("dot_i").alias("est_i"))
