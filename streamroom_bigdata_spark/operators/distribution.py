@@ -1231,6 +1231,11 @@ def quantile_align_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     `quantile_cont` — verified to the last ulp), so the map is
     hash-exact at round-4.
 
+    Boundary-tie exemption (round-13 sweep): interpolated quantiles are
+    rounded OUTPUT values only — no membership comparison against a
+    boundary exists in this plan, so the gains_chart tie-flip class
+    cannot occur; see dow_quantile_bands for the same argument.
+
     Shape: TWO combinable aggregates (per-source and pooled percentile
     sketches — partial-aggregable, nothing row-sized shuffles) and a
     |sources|×9 broadcast grid product."""
@@ -1384,6 +1389,15 @@ def dow_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly term, as distribution BANDS rather than one mean — the shape
     an anomaly monitor thresholds against ("is this Monday unusual FOR A
     MONDAY?"). Spark percentile ≡ DuckDB quantile_cont (ulp-verified).
+
+    Boundary-tie exemption (round-13 sweep after the gains_chart
+    defect): interpolated quantiles appear here only as rounded OUTPUT
+    VALUES — no row's bin membership is ever decided by comparing a
+    datum against an interpolated boundary, so a 1-ulp cross-engine
+    interpolation difference can at worst move a displayed value below
+    the round-4 threshold, never flip a tie-run between rows. The
+    hazardous class (membership assignment) uses integer rank cuts —
+    see lorenz_curve_deciles / gains_chart_stopword.
 
     Shape: one combinable daily groupBy, then a 7-group percentile
     sketch — nothing larger than the day domain moves."""

@@ -93,7 +93,17 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     window exists anywhere; the ntile route would funnel the customer
     relation through one task. Monetary is rounded to cents BEFORE
     quartiling so cross-engine float-sum noise cannot flip a boundary
-    comparison. Final aggregate is ≤64 cells."""
+    comparison. Final aggregate is ≤64 cells.
+
+    Boundary-tie exemption (round-13 sweep after the gains_chart
+    defect): this query DOES assign membership against interpolated
+    boundaries, but every quantity is EXACT — the data are integers
+    (cents/days/counts < 2⁵⁰) and quartile interpolation fractions are
+    exact binary values (0.25/0.5/0.75), so a·(1−f) + b·f and
+    a + f·(b−a) both evaluate to the identical exact double on any
+    engine and formula: the 1-ulp window the gains defect lived in does
+    not exist here. Non-binary grid fractions (deciles' 0.1…) would
+    reintroduce it — that class uses integer rank cuts instead."""
     orders = load_table(spark, sf_dir, "orders")
     max_date = orders.agg(
         F.max(F.col("o_orderdate").cast("date")).alias("corpus_max_date")
