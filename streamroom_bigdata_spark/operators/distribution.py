@@ -1674,3 +1674,161 @@ def pareto_cutoff_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_share_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d / Hedges' g effect size (round 13): the magnitude companion
+# ---------------------------------------------------------------------------
+
+cohens_d_oracle = f"""
+WITH s AS (
+  SELECT
+    count(CASE WHEN event_type = '{WT_GROUP_A}' THEN value END) AS n_a,
+    count(CASE WHEN event_type = '{WT_GROUP_B}' THEN value END) AS n_b,
+    avg(CASE WHEN event_type = '{WT_GROUP_A}' THEN value END) AS m_a,
+    avg(CASE WHEN event_type = '{WT_GROUP_B}' THEN value END) AS m_b,
+    var_samp(CASE WHEN event_type = '{WT_GROUP_A}' THEN value END) AS v_a,
+    var_samp(CASE WHEN event_type = '{WT_GROUP_B}' THEN value END) AS v_b
+  FROM events
+  WHERE event_type IN ('{WT_GROUP_A}', '{WT_GROUP_B}')
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round((m_a - m_b)
+             / nullif(sqrt(((n_a - 1) * v_a + (n_b - 1) * v_b)
+                           / (n_a + n_b - 2)), 0), 6) AS cohens_d,
+       round(((m_a - m_b)
+              / nullif(sqrt(((n_a - 1) * v_a + (n_b - 1) * v_b)
+                            / (n_a + n_b - 2)), 0))
+             * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)), 6) AS hedges_g
+FROM s
+"""
+
+
+@register("cohens_d_arms", cohens_d_oracle)
+def cohens_d_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) and Hedges' g
+    (its small-sample bias correction 1 − 3/(4N − 9)) between the same
+    two arms as `welch_t_test` / `mann_whitney_u` — the EFFECT-SIZE
+    companion the significance tests lack: at corpus scale every t is
+    "significant"; d says whether the difference MATTERS. Same
+    single-pass conditional aggregate as welch (ratios of centered
+    sums, round-6 stable); degenerate zero-variance arms yield NULL via
+    nullif, never an ANSI abort."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(WT_GROUP_A, WT_GROUP_B)
+    )
+    va = F.when(F.col("event_type") == WT_GROUP_A, F.col("value"))
+    vb = F.when(F.col("event_type") == WT_GROUP_B, F.col("value"))
+    s = ev.agg(
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        F.avg(va).alias("m_a"),
+        F.avg(vb).alias("m_b"),
+        F.var_samp(va).alias("v_a"),
+        F.var_samp(vb).alias("v_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    pooled = F.sqrt(
+        ((n_a - 1) * F.col("v_a") + (n_b - 1) * F.col("v_b"))
+        / (n_a + n_b - 2)
+    )
+    d = (F.col("m_a") - F.col("m_b")) / F.nullif(pooled, F.lit(0.0))
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)), 6).alias(
+            "hedges_g"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hellinger / Bhattacharyya distance between two value histograms (round 13)
+# ---------------------------------------------------------------------------
+
+#: histogram bin width over the `value` domain — the same binned view
+#: drift_psi_event_types thresholds on; bins are value-domain-bounded
+HB_BIN = 10.0
+
+hellinger_oracle = f"""
+WITH b AS (
+  SELECT CAST(floor(value / {HB_BIN}) AS BIGINT) AS bin,
+         CAST(sum(CASE WHEN event_type = '{WT_GROUP_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a_cnt,
+         CAST(sum(CASE WHEN event_type = '{WT_GROUP_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b_cnt
+  FROM events WHERE event_type IN ('{WT_GROUP_A}', '{WT_GROUP_B}')
+  GROUP BY 1
+), t AS (
+  SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a, CAST(sum(b_cnt) AS BIGINT)
+           AS n_b
+  FROM b
+), terms AS (
+  SELECT CAST(floor(sqrt((CAST(a_cnt AS DOUBLE) / n_a)
+                         * (CAST(b_cnt AS DOUBLE) / n_b))
+                    * 100000000 + 0.5) AS BIGINT) AS bc_nano
+  FROM b, t
+)
+SELECT t.n_a, t.n_b,
+       CAST((SELECT count(*) FROM b) AS BIGINT) AS n_bins,
+       round(sum(x.bc_nano) / 100000000.0, 6) AS bhattacharyya,
+       round(sqrt(greatest(1.0 - sum(x.bc_nano) / 100000000.0, 0.0)), 6)
+         AS hellinger
+FROM terms x, t
+GROUP BY t.n_a, t.n_b
+"""
+
+
+@register("hellinger_value_histograms", hellinger_oracle)
+def hellinger_value_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bhattacharyya coefficient BC = Σ√(pᵢqᵢ) and Hellinger distance
+    √(1 − BC) between the binned `value` distributions of the two event
+    arms — the BOUNDED-metric member of the divergence family: PSI and
+    KL explode on empty bins (PSI needs smoothing), Jensen-Shannon
+    needs a log at every bin; Hellinger is a true metric in [0, 1] that
+    handles zero bins exactly (√(p·0) = 0) — the drift number you can
+    threshold without epsilon tuning.
+
+    Determinism: each per-bin √(pq) term quantizes to 1e-8 units
+    (floor(x·1e8 + 0.5), identical IEEE ops — p and q are exact
+    int-ratio doubles) BEFORE summation, so the sum is an exact integer
+    and no accumulation order can move the round-6 outputs.
+
+    Shape: ONE combinable bin groupBy (value-domain-bounded relation),
+    a 1-row total broadcast, a bin-domain reduce."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(WT_GROUP_A, WT_GROUP_B))
+        .select(
+            F.floor(F.col("value") / HB_BIN).cast("bigint").alias("bin"),
+            (F.col("event_type") == WT_GROUP_A).cast("long").alias("is_a"),
+            (F.col("event_type") == WT_GROUP_B).cast("long").alias("is_b"),
+        )
+    )
+    b = ev.groupBy("bin").agg(
+        F.sum("is_a").alias("a_cnt"), F.sum("is_b").alias("b_cnt")
+    )
+    t = b.agg(F.sum("a_cnt").alias("n_a"), F.sum("b_cnt").alias("n_b"))
+    terms = b.crossJoin(F.broadcast(t)).select(
+        "n_a",
+        "n_b",
+        F.floor(
+            F.sqrt(
+                (F.col("a_cnt").cast("double") / F.col("n_a"))
+                * (F.col("b_cnt").cast("double") / F.col("n_b"))
+            )
+            * 100000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("bc_nano"),
+    )
+    bc = F.sum("bc_nano") / 100000000.0
+    return terms.groupBy("n_a", "n_b").agg(
+        F.count("*").alias("n_bins"),
+        F.round(bc, 6).alias("bhattacharyya"),
+        F.round(F.sqrt(F.greatest(1.0 - bc, F.lit(0.0))), 6).alias(
+            "hellinger"
+        ),
+    ).select("n_a", "n_b", "n_bins", "bhattacharyya", "hellinger")

@@ -1905,3 +1905,257 @@ def logrank_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_score",
         "chi2",
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals for the two conversion arms (round 13)
+# ---------------------------------------------------------------------------
+
+#: z for a 95% two-sided interval — one shared literal, no engine ever
+#: evaluates an inverse normal
+WILSON_Z = 1.959964
+
+wilson_oracle = f"""
+WITH pu AS (
+  SELECT user_id % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase'
+                   AND value > {KM_VALUE_THRESHOLD} THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x
+  FROM pu GROUP BY arm
+)
+SELECT CAST(arm AS INT) AS arm, n, x AS n_converted,
+       round(CAST(x AS DOUBLE) / n, 6) AS rate,
+       round(((CAST(x AS DOUBLE) / n) + {WILSON_Z} * {WILSON_Z} / (2.0 * n))
+             / (1.0 + {WILSON_Z} * {WILSON_Z} / n)
+             - ({WILSON_Z} / (1.0 + {WILSON_Z} * {WILSON_Z} / n))
+               * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n)
+                      / n
+                      + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)), 6)
+         AS wilson_lo,
+       round(((CAST(x AS DOUBLE) / n) + {WILSON_Z} * {WILSON_Z} / (2.0 * n))
+             / (1.0 + {WILSON_Z} * {WILSON_Z} / n)
+             + ({WILSON_Z} / (1.0 + {WILSON_Z} * {WILSON_Z} / n))
+               * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n)
+                      / n
+                      + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)), 6)
+         AS wilson_hi
+FROM s
+"""
+
+
+@register("wilson_ci_conversion", wilson_oracle)
+def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% interval for each arm's conversion rate — the
+    CI that stays inside [0, 1] and behaves at small x where the Wald
+    interval (p̂ ± z√(p̂q̂/n)) collapses; the per-arm uncertainty readout
+    beside `ab_test_proportions` (the difference test) and
+    `logrank_test_conversion` (the duration test). z is a shared
+    literal; every term derives from the exact integers (n, x) through
+    identically-spelled IEEE arithmetic, so round-6 cannot straddle.
+
+    Shape: one combinable user groupBy, a 2-row arm aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > KM_VALUE_THRESHOLD)
+            ).cast("int")
+        ).alias("conv")
+    ).select(F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "conv")
+    s = pu.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("x")
+    )
+    z = WILSON_Z
+    p = F.col("x").cast("double") / F.col("n")
+    n = F.col("n")
+    center = (p + z * z / (2.0 * n)) / (1.0 + z * z / n)
+    half = (z / (1.0 + z * z / n)) * F.sqrt(
+        p * (1.0 - p) / n + z * z / (4.0 * n * n)
+    )
+    return s.select(
+        F.col("arm").cast("int").alias("arm"),
+        "n",
+        F.col("x").alias("n_converted"),
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test (round 13): ordered-category proportions
+# ---------------------------------------------------------------------------
+
+cochran_armitage_oracle = """
+WITH o AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), g AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(y) AS BIGINT) AS r_s
+  FROM o GROUP BY s
+), m AS (
+  SELECT CAST(sum(n_s) AS HUGEINT) AS n, CAST(sum(r_s) AS HUGEINT) AS r,
+         CAST(sum(n_s * s) AS HUGEINT) AS ns1,
+         CAST(sum(n_s * s * s) AS HUGEINT) AS ns2,
+         CAST(sum(r_s * s) AS HUGEINT) AS rs1
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       round(CAST(n * rs1 - r * ns1 AS DOUBLE)
+             / sqrt(CAST(r * (n - r) AS DOUBLE)
+                    * CAST(n * ns2 - ns1 * ns1 AS DOUBLE) / n), 6)
+         AS z_trend
+FROM m
+"""
+
+
+@register("cochran_armitage_trend", cochran_armitage_oracle)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in the fulfilled-order
+    proportion across the five ORDERED priority classes — the ordered
+    alternative `chi_square_type_dow` can't see (χ² treats categories as
+    nominal and dilutes a monotone drift over k−1 df; CA concentrates it
+    in one). z = (n·Σrₛs − r·Σnₛs) / √(r(n−r)(n·Σnₛs² − (Σnₛs)²)/n).
+
+    Every moment is an exact integer (priority scores 1–5, counts);
+    products like n·Σnₛs² reach ~10¹⁸·25 at a 100 TB year, so they
+    accumulate in HUGEINT/DECIMAL(38,0) and convert to double once —
+    the granger discipline. One combinable 5-group aggregate; nothing
+    else moves."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    g = o.groupBy("s").agg(
+        F.count("*").alias("n_s"), F.sum("y").alias("r_s")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = g.agg(
+        F.sum(dec(F.col("n_s"))).alias("n"),
+        F.sum(dec(F.col("r_s"))).alias("r"),
+        F.sum(dec(F.col("n_s")) * F.col("s")).alias("ns1"),
+        F.sum(dec(F.col("n_s")) * F.col("s") * F.col("s")).alias("ns2"),
+        F.sum(dec(F.col("r_s")) * F.col("s")).alias("rs1"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(
+            (F.col("n") * F.col("rs1") - F.col("r") * F.col("ns1")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("r") * (F.col("n") - F.col("r"))).cast("double")
+                * (
+                    F.col("n") * F.col("ns2") - F.col("ns1") * F.col("ns1")
+                ).cast("double")
+                / F.col("n").cast("double")
+            ),
+            6,
+        ).alias("z_trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test over day blocks (round 13): blocked nonparametric ANOVA
+# ---------------------------------------------------------------------------
+
+friedman_oracle = """
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), counts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT d.day, t.event_type, COALESCE(c.y, 0) AS y
+  FROM days d CROSS JOIN types t
+  LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+), ranked AS (
+  -- midrank ×2 (exact integer): 2·rank + ties − 1
+  SELECT day, event_type,
+         2 * rank() OVER (PARTITION BY day ORDER BY y)
+         + count(*) OVER (PARTITION BY day, y) - 1 AS r2
+  FROM grid
+), rsums AS (
+  SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_sum FROM ranked
+  GROUP BY event_type
+), dims AS (
+  SELECT CAST((SELECT count(*) FROM days) AS BIGINT) AS n,
+         CAST((SELECT count(*) FROM types) AS BIGINT) AS k
+)
+SELECT d.n AS n_blocks, CAST(d.k AS INT) AS k_treatments,
+       round(3.0 * sum(CAST(r.r2_sum AS DOUBLE) * r.r2_sum)
+             / (d.n * d.k * (d.k + 1)) - 3.0 * d.n * (d.k + 1), 6)
+         AS friedman_chi2,
+       round((3.0 * sum(CAST(r.r2_sum AS DOUBLE) * r.r2_sum)
+              / (d.n * d.k * (d.k + 1)) - 3.0 * d.n * (d.k + 1))
+             / (d.n * (d.k - 1)), 6) AS kendalls_w
+FROM rsums r, dims d
+GROUP BY d.n, d.k
+"""
+
+
+@register("friedman_test_types", friedman_oracle)
+def friedman_test_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the event TYPES keep the same daily-volume
+    ordering across day blocks? The BLOCKED nonparametric ANOVA —
+    `kruskal_wallis_h` pools all observations (a busy day inflates
+    every type together and drowns the signal); Friedman ranks WITHIN
+    each day, so only the type ordering matters. Kendall's W =
+    χ²/(n(k−1)) is the agreement readout (1 = same ranking every day).
+    Missing (day, type) cells materialize as ZERO counts through the
+    day×type grid — silently dropping them would shrink some blocks'
+    k and break the rank algebra.
+
+    Determinism: midranks ×2 are exact integers (2·rank + ties − 1);
+    rank sums are exact; two divisions at the end. All windows are
+    day-partitioned; the grid is calendar×enum-bounded at any scale
+    (the only data-sized stage is the combinable (day, type) count)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("y"))
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    types = ev.select("event_type").distinct()
+    grid = (
+        days.crossJoin(types)
+        .join(counts, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    wr = Window.partitionBy("day").orderBy("y")
+    wt = Window.partitionBy("day", "y")
+    ranked = grid.select(
+        "event_type",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).alias("r2"),
+    )
+    rsums = ranked.groupBy("event_type").agg(F.sum("r2").alias("r2_sum"))
+    dims = grid.agg(
+        F.count_distinct("day").alias("n"),
+        F.count_distinct("event_type").alias("k"),
+    )
+    j = rsums.crossJoin(F.broadcast(dims))
+    chi2 = 3.0 * F.sum(
+        F.col("r2_sum").cast("double") * F.col("r2_sum")
+    ) / (F.col("n") * F.col("k") * (F.col("k") + 1)) - 3.0 * F.col("n") * (
+        F.col("k") + 1
+    )
+    return j.groupBy("n", "k").agg(
+        F.round(chi2, 6).alias("friedman_chi2"),
+        F.round(chi2 / (F.col("n") * (F.col("k") - 1)), 6).alias(
+            "kendalls_w"
+        ),
+    ).select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").cast("int").alias("k_treatments"),
+        "friedman_chi2",
+        "kendalls_w",
+    )

@@ -170,6 +170,10 @@ _ALLOWED_FACT_BROADCASTS = {
     "newey_west_se": 1,
     # 64-row (DIM-bounded) global-centroid table
     "embedding_label_drift": 1,
+    # 1-row arm totals over the bin-domain histogram
+    "hellinger_value_histograms": 1,
+    # 1-row (n_blocks, k_treatments) dims
+    "friedman_test_types": 1,
     # documented O(n²) small-scale oracle for its LSH twin
     "embedding_near_dup": 1,
     # Misra-Gries candidates: ≤ partitions × capacity rows by construction
