@@ -245,10 +245,17 @@ def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # work at ~⅓ of this query's wall time)
         feats = tuple(f.persist() for f in _batch_features(batch))
         # probe plans pin their manifest generation at BUILD time
-        # (immutable data dirs), so collecting them after later ingests
-        # still reads exactly the pre-ingest index state
-        outs.append(
-            neardup_probe_pairs(spark, index_dir, batch, features=feats)
-        )
+        # (immutable data dirs); the eager localCheckpoint materializes
+        # the probe output (a small pairs frame) and DETACHES its
+        # lineage, so the batch's feature caches can be released as soon
+        # as this iteration's probe + ingest have both consumed them —
+        # six signature frames no longer squat in executor storage for
+        # the rest of the session (round-14 ADVICE fix)
+        probe = neardup_probe_pairs(
+            spark, index_dir, batch, features=feats
+        ).localCheckpoint(eager=True)
+        outs.append(probe)
         neardup_index_ingest(spark, index_dir, batch, features=feats)
+        for f in feats:
+            f.unpersist()
     return outs[0].unionByName(outs[1]).unionByName(outs[2])

@@ -640,7 +640,8 @@ WITH bm AS (
   GROUP BY 1, 2
 ), priced AS (
   SELECT brand, ym, qty,
-         CAST(floor(cents * 10000.0 / qty + 0.5) AS BIGINT) AS p_micro
+         CAST((CAST(cents AS HUGEINT) * 20000 + qty) // (2 * qty)
+              AS BIGINT) AS p_micro
   FROM bm
 ), base AS (
   SELECT min(ym) AS ym0 FROM priced
@@ -653,10 +654,14 @@ WITH bm AS (
 )
 SELECT ym AS month,
        CAST(count(*) AS BIGINT) AS n_brands,
-       round(CAST(sum(q0 * pm) AS DOUBLE) / sum(q0 * p0), 6) AS laspeyres,
-       round(CAST(sum(qm * pm) AS DOUBLE) / sum(qm * p0), 6) AS paasche,
-       round(sqrt((CAST(sum(q0 * pm) AS DOUBLE) / sum(q0 * p0))
-                  * (CAST(sum(qm * pm) AS DOUBLE) / sum(qm * p0))), 6)
+       round(CAST(sum(CAST(q0 AS HUGEINT) * pm) AS DOUBLE)
+             / sum(CAST(q0 AS HUGEINT) * p0), 6) AS laspeyres,
+       round(CAST(sum(CAST(qm AS HUGEINT) * pm) AS DOUBLE)
+             / sum(CAST(qm AS HUGEINT) * p0), 6) AS paasche,
+       round(sqrt((CAST(sum(CAST(q0 AS HUGEINT) * pm) AS DOUBLE)
+                   / sum(CAST(q0 AS HUGEINT) * p0))
+                  * (CAST(sum(CAST(qm AS HUGEINT) * pm) AS DOUBLE)
+                     / sum(CAST(qm AS HUGEINT) * p0))), 6)
          AS fisher
 FROM joined GROUP BY ym
 """
@@ -701,11 +706,19 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand", "ym")
         .agg(F.sum("cents").alias("cents"), F.sum("qty").alias("qty"))
     )
+    # p_micro is derived by EXACT integer round-half-up
+    # (cents·20000 + qty) div (2·qty) — the cents product runs in
+    # decimal(38,0) on Spark / HUGEINT in the oracle, so no double ever
+    # touches the price (cents·10000.0 loses exactness above 2^53;
+    # round-14 ADVICE fix).
     priced = bm.select(
         "brand",
         "ym",
         "qty",
-        F.floor(F.col("cents") * 10000.0 / F.col("qty") + 0.5)
+        F.floor(
+            (F.col("cents").cast("decimal(38,0)") * 20000 + F.col("qty"))
+            / (F.col("qty") * 2)
+        )
         .cast("bigint")
         .alias("p_micro"),
     )
@@ -717,12 +730,16 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand", F.col("qty").alias("q0"), F.col("p_micro").alias("p0")
         )
     )
+    # Quantity×price products and their sums run in decimal(38,0) (Spark
+    # int64 wraps silently with ANSI off; the oracle promotes to HUGEINT)
+    # — the granger/bollinger exact-accumulation discipline.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     joined = priced.join(F.broadcast(b0), "brand").select(
         "ym",
-        (F.col("q0") * F.col("p_micro")).alias("l_num"),
-        (F.col("q0") * F.col("p0")).alias("l_den"),
-        (F.col("qty") * F.col("p_micro")).alias("p_num"),
-        (F.col("qty") * F.col("p0")).alias("p_den"),
+        (dec("q0") * dec("p_micro")).alias("l_num"),
+        (dec("q0") * dec("p0")).alias("l_den"),
+        (dec("qty") * dec("p_micro")).alias("p_num"),
+        (dec("qty") * dec("p0")).alias("p_den"),
     )
     lasp = F.sum("l_num").cast("double") / F.sum("l_den")
     paas = F.sum("p_num").cast("double") / F.sum("p_den")

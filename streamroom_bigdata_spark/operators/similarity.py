@@ -376,7 +376,14 @@ def _nearest_lists(df, centroids, id_col, emb_col, keep, with_emb=True):
     ids = df.mapInPandas(nearest, f"{id_col} long, list_id int")
     if not with_emb:
         return ids
-    return ids.join(df, id_col).select(id_col, emb_col, "list_id")
+    # Both join sides are corpus-sized — pin shuffle_hash so AQE's size
+    # estimate can never auto-broadcast a side that grows with the corpus
+    # (the round-13 sf≈10 audit rule, applied here in round 14).
+    return (
+        ids.hint("shuffle_hash")
+        .join(df, id_col)
+        .select(id_col, emb_col, "list_id")
+    )
 
 
 @register("ann_ivf_cosine", ann_ivf_oracle)

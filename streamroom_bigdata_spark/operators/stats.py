@@ -1099,10 +1099,15 @@ def cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # The cumulative counts are cast to decimal(38,0) BEFORE the ×n_b/×n_a
+    # products so the linear term (cum·n ~ 3e9 rows per arm passes int64)
+    # accumulates exactly, matching DuckDB's HUGEINT window-sum product —
+    # not just the square (round-14 ADVICE fix).
     diff = (
-        (F.col("off_a") + F.sum("a_cnt").over(w)) * n_b
-        - (F.col("off_b") + F.sum("b_cnt").over(w)) * n_a
-    ).cast("decimal(38,0)")
+        (F.col("off_a") + F.sum("a_cnt").over(w)).cast("decimal(38,0)") * n_b
+        - (F.col("off_b") + F.sum("b_cnt").over(w)).cast("decimal(38,0)")
+        * n_a
+    )
     summand = (
         (F.col("a_cnt") + F.col("b_cnt")).cast("decimal(38,0)") * diff * diff
     )
