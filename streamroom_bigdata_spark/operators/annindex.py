@@ -1,0 +1,449 @@
+"""Persistent, incrementally-maintained ANN index (SURVEY.md §2.28).
+
+The round-13 verdict's last missing production piece of the similarity
+stack: every ``ann_*`` query re-trains its codebooks/centroids in-session,
+but the index you can afford at 100 TB is one you NEVER rebuild. This
+module composes the two disciplines the repo already owns —
+
+- the manifest-table commit protocol (``sources/manifest_table.py``):
+  atomic generations, blind O(batch) appends, time travel;
+- the incremental-probe pattern (``operators/incdedup.py``): probe cost
+  follows the batch, never the history —
+
+into a train-once → commit → probe-committed → ingest-incrementally
+IVF-PQ index:
+
+- ``ann_index_build``   trains PQ codebooks + IVF centroids on the BUILD
+  corpus (the shared ``_pq_train`` / ``_centroids_of`` kernels from
+  operators/similarity.py, so a committed index can never disagree with a
+  fresh in-session one over the same corpus), encodes it, and commits
+  THREE manifest tables: ``codebooks`` (M·K·SUB = 1024 int rows, frozen),
+  ``centroids`` (K list vectors, frozen), ``codes`` (8 small-int rows per
+  vector, list_id-clustered).
+- ``ann_index_ingest``  encodes a NEW batch against the FROZEN codebooks/
+  centroids (two bounded manifest reads + one mapInPandas scan over the
+  batch) and blind-appends its code rows — O(batch) work and O(batch)
+  committed bytes, the incdedup discipline; training is never re-run.
+- ``ann_index_probe``   answers queries from the COMMITTED index alone:
+  codebooks (1024 rows) and centroids (K rows) come off the manifest,
+  the probed list_ids are collected (|Q|·n_probe, bounded) and pushed
+  into the codes parquet scan as an ``IN`` filter — because build/ingest
+  stage code rows ``repartition(list_id).sortWithinPartitions``, row-group
+  min/max stats skip every unprobed list's bytes. No corpus float is ever
+  read; scoring is the same broadcast-ADC + combinable-sum plan as
+  ``ann_ivfpq_cosine``. ``generation=`` time-travels to any retained
+  commit (probe yesterday's index while today's batch lands).
+
+Correctness gates (all oracle-checked):
+- ``ann_index_probe_committed``: build-from-full-corpus then probe ==
+  the independent SQL replay of fresh ``ann_ivfpq_cosine`` — committed
+  and in-session indexes are bit-equal over the same corpus.
+- ``ann_index_incremental``: build on batch₀ (vec_id mod 3 = 0), ingest
+  batch₁, batch₂, probe — == a full SQL replay that trains on batch₀ and
+  encodes EVERYTHING against the frozen last-round codebooks (equality
+  with a frozen-codebook rebuild: the ingest-never-retrains invariant).
+- ``ann_index_timetravel_probe``: probing ``generation=0`` of the chained
+  index == the same replay restricted to batch₀ candidates.
+- ``ann_index_generations``: the commit ledger itself — per-generation
+  vector/code-row deltas == per-batch corpus counts (blind appends add
+  exactly 8·|batch| rows, never a copy).
+
+Reference lens: the reference has no persistent index at all
+(processing.scala:29-149 recomputes its scores per run); this is to L3
+what ``incremental_neardup_pairs`` (§2.26 R3) was to L2.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double
+from ..registry import register
+from ..sources import load_table
+from ..sources.manifest_table import (
+    manifest_append,
+    manifest_history,
+    manifest_read,
+    manifest_write,
+)
+from .similarity import (
+    DIM,
+    N_PROBE,
+    PQ_ITERS,
+    PQ_K,
+    PQ_M,
+    QUERY_IDS,
+    TOP_K,
+    _PQ_SUB,
+    _centroids_of,
+    _duck_cosine,
+    _ivfpq_oracle,
+    _nearest_lists,
+    _pq_codes,
+    _pq_quant,
+    _pq_train,
+    _pq_train_sql,
+)
+
+_CODEBOOKS = "codebooks"
+_CENTROIDS = "centroids"
+_CODES = "codes"
+
+
+# ---------------------------------------------------------------------------
+# index maintenance API
+# ---------------------------------------------------------------------------
+
+
+def _encode_against(emb: DataFrame, C: list["np.ndarray"]) -> DataFrame:
+    """One vectorized mapInPandas scan: each vector → its PQ_M
+    (vec_id, m, cid) code rows against the (frozen) codebooks riding the
+    closure — exact int64 distances, first-min ties (``_pq_codes``)."""
+    Cs = [c.copy() for c in C]
+
+    def encode(batches, _Cs=Cs):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _pq_quant(np.stack(pdf["emb"].to_numpy()))
+            codes = _pq_codes(X, _Cs)
+            n = X.shape[0]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), PQ_M),
+                    "m": np.tile(np.arange(PQ_M, dtype=np.int32), n),
+                    "cid": codes.ravel().astype(np.int32),
+                }
+            )
+
+    return emb.mapInPandas(encode, "vec_id long, m int, cid int")
+
+
+def _code_rows(emb: DataFrame, C: list["np.ndarray"], cent: DataFrame):
+    """(vec_id, list_id, m, cid) rows for a corpus slice: PQ codes joined
+    with the nearest-frozen-centroid list assignment, then CLUSTERED by
+    list_id before staging so a probe's list filter maps onto parquet
+    row-group min/max skipping. Both join sides grow with the slice —
+    shuffle_hash pinned (the sf≈10 audit rule)."""
+    codes = _encode_against(emb, C)
+    assigned = _nearest_lists(emb, cent, "vec_id", "emb", keep=1, with_emb=False)
+    return (
+        codes.hint("shuffle_hash")
+        .join(assigned.hint("shuffle_hash"), "vec_id")
+        .select("vec_id", "list_id", "m", "cid")
+        .repartition("list_id")
+        .sortWithinPartitions("list_id", "vec_id", "m")
+    )
+
+
+def ann_index_build(spark: SparkSession, index_dir: str, emb: DataFrame) -> int:
+    """Train on — and encode — the build corpus ``emb`` (columns
+    ``vec_id``, ``emb: array<double>``, ``label``), committing the three
+    index tables as generation-0 manifests. Codebook seeds are the PQ_K
+    LOWEST vec_ids of the build corpus (== the registered in-session
+    seeding on a full 0-based corpus). Returns the codes generation."""
+    flat = emb.select("vec_id", "emb")
+    C = _pq_train(flat, init_df=flat.orderBy("vec_id").limit(PQ_K))
+    cb = spark.createDataFrame(
+        [
+            (m, cid, pos + 1, int(C[m][cid][pos]))
+            for m in range(PQ_M)
+            for cid in range(C[m].shape[0])
+            for pos in range(_PQ_SUB)
+        ],
+        "m int, cid int, pos int, val long",
+    ).coalesce(1)
+    cent = _centroids_of(emb.select("label", "emb")).coalesce(1)
+    manifest_write(spark, f"{index_dir}/{_CODEBOOKS}", cb)
+    manifest_write(spark, f"{index_dir}/{_CENTROIDS}", cent)
+    return manifest_write(
+        spark,
+        f"{index_dir}/{_CODES}",
+        _code_rows(flat, C, manifest_read(spark, f"{index_dir}/{_CENTROIDS}")),
+    )
+
+
+def _read_codebooks(spark: SparkSession, index_dir: str) -> list["np.ndarray"]:
+    """The frozen codebooks off the manifest — 1024 rows, bounded by
+    design (M·K·SUB ints), the only driver transfer an ingest/probe pays
+    besides the K centroid rows."""
+    rows = manifest_read(spark, f"{index_dir}/{_CODEBOOKS}").collect()
+    k = max(r.cid for r in rows) + 1
+    C = [np.zeros((k, _PQ_SUB), dtype=np.int64) for _ in range(PQ_M)]
+    for r in rows:
+        C[r.m][r.cid][r.pos - 1] = int(r.val)
+    return C
+
+
+def ann_index_ingest(
+    spark: SparkSession, index_dir: str, emb: DataFrame
+) -> int:
+    """Encode a new batch (``vec_id``, ``emb``) against the FROZEN
+    codebooks + centroids and blind-append its 8·|batch| code rows as a
+    new generation — O(batch) compute and committed bytes; the existing
+    index is never read row-wise, let alone rewritten. Returns the new
+    codes generation."""
+    C = _read_codebooks(spark, index_dir)
+    cent = manifest_read(spark, f"{index_dir}/{_CENTROIDS}")
+    return manifest_append(
+        spark,
+        f"{index_dir}/{_CODES}",
+        _code_rows(emb.select("vec_id", "emb"), C, cent),
+    )
+
+
+def ann_index_probe(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    n_probe: int = N_PROBE,
+    k: int = TOP_K,
+    generation: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k ADC search over the committed index: ``queries`` is a
+    (query_id, q_emb) frame, collected (bounded: a probe batch is |Q|
+    queries — the registered set is 5). Query→list assignment replicates
+    ``_nearest_lists``'s exact arithmetic (6-dp-quantized cosine, stable
+    ties to the lowest list_id) driver-side on the K committed centroids;
+    the probed list_ids push into the codes scan as an IN filter so
+    list-clustered row groups outside the probe are never read. Scoring
+    is all JVM-side: codes ⋈ broadcast(query lists) ⋈ broadcast(640-row
+    integer ADC table) → combinable sum → per-query top-k window."""
+    qrows = sorted(queries.collect(), key=lambda r: r.query_id)
+    qids = np.array([int(r.query_id) for r in qrows], dtype=np.int64)
+    Xq = np.stack([np.asarray(r.q_emb, dtype=np.float64) for r in qrows])
+    C = _read_codebooks(spark, index_dir)
+
+    crows = sorted(
+        manifest_read(spark, f"{index_dir}/{_CENTROIDS}").collect(),
+        key=lambda r: r.list_id,
+    )
+    lids = np.array([int(r.list_id) for r in crows], dtype=np.int64)
+    Cm = np.stack([np.asarray(r.c_emb, dtype=np.float64) for r in crows])
+    Cn = Cm / np.sqrt((Cm * Cm).sum(axis=1, keepdims=True))
+    S = Xq @ Cn.T / np.sqrt((Xq * Xq).sum(axis=1, keepdims=True))
+    S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+    order = np.argsort(-S, axis=1, kind="stable")[:, : min(n_probe, len(lids))]
+    qlists = [
+        (int(q), int(l)) for q, ls in zip(qids, lids[order]) for l in ls
+    ]
+    qlist_df = spark.createDataFrame(qlists, "query_id long, list_id int")
+
+    # integer ADC lookup relation: M×K×|Q| rows, the only broadcast
+    Q = _pq_quant(Xq)
+    lut_rows = []
+    for m in range(PQ_M):
+        L = C[m] @ Q[:, m * _PQ_SUB : (m + 1) * _PQ_SUB].T
+        for cid in range(C[m].shape[0]):
+            for qi, qid in enumerate(qids):
+                lut_rows.append((m, cid, int(qid), int(L[cid, qi])))
+    lut_df = spark.createDataFrame(
+        lut_rows, "m int, cid int, query_id long, dot_i long"
+    )
+
+    probed = sorted({lid for _, lid in qlists})
+    codes = manifest_read(spark, f"{index_dir}/{_CODES}", generation).filter(
+        F.col("list_id").isin(probed)  # parquet row-group skip
+    )
+    cand = codes.join(F.broadcast(qlist_df), "list_id")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    scored = (
+        cand.join(F.broadcast(lut_df), ["m", "cid", "query_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dot_i").alias("est_i"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("est_i"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("est_i").cast("double") / F.lit(1.0e12)).alias("est_cosine"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered correctness gates
+# ---------------------------------------------------------------------------
+
+_INC_PRED = "vec_id % 3 = 0"  # the chained-commit build slice
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb"), "label"
+    )
+
+
+def _queries_of(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+
+
+# per-session chain cache: the three incremental-gate queries read
+# different facets of the SAME deterministic 3-commit chain — build it
+# once per (session, sf_dir) instead of thrice per gate run
+_CHAIN_DIRS: dict[tuple[int, str], str] = {}
+
+
+def _incremental_chain(spark: SparkSession, sf_dir: str) -> str:
+    key = (id(spark), sf_dir)
+    cached = _CHAIN_DIRS.get(key)
+    if cached and os.path.isdir(os.path.join(cached, _CODES)):
+        return cached
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="sr_ann_index_")
+    ann_index_build(spark, idx, emb.filter(F.expr(_INC_PRED)))
+    for b in (1, 2):
+        ann_index_ingest(spark, idx, emb.filter(F.col("vec_id") % 3 == b))
+    _CHAIN_DIRS[key] = idx
+    return idx
+
+
+def _inc_oracle(corpus_pred: str = "TRUE") -> str:
+    """Frozen-codebook replay: train PQ on the batch₀ slice, encode ALL
+    vectors against the final codebook (``ae`` from ``_pq_train_sql``),
+    coarse-quantize against batch₀-trained centroids, ADC-score the
+    probed candidates. ``corpus_pred`` restricts the candidate corpus
+    (time travel to the pre-ingest generation)."""
+    last = PQ_ITERS - 1
+    return _pq_train_sql(train_pred=_INC_PRED) + f""", cent AS (
+  SELECT label AS list_id, list(cv ORDER BY dim) AS c_emb
+  FROM (
+    SELECT label, i AS dim, avg(emb[i + 1]) AS cv
+    FROM c, unnest(range(0, {DIM})) AS u(i)
+    WHERE vec_id % 3 = 0
+    GROUP BY label, i
+  )
+  GROUP BY label
+), assigned AS (
+  SELECT vec_id, list_id
+  FROM (
+    SELECT c.vec_id, cent.list_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round({_duck_cosine('c.emb', 'cent.c_emb')}, 6) DESC,
+                      cent.list_id
+           ) AS c_rnk
+    FROM c CROSS JOIN cent
+    WHERE ({corpus_pred})
+  )
+  WHERE c_rnk <= 1
+), qiv AS (
+  SELECT query_id, list_id
+  FROM (
+    SELECT c.vec_id AS query_id, cent.list_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round({_duck_cosine('c.emb', 'cent.c_emb')}, 6) DESC,
+                      cent.list_id
+           ) AS c_rnk
+    FROM c CROSS JOIN cent
+    WHERE c.vec_id IN {QUERY_IDS}
+  )
+  WHERE c_rnk <= {N_PROBE}
+), cand AS (
+  SELECT qiv.query_id, a.vec_id AS neighbor_id
+  FROM qiv JOIN assigned a USING (list_id)
+  WHERE a.vec_id <> qiv.query_id
+), qpq AS (
+  SELECT vec_id AS query_id, m, pos, val FROM nl
+  WHERE vec_id IN {QUERY_IDS}
+), adc AS MATERIALIZED (
+  SELECT q.query_id, cc.m, cc.cid, sum(q.val * cc.val) AS dot_i
+  FROM qpq q JOIN c{last} cc ON cc.m = q.m AND cc.pos = q.pos
+  GROUP BY q.query_id, cc.m, cc.cid
+), est AS (
+  SELECT cd.query_id, cd.neighbor_id, sum(a.dot_i) AS est_i
+  FROM cand cd
+  JOIN ae co ON co.vec_id = cd.neighbor_id
+  JOIN adc a ON a.query_id = cd.query_id AND a.m = co.m AND a.cid = co.cl
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT query_id, neighbor_id, est_cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT query_id, neighbor_id,
+         CAST(est_i AS DOUBLE) / 1000000000000.0 AS est_cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY est_i DESC, neighbor_id) AS rnk
+  FROM est
+)
+WHERE rnk <= {TOP_K}"""
+
+
+@register("ann_index_probe_committed", _ivfpq_oracle())
+def ann_index_probe_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the index from the FULL corpus, commit it, probe it — the
+    result must equal a fresh in-session ``ann_ivfpq_cosine`` (the
+    oracle IS the ivfpq SQL replay): a committed index answers exactly
+    what the index you'd train today would answer."""
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="sr_ann_idxfull_")
+    ann_index_build(spark, idx, emb)
+    return ann_index_probe(spark, idx, _queries_of(emb))
+
+
+@register("ann_index_incremental", _inc_oracle())
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance story end-to-end: train+build on batch₀
+    (vec_id mod 3 = 0), INGEST batches 1 and 2 against the frozen
+    codebooks, probe the 3-generation index. Equal to the SQL replay
+    that encodes the whole corpus with batch₀'s codebooks — proving
+    ingest is pure encode-and-append, never a retrain."""
+    return ann_index_probe(
+        spark, _incremental_chain(spark, sf_dir), _queries_of(_emb(spark, sf_dir))
+    )
+
+
+@register("ann_index_timetravel_probe", _inc_oracle(corpus_pred="c." + _INC_PRED))
+def ann_index_timetravel_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe ``generation=0`` of the SAME chained index — only batch₀'s
+    vectors answer, byte-for-byte the pre-ingest index state (immutable
+    generation dirs): yesterday's index stays queryable while today's
+    batch commits."""
+    return ann_index_probe(
+        spark,
+        _incremental_chain(spark, sf_dir),
+        _queries_of(_emb(spark, sf_dir)),
+        generation=0,
+    )
+
+
+_GENS_ORACLE = """
+SELECT CAST(vec_id % 3 AS INT) AS generation,
+       CAST(count(*) AS BIGINT) AS vectors_added,
+       CAST(count(*) * 8 AS BIGINT) AS code_rows_added
+FROM embeddings
+GROUP BY 1
+"""
+
+
+@register("ann_index_generations", _GENS_ORACLE)
+def ann_index_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit ledger of the chained index: per-generation row deltas
+    from ``manifest_history`` must equal the per-batch corpus counts —
+    each ingest committed exactly 8·|batch| rows (blind append), never a
+    rewrite of history."""
+    hist = manifest_history(
+        spark, f"{_incremental_chain(spark, sf_dir)}/{_CODES}"
+    )
+    rows, prev = [], 0
+    for rec in hist:
+        added = int(rec["n_rows"]) - prev
+        prev = int(rec["n_rows"])
+        rows.append((int(rec["generation"]), added // PQ_M, added))
+    return spark.createDataFrame(
+        rows, "generation int, vectors_added long, code_rows_added long"
+    )

@@ -312,12 +312,13 @@ WHERE rnk <= {TOP_K}
 """
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF coarse quantizer: per-label centroids (deterministic —
-    label-seeded, no sampled init), k = |label| rows."""
+def _centroids_of(df: DataFrame) -> DataFrame:
+    """Per-label mean vector over an already-double ``emb`` column — the
+    deterministic IVF coarse quantizer, factored out so the persistent
+    index (operators/annindex.py) can train it on an arbitrary BUILD
+    corpus slice and freeze it as a committed generation."""
     return (
-        load_table(spark, sf_dir, "embeddings")
-        .select("label", F.posexplode(as_double("embedding")).alias("dim", "v"))
+        df.select("label", F.posexplode("emb").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(F.avg("v").alias("cv"))
         .groupBy("label")
@@ -325,6 +326,16 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("label").alias("list_id"),
             F.transform("pairs", lambda p: p.cv).alias("c_emb"),
+        )
+    )
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse quantizer: per-label centroids (deterministic —
+    label-seeded, no sampled init), k = |label| rows."""
+    return _centroids_of(
+        load_table(spark, sf_dir, "embeddings").select(
+            "label", as_double("embedding").alias("emb")
         )
     )
 
@@ -474,13 +485,22 @@ PQ_ITERS = 3  # Lloyd rounds per subspace (2 codebook updates)
 _PQ_SUB = DIM // PQ_M
 
 
-def _pq_train_sql() -> str:
+def _pq_train_sql(train_pred: str | None = None) -> str:
     """The shared PQ-training CTE chain (normalize → per-subspace Lloyd,
     unrolled — the kmeans_clusters oracle pattern keyed by (m, cid)),
     ending at codebook c{PQ_ITERS-1}+assignments a{PQ_ITERS-1}; reused
     verbatim by the PQ and IVF-PQ oracles so the two can never train
     different codebooks. ``c`` carries ``label`` for the IVF coarse
-    quantizer (unused by plain PQ)."""
+    quantizer (unused by plain PQ).
+
+    ``train_pred`` (the persistent-index incremental oracle,
+    operators/annindex.py) restricts TRAINING to the vec_ids matching
+    the predicate — seeds become the PQ_K lowest ids OF THE SLICE
+    (dense_rank, matching ``_pq_train(init_df=...)``) and the Lloyd
+    joins read the ``tr`` slice — then a final encode-all pass ``ae``
+    assigns EVERY vector against the frozen last-round codebook, which
+    is exactly what ingest-against-frozen-codebooks computes."""
+    nl_src = "tr" if train_pred else "nl"
     parts = [
         f"""
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
@@ -496,17 +516,31 @@ el AS MATERIALIZED (
          CAST(floor(CAST(e.ei AS DOUBLE) * 1000000
                     / sqrt(CAST(n.n2 AS DOUBLE)) + 0.5) AS BIGINT) AS val
   FROM el e JOIN nrm n USING (vec_id)
+)"""
+    ]
+    if train_pred:
+        parts.append(
+            f""", tr AS MATERIALIZED (
+  SELECT * FROM nl WHERE {train_pred}
 ), c0 AS (
+  SELECT m, CAST(rk - 1 AS INT) AS cid, pos, val
+  FROM (SELECT t.*, dense_rank() OVER (ORDER BY vec_id) AS rk FROM tr t)
+  WHERE rk <= {PQ_K}
+)"""
+        )
+    else:
+        parts.append(
+            f""", c0 AS (
   SELECT m, CAST(vec_id AS INT) AS cid, pos, val
   FROM nl WHERE vec_id < {PQ_K}
 )"""
-    ]
+        )
     for i in range(PQ_ITERS):
         parts.append(
             f""", d{i} AS (
   SELECT n.vec_id, n.m, cc.cid,
          sum((n.val - cc.val) * (n.val - cc.val)) AS dist
-  FROM nl n JOIN c{i} cc ON cc.m = n.m AND cc.pos = n.pos
+  FROM {nl_src} n JOIN c{i} cc ON cc.m = n.m AND cc.pos = n.pos
   GROUP BY n.vec_id, n.m, cc.cid
 ), a{i} AS MATERIALIZED (
   SELECT vec_id, m, cid AS cl FROM (
@@ -517,7 +551,7 @@ el AS MATERIALIZED (
 ), m{i} AS (
   SELECT a.m, a.cl AS cid, n.pos,
          sum(n.val) AS s, count(*) AS cnt
-  FROM a{i} a JOIN nl n ON n.vec_id = a.vec_id AND n.m = a.m
+  FROM a{i} a JOIN {nl_src} n ON n.vec_id = a.vec_id AND n.m = a.m
   GROUP BY a.m, a.cl, n.pos
 ), c{i + 1} AS MATERIALIZED (
   SELECT cc.m, cc.cid, cc.pos,
@@ -526,6 +560,22 @@ el AS MATERIALIZED (
                   cc.val) AS val
   FROM c{i} cc LEFT JOIN m{i} mm
     ON mm.m = cc.m AND mm.cid = cc.cid AND mm.pos = cc.pos
+)"""
+        )
+    if train_pred:
+        last = PQ_ITERS - 1
+        parts.append(
+            f""", de AS (
+  SELECT n.vec_id, n.m, cc.cid,
+         sum((n.val - cc.val) * (n.val - cc.val)) AS dist
+  FROM nl n JOIN c{last} cc ON cc.m = n.m AND cc.pos = n.pos
+  GROUP BY n.vec_id, n.m, cc.cid
+), ae AS MATERIALIZED (
+  SELECT vec_id, m, cid AS cl FROM (
+    SELECT vec_id, m, cid, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM de
+  ) WHERE rn = 1
 )"""
         )
     return "".join(parts)
@@ -589,16 +639,22 @@ def _pq_codes(X: "np.ndarray", Cs: list["np.ndarray"]) -> "np.ndarray":
     return out
 
 
-def _pq_train(emb: DataFrame) -> list["np.ndarray"]:
+def _pq_train(
+    emb: DataFrame, init_df: DataFrame | None = None
+) -> list["np.ndarray"]:
     """Learn the PQ_M per-subspace codebooks (PQ_K centroids each) by
     PQ_ITERS−1 Lloyd updates — the kmeans_clusters discipline: codebooks
     live on the DRIVER between rounds (M·K·SUB = 1024 ints); each round
     is ONE vectorized mapInPandas scan emitting M·K·SUB-bounded partial
     sums. Shared by ``ann_pq_cosine`` and ``ann_ivfpq_cosine`` so the
-    two can never train different codebooks."""
-    init = sorted(
-        emb.filter(F.col("vec_id") < PQ_K).collect(), key=lambda r: r.vec_id
-    )
+    two can never train different codebooks. ``init_df`` overrides the
+    seed rows (the persistent index trains on an arbitrary corpus slice
+    whose vec_ids need not start at 0 — it seeds with the PQ_K LOWEST
+    ids of its slice, which coincides with the default on the full
+    0-based corpus)."""
+    if init_df is None:
+        init_df = emb.filter(F.col("vec_id") < PQ_K)
+    init = sorted(init_df.collect(), key=lambda r: r.vec_id)
     X0 = _pq_quant(np.stack([np.asarray(r.emb, dtype=np.float64) for r in init]))
     C = [X0[:, m * _PQ_SUB : (m + 1) * _PQ_SUB].copy() for m in range(PQ_M)]
 

@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "streamroom_bigdata_spark.operators.governance",
     "streamroom_bigdata_spark.operators.quant",
     "streamroom_bigdata_spark.operators.incdedup",
+    "streamroom_bigdata_spark.operators.annindex",
     "streamroom_bigdata_spark.streaming.queries",
 )
 
