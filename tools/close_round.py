@@ -27,6 +27,15 @@ It runs, in order, refusing to write ANY artifact on the first red:
    prevent (rounds 8-9 shipped artifacts 14 queries short of the registry).
 6. optionally (``--sf1-dir``): the full oracle run at a synthetic sf≈1
    directory (built with ``tools/make_scale.py``) → ``CHECK_SF1_r{N}.json``.
+7. the SHUFFLE-REGRESSION gate: ``tools/shuffle_audit.py --json`` over the
+   bench HEADLINE roster at sf0.1, diffed against the NEWEST prior
+   ``SHUFFLES_r{M}.json`` via ``shuffle_audit.diff_books`` — red past the
+   documented broadcast/shuffle-row tolerances. This automates the manual
+   sf≈10 audit that caught corpus-growing AQE auto-broadcasts by hand in
+   rounds 12 AND 13 (3,168 / 276 / 105 MiB); a pin reverted anywhere in
+   the roster now fails the round instead of shipping silently. Writes
+   ``SHUFFLES_r{N}.json`` on green (first run establishes the baseline).
+   ``--skip-shuffles`` for partial dry-runs only.
 
 Exit 0 means: artifacts written, counts agree, safe to commit. Any other
 exit means the round is NOT closable; fix the red and re-run — no CHECK
@@ -102,6 +111,49 @@ def main() -> int:
         [sys.executable, "-m", "pytest", "tests/test_plans.py",
          "tests/test_registry_contract.py", "-x", "-q"])
 
+    if "--skip-shuffles" not in sys.argv:
+        import glob as _glob
+        import re as _re
+
+        from tools.shuffle_audit import diff_books
+
+        shuf_json = f"SHUFFLES_r{rnd}.json"
+        tmp_shuf = shuf_json + ".tmp"
+        _TMPS.append(tmp_shuf)
+        run(
+            "shuffle-regression audit (HEADLINE roster at sf0.1)",
+            [sys.executable, "tools/shuffle_audit.py",
+             "/root/testdata/sf0.1", "--json", tmp_shuf],
+        )
+        priors = {}
+        for p in _glob.glob("SHUFFLES_r*.json"):
+            m = _re.match(r"SHUFFLES_r(\d+)\.json$", os.path.basename(p))
+            if m and int(m.group(1)) < rnd:
+                priors[int(m.group(1))] = p
+        if priors:
+            prior_path = priors[max(priors)]
+            with open(prior_path) as f:
+                prev = json.load(f)["queries"]
+            with open(tmp_shuf) as f:
+                cur = json.load(f)["queries"]
+            bad = diff_books(prev, cur)
+            if bad:
+                print(f"close_round: RED — shuffle regression vs "
+                      f"{prior_path}:")
+                for b in bad:
+                    print(f"  {b}")
+                _cleanup_tmps()
+                return 1
+            print(f"close_round: shuffle books within tolerance of "
+                  f"{prior_path}")
+        else:
+            print(f"close_round: no prior SHUFFLES_r*.json — {shuf_json} "
+                  "establishes the baseline")
+        # deferred like every other artifact: renamed only at the green end
+        shuffle_pending = [(tmp_shuf, shuf_json)]
+    else:
+        shuffle_pending = []
+
     pending = [(tmp_local, local_json)]
     if "--skip-sf01" not in sys.argv:
         sf01_json = f"CHECK_SF01_r{rnd}.json"
@@ -159,7 +211,7 @@ def main() -> int:
         _cleanup_tmps()
         return 1
 
-    for tmp, final in pending:
+    for tmp, final in pending + shuffle_pending:
         os.replace(tmp, final)
         print(f"close_round: wrote {final}")
     print(f"close_round: GREEN — round {rnd} closable "

@@ -7,20 +7,65 @@ The number that matters at 100 TB is bytes-through-the-shuffle per query,
 and it is measured here, not inferred.
 
 Usage:
-    python tools/shuffle_audit.py [sf_dir] [query ...] [--write]
+    python tools/shuffle_audit.py [sf_dir] [query ...] [--write] [--json OUT]
     # --write → SHUFFLES.md; query names default to bench.py's HEADLINE
+    # --json OUT → machine-readable per-query metric map (the
+    #   shuffle-regression gate's input; close_round diffs it against the
+    #   previous round's SHUFFLES_r{N}.json via ``diff_books``)
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 sys.path.insert(0, ".")
 
-_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+WRITE = "--write" in sys.argv
+JSON_OUT = None
+_argv = sys.argv[1:]
+if "--json" in _argv:
+    i = _argv.index("--json")
+    JSON_OUT = _argv[i + 1]
+    _argv = _argv[:i] + _argv[i + 2 :]
+_pos = [a for a in _argv if not a.startswith("-")]
 SF_DIR = _pos[0] if _pos else "/root/testdata/sf0.1"
 ONLY = _pos[1:]  # optional query subset (default: bench HEADLINE)
-WRITE = "--write" in sys.argv
+
+# Regression tolerances (per query, same sf): generous enough that AQE
+# partition-count jitter and stats-estimate drift never trip them, tight
+# enough that the bug class this gate exists for — a corpus-growing join
+# side slipping (back) into a broadcast, or a new pair-stage explosion —
+# trips LOUDLY. The round-12/13 incidents this automates: bpe_encode_docs
+# broadcast 0 → 3,168 MiB, incdedup 0 → 276 MiB, ivfpq 0 → 105 MiB — all
+# orders of magnitude past these lines.
+BROADCAST_TOL_MIB = 8.0  # new > prev × 1.5 + 8 MiB → red
+SHUFFLE_ROWS_TOL = 200_000  # new > prev × 2 + 200k rows → red
+
+
+def diff_books(prev: dict, cur: dict) -> list[str]:
+    """Violations of the regression tolerances between two audit books
+    (same sf). Queries new to ``cur`` establish their own baseline;
+    queries gone from ``cur`` are ignored (renames are caught by
+    close_round's registry checks)."""
+    bad = []
+    for name, c in sorted(cur.items()):
+        p = prev.get(name)
+        if p is None:
+            continue
+        b_prev, b_cur = p["broadcast_mib"], c["broadcast_mib"]
+        if b_cur > b_prev * 1.5 + BROADCAST_TOL_MIB:
+            bad.append(
+                f"{name}: broadcast {b_prev:.2f} -> {b_cur:.2f} MiB "
+                f"(limit {b_prev * 1.5 + BROADCAST_TOL_MIB:.2f})"
+            )
+        r_prev, r_cur = p["shuffle_rows"], c["shuffle_rows"]
+        if r_cur > r_prev * 2 + SHUFFLE_ROWS_TOL:
+            bad.append(
+                f"{name}: shuffle rows {r_prev:,} -> {r_cur:,} "
+                f"(limit {r_prev * 2 + SHUFFLE_ROWS_TOL:,})"
+            )
+    return bad
 
 HEADER = (
     "| query | shuffles | shuffle MiB | shuffle rows | broadcast MiB | "
@@ -66,6 +111,7 @@ def main() -> int:
     )
     qs = registry.queries()
     lines = [HEADER]
+    books: dict[str, dict] = {}
     for name in (ONLY or HEADLINE):
         df = qs[name](spark, SF_DIR)
         df.collect()
@@ -84,6 +130,13 @@ def main() -> int:
             "scan_rows": 0,
         }
         _walk(final, acc)
+        books[name] = {
+            "shuffles": acc["shuffles"],
+            "shuffle_mib": round(acc["shuffle_bytes"] / 1048576, 3),
+            "shuffle_rows": acc["shuffle_rows"],
+            "broadcast_mib": round(acc["broadcast_bytes"] / 1048576, 3),
+            "scan_rows": acc["scan_rows"],
+        }
         lines.append(
             "| {} | {} | {:.2f} | {:,} | {:.2f} | {:,} |".format(
                 name,
@@ -95,6 +148,11 @@ def main() -> int:
             )
         )
     table = "\n".join(lines)
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "queries": books}, f, indent=1,
+                      sort_keys=True)
+        print(f"wrote {JSON_OUT} ({len(books)} queries)")
     if WRITE:
         with open("SHUFFLES.md", "w") as f:
             f.write(
