@@ -177,6 +177,48 @@ def main() -> int:
         with open("/proc/stat") as f:
             return int(f.readline().split()[8])
 
+    # Idle-steal PRE-check (round-13 verdict item 3): all three round-13
+    # closing self-runs landed in a session-long steal storm and round 13
+    # ended with no clean self-bench of record. Sample steal on an idle
+    # box for a short window BEFORE any work: above the storm line the
+    # artifact is stamped storm_epoch=true (self-diagnosing, never the
+    # number of record); with --require-calm the run waits for a calm
+    # window and refuses (exit 3) if none appears, so a storm can never
+    # silently become the number of record.
+    STORM_JPS = 40.0  # stolen jiffies/sec while idle ≈ 0.4 cpu-sec/s —
+    # well below the measured storms (r13: 12,921 jiffies over ~90 s ≈ 140
+    # j/s) and well above quiet-epoch noise (r7-r12 quiet runs: ≤5 j/s)
+    PRECHECK_S = 3.0
+
+    def _steal_precheck() -> dict:
+        s0 = _steal_jiffies()
+        time.sleep(PRECHECK_S)
+        d = _steal_jiffies() - s0
+        return {
+            "window_s": PRECHECK_S,
+            "jiffies": d,
+            "jps": round(d / PRECHECK_S, 1),
+            "storm": d / PRECHECK_S > STORM_JPS,
+        }
+
+    pre = _steal_precheck()
+    if "--require-calm" in argv:
+        waited = 0.0
+        while pre["storm"] and waited < 600.0:
+            print(f"# storm epoch ({pre['jps']} steal-jiffies/s) — waiting",
+                  file=sys.stderr, flush=True)
+            time.sleep(30.0)
+            waited += 30.0
+            pre = _steal_precheck()
+        if pre["storm"]:
+            print(json.dumps({
+                "metric": "headline_queries_total", "value": None,
+                "unit": "sec", "error": "storm_epoch_persisted",
+                "steal_precheck": pre,
+            }))
+            return 3
+
+    # measured-run steal starts AFTER the pre-check window
     steal_start = _steal_jiffies()
 
     from streamroom_bigdata_spark import registry
@@ -292,6 +334,8 @@ def main() -> int:
         "loadavg_end": [round(x, 2) for x in load_end],
         "uptime_start": round(uptime_start, 1),
         "steal_jiffies": _steal_jiffies() - steal_start,
+        "steal_precheck": pre,
+        "storm_epoch": pre["storm"],
     }
     if errors:
         out["errors"] = errors

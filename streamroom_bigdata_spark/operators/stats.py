@@ -2164,3 +2164,410 @@ def friedman_test_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "friedman_chi2",
         "kendalls_w",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 two-sample additions: energy distance (exact rank-formula
+# pairsums), Anderson-Darling (variance-weighted L2), Mood's median test
+# ---------------------------------------------------------------------------
+
+energy_distance_oracle = f"""
+WITH ev AS (
+  SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vi,
+         CASE WHEN event_type = '{WS_GROUP_A}' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = '{WS_GROUP_B}' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('{WS_GROUP_A}', '{WS_GROUP_B}')
+), vals AS (
+  SELECT vi, CAST(sum(is_a) AS BIGINT) AS a_cnt,
+         CAST(sum(is_b) AS BIGINT) AS b_cnt
+  FROM ev GROUP BY vi
+), cum AS (
+  SELECT vi, a_cnt, b_cnt,
+         sum(a_cnt) OVER w - a_cnt AS bel_a,
+         sum(b_cnt) OVER w - b_cnt AS bel_b,
+         sum(a_cnt * vi) OVER w - a_cnt * vi AS bels_a,
+         sum(b_cnt * vi) OVER w - b_cnt * vi AS bels_b
+  FROM vals
+  WINDOW w AS (ORDER BY vi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), terms AS (
+  SELECT
+    sum(CAST(a_cnt AS HUGEINT) * (CAST(bel_a AS HUGEINT) * vi - bels_a))
+      AS sa,
+    sum(CAST(b_cnt AS HUGEINT) * (CAST(bel_b AS HUGEINT) * vi - bels_b))
+      AS sb,
+    sum(CAST(a_cnt + b_cnt AS HUGEINT)
+        * (CAST(bel_a + bel_b AS HUGEINT) * vi - (bels_a + bels_b))) AS sp,
+    CAST(sum(a_cnt) AS BIGINT) AS n_a, CAST(sum(b_cnt) AS BIGINT) AS n_b
+  FROM cum
+)
+SELECT n_a, n_b,
+  floor(CAST(sp - sa - sb AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+        / 1000000.0 * 1000000 + 0.5) / 1000000 AS e_cross,
+  floor(2.0 * CAST(sa AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_a)
+        / 1000000.0 * 1000000 + 0.5) / 1000000 AS e_within_a,
+  floor(2.0 * CAST(sb AS DOUBLE) / (CAST(n_b AS DOUBLE) * n_b)
+        / 1000000.0 * 1000000 + 0.5) / 1000000 AS e_within_b,
+  floor((2.0 * CAST(sp - sa - sb AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+         - 2.0 * CAST(sa AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_a)
+         - 2.0 * CAST(sb AS DOUBLE) / (CAST(n_b AS DOUBLE) * n_b))
+        / 1000000.0 * 1000000 + 0.5) / 1000000 AS energy_distance
+FROM terms
+"""
+
+
+@register("energy_distance_values", energy_distance_oracle)
+def energy_distance_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample ENERGY DISTANCE (Székely-Rizzo) between the value
+    distributions of two event types: D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| —
+    zero iff the distributions are equal, metric in the value's own
+    units; completes the two-sample family as the CHARACTERISTIC-function
+    member beside KS (sup), W1 (L1 of CDF gap), CvM (L2 of CDF gap).
+
+    Scale/exactness design: NO pair stage anywhere — for a sorted
+    multiset, Σ_{{i<j}}(x_j − x_i) = Σ_v cnt_v·(below_cnt·v − below_sum),
+    so all three pairwise expectation sums come from ONE per-distinct
+    groupBy + the `functions/ranking.py` inclusive-cumulative kernel
+    (cross pairsum = pooled − within_A − within_B). Values are quantized
+    ONCE to integer micro-units; every cumulative, product, and sum runs
+    exact (int64 cumulatives — bounded by 10⁶·Σ|value|, safe through
+    ~9·10¹² of value mass per arm — then DECIMAL(38,0)/HUGEINT products);
+    the single int→double conversion and fixed-order division chain are
+    bit-identical on both engines (the CvM discipline), outputs rounded
+    by the explicit floor spelling."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(WS_GROUP_A, WS_GROUP_B))
+        .select(
+            F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("vi"),
+            (F.col("event_type") == WS_GROUP_A).cast("long").alias("is_a"),
+            (F.col("event_type") == WS_GROUP_B).cast("long").alias("is_b"),
+        )
+    )
+    vals = ev.groupBy("vi").agg(
+        F.sum("is_a").alias("a_cnt"), F.sum("is_b").alias("b_cnt")
+    )
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        vals.withColumn("av", F.col("a_cnt") * F.col("vi")).withColumn(
+            "bv", F.col("b_cnt") * F.col("vi")
+        ),
+        ["vi"],
+        [
+            ("a", F.sum("a_cnt")),
+            ("b", F.sum("b_cnt")),
+            ("av", F.sum("av")),
+            ("bv", F.sum("bv")),
+        ],
+        shuffle_partition_count(spark),
+    )
+    n_a, n_b = int(totals["a"]), int(totals["b"])
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("vi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    bel_a = F.col("off_a") + F.sum("a_cnt").over(w) - F.col("a_cnt")
+    bel_b = F.col("off_b") + F.sum("b_cnt").over(w) - F.col("b_cnt")
+    bels_a = F.col("off_av") + F.sum("av").over(w) - F.col("av")
+    bels_b = F.col("off_bv") + F.sum("bv").over(w) - F.col("bv")
+    t = (
+        ranged.join(F.broadcast(offsets_df), "pid")
+        .select(
+            (dec(F.col("a_cnt")) * (dec(bel_a) * F.col("vi") - dec(bels_a)))
+            .alias("ta"),
+            (dec(F.col("b_cnt")) * (dec(bel_b) * F.col("vi") - dec(bels_b)))
+            .alias("tb"),
+            (
+                dec(F.col("a_cnt") + F.col("b_cnt"))
+                * (
+                    dec(bel_a + bel_b) * F.col("vi")
+                    - dec(bels_a + bels_b)
+                )
+            ).alias("tp"),
+        )
+        .agg(
+            F.sum("ta").alias("sa"),
+            F.sum("tb").alias("sb"),
+            F.sum("tp").alias("sp"),
+        )
+    )
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    cross = (F.col("sp") - F.col("sa") - F.col("sb")).cast("double")
+    # every double expression is spelled in the ORACLE'S exact operation
+    # order (ulp-identical given the same exact integer inputs)
+    t1 = 2.0 * cross / (F.lit(float(n_a)) * n_b)
+    t2 = 2.0 * F.col("sa").cast("double") / (F.lit(float(n_a)) * n_a)
+    t3 = 2.0 * F.col("sb").cast("double") / (F.lit(float(n_b)) * n_b)
+    return t.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        r6(cross / (F.lit(float(n_a)) * n_b) / 1000000.0).alias("e_cross"),
+        r6(t2 / 1000000.0).alias("e_within_a"),
+        r6(t3 / 1000000.0).alias("e_within_b"),
+        r6((t1 - t2 - t3) / 1000000.0).alias("energy_distance"),
+    )
+
+
+anderson_darling_oracle = f"""
+WITH ev AS (
+  SELECT value AS v,
+         CASE WHEN event_type = '{WS_GROUP_A}' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = '{WS_GROUP_B}' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('{WS_GROUP_A}', '{WS_GROUP_B}')
+), vals AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS a_cnt,
+         CAST(sum(is_b) AS BIGINT) AS b_cnt
+  FROM ev GROUP BY v
+), tot AS (
+  SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a,
+         CAST(sum(b_cnt) AS BIGINT) AS n_b
+  FROM vals
+), cum AS (
+  SELECT v, a_cnt, b_cnt,
+         sum(a_cnt) OVER w AS ma, sum(b_cnt) OVER w AS mb
+  FROM vals
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), terms AS (
+  SELECT CAST(floor(
+           (  (a_cnt + b_cnt)
+              * CAST(CAST((n_a + n_b) AS HUGEINT) * ma
+                     - CAST(n_a AS HUGEINT) * (ma + mb) AS DOUBLE)
+              * CAST(CAST((n_a + n_b) AS HUGEINT) * ma
+                     - CAST(n_a AS HUGEINT) * (ma + mb) AS DOUBLE)
+              / n_a
+            + (a_cnt + b_cnt)
+              * CAST(CAST((n_a + n_b) AS HUGEINT) * mb
+                     - CAST(n_b AS HUGEINT) * (ma + mb) AS DOUBLE)
+              * CAST(CAST((n_a + n_b) AS HUGEINT) * mb
+                     - CAST(n_b AS HUGEINT) * (ma + mb) AS DOUBLE)
+              / n_b
+           ) / (n_a + n_b)
+             / CAST(CAST(ma + mb AS HUGEINT)
+                    * ((n_a + n_b) - (ma + mb)) AS DOUBLE)
+           * 1000000000 + 0.5) AS HUGEINT) AS ti
+  FROM cum CROSS JOIN tot
+  WHERE ma + mb < n_a + n_b
+)
+SELECT (SELECT n_a FROM tot) AS n_a, (SELECT n_b FROM tot) AS n_b,
+       floor(CAST(sum(ti) AS DOUBLE) / 1000000000 * 1000000 + 0.5)
+         / 1000000 AS a2_stat
+FROM terms
+"""
+
+
+@register("anderson_darling_two_sample", anderson_darling_oracle)
+def anderson_darling_two_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample ANDERSON-DARLING A² (Scholz-Stephens k=2, discrete
+    version, ties exact): the VARIANCE-weighted L2 member of the
+    two-sample family — the 1/(H(1−H)) weight makes it the tail-
+    sensitive complement of CvM's uniform L2 (a drifted p99 moves A²
+    long before it moves T). Evaluated at pooled distinct values
+    (all but the last), A² = Σ_j l_j/N · Σ_arms (N·M_ij − n_i·B_j)² /
+    (n_i · B_j(N−B_j)).
+
+    Exactness: every count product (N·M − n·B, B·(N−B)) is exact
+    HUGEINT/DECIMAL; each per-value term's two divisions run in double
+    FROM those exact ints in a fixed spelling (correctly-rounded and
+    therefore bit-identical on both engines), and terms are quantized to
+    1e-9 BEFORE the sum so no accumulation order exists — the gains-chart
+    lesson applied prophylactically. One per-distinct groupBy + the
+    ranking kernel; no sort, no pair stage."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(WS_GROUP_A, WS_GROUP_B))
+        .select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == WS_GROUP_A).cast("long").alias("is_a"),
+            (F.col("event_type") == WS_GROUP_B).cast("long").alias("is_b"),
+        )
+    )
+    vals = ev.groupBy("v").agg(
+        F.sum("is_a").alias("a_cnt"), F.sum("is_b").alias("b_cnt")
+    )
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        vals,
+        ["v"],
+        [("a", F.sum("a_cnt")), ("b", F.sum("b_cnt"))],
+        shuffle_partition_count(spark),
+    )
+    n_a, n_b = int(totals["a"]), int(totals["b"])
+    n = n_a + n_b
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ma = F.col("off_a") + F.sum("a_cnt").over(w)
+    mb = F.col("off_b") + F.sum("b_cnt").over(w)
+    l = F.col("a_cnt") + F.col("b_cnt")  # noqa: E741
+    da = (dec(ma) * n - dec(ma + mb) * n_a).cast("double")
+    db = (dec(mb) * n - dec(ma + mb) * n_b).cast("double")
+    denom = (dec(ma + mb) * (F.lit(n) - (ma + mb))).cast("double")
+    term = (
+        (l * da * da / F.lit(float(n_a)) + l * db * db / F.lit(float(n_b)))
+        / F.lit(float(n))
+        / denom
+    )
+    ti = F.floor(term * 1000000000 + 0.5).cast("decimal(38,0)")
+    # window expressions can't live in a filter — project them first
+    agg = (
+        ranged.join(F.broadcast(offsets_df), "pid")
+        .select(ti.alias("ti"), (ma + mb).alias("bt"))
+        .filter(F.col("bt") < n)
+        .agg(F.sum("ti").alias("s"))
+    )
+    return agg.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        (
+            F.floor(
+                F.col("s").cast("double") / 1000000000 * 1000000 + 0.5
+            )
+            / 1000000
+        ).alias("a2_stat"),
+    )
+
+
+moods_median_oracle = f"""
+WITH ev AS (
+  SELECT value AS v,
+         CASE WHEN event_type = '{WS_GROUP_A}' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = '{WS_GROUP_B}' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('{WS_GROUP_A}', '{WS_GROUP_B}')
+), vals AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS a_cnt,
+         CAST(sum(is_b) AS BIGINT) AS b_cnt
+  FROM ev GROUP BY v
+), tot AS (
+  SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a,
+         CAST(sum(b_cnt) AS BIGINT) AS n_b
+  FROM vals
+), cum AS (
+  SELECT v, a_cnt, b_cnt,
+         sum(a_cnt + b_cnt) OVER
+           (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS bp
+  FROM vals
+), med AS (
+  SELECT min(v) AS median FROM cum CROSS JOIN tot
+  WHERE bp * 2 >= n_a + n_b
+), counts AS (
+  SELECT CAST(sum(CASE WHEN v > median THEN a_cnt ELSE 0 END) AS BIGINT)
+           AS a_above,
+         CAST(sum(CASE WHEN v > median THEN b_cnt ELSE 0 END) AS BIGINT)
+           AS b_above
+  FROM vals CROSS JOIN med
+)
+SELECT n_a, n_b, median, a_above, b_above,
+       floor(
+         CAST((n_a + n_b) AS DOUBLE)
+         * CAST(CAST(a_above AS HUGEINT) * (n_b - b_above)
+                - CAST(b_above AS HUGEINT) * (n_a - a_above) AS DOUBLE)
+         * CAST(CAST(a_above AS HUGEINT) * (n_b - b_above)
+                - CAST(b_above AS HUGEINT) * (n_a - a_above) AS DOUBLE)
+         / CAST(CAST(a_above + b_above AS HUGEINT)
+                * ((n_a + n_b) - (a_above + b_above)) AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * n_b)
+         * 1000000 + 0.5) / 1000000 AS chi2
+FROM counts CROSS JOIN tot CROSS JOIN med
+"""
+
+
+@register("moods_median_test", moods_median_oracle)
+def moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOOD'S MEDIAN TEST between two event-type value samples: the
+    robust location test that survives what rank tests don't — it only
+    reads which side of the POOLED median each observation falls on, so
+    a 1%-contaminated heavy tail that inflates Welch's t and still
+    perturbs Mann-Whitney's rank sums leaves it untouched. 2×2 χ² (no
+    continuity correction) of arm × {{above, ≤}} pooled median.
+
+    Shape: pooled median is the distributed counting order-statistic
+    (per-distinct counts + the ranking-kernel cumulative — here the
+    kernel degenerates to one window over the collapsed table because
+    only ONE threshold row survives), above/≤ counts are one conditional
+    aggregate against the 1-row broadcast median, and the χ² is closed-
+    form from four exact ints — the classic determinant spelling
+    N·(ad−bc)²/(r₁r₂c₁c₂) in exact HUGEINT/DECIMAL, one double
+    conversion, fixed division order. Tie policy: observations EQUAL to
+    the median count as ≤ (documented; both engines identical)."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(WS_GROUP_A, WS_GROUP_B))
+        .select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == WS_GROUP_A).cast("long").alias("is_a"),
+            (F.col("event_type") == WS_GROUP_B).cast("long").alias("is_b"),
+        )
+    )
+    vals = ev.groupBy("v").agg(
+        F.sum("is_a").alias("a_cnt"), F.sum("is_b").alias("b_cnt")
+    )
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        vals,
+        ["v"],
+        [
+            ("p", F.sum(F.col("a_cnt") + F.col("b_cnt"))),
+            ("a", F.sum("a_cnt")),
+            ("b", F.sum("b_cnt")),
+        ],
+        shuffle_partition_count(spark),
+    )
+    n_a, n_b = int(totals["a"]), int(totals["b"])
+    n = n_a + n_b
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bp = F.col("off_p") + F.sum(F.col("a_cnt") + F.col("b_cnt")).over(w)
+    med = (
+        ranged.join(F.broadcast(offsets_df), "pid")
+        .select("v", bp.alias("bp"))
+        .filter(F.col("bp") * 2 >= n)
+        .agg(F.min("v").alias("median"))
+    )
+    counts = (
+        vals.crossJoin(F.broadcast(med))
+        .agg(
+            F.sum(
+                F.when(F.col("v") > F.col("median"), F.col("a_cnt"))
+                .otherwise(F.lit(0))
+            ).alias("a_above"),
+            F.sum(
+                F.when(F.col("v") > F.col("median"), F.col("b_cnt"))
+                .otherwise(F.lit(0))
+            ).alias("b_above"),
+            F.first("median").alias("median"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ad_bc = (
+        dec(F.col("a_above")) * (F.lit(n_b) - F.col("b_above"))
+        - dec(F.col("b_above")) * (F.lit(n_a) - F.col("a_above"))
+    ).cast("double")
+    denom = (
+        dec(F.col("a_above") + F.col("b_above"))
+        * (F.lit(n) - (F.col("a_above") + F.col("b_above")))
+    ).cast("double")
+    chi2 = (
+        F.lit(float(n)) * ad_bc * ad_bc / denom
+        / (F.lit(float(n_a)) * n_b)
+    )
+    return counts.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        "median",
+        F.col("a_above").cast("long").alias("a_above"),
+        F.col("b_above").cast("long").alias("b_above"),
+        (F.floor(chi2 * 1000000 + 0.5) / 1000000).alias("chi2"),
+    )
