@@ -447,3 +447,28 @@ def ann_index_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "generation int, vectors_added long, code_rows_added long"
     )
+
+
+def streaming_ann_index_sink(index_dir: str):
+    """foreachBatch sink: every micro-batch of (vec_id, embedding) rows
+    encodes against the index's FROZEN codebooks/centroids and commits
+    one blind-append generation — the streaming twin of
+    ``ann_index_ingest`` (same per-batch work, same committed bytes; the
+    micro-batch boundary simply becomes the generation boundary). The
+    index must already exist (built offline by ``ann_index_build`` — at
+    100 TB training is a batch job; the stream only ever encodes).
+    Batch-agreement tested in tests/test_annindex.py: streaming the
+    corpus through this sink produces a probe-identical index to the
+    batch ingest chain. Pattern: sources/manifest_table.py's
+    ``streaming_manifest_upsert_sink``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        emb = batch_df.select(
+            "vec_id", as_double("embedding").alias("emb")
+        )
+        ann_index_ingest(spark, index_dir, emb)
+
+    return sink

@@ -334,3 +334,108 @@ def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp("h"), 4).alias("entropy_l"),
         (F.col("distinct_l") >= L_DIVERSITY_L).alias("meets_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14: t-closeness — the distributional member of the anonymity triad
+# ---------------------------------------------------------------------------
+
+T_CLOSENESS_T = 0.2  # conventional closeness threshold
+
+t_closeness_oracle = """
+WITH joined AS (
+  SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS sv
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+), cnt AS (
+  SELECT c_nationkey, c_mktsegment, sv, CAST(count(*) AS BIGINT) AS n
+  FROM joined GROUP BY 1, 2, 3
+), gsv AS (
+  SELECT sv, CAST(sum(n) AS BIGINT) AS gn FROM cnt GROUP BY sv
+), tot AS (
+  SELECT CAST(sum(gn) AS BIGINT) AS big_n FROM gsv
+), cls AS (
+  SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS cn
+  FROM cnt GROUP BY 1, 2
+), grid AS (
+  SELECT cls.c_nationkey, cls.c_mktsegment, cls.cn, g.sv, g.gn,
+         coalesce(c.n, 0) AS n
+  FROM cls CROSS JOIN gsv g
+  LEFT JOIN cnt c ON c.c_nationkey = cls.c_nationkey
+                 AND c.c_mktsegment = cls.c_mktsegment AND c.sv = g.sv
+)
+SELECT c_nationkey, c_mktsegment, cn AS class_n,
+       floor(CAST(sum(abs(CAST(n AS HUGEINT) * big_n
+                          - CAST(gn AS HUGEINT) * cn)) AS DOUBLE)
+             / (2.0 * CAST(cn AS DOUBLE) * big_n) * 1000000 + 0.5)
+         / 1000000 AS tvd,
+       CAST(sum(abs(CAST(n AS HUGEINT) * big_n
+                    - CAST(gn AS HUGEINT) * cn)) AS DOUBLE)
+         / (2.0 * CAST(cn AS DOUBLE) * big_n) > 0.2 AS breaches_t
+FROM grid CROSS JOIN tot
+GROUP BY c_nationkey, c_mktsegment, cn, big_n
+"""
+
+
+@register("t_closeness_profile", t_closeness_oracle)
+def t_closeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS of each quasi-identifier class — the distributional
+    member completing the anonymity triad (k-anonymity: classes big
+    enough; l-diversity: enough DISTINCT sensitive values; t-closeness:
+    the class's sensitive DISTRIBUTION within t of the global one — a
+    class can pass both k and l yet still leak via a skewed mix, Li et
+    al. 2007). Categorical sensitive attribute → the EMD ground distance
+    is uniform and t is the total variation distance ½Σ|p_class − p_glob|.
+
+    Exactness: |n_cs/n_c − N_s/N| clears denominators to the exact
+    integer |n_cs·N − N_s·n_c| (HUGEINT/DECIMAL) summed per class, one
+    double division at the end — no float distribution ever compared.
+    Scale shape: one key-partitioned customer⋈orders join + one
+    combinable (QI, sv) count; the class×sv GRID (absent sensitive
+    values must contribute p_class = 0) and everything after are
+    QI-domain-bounded relations."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders, orders.o_custkey == customer.c_custkey
+    ).select(
+        "c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("sv")
+    )
+    cnt = joined.groupBy("c_nationkey", "c_mktsegment", "sv").agg(
+        F.count("*").alias("n")
+    )
+    glob = cnt.groupBy("sv").agg(F.sum("n").alias("gn"))
+    cls = cnt.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").alias("cn")
+    )
+    big_n = int(glob.agg(F.sum("gn")).collect()[0][0])
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(
+            cnt.withColumnRenamed("n", "n_cs"),
+            ["c_nationkey", "c_mktsegment", "sv"],
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "cn",
+            "gn",
+            F.coalesce(F.col("n_cs"), F.lit(0)).alias("n"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = F.abs(dec(F.col("n")) * big_n - dec(F.col("gn")) * F.col("cn"))
+    tvd = F.col("s").cast("double") / (
+        2.0 * F.col("cn").cast("double") * big_n
+    )
+    return (
+        grid.groupBy("c_nationkey", "c_mktsegment", "cn")
+        .agg(F.sum(num).alias("s"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("cn").cast("long").alias("class_n"),
+            (F.floor(tvd * 1000000 + 0.5) / 1000000).alias("tvd"),
+            (tvd > T_CLOSENESS_T).alias("breaches_t"),
+        )
+    )

@@ -1610,3 +1610,103 @@ def _driver_hits(edges: DataFrame) -> DataFrame:
         for k, v in zip(sids, a)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-14: Jaccard-coefficient link prediction (the set-overlap companion
+# of Adamic-Adar)
+# ---------------------------------------------------------------------------
+
+jaccard_links_oracle = f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+deg AS (
+  SELECT cust, count(*) AS dg FROM items GROUP BY cust
+),
+contrib AS MATERIALIZED (
+  SELECT i.cust, i.part FROM items i JOIN deg d ON d.cust = i.cust
+  WHERE d.dg BETWEEN 2 AND {AA_MAX_DEG}
+),
+pdeg AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS pd FROM contrib GROUP BY part
+),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM contrib a JOIN contrib b
+    ON a.cust = b.cust AND a.part < b.part
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.n_common,
+       da.pd AS deg_a, db.pd AS deg_b,
+       floor(CAST(p.n_common AS DOUBLE)
+             / CAST(da.pd + db.pd - p.n_common AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS jaccard
+FROM pairs p
+JOIN pdeg da ON da.part = p.part_a
+JOIN pdeg db ON db.part = p.part_b
+"""
+
+
+@register("jaccard_links", jaccard_links_oracle)
+def jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JACCARD-coefficient link prediction between parts —
+    |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)| over shared-customer neighborhoods: the
+    normalized companion of `adamic_adar_links` (AA rewards RARE shared
+    neighbors; Jaccard penalizes POPULAR endpoints — a pair sharing 3 of
+    each's 4 customers outranks one sharing 10 of 500). Both engines
+    compute it from the SAME degree-capped contrib relation, so the two
+    scores are directly comparable rankings of the same candidate set.
+
+    Scale shape: pair generation is the identical capped customer-keyed
+    self-join as AA (linear in customers, C(40,2) per-key bound); part
+    degrees are one combinable groupBy; the two degree lookups join on
+    the pair relation's part keys with shuffle_hash pinned — the part
+    catalog GROWS with the corpus, exactly the side the sf≈10 audit rule
+    forbids leaving to AQE broadcast estimates. Jaccard is one double
+    division of exact ints."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    deg = items.groupBy("cust").agg(F.count("*").alias("dg"))
+    contrib = (
+        items.join(deg, "cust")
+        .filter((F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG))
+        .select("cust", "part")
+    )
+    pdeg = contrib.groupBy("part").agg(F.count("*").alias("pd"))
+    a = contrib.select("cust", F.col("part").alias("part_a"))
+    b = contrib.select("cust", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "cust")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    da = pdeg.select(F.col("part").alias("part_a"), F.col("pd").alias("deg_a"))
+    db = pdeg.select(F.col("part").alias("part_b"), F.col("pd").alias("deg_b"))
+    out = (
+        pairs.join(da.hint("shuffle_hash"), "part_a")
+        .join(db.hint("shuffle_hash"), "part_b")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    ).cast("double")
+    return out.select(
+        "part_a",
+        "part_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("deg_a").cast("long").alias("deg_a"),
+        F.col("deg_b").cast("long").alias("deg_b"),
+        (F.floor(jac * 1000000 + 0.5) / 1000000).alias("jaccard"),
+    )

@@ -906,3 +906,90 @@ def lognormal_fit_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_obs", 4).alias("mean_obs"),
         F.round(F.col("mean_obs") / mean_fit, 6).alias("mean_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14: closed-form ridge regression (the regularized OLS companion)
+# ---------------------------------------------------------------------------
+
+RIDGE_LAMBDA = 1000.0  # L2 penalty in raw (centered) second-moment units
+
+ridge_regression_oracle = f"""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         avg(l_quantity) AS m1, avg(l_discount) AS m2,
+         avg(l_extendedprice) AS my,
+         var_samp(l_quantity) AS v11, var_samp(l_discount) AS v22,
+         covar_samp(l_quantity, l_discount) AS v12,
+         covar_samp(l_quantity, l_extendedprice) AS c1y,
+         covar_samp(l_discount, l_extendedprice) AS c2y
+  FROM lineitem
+), s AS (
+  SELECT n,
+         m1, m2, my,
+         v11 * (n - 1) + {RIDGE_LAMBDA} AS s11,
+         v22 * (n - 1) + {RIDGE_LAMBDA} AS s22,
+         v12 * (n - 1) AS s12,
+         c1y * (n - 1) AS t1, c2y * (n - 1) AS t2
+  FROM m
+)
+SELECT n, CAST({RIDGE_LAMBDA} AS DOUBLE) AS lambda,
+       round((t1 * s22 - t2 * s12) / nullif(s11 * s22 - s12 * s12, 0), 3)
+         AS b_quantity,
+       round((t2 * s11 - t1 * s12) / nullif(s11 * s22 - s12 * s12, 0), 3)
+         AS b_discount,
+       round(my - (t1 * s22 - t2 * s12) / nullif(s11 * s22 - s12 * s12, 0)
+                  * m1
+                - (t2 * s11 - t1 * s12) / nullif(s11 * s22 - s12 * s12, 0)
+                  * m2,
+             3) AS intercept
+FROM s
+"""
+
+
+@register("ridge_regression_price", ridge_regression_oracle)
+def ridge_regression_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIDGE (L2-penalized) two-factor least squares — the same
+    price-on-(quantity, discount) model as ``ols_two_factor`` with λ
+    added to the centered normal equations' diagonal (slopes penalized,
+    intercept not — the standard centering trick makes that automatic).
+    The production companion of OLS at 100 TB: with billions of rows the
+    variance is gone but COLLINEAR feature pairs still blow up the OLS
+    determinant; the ridge determinant (S₁₁+λ)(S₂₂+λ) − S₁₂² is bounded
+    away from zero by construction, so the fit never degenerates.
+
+    Shape: identical to OLS — ONE single-pass moment aggregate (map-side
+    combinable var/covar), closed-form 2×2 solve inside the same 1-row
+    projection; no gradient loop, no driver matrix, nothing data-sized
+    after the scan. Coefficients are ratios of centered sums (the OLS
+    float discipline), rounded at 3dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.avg("l_quantity").alias("m1"),
+        F.avg("l_discount").alias("m2"),
+        F.avg("l_extendedprice").alias("my"),
+        F.var_samp("l_quantity").alias("v11"),
+        F.var_samp("l_discount").alias("v22"),
+        F.covar_samp("l_quantity", "l_discount").alias("v12"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("c1y"),
+        F.covar_samp("l_discount", "l_extendedprice").alias("c2y"),
+    )
+    nm1 = F.col("n") - 1
+    s11 = F.col("v11") * nm1 + F.lit(RIDGE_LAMBDA)
+    s22 = F.col("v22") * nm1 + F.lit(RIDGE_LAMBDA)
+    s12 = F.col("v12") * nm1
+    t1 = F.col("c1y") * nm1
+    t2 = F.col("c2y") * nm1
+    det = F.nullif(s11 * s22 - s12 * s12, F.lit(0.0))
+    b1 = (t1 * s22 - t2 * s12) / det
+    b2 = (t2 * s11 - t1 * s12) / det
+    return m.select(
+        "n",
+        F.lit(RIDGE_LAMBDA).alias("lambda"),
+        F.round(b1, 3).alias("b_quantity"),
+        F.round(b2, 3).alias("b_discount"),
+        F.round(
+            F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 3
+        ).alias("intercept"),
+    )

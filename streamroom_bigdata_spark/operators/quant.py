@@ -982,3 +982,191 @@ def rsi_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (10 * F.col("g") > (RSI_HI // 10) * tot).alias("overbought"),
         (10 * F.col("g") < (RSI_LO // 10) * tot).alias("oversold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14: Hurst exponent (rescaled-range long-memory estimate)
+# ---------------------------------------------------------------------------
+
+HURST_BLOCKS = (8, 16, 32, 64)  # dyadic block sizes for the R/S regression
+
+hurst_oracle = f"""
+WITH daily AS ({_DAILY_CENTS_SQL}),
+idx AS (
+  SELECT rev_c AS x,
+         CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS i
+  FROM daily
+), lat AS (
+  SELECT l.e, CAST(1 << l.e AS BIGINT) AS bn, i.x, i.i
+  FROM idx i CROSS JOIN (
+    SELECT unnest([3, 4, 5, 6]) AS e
+  ) l
+), blk AS (
+  SELECT e, bn, i // bn AS blk, x, i,
+         row_number() OVER (PARTITION BY e, i // bn ORDER BY i) AS r,
+         count(*) OVER (PARTITION BY e, i // bn) AS cnt,
+         sum(CAST(x AS HUGEINT)) OVER (PARTITION BY e, i // bn) AS s,
+         sum(CAST(x AS HUGEINT) * x) OVER (PARTITION BY e, i // bn) AS q,
+         sum(CAST(x AS HUGEINT)) OVER (
+           PARTITION BY e, i // bn ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM lat
+), dev AS (
+  SELECT e, bn, blk, cnt, s, q,
+         bn * cum - r * s AS dv
+  FROM blk
+), rs AS (
+  SELECT e, bn,
+         CAST(floor(CAST(max(dv) - min(dv) AS DOUBLE)
+                    / sqrt(CAST(bn * q - s * s AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS rs_q
+  FROM dev
+  WHERE cnt = bn AND bn * q - s * s > 0
+  GROUP BY e, bn, blk, s, q
+), per_n AS (
+  SELECT e, bn, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(rs_q) AS BIGINT) AS sq,
+         CAST(floor(ln(CAST(sum(rs_q) AS DOUBLE) / count(*) / 1000000)
+                    * 1000000000 + 0.5) AS BIGINT) AS yq
+  FROM rs GROUP BY e, bn
+), fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(e) AS BIGINT) AS se,
+         CAST(sum(e * e) AS BIGINT) AS see,
+         CAST(sum(yq) AS HUGEINT) AS sy,
+         CAST(sum(e * yq) AS HUGEINT) AS sey
+  FROM per_n
+)
+SELECT p.bn AS block_n, p.n_blocks,
+       floor(CAST(p.sq AS DOUBLE) / p.n_blocks / 1000000 * 1000000 + 0.5)
+         / 1000000 AS mean_rs,
+       floor(CAST(f.k * f.sey - f.se * f.sy AS DOUBLE)
+             / (f.k * f.see - f.se * f.se) / 1000000000 / ln(2)
+             * 10000 + 0.5) / 10000 AS hurst
+FROM per_n p CROSS JOIN fit f
+"""
+
+
+@register("hurst_exponent_daily", hurst_oracle)
+def hurst_exponent_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT of the daily revenue series by classical rescaled
+    range: for dyadic block sizes n ∈ {8,16,32,64}, each complete block
+    of n consecutive days yields R/S = (max−min of mean-adjusted
+    cumulative deviations) / population σ, and H is the slope of
+    log(mean R/S) against log n — H≈0.5 random walk, H>0.5 trending
+    (long memory), H<0.5 mean-reverting. The long-memory readout beside
+    `acf_daily_revenue` (fixed lags) and `rsi_daily_revenue` (local).
+
+    Exactness: with S=Σx, Q=Σx², cum_i all exact ints, the scaled
+    deviation D_i = n·cum_i − i·S makes R/S = (maxD−minD)/√(nQ−S²) a
+    single fixed-spelling double from exact HUGEINT/DECIMAL pieces
+    (x² forces the decimal lane at 100 TB: 10¹³ cents/day squares past
+    int64). Per-block R/S quantizes to 1e-6 and per-n log-means to 1e-9
+    BEFORE their sums, so no accumulation order exists anywhere; the
+    4-point OLS slope runs on exact integer sums (x = the dyadic
+    exponent e, an int). Scale shape: one combinable daily groupBy is
+    the data-sized stage; everything after lives on the day-DOMAIN
+    lattice (days × 4 rows, calendar-bounded — the seasonal_decompose
+    allowlist class)."""
+    import math
+
+    daily = _daily_cents(spark, sf_dir).select("d", "rev_c")
+    idx = daily.select(
+        F.col("rev_c").alias("x"),
+        (F.row_number().over(Window.orderBy("d")) - 1)
+        .cast("bigint")
+        .alias("i"),
+    )
+    lat = idx.crossJoin(
+        F.broadcast(
+            idx.sparkSession.createDataFrame(
+                [(e, 1 << e) for e in (3, 4, 5, 6)], "e int, bn long"
+            )
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    wb = Window.partitionBy("e", "blk")
+    wc = (
+        Window.partitionBy("e", "blk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    blk = lat.withColumn("blk", F.floor(F.col("i") / F.col("bn"))).select(
+        "e",
+        "bn",
+        "blk",
+        "i",
+        F.row_number().over(Window.partitionBy("e", "blk").orderBy("i"))
+        .alias("r"),
+        F.count("*").over(wb).alias("cnt"),
+        F.sum(dec(F.col("x"))).over(wb).alias("s"),
+        F.sum(dec(F.col("x")) * F.col("x")).over(wb).alias("q"),
+        F.sum(dec(F.col("x"))).over(wc).alias("cum"),
+    )
+    dev = blk.select(
+        "e",
+        "bn",
+        "blk",
+        "cnt",
+        "s",
+        "q",
+        (F.col("bn") * F.col("cum") - F.col("r") * F.col("s")).alias("dv"),
+    )
+    var_num = (F.col("bn") * F.col("q") - F.col("s") * F.col("s"))
+    rs = (
+        dev.groupBy("e", "bn", "blk", "s", "q", "cnt")
+        .agg(F.max("dv").alias("mx"), F.min("dv").alias("mn"))
+        .filter((F.col("cnt") == F.col("bn")) & (var_num > 0))
+        .select(
+            "e",
+            "bn",
+            F.floor(
+                (F.col("mx") - F.col("mn")).cast("double")
+                / F.sqrt(var_num.cast("double"))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("rs_q"),
+        )
+    )
+    per_n = rs.groupBy("e", "bn").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("rs_q").alias("sq"),
+        F.floor(
+            F.log(
+                F.sum("rs_q").cast("double") / F.count("*") / 1000000
+            )
+            * 1000000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("yq"),
+    )
+    fit = per_n.agg(
+        F.count("*").alias("k"),
+        F.sum("e").alias("se"),
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.sum(dec(F.col("yq"))).alias("sy"),
+        F.sum(dec(F.col("e") * F.col("yq"))).alias("sey"),
+    )
+    hurst = (
+        (F.col("k") * F.col("sey") - F.col("se") * F.col("sy"))
+        .cast("double")
+        / (F.col("k") * F.col("see") - F.col("se") * F.col("se"))
+        / 1000000000
+        / math.log(2)
+    )
+    return per_n.crossJoin(F.broadcast(fit)).select(
+        F.col("bn").cast("long").alias("block_n"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        (
+            F.floor(
+                F.col("sq").cast("double") / F.col("n_blocks") / 1000000
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("mean_rs"),
+        (F.floor(hurst * 10000 + 0.5) / 10000).alias("hurst"),
+    )

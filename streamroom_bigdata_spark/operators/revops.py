@@ -752,3 +752,104 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ym").alias("month"), "n_brands", "laspeyres", "paasche",
         "fisher",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14: net / gross revenue retention (the SaaS-metric pair the LTV and
+# retention-cohort readouts don't give directly)
+# ---------------------------------------------------------------------------
+
+nrr_oracle = """
+WITH rev AS (
+  SELECT o_custkey AS cust,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+), paired AS (
+  SELECT p.ym AS prev_ym,
+         CASE WHEN p.ym % 100 = 12 THEN p.ym + 89 ELSE p.ym + 1 END
+           AS month,
+         p.cents AS prev_cents, coalesce(c.cents, 0) AS cur_cents
+  FROM rev p LEFT JOIN rev c
+    ON c.cust = p.cust
+   AND c.ym = CASE WHEN p.ym % 100 = 12 THEN p.ym + 89 ELSE p.ym + 1 END
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_base,
+       CAST(sum(CASE WHEN cur_cents > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       floor(CAST(sum(CAST(cur_cents AS HUGEINT)) AS DOUBLE)
+             / CAST(sum(CAST(prev_cents AS HUGEINT)) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS nrr,
+       floor(CAST(sum(CAST(least(cur_cents, prev_cents) AS HUGEINT))
+                  AS DOUBLE)
+             / CAST(sum(CAST(prev_cents AS HUGEINT)) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS grr
+FROM paired
+GROUP BY month
+"""
+
+
+@register("net_revenue_retention", nrr_oracle)
+def net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NET and GROSS revenue retention per calendar month: for every
+    customer with revenue in month m−1 (the base book), how much of that
+    book's revenue recurs in m — NRR includes expansion (a growing
+    account can push it past 1), GRR caps each account at its prior
+    spend (min(cur, prev): pure churn+contraction, never above 1). The
+    pair the board asks for that ``retention_cohorts`` (logo counts) and
+    ``ltv_cohort_curve`` (forward cumulative) don't directly give.
+
+    Exactness: revenue is exact integer cents end-to-end; the two ratios
+    are single divisions of exact HUGEINT/DECIMAL sums. Scale shape: one
+    combinable (customer, month) groupBy is the data-sized stage; the
+    month-to-next self-join is customer-keyed (shuffle_hash pinned both
+    ways — both sides grow with the customer book, the sf≈10 audit rule)
+    and everything after runs on the month domain."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("cust", "ym")
+        .agg(F.sum("c").alias("cents"))
+    )
+    nxt = F.when(F.col("ym") % 100 == 12, F.col("ym") + 89).otherwise(
+        F.col("ym") + 1
+    )
+    prev = rev.select(
+        "cust", nxt.alias("month"), F.col("cents").alias("prev_cents")
+    )
+    cur = rev.select(
+        "cust", F.col("ym").alias("month"), F.col("cents").alias("cur_cents")
+    )
+    paired = prev.hint("shuffle_hash").join(
+        cur.hint("shuffle_hash"), ["cust", "month"], "left"
+    ).select(
+        "month",
+        "prev_cents",
+        F.coalesce(F.col("cur_cents"), F.lit(0)).alias("cur_cents"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = paired.groupBy("month").agg(
+        F.count("*").alias("n_base"),
+        F.sum((F.col("cur_cents") > 0).cast("long")).alias("n_retained"),
+        F.sum(dec(F.col("cur_cents"))).alias("cur_s"),
+        F.sum(dec(F.col("prev_cents"))).alias("prev_s"),
+        F.sum(dec(F.least("cur_cents", "prev_cents"))).alias("kept_s"),
+    )
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    return agg.select(
+        "month",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_retained").cast("long").alias("n_retained"),
+        r6(F.col("cur_s").cast("double") / F.col("prev_s").cast("double"))
+        .alias("nrr"),
+        r6(F.col("kept_s").cast("double") / F.col("prev_s").cast("double"))
+        .alias("grr"),
+    )

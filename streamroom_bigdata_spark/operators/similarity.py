@@ -1733,3 +1733,96 @@ def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_to_global"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14: k-NN label prediction — the eval readout of the ANN stack
+# ---------------------------------------------------------------------------
+
+knn_label_oracle = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb FROM corpus
+  WHERE vec_id IN {QUERY_IDS}
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_COSINE_SQL}, 6) AS cosine
+  FROM q JOIN corpus c ON c.vec_id <> q.query_id
+), topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rnk
+    FROM scored
+  )
+  WHERE rnk <= {TOP_K}
+), votes AS (
+  SELECT t.query_id, c.label, CAST(count(*) AS BIGINT) AS votes
+  FROM topk t JOIN corpus c ON c.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, label AS pred_label, votes FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY votes DESC, label
+    ) AS rn
+    FROM votes
+  )
+  WHERE rn = 1
+)
+SELECT p.query_id, c.label AS true_label, p.pred_label, p.votes,
+       CAST(CASE WHEN c.label = p.pred_label THEN 1 ELSE 0 END AS INT)
+         AS correct
+FROM pred p JOIN corpus c ON c.vec_id = p.query_id
+"""
+
+
+@register("knn_label_predict", knn_label_oracle)
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN CLASSIFIER over the embedding corpus: each query's label is
+    predicted by majority vote of its TOP_K exact-cosine neighbors (ties
+    to the smaller label, matching the oracle's row_number) and compared
+    to its true label — the eval readout that turns the ANN stack into a
+    measurable model (label agreement is the standard embedding-quality
+    probe before any training run spends GPU time on the corpus).
+
+    Shape: composes ``cosine_topk`` (one mapInPandas matmul scan, k·|Q|
+    survivors) with a label lookup where the BOUNDED side broadcasts —
+    the corpus-sized label relation streams through one broadcast-hash
+    join against the |Q|·k neighbor rows; voting and the argmax window
+    run on |Q|·k and |Q|·labels rows respectively. Nothing data-sized
+    shuffles after the scan, at any corpus size."""
+    nb = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    votes = (
+        labels.join(
+            F.broadcast(nb), labels.vec_id == nb.neighbor_id
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        truth.join(F.broadcast(pred), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "votes",
+            (F.col("true_label") == F.col("pred_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )

@@ -113,3 +113,48 @@ def test_probe_k_and_self_exclusion(spark, chain):
     # ADC similarity and must surface at rank 1
     top = {r.query_id: r.neighbor_id for r in incl.filter("rnk = 1").collect()}
     assert all(q_id == n_id for q_id, n_id in top.items())
+
+
+def test_streaming_ingest_agrees_with_batch_chain(spark, chain, tmp_path):
+    """Streaming the non-build batches through the foreachBatch sink
+    produces a probe-identical index to the batch ingest chain — the
+    micro-batch boundary is just a generation boundary."""
+    import os
+
+    from streamroom_bigdata_spark.operators.annindex import (
+        streaming_ann_index_sink,
+    )
+    from streamroom_bigdata_spark.sources import load_table
+
+    idx_batch, emb = chain
+    # offline build on batch0, as in the chain fixture
+    idx_stream = str(tmp_path / "stream_idx")
+    ann_index_build(spark, idx_stream, emb.filter(F.col("vec_id") % 3 == 0))
+
+    # stage batches 1 and 2 as two parquet files with distinct mtimes
+    # (file-source micro-batch order follows mtime — verify-skill gotcha)
+    raw = load_table(spark, SF_SMOKE, "embeddings")
+    src = tmp_path / "stream_src"
+    for b in (1, 2):
+        part = str(src / f"b{b}")
+        raw.filter(F.col("vec_id") % 3 == b).coalesce(1).write.parquet(part)
+        for root, _, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1000 + b, 1000 + b))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(streaming_ann_index_sink(idx_stream))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    qdf = _queries_of(emb)
+    a = sorted(map(tuple, ann_index_probe(spark, idx_batch, qdf).collect()))
+    b = sorted(map(tuple, ann_index_probe(spark, idx_stream, qdf).collect()))
+    assert a == b
