@@ -1365,19 +1365,28 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the pair key. No stage is parts² at any scale."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # the orders projection is fact-sized too — without the pin AQE was
+    # broadcasting it into the lineitem join (9 MiB at sf0.1 -> ~1 GB at
+    # cluster scale)
     items = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        orders.hint("shuffle_hash").join(
+            li, orders.o_orderkey == li.l_orderkey
+        )
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     )
     deg = items.groupBy("cust").agg(F.count("*").alias("dg"))
-    contrib = items.join(deg, "cust").filter(
+    # shuffle_hash pins (round-14 audit catch): the customer-degree
+    # relation AND both self-join sides grow with the customer book —
+    # AQE was broadcasting 41 MiB of them at sf0.1 (≈4 GB at sf≈10, the
+    # bpe_encode class of executor-killer)
+    contrib = items.join(deg.hint("shuffle_hash"), "cust").filter(
         (F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG)
     )
     a = contrib.select("cust", F.col("part").alias("part_a"), "dg")
     b = contrib.select("cust", F.col("part").alias("part_b"))
     return (
-        a.join(b, "cust")
+        a.join(b.hint("shuffle_hash"), "cust")
         .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(
@@ -1671,15 +1680,19 @@ def jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     items = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        orders.hint("shuffle_hash").join(
+            li, orders.o_orderkey == li.l_orderkey
+        )
         .select(
             F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
         )
         .distinct()
     )
     deg = items.groupBy("cust").agg(F.count("*").alias("dg"))
+    # same pins as adamic_adar_links: degree relation + self-join sides
+    # are customer-book-sized, never broadcastable
     contrib = (
-        items.join(deg, "cust")
+        items.join(deg.hint("shuffle_hash"), "cust")
         .filter((F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG))
         .select("cust", "part")
     )
@@ -1687,7 +1700,7 @@ def jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = contrib.select("cust", F.col("part").alias("part_a"))
     b = contrib.select("cust", F.col("part").alias("part_b"))
     pairs = (
-        a.join(b, "cust")
+        a.join(b.hint("shuffle_hash"), "cust")
         .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_common"))
