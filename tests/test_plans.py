@@ -154,6 +154,15 @@ _ALLOWED_FACT_BROADCASTS = {
     # (literal-key-bounded QUERY_IDS); the 640-row integer ADC table is
     # createDataFrame-built, not fact-derived
     "ann_ivfpq_cosine": 3,
+    # round-14 wave — every hinted side bounded by design:
+    # 1-row 4-point OLS fit broadcast back onto the per-n rows (the
+    # dyadic lattice literal is createDataFrame-built, not fact-derived)
+    "hurst_exponent_daily": 1,
+    # |Q|·TOP_K neighbor rows + |Q|-row prediction (literal-key-bounded
+    # QUERY_IDS — the ann_lsh_cosine class)
+    "knn_label_predict": 2,
+    # sensitive-value-DOMAIN global distribution (≤ |priorities| rows)
+    "t_closeness_profile": 1,
     # round-13 wave — every hinted side a 1-row scalar or a
     # catalog/domain-bounded aggregate:
     # 1-row corpus doc count

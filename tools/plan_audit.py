@@ -74,6 +74,12 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # day-DOMAIN series (the bollinger shape; data-sized stage is the
     # combinable daily groupBy)
     "rsi_daily_revenue": 1,
+    # round-14: the day-index row_number over the daily aggregate feeds
+    # the dyadic block lattice — calendar-bounded input (the
+    # seasonal_decompose class); all block windows are (e, blk)-
+    # partitioned. Two plan occurrences = the same day-index window
+    # consumed by both the rs and per_n subtrees.
+    "hurst_exponent_daily": 2,
     # cumulative LLR over the day-DOMAIN daily-conversion series (the
     # cusum_changepoint shape)
     "sprt_ab_sequential": 1,
