@@ -191,14 +191,40 @@ def main() -> int:
     PRECHECK_S = 3.0
 
     def _steal_precheck() -> dict:
+        # idle window first...
         s0 = _steal_jiffies()
         time.sleep(PRECHECK_S)
-        d = _steal_jiffies() - s0
+        idle_d = _steal_jiffies() - s0
+        # ...then a LOADED window: steal on this box is LOAD-CORRELATED
+        # (round-14 finding: two runs with 0 j/s idle pre-checks both hit
+        # ~4.2k jiffies once the 32 cores spun up — the hypervisor only
+        # steals from cores we actually use, so an idle probe cannot see
+        # it). Spin every core briefly and measure steal under load.
+        import multiprocessing as mp
+
+        def _burn(stop_t):
+            while time.perf_counter() < stop_t:
+                pass
+
+        ncpu = os.cpu_count() or 8
+        stop_t = time.perf_counter() + PRECHECK_S
+        s0 = _steal_jiffies()
+        procs = [
+            mp.Process(target=_burn, args=(stop_t,), daemon=True)
+            for _ in range(ncpu)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        loaded_d = _steal_jiffies() - s0
         return {
             "window_s": PRECHECK_S,
-            "jiffies": d,
-            "jps": round(d / PRECHECK_S, 1),
-            "storm": d / PRECHECK_S > STORM_JPS,
+            "idle_jiffies": idle_d,
+            "idle_jps": round(idle_d / PRECHECK_S, 1),
+            "loaded_jiffies": loaded_d,
+            "loaded_jps": round(loaded_d / PRECHECK_S, 1),
+            "storm": max(idle_d, loaded_d) / PRECHECK_S > STORM_JPS,
         }
 
     pre = _steal_precheck()

@@ -974,3 +974,102 @@ def assoc_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14: inter-purchase-gap churn risk (the exact-integer BG-lite)
+# ---------------------------------------------------------------------------
+
+purchase_gap_oracle = """
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(floor(epoch_ms(CAST(min(o_orderdate) AS TIMESTAMP))
+                    / 86400000.0) AS BIGINT) AS first_d,
+         CAST(floor(epoch_ms(CAST(max(o_orderdate) AS TIMESTAMP))
+                    / 86400000.0) AS BIGINT) AS last_d
+  FROM orders GROUP BY 1
+), corpus AS (
+  SELECT max(last_d) AS m FROM per_cust
+), seg AS (
+  SELECT c_custkey AS cust, c_mktsegment AS segment FROM customer
+), flags AS (
+  SELECT s.segment,
+         CASE WHEN p.n_orders >= 3 AND p.last_d > p.first_d
+              THEN 1 ELSE 0 END AS assessable,
+         CASE WHEN p.n_orders >= 3 AND p.last_d > p.first_d
+                   AND (co.m - p.last_d) * (p.n_orders - 1)
+                       > 2 * (p.last_d - p.first_d)
+              THEN 1 ELSE 0 END AS overdue
+  FROM per_cust p JOIN seg s ON s.cust = p.cust CROSS JOIN corpus co
+)
+SELECT segment,
+       CAST(sum(assessable) AS BIGINT) AS n_assessable,
+       CAST(sum(overdue) AS BIGINT) AS n_overdue,
+       floor(CAST(sum(overdue) AS DOUBLE) / CAST(sum(assessable) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS overdue_share
+FROM flags
+GROUP BY segment
+"""
+
+
+@register("purchase_gap_churn_risk", purchase_gap_oracle)
+def purchase_gap_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-PURCHASE-GAP churn risk per market segment — the
+    exact-integer BG/NBD-lite: a customer with n≥3 orders whose silence
+    since their last order exceeds 2× their own average gap is OVERDUE
+    (their history says they should have bought again by now). The
+    actionable churn readout `retention_cohorts` (calendar logo decay)
+    and `net_revenue_retention` (book revenue) don't give: WHO is
+    overdue relative to their OWN cadence, not the calendar's.
+
+    Exactness: the threshold is the pure-integer inequality
+    (M − last)·(n−1) > 2·(last − first) — average gap = span/(n−1) never
+    materializes as a float, so no customer can flip on rounding. Shape:
+    ONE combinable custkey groupBy over orders (the data-sized stage),
+    the corpus max-day as a 1-row broadcast, a customer-keyed segment
+    join (shuffle_hash pinned — the customer book grows with the
+    corpus), and a segment-domain final aggregate."""
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = od.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.count("*").alias("n_orders"),
+        F.floor(
+            epoch_ms(F.min("o_orderdate").cast("timestamp")) / 86400000
+        )
+        .cast("bigint")
+        .alias("first_d"),
+        F.floor(
+            epoch_ms(F.max("o_orderdate").cast("timestamp")) / 86400000
+        )
+        .cast("bigint")
+        .alias("last_d"),
+    )
+    corpus = per_cust.agg(F.max("last_d").alias("m"))
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    assessable = (F.col("n_orders") >= 3) & (
+        F.col("last_d") > F.col("first_d")
+    )
+    overdue = assessable & (
+        (F.col("m") - F.col("last_d")) * (F.col("n_orders") - 1)
+        > 2 * (F.col("last_d") - F.col("first_d"))
+    )
+    flags = (
+        per_cust.join(seg.hint("shuffle_hash"), "cust")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "segment",
+            assessable.cast("long").alias("assessable"),
+            overdue.cast("long").alias("overdue"),
+        )
+    )
+    share = F.sum("overdue").cast("double") / F.sum("assessable").cast(
+        "double"
+    )
+    return flags.groupBy("segment").agg(
+        F.sum("assessable").cast("long").alias("n_assessable"),
+        F.sum("overdue").cast("long").alias("n_overdue"),
+        (F.floor(share * 1000000 + 0.5) / 1000000).alias("overdue_share"),
+    )

@@ -1832,3 +1832,122 @@ def hellinger_value_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hellinger"
         ),
     ).select("n_a", "n_b", "n_bins", "bhattacharyya", "hellinger")
+
+
+# ---------------------------------------------------------------------------
+# Round-14: partial autocorrelation (Durbin-Levinson closed form, lags 1-3)
+# ---------------------------------------------------------------------------
+
+pacf_oracle = """
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000.0)
+              AS BIGINT) AS d,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY d
+), mom AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(y) AS HUGEINT) AS s
+  FROM daily
+), c AS MATERIALIZED (
+  SELECT d, n * y - s AS v FROM daily CROSS JOIN mom
+), ss AS (
+  SELECT sum(v * v) AS ss FROM c
+), r AS (
+  SELECT l.lag, sum(a.v * b.v) AS num
+  FROM (SELECT unnest([1, 2, 3]) AS lag) l
+  JOIN c a ON true
+  JOIN c b ON b.d = a.d + l.lag
+  GROUP BY l.lag
+), rho AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+    max(CASE WHEN lag = 1 THEN CAST(num AS DOUBLE) END)
+      / (SELECT CAST(ss AS DOUBLE) FROM ss) AS r1,
+    max(CASE WHEN lag = 2 THEN CAST(num AS DOUBLE) END)
+      / (SELECT CAST(ss AS DOUBLE) FROM ss) AS r2,
+    max(CASE WHEN lag = 3 THEN CAST(num AS DOUBLE) END)
+      / (SELECT CAST(ss AS DOUBLE) FROM ss) AS r3
+  FROM r
+), dl AS (
+  SELECT n_days, r1, r2, r3,
+         (r2 - r1 * r1) / (1 - r1 * r1) AS p2
+  FROM rho
+), dl2 AS (
+  SELECT n_days, r1, r2, r3, p2,
+         r1 - p2 * r1 AS q21
+  FROM dl
+)
+SELECT n_days,
+       floor(r1 * 1000000 + 0.5) / 1000000 AS pacf1,
+       floor(p2 * 1000000 + 0.5) / 1000000 AS pacf2,
+       floor((r3 - q21 * r2 - p2 * r1) / (1 - q21 * r1 - p2 * r2)
+             * 1000000 + 0.5) / 1000000 AS pacf3
+FROM dl2
+"""
+
+
+@register("pacf_daily_revenue", pacf_oracle)
+def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL autocorrelation of daily revenue at lags 1-3 via the
+    closed-form Durbin-Levinson recursion — the AR-order selector that
+    `acf_daily_revenue` can't be: ACF of an AR(1) decays forever; PACF
+    cuts off sharply after the true order, so pacf2/pacf3 ≈ 0 says lag-1
+    dynamics suffice (what `granger_causality_daily` and `ewma_values`
+    implicitly assume).
+
+    Exactness, one step harder than ACF's cancelling float sums: the
+    centered products clear the mean's denominator — v_t = n·y_t − S is
+    an exact HUGEINT/DECIMAL (cents), so Σv_t·v_{t+k} and Σv² are exact
+    and each ρ_k is ONE double division of exact ints, bit-identical on
+    both engines; the Durbin-Levinson algebra then runs on identical
+    doubles in identical spelling. Shape: one combinable daily groupBy;
+    the 3-lag spine and self-equi-join live on the day DOMAIN; no
+    window at all."""
+    from ..functions.timeutil import epoch_ms
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = (
+        od.select(
+            F.floor(
+                epoch_ms(F.col("o_orderdate").cast("timestamp")) / 86400000
+            )
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("y"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = daily.agg(F.count("*").alias("n"), F.sum("y").alias("s"))
+    cent = daily.crossJoin(F.broadcast(mom)).select(
+        "d", (dec(F.col("n")) * F.col("y") - dec(F.col("s"))).alias("v")
+    )
+    n_days = int(mom.collect()[0]["n"])
+    ss = cent.agg(F.sum(F.col("v") * F.col("v")).alias("ss"))
+    lagged = cent.select(
+        "d", "v", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("lag")
+    )
+    b = cent.select(F.col("d").alias("d2"), F.col("v").alias("v2"))
+    r = (
+        lagged.join(b, F.col("d2") == F.col("d") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("v") * F.col("v2")).alias("num"))
+    )
+    rho = r.crossJoin(F.broadcast(ss)).select(
+        "lag",
+        (F.col("num").cast("double") / F.col("ss").cast("double")).alias(
+            "rho"
+        ),
+    )
+    wide = rho.groupBy().pivot("lag", [1, 2, 3]).agg(F.first("rho"))
+    r1, r2, r3 = F.col("1"), F.col("2"), F.col("3")
+    p2 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    q21 = r1 - p2 * r1
+    p3 = (r3 - q21 * r2 - p2 * r1) / (F.lit(1.0) - q21 * r1 - p2 * r2)
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    return wide.select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        r6(r1).alias("pacf1"),
+        r6(p2).alias("pacf2"),
+        r6(p3).alias("pacf3"),
+    )

@@ -1723,3 +1723,164 @@ def jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg_b").cast("long").alias("deg_b"),
         (F.floor(jac * 1000000 + 0.5) / 1000000).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 second wave: preferential attachment + resource allocation —
+# completing the classic link-prediction quartet (AA, Jaccard, PA, RA)
+# ---------------------------------------------------------------------------
+
+pref_attach_oracle = f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+deg AS (
+  SELECT cust, count(*) AS dg FROM items GROUP BY cust
+),
+contrib AS MATERIALIZED (
+  SELECT i.cust, i.part FROM items i JOIN deg d ON d.cust = i.cust
+  WHERE d.dg BETWEEN 2 AND {AA_MAX_DEG}
+),
+pdeg AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS pd FROM contrib GROUP BY part
+),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM contrib a JOIN contrib b
+    ON a.cust = b.cust AND a.part < b.part
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.n_common,
+       CAST(da.pd * db.pd AS BIGINT) AS pa_score
+FROM pairs p
+JOIN pdeg da ON da.part = p.part_a
+JOIN pdeg db ON db.part = p.part_b
+"""
+
+
+@register("preferential_attachment_links", pref_attach_oracle)
+def preferential_attachment_links(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PREFERENTIAL-ATTACHMENT link score deg(a)·deg(b) over the same
+    degree-capped candidate pairs as `adamic_adar_links` /
+    `jaccard_links` — the rich-get-richer baseline of the classic
+    link-prediction quartet (Liben-Nowell & Kleinberg 2007): AA weights
+    rare witnesses, Jaccard normalizes by union, PA ignores witnesses
+    entirely and bets on hub mass. Serving all four off ONE candidate
+    relation is the point — a ranker ensembles them without recomputing
+    the pair stage. Score is an exact BIGINT product; same capped
+    customer-keyed self-join and pinned part-degree joins as the
+    siblings (the round-14 audit shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        orders.hint("shuffle_hash").join(
+            li, orders.o_orderkey == li.l_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    deg = items.groupBy("cust").agg(F.count("*").alias("dg"))
+    contrib = (
+        items.join(deg.hint("shuffle_hash"), "cust")
+        .filter((F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG))
+        .select("cust", "part")
+    )
+    pdeg = contrib.groupBy("part").agg(F.count("*").alias("pd"))
+    a = contrib.select("cust", F.col("part").alias("part_a"))
+    b = contrib.select("cust", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "cust")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    da = pdeg.select(F.col("part").alias("part_a"), F.col("pd").alias("da"))
+    db = pdeg.select(F.col("part").alias("part_b"), F.col("pd").alias("db"))
+    return (
+        pairs.join(da.hint("shuffle_hash"), "part_a")
+        .join(db.hint("shuffle_hash"), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("da") * F.col("db")).cast("long").alias("pa_score"),
+        )
+    )
+
+
+resource_alloc_oracle = f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+deg AS (
+  SELECT cust, count(*) AS dg FROM items GROUP BY cust
+),
+contrib AS (
+  SELECT i.cust, i.part, d.dg FROM items i JOIN deg d ON d.cust = i.cust
+  WHERE d.dg BETWEEN 2 AND {AA_MAX_DEG}
+)
+SELECT a.part AS part_a, b.part AS part_b,
+       CAST(count(*) AS BIGINT) AS n_common,
+       floor(sum(1.0 / a.dg) * 1000000 + 0.5) / 1000000 AS ra_score
+FROM contrib a JOIN contrib b
+  ON a.cust = b.cust AND a.part < b.part
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@register("resource_allocation_links", resource_alloc_oracle)
+def resource_allocation_links(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESOURCE-ALLOCATION link score Σ_{{u∈common}} 1/deg(u) (Zhou-Lü-
+    Zhang 2009) — Adamic-Adar's harder-decaying sibling (1/d vs 1/ln d):
+    on dense transaction graphs RA suppresses promiscuous witnesses
+    enough to beat AA empirically, which is why both belong in the
+    quartet. Same capped customer-keyed pair stage. 1/dg summands are
+    per-row doubles from exact ints; the per-pair sum is ≤ 40 bounded
+    terms whose grouped accumulation is engine-deterministic at the
+    published 6dp (the adamic_adar rounding discipline)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        orders.hint("shuffle_hash").join(
+            li, orders.o_orderkey == li.l_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    deg = items.groupBy("cust").agg(F.count("*").alias("dg"))
+    contrib = items.join(deg.hint("shuffle_hash"), "cust").filter(
+        (F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG)
+    )
+    a = contrib.select("cust", F.col("part").alias("part_a"), "dg")
+    b = contrib.select("cust", F.col("part").alias("part_b"))
+    ra = F.sum(1.0 / F.col("dg"))
+    return (
+        a.join(b.hint("shuffle_hash"), "cust")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            (F.floor(ra * 1000000 + 0.5) / 1000000).alias("ra_score"),
+        )
+        .filter(F.col("n_common") >= 2)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            "ra_score",
+        )
+    )

@@ -2571,3 +2571,210 @@ def moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_above").cast("long").alias("b_above"),
         (F.floor(chi2 * 1000000 + 0.5) / 1000000).alias("chi2"),
     )
+
+
+kuiper_oracle = f"""
+WITH ev AS (
+  SELECT value AS v,
+         CASE WHEN event_type = '{WS_GROUP_A}' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = '{WS_GROUP_B}' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('{WS_GROUP_A}', '{WS_GROUP_B}')
+), vals AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS a_cnt,
+         CAST(sum(is_b) AS BIGINT) AS b_cnt
+  FROM ev GROUP BY v
+), tot AS (
+  SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a,
+         CAST(sum(b_cnt) AS BIGINT) AS n_b
+  FROM vals
+), cum AS (
+  SELECT sum(a_cnt) OVER w AS ma, sum(b_cnt) OVER w AS mb
+  FROM vals
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), d AS (
+  SELECT max(CAST(ma AS HUGEINT) * n_b - CAST(mb AS HUGEINT) * n_a)
+           AS d_plus_i,
+         max(CAST(mb AS HUGEINT) * n_a - CAST(ma AS HUGEINT) * n_b)
+           AS d_minus_i,
+         n_a, n_b
+  FROM cum CROSS JOIN tot
+  GROUP BY n_a, n_b
+)
+SELECT n_a, n_b,
+       floor(CAST(greatest(d_plus_i, 0) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * n_b) * 1000000 + 0.5) / 1000000
+         AS d_plus,
+       floor(CAST(greatest(d_minus_i, 0) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * n_b) * 1000000 + 0.5) / 1000000
+         AS d_minus,
+       floor(CAST(greatest(d_plus_i, 0) + greatest(d_minus_i, 0) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * n_b) * 1000000 + 0.5) / 1000000
+         AS kuiper_v
+FROM d
+"""
+
+
+@register("kuiper_test_values", kuiper_oracle)
+def kuiper_test_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KUIPER statistic V = D⁺ + D⁻ (max one-sided CDF gaps,
+    summed): the rotation-invariant cousin of KS — equally sensitive at
+    the distribution's center AND tails/wrap point, the standard choice
+    for cyclic domains (time-of-day, phase) where KS's single sup misses
+    a shift that moves mass symmetrically. Both one-sided gaps read off
+    the SAME ranking-kernel cumulatives as KS; D⁺/D⁻ stay exact integers
+    (cumA·n_b − cumB·n_a in HUGEINT/DECIMAL, clamped at 0) until the one
+    double division each."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(WS_GROUP_A, WS_GROUP_B))
+        .select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == WS_GROUP_A).cast("long").alias("is_a"),
+            (F.col("event_type") == WS_GROUP_B).cast("long").alias("is_b"),
+        )
+    )
+    vals = ev.groupBy("v").agg(
+        F.sum("is_a").alias("a_cnt"), F.sum("is_b").alias("b_cnt")
+    )
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        vals,
+        ["v"],
+        [("a", F.sum("a_cnt")), ("b", F.sum("b_cnt"))],
+        shuffle_partition_count(spark),
+    )
+    n_a, n_b = int(totals["a"]), int(totals["b"])
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ma = F.col("off_a") + F.sum("a_cnt").over(w)
+    mb = F.col("off_b") + F.sum("b_cnt").over(w)
+    d = (
+        ranged.join(F.broadcast(offsets_df), "pid")
+        .select(
+            (dec(ma) * n_b - dec(mb) * n_a).alias("dp"),
+            (dec(mb) * n_a - dec(ma) * n_b).alias("dm"),
+        )
+        .agg(F.max("dp").alias("d_plus_i"), F.max("dm").alias("d_minus_i"))
+    )
+    nn = F.lit(float(n_a)) * n_b
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,0)")
+    dp = F.greatest(F.col("d_plus_i"), zero)
+    dm = F.greatest(F.col("d_minus_i"), zero)
+    return d.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        r6(dp.cast("double") / nn).alias("d_plus"),
+        r6(dm.cast("double") / nn).alias("d_minus"),
+        r6((dp + dm).cast("double") / nn).alias("kuiper_v"),
+    )
+
+
+cliffs_delta_oracle = f"""
+WITH ev AS (
+  SELECT value AS v,
+         CASE WHEN event_type = '{WS_GROUP_A}' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = '{WS_GROUP_B}' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('{WS_GROUP_A}', '{WS_GROUP_B}')
+), vals AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS a_cnt,
+         CAST(sum(is_b) AS BIGINT) AS b_cnt
+  FROM ev GROUP BY v
+), cum AS (
+  SELECT a_cnt, b_cnt,
+         sum(b_cnt) OVER w - b_cnt AS b_below,
+         sum(a_cnt) OVER w - a_cnt AS a_below
+  FROM vals
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a,
+         CAST(sum(b_cnt) AS BIGINT) AS n_b,
+         sum(CAST(a_cnt AS HUGEINT) * b_below) AS gt,
+         sum(CAST(b_cnt AS HUGEINT) * a_below) AS lt,
+         sum(CAST(a_cnt AS HUGEINT) * b_cnt) AS ties
+  FROM cum
+)
+SELECT n_a, n_b,
+       CAST(gt AS BIGINT) AS n_greater, CAST(lt AS BIGINT) AS n_less,
+       CAST(ties AS BIGINT) AS n_ties,
+       floor(CAST(gt - lt AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+             * 1000000 + 0.5) / 1000000 AS cliffs_delta
+FROM s
+"""
+
+
+@register("cliffs_delta_values", cliffs_delta_oracle)
+def cliffs_delta_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIFF'S DELTA δ = (#{{a>b}} − #{{a<b}})/(n_a·n_b): the ORDINAL
+    effect size completing the pair with `cohens_d_arms` — d assumes
+    metric scale and finite variance; δ only needs order, caps at ±1,
+    and is what Mann-Whitney's p-value should be reported WITH (at
+    corpus scale everything is significant; δ says by how much the
+    distributions actually separate). Both dominance counts come from
+    the energy-distance cross-pair identity on the ranking-kernel
+    cumulatives — #{{a>b}} = Σ_v a_cnt·(B below v) — so the whole
+    statistic is exact integers until one double division; ties are
+    counted (and published) exactly."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(WS_GROUP_A, WS_GROUP_B))
+        .select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == WS_GROUP_A).cast("long").alias("is_a"),
+            (F.col("event_type") == WS_GROUP_B).cast("long").alias("is_b"),
+        )
+    )
+    vals = ev.groupBy("v").agg(
+        F.sum("is_a").alias("a_cnt"), F.sum("is_b").alias("b_cnt")
+    )
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        vals,
+        ["v"],
+        [("a", F.sum("a_cnt")), ("b", F.sum("b_cnt"))],
+        shuffle_partition_count(spark),
+    )
+    n_a, n_b = int(totals["a"]), int(totals["b"])
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    b_below = F.col("off_b") + F.sum("b_cnt").over(w) - F.col("b_cnt")
+    a_below = F.col("off_a") + F.sum("a_cnt").over(w) - F.col("a_cnt")
+    s = (
+        ranged.join(F.broadcast(offsets_df), "pid")
+        .select(
+            (dec(F.col("a_cnt")) * dec(b_below)).alias("gt"),
+            (dec(F.col("b_cnt")) * dec(a_below)).alias("lt"),
+            (dec(F.col("a_cnt")) * F.col("b_cnt")).alias("ties"),
+        )
+        .agg(
+            F.sum("gt").alias("gt"),
+            F.sum("lt").alias("lt"),
+            F.sum("ties").alias("ties"),
+        )
+    )
+    return s.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.col("gt").cast("long").alias("n_greater"),
+        F.col("lt").cast("long").alias("n_less"),
+        F.col("ties").cast("long").alias("n_ties"),
+        (
+            F.floor(
+                (F.col("gt") - F.col("lt")).cast("double")
+                / (F.lit(float(n_a)) * n_b)
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("cliffs_delta"),
+    )

@@ -1874,3 +1874,243 @@ def newey_west_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("nw_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14: residual-diagnostic pair for the daily trend — Durbin-Watson
+# (autocorrelation) and Breusch-Pagan (heteroscedasticity)
+# ---------------------------------------------------------------------------
+
+_TREND_RESID_SQL = """
+daily AS (
+  SELECT CAST(floor(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000.0)
+              AS BIGINT) AS d,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY d
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         sum(CAST(d AS HUGEINT) * d) AS sxx,
+         sum(CAST(d AS HUGEINT) * y) AS sxy
+  FROM daily
+), fit AS (
+  SELECT n, sx, sxx,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS b,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+  FROM mom
+), resid AS (
+  SELECT d, n,
+         CAST(floor(abs((y - ybar) - b * (d - xbar)) / 100.0 + 0.5)
+              AS BIGINT)
+           * CASE WHEN (y - ybar) - b * (d - xbar) >= 0 THEN 1 ELSE -1 END
+           AS eq
+  FROM daily CROSS JOIN fit
+)
+"""
+
+durbin_watson_oracle = f"""
+WITH {_TREND_RESID_SQL}, lagged AS (
+  SELECT n, eq, lag(eq) OVER (ORDER BY d) AS ep FROM resid
+)
+SELECT max(n) AS n_days,
+       floor(CAST(sum(CASE WHEN ep IS NULL THEN 0
+                           ELSE CAST(eq - ep AS HUGEINT) * (eq - ep) END)
+                  AS DOUBLE)
+             / CAST(sum(CAST(eq AS HUGEINT) * eq) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS dw_stat
+FROM lagged
+"""
+
+
+@register("durbin_watson_daily", durbin_watson_oracle)
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURBIN-WATSON statistic of the daily-revenue trend residuals —
+    the canonical lag-1 autocorrelation diagnostic (DW≈2 none, →0
+    positive, →4 negative): the quick gate that decides whether
+    `newey_west_se`'s HAC correction is even needed before paying its
+    L-lag kernel. Residuals come from the SAME closed-form exact-moment
+    OLS as newey_west (identical IEEE doubles both engines), quantized
+    to integer DOLLARS before any sum — numerator and denominator are
+    exact HUGEINT/DECIMAL sums of int products, one double division.
+    Shape: one combinable daily groupBy; one day-DOMAIN lag window
+    (calendar-bounded, allowlisted)."""
+    from ..functions.timeutil import epoch_ms
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = (
+        od.select(
+            F.floor(
+                epoch_ms(F.col("o_orderdate").cast("timestamp")) / 86400000
+            )
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("y"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("d")) * F.col("d")).alias("sxx"),
+        F.sum(dec(F.col("d")) * F.col("y")).alias("sxy"),
+    )
+    nd = dec(F.col("n"))
+    fit = mom.select(
+        "n",
+        (
+            (nd * F.col("sxy") - dec(F.col("sx")) * F.col("sy"))
+            .cast("double")
+            / (nd * F.col("sxx") - dec(F.col("sx")) * F.col("sx"))
+            .cast("double")
+        ).alias("b"),
+        (F.col("sy").cast("double") / F.col("n").cast("double")).alias(
+            "ybar"
+        ),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "xbar"
+        ),
+    )
+    e = (F.col("y") - F.col("ybar")) - F.col("b") * (
+        F.col("d") - F.col("xbar")
+    )
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "d",
+        "n",
+        (
+            F.floor(F.abs(e) / 100.0 + 0.5).cast("bigint")
+            * F.when(e >= 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias("eq"),
+    )
+    lagged = resid.select(
+        "n", "eq", F.lag("eq").over(Window.orderBy("d")).alias("ep")
+    )
+    num = F.sum(
+        F.when(F.col("ep").isNull(), F.lit(0).cast("decimal(38,0)")).otherwise(
+            dec(F.col("eq") - F.col("ep")) * (F.col("eq") - F.col("ep"))
+        )
+    )
+    den = F.sum(dec(F.col("eq")) * F.col("eq"))
+    return lagged.agg(
+        F.max("n").alias("n_days"),
+        (
+            F.floor(num.cast("double") / den.cast("double") * 1000000 + 0.5)
+            / 1000000
+        ).alias("dw_stat"),
+    )
+
+
+breusch_pagan_oracle = f"""
+WITH {_TREND_RESID_SQL}, aux AS (
+  SELECT n, d, CAST(eq AS HUGEINT) * eq AS u FROM resid
+), am AS (
+  SELECT max(n) AS n,
+         CAST(sum(d) AS HUGEINT) AS sx,
+         sum(CAST(d AS HUGEINT) * d) AS sxx,
+         sum(u) AS su,
+         sum(u * d) AS sud,
+         sum(u * u) AS suu
+  FROM aux
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       floor(CAST(n AS DOUBLE)
+             * (CAST(n * sud - sx * su AS DOUBLE)
+                * CAST(n * sud - sx * su AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * suu - su * su AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS bp_lm
+FROM am
+"""
+
+
+@register("breusch_pagan_daily", breusch_pagan_oracle)
+def breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BREUSCH-PAGAN heteroscedasticity test (Koenker's studentized LM
+    form — n·R² of the squared-residual-on-regressor auxiliary fit) for
+    the daily-revenue trend: growing revenue usually means growing
+    VARIANCE, which biases the i.i.d. OLS SE that `newey_west_se`
+    corrects for autocorrelation but not scale — this is the other half
+    of that diagnosis. χ²(1) under homoscedasticity.
+
+    Exactness: residuals are the shared closed-form-OLS doubles
+    quantized to integer dollars; u = eq² and every auxiliary moment
+    (Σu, Σud, Σu²) accumulates in exact HUGEINT/DECIMAL — R² is a ratio
+    of exact-int co-moments converted once (the granger determinant
+    discipline; the ~10³⁴ Σu² term is why dollars, not cents — the
+    decimal(38) envelope then holds past sf≈1000). One combinable daily
+    groupBy; NO window at all (the lag-free member of the residual
+    pair)."""
+    from ..functions.timeutil import epoch_ms
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = (
+        od.select(
+            F.floor(
+                epoch_ms(F.col("o_orderdate").cast("timestamp")) / 86400000
+            )
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("y"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("d")) * F.col("d")).alias("sxx"),
+        F.sum(dec(F.col("d")) * F.col("y")).alias("sxy"),
+    )
+    nd = dec(F.col("n"))
+    fit = mom.select(
+        "n",
+        (
+            (nd * F.col("sxy") - dec(F.col("sx")) * F.col("sy"))
+            .cast("double")
+            / (nd * F.col("sxx") - dec(F.col("sx")) * F.col("sx"))
+            .cast("double")
+        ).alias("b"),
+        (F.col("sy").cast("double") / F.col("n").cast("double")).alias(
+            "ybar"
+        ),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "xbar"
+        ),
+    )
+    e = (F.col("y") - F.col("ybar")) - F.col("b") * (
+        F.col("d") - F.col("xbar")
+    )
+    aux = daily.crossJoin(F.broadcast(fit)).select(
+        "n",
+        "d",
+        (
+            dec(
+                F.floor(F.abs(e) / 100.0 + 0.5).cast("bigint")
+                * F.when(e >= 0, F.lit(1)).otherwise(F.lit(-1))
+            )
+        ).alias("eqd"),
+    ).select("n", "d", (F.col("eqd") * F.col("eqd")).alias("u"))
+    am = aux.agg(
+        F.max("n").alias("n"),
+        F.sum(dec(F.col("d"))).alias("sx"),
+        F.sum(dec(F.col("d")) * F.col("d")).alias("sxx"),
+        F.sum("u").alias("su"),
+        F.sum(F.col("u") * F.col("d")).alias("sud"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+    )
+    nn = dec(F.col("n"))
+    cxu = (nn * F.col("sud") - F.col("sx") * F.col("su")).cast("double")
+    cxx = (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cuu = (nn * F.col("suu") - F.col("su") * F.col("su")).cast("double")
+    bp = F.col("n").cast("double") * (cxu * cxu) / (cxx * cuu)
+    return am.select(
+        F.col("n").cast("long").alias("n_days"),
+        (F.floor(bp * 10000 + 0.5) / 10000).alias("bp_lm"),
+    )

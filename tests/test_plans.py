@@ -155,6 +155,14 @@ _ALLOWED_FACT_BROADCASTS = {
     # createDataFrame-built, not fact-derived
     "ann_ivfpq_cosine": 3,
     # round-14 wave — every hinted side bounded by design:
+    # 1-row closed-form OLS fit broadcast onto the day-domain residuals
+    "durbin_watson_daily": 1,
+    "breusch_pagan_daily": 1,
+    # 1-row (n, S) moments + 1-row Σv² — the moment row feeds both the
+    # centering and (via subtree reuse) the lag branches
+    "pacf_daily_revenue": 4,
+    # 1-row corpus max-day scalar
+    "purchase_gap_churn_risk": 1,
     # 1-row 4-point OLS fit broadcast back onto the per-n rows (the
     # dyadic lattice literal is createDataFrame-built, not fact-derived)
     "hurst_exponent_daily": 1,

@@ -80,6 +80,9 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # partitioned. Two plan occurrences = the same day-index window
     # consumed by both the rs and per_n subtrees.
     "hurst_exponent_daily": 2,
+    # round-14: lag-1 residual window over the daily aggregate
+    # (calendar-bounded — the rsi/newey_west class)
+    "durbin_watson_daily": 1,
     # cumulative LLR over the day-DOMAIN daily-conversion series (the
     # cusum_changepoint shape)
     "sprt_ab_sequential": 1,
