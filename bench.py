@@ -126,6 +126,15 @@ HEADLINE = [
                               # assignment + code-join ADC scoring)
     "cramer_von_mises",       # ST18 two-sample L2 via the ranking kernel
                               # with DECIMAL-exact summands
+    # round-14 representatives (reported separately vs the frozen r7
+    # table, same rule):
+    "ann_index_probe_committed",  # N4 persistent-index build+commit+probe
+                              # end-to-end (the round's headline feature;
+                              # cold = train+encode+commit+probe)
+    "energy_distance_values",  # Y1 two-sample energy distance (the
+                              # pair-free rank-formula kernel)
+    "jaccard_links",          # Y9 capped pair stage + pinned degree joins
+                              # (the round's heaviest new shuffle shape)
 ]
 
 SF1_DIR = "/tmp/sf1_synth"
