@@ -472,3 +472,26 @@ def streaming_ann_index_sink(index_dir: str):
         ann_index_ingest(spark, index_dir, emb)
 
     return sink
+
+
+def ann_index_compact(spark: SparkSession, index_dir: str) -> int:
+    """Pay down the ingest append chain: rewrite the codes table's CURRENT
+    generation as ONE freshly list_id-clustered commit. A long-lived index
+    accumulates one data dir per ingested batch; each probe then opens
+    every generation's files and the row-group skipping that
+    ``repartition(list_id).sortWithinPartitions`` bought at build time
+    decays (a batch's rows for one list are scattered across its own
+    small files). Compaction is just another commit (atomic,
+    concurrent-reader-safe, undoable via ``generation=`` time travel —
+    the manifest_compact discipline), but unlike the generic
+    ``manifest_compact`` (a plain coalesce) it RE-CLUSTERS by list_id so
+    probes regain full row-group pruning. Codebooks/centroids are frozen
+    single commits and never need it. Run on a cadence proportional to
+    ingest frequency — the incdedup manifest guidance, applied to L3.
+    Returns the new codes generation."""
+    codes = (
+        manifest_read(spark, f"{index_dir}/{_CODES}")
+        .repartition("list_id")
+        .sortWithinPartitions("list_id", "vec_id", "m")
+    )
+    return manifest_write(spark, f"{index_dir}/{_CODES}", codes)

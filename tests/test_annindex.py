@@ -158,3 +158,47 @@ def test_streaming_ingest_agrees_with_batch_chain(spark, chain, tmp_path):
     a = sorted(map(tuple, ann_index_probe(spark, idx_batch, qdf).collect()))
     b = sorted(map(tuple, ann_index_probe(spark, idx_stream, qdf).collect()))
     assert a == b
+
+
+def test_compaction_is_probe_invisible_and_recluster_real(spark, chain):
+    """ann_index_compact collapses the 3-generation append chain into one
+    re-clustered commit: probe results are byte-identical, the pre-compact
+    state stays time-travelable, and the list filter still reaches the
+    parquet scan.
+
+    NOTE: mutates the module-scoped chain (adds a generation) — keep this
+    test LAST in the file; earlier tests assert the pristine [0,1,2]
+    generation layout."""
+    from streamroom_bigdata_spark.operators.annindex import (
+        ann_index_compact,
+    )
+    from streamroom_bigdata_spark.sources.manifest_table import (
+        _generation_dirs,
+        manifest_history,
+    )
+
+    idx, emb = chain
+    q = _queries_of(emb)
+    before = sorted(map(tuple, ann_index_probe(spark, idx, q).collect()))
+    gen = ann_index_compact(spark, idx)
+    after = sorted(map(tuple, ann_index_probe(spark, idx, q).collect()))
+    assert before == after
+    hist = manifest_history(spark, f"{idx}/{_CODES}")
+    assert hist[-1]["generation"] == gen
+    # the chain's three data dirs collapsed to one
+    assert len(_generation_dirs(hist[-1])) == 1
+    assert len(_generation_dirs(hist[-2])) == 3
+    # row count preserved exactly
+    assert hist[-1]["n_rows"] == hist[-2]["n_rows"]
+    # pre-compact generation still answers via time travel
+    g2 = sorted(
+        map(
+            tuple,
+            ann_index_probe(spark, idx, q, generation=gen - 1).collect(),
+        )
+    )
+    assert g2 == before
+    # pushdown still live on the compacted layout
+    plan = ann_index_probe(spark, idx, q)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "In(list_id" in plan
