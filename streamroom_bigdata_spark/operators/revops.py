@@ -710,17 +710,19 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cents·20000 + qty) div (2·qty) — the cents product runs in
     # decimal(38,0) on Spark / HUGEINT in the oracle, so no double ever
     # touches the price (cents·10000.0 loses exactness above 2^53;
-    # round-14 ADVICE fix).
+    # round-14 ADVICE fix). Round-15 ADVICE fix: the division is Spark's
+    # integral DIV (IntegralDivide), not F.floor over a decimal `/` —
+    # decimal division rounds HALF_UP at scale 6 BEFORE the floor, so a
+    # quotient within 1e-6 of an integer (reachable once monthly qty
+    # nears 1e6) floored one too high vs the oracle's exact HUGEINT `//`.
     priced = bm.select(
         "brand",
         "ym",
         "qty",
-        F.floor(
-            (F.col("cents").cast("decimal(38,0)") * 20000 + F.col("qty"))
-            / (F.col("qty") * 2)
-        )
-        .cast("bigint")
-        .alias("p_micro"),
+        F.expr(
+            "CAST((CAST(cents AS DECIMAL(38,0)) * 20000 + qty) "
+            "DIV (qty * 2) AS BIGINT)"
+        ).alias("p_micro"),
     )
     base = priced.agg(F.min("ym").alias("ym0"))
     b0 = (

@@ -120,16 +120,19 @@ def _stage_generation(
 
 
 def manifest_write(
-    spark: SparkSession, table_dir: str, df: DataFrame
+    spark: SparkSession, table_dir: str, df: DataFrame,
+    extra: dict | None = None,
 ) -> int:
-    """Full overwrite as a new committed generation; returns the generation."""
+    """Full overwrite as a new committed generation; returns the generation.
+    ``extra`` merges application metadata into the commit record (e.g. a
+    streaming sink's last-applied batch_id — the Delta txn-version idea),
+    readable back via ``manifest_history``; reserved keys are ignored."""
     commits = _list_commits(spark, table_dir)
     gen = commits[-1][0] + 1 if commits else 0
     data_dir, n_rows = _stage_generation(df, table_dir, gen)
-    _commit(
-        spark, table_dir, gen,
-        {"generation": gen, "data_dir": data_dir, "n_rows": n_rows},
-    )
+    rec = dict(extra or {})
+    rec.update({"generation": gen, "data_dir": data_dir, "n_rows": n_rows})
+    _commit(spark, table_dir, gen, rec)
     return gen
 
 
@@ -173,7 +176,8 @@ def manifest_read(
 
 
 def manifest_append(
-    spark: SparkSession, table_dir: str, new_rows: DataFrame
+    spark: SparkSession, table_dir: str, new_rows: DataFrame,
+    extra: dict | None = None,
 ) -> int:
     """BLIND-APPEND commit: stages ONLY ``new_rows`` into a fresh data dir
     and publishes a generation whose manifest references the previous
@@ -183,23 +187,26 @@ def manifest_append(
     path, and any of them — compact in particular — pays down a long
     append chain back to one dir). No key semantics: appending rows whose
     keys already exist duplicates them, by design; use
-    ``manifest_upsert`` when replays are possible. Returns the new
-    generation."""
+    ``manifest_upsert`` when replays are possible (or gate the append on
+    application metadata carried in ``extra`` — see
+    ``streaming_ann_index_sink`` for the batch_id-gated pattern). Returns
+    the new generation."""
     commits = _list_commits(spark, table_dir)
     if not commits:
-        return manifest_write(spark, table_dir, new_rows)
+        return manifest_write(spark, table_dir, new_rows, extra=extra)
     prev = _read_manifest(spark, commits[-1][1])
     gen = commits[-1][0] + 1
     data_dir, n_new = _stage_generation(new_rows, table_dir, gen)
-    _commit(
-        spark, table_dir, gen,
+    rec = dict(extra or {})
+    rec.update(
         {
             "generation": gen,
             "data_dir": data_dir,
             "data_dirs": _generation_dirs(prev) + [data_dir],
             "n_rows": prev.get("n_rows", 0) + n_new,
-        },
+        }
     )
+    _commit(spark, table_dir, gen, rec)
     return gen
 
 
@@ -300,6 +307,27 @@ def manifest_delete(
         {"generation": gen, "data_dir": data_dir, "n_rows": n_rows},
     )
     return gen
+
+
+def manifest_clone(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
+    """SHALLOW clone: copy only the commit records of ``src_dir`` into a
+    new table at ``dst_dir`` — zero data bytes move (the Delta ``SHALLOW
+    CLONE`` idea). Data dirs are immutable and referenced by absolute
+    path, so the clone reads the source's files; commits made to the
+    clone afterwards (upsert/delete/compact/append) stage THEIR data
+    under ``dst_dir`` and never touch the source — an O(commits) fork of
+    a table's history for what-if work (e.g. committing a delete against
+    a probe-shared ANN index without mutating it). Safe with vacuum by
+    construction: ``manifest_vacuum`` only ever deletes under its own
+    table's ``data/``, so vacuuming a clone cannot reclaim source files
+    (vacuuming the SOURCE can orphan a clone — the same caveat Delta
+    documents; keep sources un-vacuumed while clones live)."""
+    fs, jvm = _fs(spark, src_dir)
+    dst_mdir = _manifest_dir(dst_dir)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dst_mdir))
+    for gen, p in _list_commits(spark, src_dir):
+        rec = _read_manifest(spark, p)
+        _commit(spark, dst_dir, gen, rec)
 
 
 def manifest_compact(

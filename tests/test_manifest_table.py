@@ -313,3 +313,32 @@ def test_incremental_join_matches_recompute(spark, tmp_path):
     got2 = {tuple(r[c] for c in cols) for r in maintained2.collect()}
     want2 = {tuple(r[c] for c in cols) for r in recomputed2.collect()}
     assert got2 == want2
+
+
+def test_shallow_clone_forks_history_without_copying_data(spark, table, tmp_path):
+    """manifest_clone copies only commit records: the clone reads the
+    source's immutable data dirs, its own commits stage under the clone,
+    the source never observes them, and vacuuming the clone cannot
+    reclaim source files (it only lists its own data/)."""
+    mt.manifest_append(spark, table, _mk(spark, [(3, "c")]))
+    clone = str(tmp_path / "clone")
+    mt.manifest_clone(spark, table, clone)
+    # zero data bytes under the clone, yet it reads the full table
+    assert not os.path.exists(os.path.join(clone, "data"))
+    got = {(r.k, r.v) for r in mt.manifest_read(spark, clone).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    assert mt.manifest_generation(spark, clone) == 1
+
+    # a delete committed to the clone stays invisible to the source
+    mt.manifest_delete(spark, clone, _mk(spark, [(2, "b")]), "k")
+    assert {r.k for r in mt.manifest_read(spark, clone).collect()} == {1, 3}
+    assert {r.k for r in mt.manifest_read(spark, table).collect()} == {1, 2, 3}
+    # time travel on the clone still serves the shared pre-fork state
+    assert mt.manifest_generation(spark, table) == 1
+    pre = {(r.k, r.v) for r in mt.manifest_read(spark, clone, generation=1).collect()}
+    assert pre == {(1, "a"), (2, "b"), (3, "c")}
+
+    # vacuuming the clone reclaims only clone-staged dirs; the source's
+    # data dirs (outside the clone's data/) survive and the source reads
+    mt.manifest_vacuum(spark, clone, keep=1)
+    assert {r.k for r in mt.manifest_read(spark, table).collect()} == {1, 2, 3}
