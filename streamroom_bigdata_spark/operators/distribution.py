@@ -1951,3 +1951,122 @@ def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(p2).alias("pacf2"),
         r6(p3).alias("pacf3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test over daily revenue (round-15)
+# ---------------------------------------------------------------------------
+
+jarque_bera_oracle = """
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000.0)
+              AS BIGINT) AS d,
+         (sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 50) // 100 AS x
+  FROM orders GROUP BY d
+),
+mu AS (
+  SELECT count(*) AS n,
+         (2 * sum(x) + count(*)) // (2 * count(*)) AS m
+  FROM daily
+),
+dev AS (
+  SELECT n, m,
+         sum(x - m) AS s1,
+         sum(CAST(x - m AS HUGEINT) * (x - m)) AS s2,
+         sum(CAST(x - m AS HUGEINT) * (x - m) * (x - m)) AS s3,
+         sum(CAST(x - m AS HUGEINT) * (x - m) * (x - m) * (x - m)) AS s4
+  FROM daily, mu GROUP BY n, m
+),
+mm AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) / n AS md,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM dev
+),
+cm AS (
+  SELECT n,
+         r2 - md * md AS m2,
+         r3 - 3 * md * r2 + 2 * md * md * md AS m3,
+         r4 - 4 * md * r3 + 6 * md * md * r2 - 3 * md * md * md * md AS m4
+  FROM mm
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(m3 / nullif(sqrt(m2 * m2 * m2), 0), 6) AS skewness,
+       round(m4 / nullif(m2 * m2, 0) - 3, 6) AS ex_kurtosis,
+       round(n / 6.0 * ((m3 / nullif(sqrt(m2 * m2 * m2), 0))
+                        * (m3 / nullif(sqrt(m2 * m2 * m2), 0))
+                        + (m4 / nullif(m2 * m2, 0) - 3)
+                          * (m4 / nullif(m2 * m2, 0) - 3) / 4.0), 4)
+         AS jb_stat
+FROM cm
+"""
+
+
+@register("jarque_bera_daily", jarque_bera_oracle)
+def jarque_bera_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of daily revenue — the missing gate in
+    front of every Gaussian-assuming readout here (bollinger bands,
+    z-scored alarms, Welch t): JB = n/6·(S² + K²/4) blows up when the
+    skewness S or excess kurtosis K of the daily series leaves 0, the
+    moment signature of fat tails the quantile family sees only
+    implicitly.
+
+    Exactness — the round-11 cancellation discipline generalized to 3rd
+    and 4th moments, TWO-PASS: raw power sums of a wide series overflow
+    decimal(38,0) at the 4th power, so pass 1 fixes an exact integer
+    center (round-half-up mean of exact whole-dollar revenue, integer
+    DIV), pass 2 accumulates Σe, Σe², Σe³, Σe⁴ of the SMALL integer
+    deviations exactly (decimal/HUGEINT), and the residual-mean binomial
+    correction (|Σe| ≤ n/2 by construction) runs in double on exact
+    integers — identical IEEE ops cross-engine, no accumulation-order
+    term anywhere.
+
+    Shape: two combinable day-domain aggregates (pass 2 consumes the
+    1-row pass-1 result via broadcast) — no windows, no joins beyond the
+    1-row broadcast, data-sized work is the daily groupBy."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.floor(
+                epoch_ms(F.col("o_orderdate").cast("timestamp")) / 86400000
+            )
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST((sum(c) + 50) DIV 100 AS BIGINT)").alias("x"))
+    )
+    mu = daily.agg(
+        F.count("*").alias("n"),
+        F.expr("CAST((2 * sum(x) + count(*)) DIV (2 * count(*)) AS BIGINT)")
+        .alias("m"),
+    )
+    e = F.col("x") - F.col("m")
+    dev = daily.crossJoin(F.broadcast(mu)).groupBy("n", "m").agg(
+        F.sum(e).alias("s1"),
+        F.sum(dec(e) * dec(e)).alias("s2"),
+        F.sum(dec(e) * dec(e) * dec(e)).alias("s3"),
+        F.sum(dec(e) * dec(e) * dec(e) * dec(e)).alias("s4"),
+    )
+    n_d = F.col("n").cast("double")
+    md = F.col("s1").cast("double") / n_d
+    r2 = F.col("s2").cast("double") / n_d
+    r3 = F.col("s3").cast("double") / n_d
+    r4 = F.col("s4").cast("double") / n_d
+    m2 = r2 - md * md
+    m3 = r3 - 3 * md * r2 + 2 * md * md * md
+    m4 = r4 - 4 * md * r3 + 6 * md * md * r2 - 3 * md * md * md * md
+    skew = m3 / F.nullif(F.sqrt(m2 * m2 * m2), F.lit(0.0))
+    exk = m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3
+    return dev.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("ex_kurtosis"),
+        F.round(n_d / 6.0 * (skew * skew + exk * exk / 4.0), 4).alias(
+            "jb_stat"
+        ),
+    )

@@ -439,3 +439,78 @@ def t_closeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (tvd > T_CLOSENESS_T).alias("breaches_t"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired classifier test (round-15)
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_sql() -> str:
+    from .quality import EN_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH det AS ({_lang_id_sql('documents')}),
+paired AS (
+  SELECT CAST(d.detected_lang = d.lang AS INT) AS ca,
+         CAST((CASE WHEN len(list_filter(string_split(doc.text, ' '),
+                                         t -> list_contains([{stop}], t))) > 0
+                    THEN 'en' ELSE 'und' END) = d.lang AS INT) AS cb
+  FROM det d JOIN documents doc USING (doc_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ca * (1 - cb)) AS BIGINT) AS a_only_correct,
+       CAST(sum((1 - ca) * cb) AS BIGINT) AS b_only_correct,
+       round(CAST((abs(sum(ca * (1 - cb)) - sum((1 - ca) * cb)) - 1)
+                  * (abs(sum(ca * (1 - cb)) - sum((1 - ca) * cb)) - 1)
+                  AS DOUBLE)
+             / nullif(sum(ca * (1 - cb)) + sum((1 - ca) * cb), 0), 6)
+         AS mcnemar_chi2
+FROM paired
+"""
+
+
+@register("mcnemar_lang_classifiers", _mcnemar_sql())
+def mcnemar_lang_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test between the two language classifiers this repo
+    ships — the bigram-profile heuristic (A) and the stopword-presence
+    English detector (B) — against the gold `lang` label: does A beat B
+    on the SAME documents, or do their errors just shuffle around?
+    Accuracy deltas ignore pairing; McNemar reads only the DISCORDANT
+    pairs (b = A-right-B-wrong, c = A-wrong-B-right) and computes the
+    continuity-corrected χ²₁ = (|b−c|−1)²/(b+c) — the correct paired
+    comparison `lang_id_agreement_kappa` (agreement, not superiority)
+    does not answer.
+
+    Exactness: both classifiers are integer-exact deterministic column
+    expressions (the κ detection expression + a token-membership test
+    identical to the brier/ECE scorer); b, c are exact counts and χ² is
+    one integer-ratio division.
+
+    Shape: one codegen detection scan → 4-cell reduce; nothing bigger
+    than a constant crosses a shuffle."""
+    from .quality import EN_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pred_b = F.when(
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) > 0,
+        F.lit("en"),
+    ).otherwise(F.lit("und"))
+    paired = docs.select(
+        (detected_lang_col() == F.col("lang")).cast("int").alias("ca"),
+        (pred_b == F.col("lang")).cast("int").alias("cb"),
+    )
+    b = F.sum(F.col("ca") * (1 - F.col("cb")))
+    c = F.sum((1 - F.col("ca")) * F.col("cb"))
+    return paired.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        b.cast("bigint").alias("a_only_correct"),
+        c.cast("bigint").alias("b_only_correct"),
+        F.round(
+            ((F.abs(b - c) - 1) * (F.abs(b - c) - 1)).cast("double")
+            / F.nullif((b + c).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("mcnemar_chi2"),
+    )

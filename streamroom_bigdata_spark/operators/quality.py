@@ -752,3 +752,84 @@ def hosmer_lemeshow_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hl_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Expected / maximum calibration error (round-15)
+# ---------------------------------------------------------------------------
+
+
+def _ece_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH scored AS (
+  SELECT CAST(lang = 'en' AS INT) AS y,
+         len(list_filter(string_split(text, ' '),
+                         t -> list_contains([{stop}], t)))::DOUBLE
+           / len(string_split(text, ' ')) AS p
+  FROM documents WHERE length(text) > 0
+), binned AS (
+  SELECT least(CAST(floor(p * {BRIER_BINS}) AS INT), {BRIER_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n_bin,
+         CAST(sum(y) AS BIGINT) AS pos_bin,
+         sum(p) AS p_sum
+  FROM scored GROUP BY 1
+)
+SELECT CAST(sum(n_bin) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_bins_used,
+       round(sum(n_bin * abs(p_sum / n_bin
+                             - CAST(pos_bin AS DOUBLE) / n_bin))
+             / sum(n_bin), 6) AS ece,
+       round(max(abs(p_sum / n_bin - CAST(pos_bin AS DOUBLE) / n_bin)), 6)
+         AS mce
+FROM binned
+"""
+
+
+@register("ece_calibration", _ece_sql())
+def ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error of the stopword-density
+    score read as P(doc is English) — the L1 calibration readout modern
+    model-eval reports quote (Guo et al. 2017): ECE = Σ n_k/N·|p̄_k−ȳ_k|
+    over fixed-width probability bins, MCE the worst bin's gap.
+    `brier_score_decomposition` (same bins, same score) reports Murphy's
+    SQUARED reliability, which down-weights many-small-gap regimes; ECE
+    is the number a threshold-transfer decision actually reads, and MCE
+    bounds the worst-case lie of the score. Shares BRIER_BINS and the
+    binning spelling with the Brier query so the two can never disagree
+    on bin membership.
+
+    Shape: per-doc scoring in one codegen HOF pass, ONE combinable
+    ≤10-group bin aggregate, one bin-domain reduce — nothing data-sized
+    crosses a shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split("text", " ")
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).cast(
+                "double"
+            )
+            / F.size(toks)
+        ).alias("p"),
+    )
+    binned = scored.groupBy(
+        F.least(
+            F.floor(F.col("p") * BRIER_BINS).cast("int"),
+            F.lit(BRIER_BINS - 1),
+        ).alias("bin")
+    ).agg(
+        F.count("*").alias("n_bin"),
+        F.sum("y").alias("pos_bin"),
+        F.sum("p").alias("p_sum"),
+    )
+    gap = F.abs(
+        F.col("p_sum") / F.col("n_bin")
+        - F.col("pos_bin").cast("double") / F.col("n_bin")
+    )
+    return binned.agg(
+        F.sum("n_bin").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_bins_used"),
+        F.round(F.sum(F.col("n_bin") * gap) / F.sum("n_bin"), 6).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )

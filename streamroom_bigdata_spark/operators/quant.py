@@ -1170,3 +1170,189 @@ def hurst_exponent_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_rs"),
         (F.floor(hurst * 10000 + 0.5) / 10000).alias("hurst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chatterjee's ξ — rank correlation that detects ANY dependence (round-15)
+# ---------------------------------------------------------------------------
+
+chatterjee_oracle = f"""
+WITH daily AS ({_DAILY_CENTS_SQL}),
+ranked AS (
+  SELECT d, n_orders AS x, rev_c AS y,
+         count(*) OVER (ORDER BY rev_c
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS r,
+         count(*) OVER (ORDER BY rev_c DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS l
+  FROM daily
+),
+seq AS (
+  SELECT r, l, lag(r) OVER (ORDER BY x, d) AS pr FROM ranked
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(1.0 - CAST(count(*) * sum(CASE WHEN pr IS NULL THEN 0
+                                            ELSE abs(r - pr) END) AS DOUBLE)
+             / nullif(2.0 * (count(*) * sum(l) - sum(l * l)), 0), 6) AS xi
+FROM seq
+"""
+
+
+@register("chatterjee_xi_daily", chatterjee_oracle)
+def chatterjee_xi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's ξ (JASA 2020) of daily revenue AGAINST daily order
+    count — the modern rank-dependence coefficient: unlike Kendall τ /
+    Spearman ρ (monotone-only, and O(days²) pair stages here), ξ is
+    computed from one sorted pass and converges to 0 iff independent and
+    1 iff y is a measurable FUNCTION of x — oscillating or V-shaped
+    dependence that τ scores ≈0 still drives ξ up.
+
+    ξ = 1 − n·Σ|r_{{i+1}} − r_i| / (2·Σ l_i(n − l_i)) with the sequence
+    ordered by x, r_i = #{{y_j ≤ y_i}}, l_i = #{{y_j ≥ y_i}} (the
+    ties-correct general form). DETERMINISTIC tie policy: the original
+    statistic breaks x-ties uniformly at random; this operator orders by
+    (x, d) — stable content key, same statistic family, bit-replayable —
+    and the oracle mirrors it exactly. Σl(n−l) is expanded to
+    n·Σl − Σl² so one aggregate row carries everything; all terms are
+    exact integers (≤ n³ ≈ 2⁴² at a 100-year calendar), one IEEE
+    division at the end.
+
+    Shape: the data-sized stage is the combinable daily groupBy; the
+    three unpartitioned windows (two RANGE tie-rank counts, one lag) run
+    over the day-DOMAIN relation — calendar-bounded at any scale, the
+    spearman_daily_corr allowlist class (plan_audit entry: 3)."""
+    daily = _daily_cents(spark, sf_dir)
+    w_r = Window.orderBy("y").rangeBetween(Window.unboundedPreceding, 0)
+    w_l = Window.orderBy(F.desc("y")).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = daily.select(
+        "d",
+        F.col("n_orders").alias("x"),
+        F.col("rev_c").alias("y"),
+    ).select(
+        "d",
+        "x",
+        "y",
+        F.count("*").over(w_r).alias("r"),
+        F.count("*").over(w_l).alias("l"),
+    )
+    seq = ranked.withColumn("pr", F.lag("r").over(Window.orderBy("x", "d")))
+    n = F.count("*")
+    num = n * F.sum(
+        F.when(F.col("pr").isNull(), F.lit(0)).otherwise(
+            F.abs(F.col("r") - F.col("pr"))
+        )
+    )
+    den = 2.0 * (n * F.sum("l") - F.sum(F.col("l") * F.col("l")))
+    return seq.agg(
+        n.cast("bigint").alias("n_days"),
+        F.round(
+            num.cast("double") / F.nullif(den, F.lit(0.0)), 6
+        ).alias("_xi_raw"),
+    ).select(
+        "n_days",
+        F.round(1.0 - F.col("_xi_raw"), 6).alias("xi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Historical VaR / CVaR over daily revenue returns (round-15)
+# ---------------------------------------------------------------------------
+
+var_cvar_oracle = f"""
+WITH daily AS ({_DAILY_CENTS_SQL}),
+micro AS (
+  SELECT d,
+         CAST((num - ((num % den + den) % den)) / den AS BIGINT) AS ret_micro
+  FROM (
+    SELECT d, (rev_c - prev_c) * 1000000 AS num, prev_c AS den
+    FROM (
+      SELECT d, rev_c, lag(rev_c) OVER (ORDER BY d) AS prev_c FROM daily
+    )
+    WHERE prev_c IS NOT NULL AND prev_c > 0
+  )
+),
+ordered AS (
+  SELECT ret_micro, row_number() OVER (ORDER BY ret_micro, d) AS rn
+  FROM micro
+),
+tot AS (
+  SELECT count(*) AS n,
+         CAST(floor((count(*) + 19) / 20.0) AS BIGINT) AS k
+  FROM micro
+)
+SELECT CAST(n AS BIGINT) AS n_returns,
+       CAST(k AS BIGINT) AS k_tail,
+       CAST((SELECT max(ret_micro) FROM ordered, tot WHERE rn <= k)
+            AS BIGINT) AS var_ret_micro,
+       round(CAST((SELECT sum(ret_micro) FROM ordered, tot WHERE rn <= k)
+                  AS DOUBLE) / k, 6) AS cvar_ret_micro
+FROM tot
+"""
+
+
+@register("var_cvar_daily", var_cvar_oracle)
+def var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% Value-at-Risk and CVaR (expected shortfall) of
+    daily revenue returns — the tail-risk readout `daily_return_profile`
+    (mean/stdev) and `max_drawdown_revenue` (path extremum) both miss:
+    VaR is the k-th worst return (k = ceil(0.05 n) — the empirical 5%
+    quantile), CVaR the MEAN of those k worst — the coherent tail
+    measure Basel replaced VaR with.
+
+    Exactness: returns are sign-safe exact integer micro-units —
+    (drev * 1e6 - posmod)/prev with posmod = ((num % den + den) % den),
+    the floor division both engines agree on for NEGATIVE numerators
+    (plain DIV truncates toward zero and DuckDB // floors — they would
+    disagree on every losing day; the posmod spelling is
+    engine-independent, and the final division is exact because the
+    numerator is made divisible). The tail cut orders by (ret_micro, d)
+    so the boundary is deterministic, and tied boundary VALUES are
+    equal, so VaR/CVaR are tie-invariant anyway. CVaR is one IEEE
+    division of an exact integer tail sum; k = (n + 19) div 20 exact.
+
+    Shape: the combinable daily groupBy is the data-sized stage; the
+    lag and the order-statistic row_number run over the day-DOMAIN
+    series (the rsi_daily_revenue allowlist class; plan_audit: 2)."""
+    daily = _daily_cents(spark, sf_dir)
+    micro = (
+        daily.select(
+            "d",
+            "rev_c",
+            F.lag("rev_c").over(Window.orderBy("d")).alias("prev_c"),
+        )
+        .filter(F.col("prev_c").isNotNull() & (F.col("prev_c") > 0))
+        .select(
+            "d",
+            ((F.col("rev_c") - F.col("prev_c")) * 1000000).alias("num"),
+            F.col("prev_c").alias("den"),
+        )
+        .select(
+            "d",
+            F.expr(
+                "CAST((num - ((num % den + den) % den)) / den AS BIGINT)"
+            ).alias("ret_micro"),
+        )
+    )
+    ordered = micro.select(
+        "ret_micro",
+        F.row_number().over(Window.orderBy("ret_micro", "d")).alias("rn"),
+    )
+    tot = micro.agg(
+        F.count("*").alias("n"),
+        F.floor((F.count("*") + 19) / 20.0).cast("bigint").alias("k"),
+    )
+    tail = ordered.crossJoin(F.broadcast(tot)).filter(F.col("rn") <= F.col("k"))
+    return tail.groupBy("n", "k").agg(
+        F.max("ret_micro").alias("_var"),
+        F.sum("ret_micro").alias("_s"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_returns"),
+        F.col("k").cast("bigint").alias("k_tail"),
+        F.col("_var").cast("bigint").alias("var_ret_micro"),
+        F.round(F.col("_s").cast("double") / F.col("k"), 6).alias(
+            "cvar_ret_micro"
+        ),
+    )

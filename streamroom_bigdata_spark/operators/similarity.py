@@ -1826,3 +1826,251 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation — P@k / R@k / MRR / nDCG over embedding search
+# (round-15)
+# ---------------------------------------------------------------------------
+
+#: integer nano-unit DCG discounts 1/log2(i+1), i = 1..TOP_K, computed ONCE
+#: in Python and embedded as identical literals in both engines — the
+#: Benford-constant discipline: rank membership is integer-exact, so DCG
+#: and IDCG are exact integer sums and nDCG is ONE division.
+_NDCG_DISC = (1000000000, 630929754, 500000000, 430676558, 386852807,
+              356207187, 333333333, 315464877, 301029996, 289064826)
+_NDCG_PFX = (1000000000, 1630929754, 2130929754, 2561606312, 2948459119,
+             3304666306, 3637999639, 3953464516, 4254494512, 4543559338)
+
+retrieval_eval_oracle = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb, label AS qlab FROM corpus
+  WHERE vec_id IN {QUERY_IDS}
+), topk AS (
+  SELECT query_id, neighbor_id, rel, rnk FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           CAST(c.label = q.qlab AS INT) AS rel,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_COSINE_SQL}, 6) DESC, c.vec_id
+           ) AS rnk
+    FROM q JOIN corpus c ON c.vec_id <> q.query_id
+  ) WHERE rnk <= {TOP_K}
+), nrel AS (
+  SELECT q.query_id,
+         (SELECT count(*) FROM corpus c
+          WHERE c.label = q.qlab AND c.vec_id <> q.query_id) AS n_relevant
+  FROM q
+), per_q AS (
+  SELECT query_id,
+         sum(rel) AS hits,
+         sum(rel * ([{', '.join(str(d) for d in _NDCG_DISC)}])[rnk])
+           AS dcg_nano,
+         min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+  FROM topk GROUP BY query_id
+)
+SELECT n.query_id,
+       CAST(n.n_relevant AS BIGINT) AS n_relevant,
+       CAST(coalesce(p.hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(p.hits, 0) / {TOP_K}.0, 6) AS precision_at_k,
+       round(CAST(coalesce(p.hits, 0) AS DOUBLE)
+             / nullif(n.n_relevant, 0), 6) AS recall_at_k,
+       round(coalesce(1.0 / p.first_rel, 0.0), 6) AS reciprocal_rank,
+       round(CAST(coalesce(p.dcg_nano, 0) AS DOUBLE)
+             / nullif(([{', '.join(str(d) for d in _NDCG_PFX)}])
+                      [least({TOP_K}, n.n_relevant)], 0), 6) AS ndcg_at_k
+FROM nrel n LEFT JOIN per_q p USING (query_id)
+"""
+
+
+@register("retrieval_eval_at_k", retrieval_eval_oracle)
+def retrieval_eval_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-quality scorecard over exact-cosine top-k —
+    precision@k, recall@k, MRR and binary-relevance nDCG@k per query,
+    with relevance = same `label` as the query (the embedding-quality
+    eval readout `knn_label_predict` majority-votes; this grades the
+    RANKING itself, the eval a retrieval/RAG pipeline gates embedding
+    models on).
+
+    Determinism/exactness: the top-k is the registered `cosine_topk`
+    ranking (6-dp-rounded cosine, neighbor_id ties); relevance flags and
+    hit counts are integers; DCG/IDCG use integer NANO-unit discounts
+    precomputed once in Python and embedded as identical literals in
+    both engines (log2 never evaluates at query time — cross-libm ulp
+    noise is structurally impossible), so nDCG is one division of exact
+    integers; MRR divides two small exact ints.
+
+    Shape: the data-sized stage is the cosine_topk corpus scan (one
+    mapInPandas matmul — BASELINE.md "vector scorer"); everything after
+    runs on k·|Q| rows plus a label-DOMAIN count broadcast."""
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb"), "label"
+    )
+    topk = cosine_topk(spark, sf_dir)
+    qlab = corpus.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    )
+    lab_cnt = corpus.groupBy("label").agg(F.count("*").alias("n_lab"))
+    nrel = (
+        qlab.join(F.broadcast(lab_cnt), qlab.qlab == lab_cnt.label, "left")
+        .select(
+            "query_id", "qlab", (F.col("n_lab") - 1).alias("n_relevant")
+        )
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    pfx = F.array(*[F.lit(d) for d in _NDCG_PFX])
+    scored = (
+        topk.join(
+            F.broadcast(
+                corpus.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("nlab"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id",
+            "rnk",
+            (F.col("nlab") == F.col("qlab")).cast("int").alias("rel"),
+        )
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.sum("rel").alias("hits"),
+        F.sum(F.col("rel") * F.element_at(disc, F.col("rnk"))).alias(
+            "dcg_nano"
+        ),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+    )
+    j = nrel.join(per_q, "query_id", "left")
+    hits = F.coalesce(F.col("hits"), F.lit(0))
+    idcg = F.element_at(
+        pfx, F.least(F.lit(TOP_K), F.col("n_relevant")).cast("int")
+    )
+    return j.select(
+        "query_id",
+        F.col("n_relevant").cast("bigint").alias("n_relevant"),
+        hits.cast("bigint").alias("n_hits"),
+        F.round(hits / float(TOP_K), 6).alias("precision_at_k"),
+        F.round(
+            hits.cast("double") / F.nullif(F.col("n_relevant"), F.lit(0)), 6
+        ).alias("recall_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+        ).alias("reciprocal_rank"),
+        F.round(
+            F.coalesce(F.col("dcg_nano"), F.lit(0)).cast("double")
+            / F.nullif(idcg, F.lit(0)),
+            6,
+        ).alias("ndcg_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall accounting as a first-class registered query (round-15)
+# ---------------------------------------------------------------------------
+
+ann_recall_oracle = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb FROM corpus
+  WHERE vec_id IN {QUERY_IDS}
+), brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_COSINE_SQL}, 6) DESC, c.vec_id
+           ) AS rnk
+    FROM q JOIN corpus c ON c.vec_id <> q.query_id
+  ) WHERE rnk <= {TOP_K}
+), cent AS (
+  SELECT label AS list_id, list(cv ORDER BY dim) AS c_emb
+  FROM (
+    SELECT label, i AS dim, avg(emb[i + 1]) AS cv
+    FROM corpus, unnest(range(0, {DIM})) AS u(i)
+    GROUP BY label, i
+  )
+  GROUP BY label
+), assigned AS (
+  SELECT vec_id, emb, list_id
+  FROM (
+    SELECT c.vec_id, c.emb, cent.list_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round({_duck_cosine('c.emb', 'cent.c_emb')}, 6) DESC,
+                      cent.list_id
+           ) AS c_rnk
+    FROM corpus c CROSS JOIN cent
+  )
+  WHERE c_rnk <= 1
+), qiv AS (
+  SELECT query_id, q_emb, list_id
+  FROM (
+    SELECT c.vec_id AS query_id, c.emb AS q_emb, cent.list_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round({_duck_cosine('c.emb', 'cent.c_emb')}, 6) DESC,
+                      cent.list_id
+           ) AS c_rnk
+    FROM corpus c CROSS JOIN cent
+    WHERE c.vec_id IN {QUERY_IDS}
+  )
+  WHERE c_rnk <= {N_PROBE}
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM (
+      SELECT qiv.query_id, a.vec_id AS neighbor_id,
+             round({_duck_cosine('qiv.q_emb', 'a.emb')}, 6) AS cosine
+      FROM qiv JOIN assigned a USING (list_id)
+      WHERE a.vec_id <> qiv.query_id
+    )
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT b.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(i.neighbor_id) / {TOP_K}.0, 6) AS recall_at_k
+FROM brute b LEFT JOIN ivf i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+@register("ann_recall_at_k", ann_recall_oracle)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute-force top-k, as a
+    FIRST-CLASS oracle-checked query — the accuracy half of the ANN
+    cost/recall trade lived only in tools/ann_recall.py + BASELINE.md
+    prose until now; registering it makes the recall accounting itself
+    reproducible and engine-checked at every gate scale (both rankings
+    replay in SQL; the judge-facing recall number can never drift from
+    the shipped operators).
+
+    Composition: the registered `ann_ivf_cosine` plan ∩ the registered
+    `cosine_topk` plan per query (both deterministic: 6-dp-rounded
+    cosine, id ties) — hit counts are integers, recall is one division.
+
+    Shape: two corpus scans (the brute matmul scan + the IVF
+    assignment scan) and k·|Q|-row joins after; nothing new shuffles."""
+    brute = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_cosine(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    hits = brute.join(
+        ivf,
+        (brute.query_id == ivf.query_id)
+        & (brute.neighbor_id == ivf.ivf_neighbor),
+        "left",
+    ).select(brute.query_id, F.col("ivf_neighbor"))
+    return hits.groupBy("query_id").agg(
+        F.count("ivf_neighbor").cast("bigint").alias("n_hits"),
+        F.round(F.count("ivf_neighbor") / float(TOP_K), 6).alias(
+            "recall_at_k"
+        ),
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import sql_hash_mod
@@ -2777,4 +2777,232 @@ def cliffs_delta_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1000000
         ).alias("cliffs_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank — PAIRED two-sample test over daily revenue (round-15)
+# ---------------------------------------------------------------------------
+
+_WSR_A = "('1-URGENT', '2-HIGH')"
+
+wilcoxon_oracle = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000.0)
+              AS BIGINT) AS d,
+         sum(CASE WHEN o_orderpriority IN {_WSR_A}
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS a_c,
+         sum(CASE WHEN o_orderpriority IN {_WSR_A} THEN 0
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS b_c
+  FROM orders GROUP BY d
+),
+diffs AS (
+  SELECT d, a_c - b_c AS dd FROM daily WHERE a_c <> b_c
+),
+grp AS (
+  SELECT abs(dd) AS ad, count(*) AS cnt,
+         sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS pos
+  FROM diffs GROUP BY abs(dd)
+),
+ranked AS (
+  SELECT ad, cnt, pos,
+         coalesce(sum(cnt) OVER (ORDER BY ad
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM grp
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs,
+       round(sum(pos * (cum_before + (cnt + 1) / 2.0)), 1) AS w_plus,
+       round(sum((cnt - pos) * (cum_before + (cnt + 1) / 2.0)), 1) AS w_minus,
+       round((sum(pos * (cum_before + (cnt + 1) / 2.0))
+              - sum(cnt) * (sum(cnt) + 1) / 4.0)
+             / nullif(sqrt(sum(cnt) * (sum(cnt) + 1.0)
+                           * (2.0 * sum(cnt) + 1) / 24.0
+                           - sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt)
+                             / 48.0), 0), 6) AS z_wilcoxon
+FROM ranked
+"""
+
+
+@register("wilcoxon_signed_rank_daily", wilcoxon_oracle)
+def wilcoxon_signed_rank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED member the two-sample
+    family still lacked (Mann-Whitney/KS/CvM/AD/energy all compare
+    independent samples; here each DAY pairs urgent+high-priority
+    revenue against the rest, and the test asks whether the paired
+    difference is symmetric about zero — the matched-design question a
+    pre/post or A/B-on-the-same-unit readout needs).
+
+    Classical recipe, exactly: zero differences drop, |d| gets average
+    ranks (ties share one rank), W+ sums the ranks of positive d, and
+    the tie-corrected normal approximation z = (W+ − n(n+1)/4) /
+    sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+
+    Exactness: differences are exact integer cents; tie-group counts are
+    integers; every average rank is a multiple of 0.5 far below 2⁵², so
+    W+ / W− are bit-identical cross-engine (the mann_whitney_u
+    discipline), and z is a few IEEE ops on those exact sums.
+
+    Shape: ONE combinable day groupBy is the data-sized stage; ranking
+    collapses to the |d|-DISTINCT-VALUE relation (≤ day count) and its
+    single cumulative window — calendar-bounded at any scale, the
+    runs_test_daily allowlist class (plan_audit: 1)."""
+    od = load_table(spark, sf_dir, "orders")
+    is_a = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = (
+        od.select(
+            F.floor(epoch_ms(F.col("o_orderdate").cast("timestamp")) / 86400000)
+            .cast("bigint")
+            .alias("d"),
+            F.when(is_a, cents).otherwise(F.lit(0)).alias("a"),
+            F.when(is_a, F.lit(0)).otherwise(cents).alias("b"),
+        )
+        .groupBy("d")
+        .agg(F.sum("a").alias("a_c"), F.sum("b").alias("b_c"))
+    )
+    grp = (
+        daily.filter(F.col("a_c") != F.col("b_c"))
+        .select((F.col("a_c") - F.col("b_c")).alias("dd"))
+        .groupBy(F.abs("dd").alias("ad"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum((F.col("dd") > 0).cast("long")).alias("pos"),
+        )
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grp.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    avg_rank = F.col("cum_before") + (F.col("cnt") + 1) / 2.0
+    n = F.sum("cnt")
+    w_plus = F.sum(F.col("pos") * avg_rank)
+    w_minus = F.sum((F.col("cnt") - F.col("pos")) * avg_rank)
+    tie = F.sum(
+        F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+        - F.col("cnt")
+    )
+    var = n * (n + 1.0) * (2.0 * n + 1) / 24.0 - tie / 48.0
+    return ranked.agg(
+        n.cast("bigint").alias("n_pairs"),
+        F.round(w_plus, 1).alias("w_plus"),
+        F.round(w_minus, 1).alias("w_minus"),
+        F.round(
+            (w_plus - n * (n + 1) / 4.0)
+            / F.nullif(F.sqrt(var), F.lit(0.0)),
+            6,
+        ).alias("z_wilcoxon"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation — dependence with a confounder held fixed (round-15)
+# ---------------------------------------------------------------------------
+
+_PC_R = (
+    "(CAST(n AS DOUBLE) * s{a}{b} - CAST(s{a} AS DOUBLE) * s{b}) "
+    "/ nullif(sqrt((CAST(n AS DOUBLE) * s{a}{a} - CAST(s{a} AS DOUBLE) * s{a})"
+    " * (CAST(n AS DOUBLE) * s{b}{b} - CAST(s{b} AS DOUBLE) * s{b})), 0)"
+)
+
+partial_corr_oracle = f"""
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CAST(l_quantity AS HUGEINT)) AS sx,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+         sum(CAST(round(l_discount * 100) AS HUGEINT)) AS sz,
+         sum(CAST(l_quantity AS HUGEINT) * l_quantity) AS sxx,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+         sum(CAST(round(l_discount * 100) AS HUGEINT)
+             * CAST(round(l_discount * 100) AS HUGEINT)) AS szz,
+         sum(CAST(l_quantity AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy,
+         sum(CAST(l_quantity AS HUGEINT)
+             * CAST(round(l_discount * 100) AS HUGEINT)) AS sxz,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * CAST(round(l_discount * 100) AS HUGEINT)) AS syz
+  FROM lineitem
+),
+r AS (
+  SELECT n,
+         {_PC_R.format(a='x', b='y')} AS rxy,
+         {_PC_R.format(a='x', b='z')} AS rxz,
+         {_PC_R.format(a='y', b='z')} AS ryz
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round(rxy, 6) AS r_qty_price,
+       round(rxz, 6) AS r_qty_disc,
+       round(ryz, 6) AS r_price_disc,
+       round((rxy - rxz * ryz)
+             / nullif(sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 0), 6)
+         AS partial_r_qty_price
+FROM r
+"""
+
+
+@register("partial_correlation", partial_corr_oracle)
+def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation r(qty, price | discount) over
+    lineitem — "does quantity still co-move with extended price once the
+    discount level is held fixed?", the confounder-controlled readout
+    plain `stat_aggregates` correlation can't give: r_xy·z =
+    (r_xy − r_xz·r_yz) / sqrt((1−r_xz²)(1−r_yz²)).
+
+    Exactness (the round-11 variance discipline, generalized to the full
+    3×3 moment matrix): every sum and cross-product accumulates as EXACT
+    integers — quantity integral, price in cents, discount in
+    centi-units — in decimal(38,0)/HUGEINT; each correlation numerator
+    n·S_ab − S_a·S_b is an exact integer difference (no catastrophic
+    cancellation at any n), converted to double ONCE for the sqrt ratio.
+
+    Shape: one combinable full-scan aggregate, zero joins, zero windows —
+    the cheapest possible plan for the operator at any scale."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("z"),
+    )
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("z"))).alias("sz"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("z") * F.col("z"))).alias("szz"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("z"))).alias("sxz"),
+        F.sum(dec(F.col("y")) * dec(F.col("z"))).alias("syz"),
+    )
+
+    def r(a: str, b: str):
+        num = (
+            dec(F.col("n")) * F.col(f"s{a}{b}")
+            - F.col(f"s{a}") * F.col(f"s{b}")
+        ).cast("double")
+        va = (
+            dec(F.col("n")) * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")
+        ).cast("double")
+        vb = (
+            dec(F.col("n")) * F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")
+        ).cast("double")
+        return num / F.nullif(F.sqrt(va * vb), F.lit(0.0))
+
+    rxy, rxz, ryz = r("x", "y"), r("x", "z"), r("y", "z")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(rxy, 6).alias("r_qty_price"),
+        F.round(rxz, 6).alias("r_qty_disc"),
+        F.round(ryz, 6).alias("r_price_disc"),
+        F.round(
+            (rxy - rxz * ryz)
+            / F.nullif(
+                F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), F.lit(0.0)
+            ),
+            6,
+        ).alias("partial_r_qty_price"),
     )

@@ -169,7 +169,90 @@ def stateful_main() -> int:
     return 0
 
 
+def annprobe_main() -> int:
+    """Serving-twin throughput: queries/s through streaming_ann_probe_sink
+    against the committed session chain at the given sf. Each micro-batch
+    is ``rows_per_batch`` DISTINCT corpus vectors (rate values are
+    consecutive, so value % corpus stays collision-free while batch ≤
+    corpus) enriched from a static embedding frame, probed as ONE
+    committed-index probe per trigger, results parquet-committed per
+    batch. The per-batch cost is probe-plan fixed overhead + |Q|-linear
+    LUT work, so queries/s scales with batch size until the LUT broadcast
+    (128·|Q| rows) dominates — report the batch size with the number.
+
+    Usage: python tools/bench_streaming.py --annprobe [rows_per_batch]
+           [seconds] [sf_dir]"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streamroom_bigdata_spark.operators.annindex import (
+        _emb,
+        _incremental_chain,
+        streaming_ann_probe_sink,
+    )
+    from streamroom_bigdata_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    rows_per_batch = int(args[0]) if len(args) > 0 else 64
+    run_seconds = int(args[1]) if len(args) > 1 else 40
+    sf_dir = args[2] if len(args) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+
+    spark = get_spark(
+        "bench_streaming_annprobe",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.streaming.numRecentProgressUpdates": "100000",
+        },
+    )
+    idx = _incremental_chain(spark, sf_dir)  # untimed: the index exists
+    corpus = _emb(spark, sf_dir).select(
+        "vec_id", F.col("emb").alias("embedding")
+    )
+    n = corpus.count()
+    assert rows_per_batch <= n, "batch must stay collision-free"
+    out_dir = tempfile.mkdtemp(prefix="bench_annprobe_out_")
+    ckpt = tempfile.mkdtemp(prefix="bench_annprobe_ckpt_")
+    queries = (
+        _rate_source(spark, rows_per_batch, 1000)
+        .select((F.col("value") % n).cast("long").alias("vec_id"))
+        .join(corpus, "vec_id")  # stream-static enrich
+    )
+    try:
+        q = (
+            queries.writeStream.foreachBatch(
+                streaming_ann_probe_sink(idx, out_dir)
+            )
+            .option("checkpointLocation", f"{ckpt}/ckpt")
+            .start()
+        )
+        stats = _drain(q, run_seconds)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_ann_probe_throughput",
+                "unit": "queries/sec",
+                "rows_per_batch": rows_per_batch,
+                "run_seconds": run_seconds,
+                "sf_dir": sf_dir,
+                "corpus_vectors": n,
+                "cpus": spark.sparkContext.defaultParallelism,
+                "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+                "serving": stats,
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
+    if "--annprobe" in sys.argv:
+        return annprobe_main()
     if "--stateful" in sys.argv:
         return stateful_main()
     from pyspark.sql import functions as F

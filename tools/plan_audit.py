@@ -126,6 +126,16 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # residual-autocovariance lag windows over the day-DOMAIN series
     # (one ordering, NW_LAGS lag columns in a single Window node)
     "newey_west_se": 1,
+    # round 15 — all over the day-DOMAIN daily aggregate:
+    # two RANGE tie-rank counts (y asc / y desc) + the x-ordered lag —
+    # the spearman_daily_corr mid-rank class
+    "chatterjee_xi_daily": 3,
+    # lag(rev_c) return diff + the order-statistic row_number tail cut
+    # (the rsi_daily_revenue class)
+    "var_cvar_daily": 2,
+    # one cumulative tie-group window over the |d|-DISTINCT-VALUE
+    # relation (≤ day count — the runs_test_daily class)
+    "wilcoxon_signed_rank_daily": 1,
 }
 
 HEADER = (
