@@ -1356,3 +1356,211 @@ def var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cvar_ret_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann-Kendall — trend with the weekly cycle blocked out (round-15)
+# ---------------------------------------------------------------------------
+
+seasonal_mk_oracle = f"""
+WITH daily AS MATERIALIZED (
+  SELECT d, rev_c, d % 7 AS season FROM ({_DAILY_CENTS_SQL})
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+s AS (
+  SELECT CAST(sum(CAST(sign(b.rev_c - a.rev_c) AS BIGINT)) AS BIGINT)
+    AS s_stat
+  FROM daily a JOIN daily b ON b.d > a.d AND b.season = a.season
+),
+v AS (
+  SELECT CAST(sum(ns * (ns - 1) * (2 * ns + 5)) AS BIGINT)
+         - CAST(coalesce((
+             SELECT sum(tt * (tt - 1) * (2 * tt + 5))
+             FROM (SELECT count(*) AS tt FROM daily GROUP BY season, rev_c)
+             WHERE tt > 1), 0) AS BIGINT) AS var18
+  FROM (SELECT count(*) AS ns FROM daily GROUP BY season)
+)
+SELECT n.n_days, s.s_stat,
+       CAST(v.var18 AS BIGINT) AS var_s_x18,
+       round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                  ELSE 0 END
+             / nullif(sqrt(v.var18 / 18.0), 0), 6) AS z_smk
+FROM n, s, v
+"""
+
+
+@register("seasonal_mann_kendall", seasonal_mk_oracle)
+def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch-Slack) on daily revenue with
+    day-of-week seasons: S sums sign(rev_j − rev_i) only over SAME-dow
+    pairs, so the weekly cycle — which plain `mann_kendall_trend` reads
+    as noise (or worse, as trend when the calendar window is ragged) —
+    is blocked out entirely; the hydrology-standard spelling of "is
+    there a trend AFTER seasonality". Variance sums the per-season
+    tie-corrected MK variances (independent-season assumption); the
+    published `var_s_x18` keeps the exact ×18 integer so no engine ever
+    rounds it.
+
+    Exactness: integer-cents revenue makes every sign and tie group
+    exact; season = epoch-day mod 7 (day index is nonnegative) is the
+    same integer both engines; the only floats are √(var/18) and z.
+
+    Shape: the same O(days²) calendar-bounded pair stage as Kendall τ /
+    MK (round-robin repartitioned, broadcast right side), with the
+    season equality as an extra join predicate — pair count drops ~7×;
+    tie groups key on (season, rev_c)."""
+    n_parts = shuffle_partition_count(spark)
+    daily = _daily_cents(spark, sf_dir).select(
+        "d", "rev_c", (F.col("d") % 7).alias("season")
+    )
+    pairs = _day_pairs(daily, n_parts, ["rev_c", "season"]).filter(
+        F.col("season_2") == F.col("season_1")
+    )
+    s = pairs.agg(
+        F.sum(F.signum(F.col("rev_c_2") - F.col("rev_c_1")).cast("bigint"))
+        .alias("s_stat")
+    )
+    n = daily.agg(F.count("*").alias("n_days"))
+    per_season = (
+        daily.groupBy("season")
+        .agg(F.count("*").alias("ns"))
+        .agg(
+            F.sum(
+                F.col("ns") * (F.col("ns") - 1) * (2 * F.col("ns") + 5)
+            ).alias("base")
+        )
+    )
+    ties = (
+        daily.groupBy("season", "rev_c")
+        .agg(F.count("*").alias("tt"))
+        .filter(F.col("tt") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    corrected = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0))
+    )
+    var18 = (F.col("base") - F.col("tie_term")).cast("bigint")
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(per_season))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            var18.alias("var_s_x18"),
+            F.round(
+                corrected
+                / F.nullif(F.sqrt(var18 / 18.0), F.lit(0.0)),
+                6,
+            ).alias("z_smk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bartels rank test — von Neumann randomness on ranks (round-15)
+# ---------------------------------------------------------------------------
+
+bartels_oracle = f"""
+WITH daily AS MATERIALIZED ({_DAILY_CENTS_SQL}),
+tot AS (SELECT count(*) AS n FROM daily),
+ranked AS (
+  SELECT d, n,
+         count(*) OVER (ORDER BY rev_c
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           + n
+           - count(*) OVER (ORDER BY rev_c DESC
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           + 1 AS r2
+  FROM daily, tot
+),
+seq AS (
+  SELECT n, r2, lead(r2) OVER (ORDER BY d) AS nr2 FROM ranked
+),
+agg AS (
+  SELECT n,
+         sum(CASE WHEN nr2 IS NULL THEN 0
+                  ELSE (r2 - nr2) * (r2 - nr2) END) AS num,
+         sum((r2 - n - 1) * (r2 - n - 1)) AS den
+  FROM seq GROUP BY n
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(CAST(num AS DOUBLE) / nullif(den, 0), 6) AS rvn,
+       round((CAST(num AS DOUBLE) / nullif(den, 0) - 2)
+             / nullif(sqrt(4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)
+                           / (5.0 * n * (n + 1) * (n - 1.0) * (n - 1))), 0),
+             6) AS z_rvn
+FROM agg
+"""
+
+
+@register("bartels_rank_test", bartels_oracle)
+def bartels_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels' rank version of von Neumann's ratio — randomness of the
+    daily revenue SEQUENCE tested on ranks: RVN = Σ(r_i − r_{{i+1}})² /
+    Σ(r_i − r̄)², ≈2 under randomness, <2 for momentum (adjacent days
+    alike), >2 for oscillation. `runs_test_daily` dichotomizes at the
+    median and discards magnitude order; Bartels keeps the full ranking
+    (more powerful against trend/AR alternatives — Bartels 1982) while
+    staying distribution-free where ACF assumes stationary Gaussian.
+
+    Exactness: DOUBLED midranks 2r = cnt_le + (n − cnt_ge) + 1 are exact
+    integers (the chatterjee RANGE-window trick); with midranks the rank
+    mean is exactly (n+1)/2, so numerator and denominator are exact
+    integer sums whose shared ×4 scale cancels in the ratio — RVN is ONE
+    division of exact ints; z uses Bartels' exact-moment variance
+    4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²).
+
+    Shape: one combinable daily groupBy, then three unpartitioned
+    windows over the day-DOMAIN relation (two RANGE tie-rank counts +
+    one lead — the chatterjee_xi_daily allowlist class; plan_audit: 3)."""
+    daily = _daily_cents(spark, sf_dir)
+    w_le = Window.orderBy("rev_c").rangeBetween(Window.unboundedPreceding, 0)
+    w_ge = Window.orderBy(F.desc("rev_c")).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    n_sub = daily.agg(F.count("*").alias("n"))
+    ranked = (
+        daily.select(
+            "d",
+            "rev_c",
+            F.count("*").over(w_le).alias("cle"),
+            F.count("*").over(w_ge).alias("cge"),
+        )
+        .crossJoin(F.broadcast(n_sub))
+        .select(
+            "d",
+            "n",
+            (F.col("cle") + F.col("n") - F.col("cge") + 1).alias("r2"),
+        )
+    )
+    seq = ranked.withColumn("nr2", F.lead("r2").over(Window.orderBy("d")))
+    num = F.sum(
+        F.when(F.col("nr2").isNull(), F.lit(0)).otherwise(
+            (F.col("r2") - F.col("nr2")) * (F.col("r2") - F.col("nr2"))
+        )
+    )
+    nn = F.max("n")
+    den = F.sum((F.col("r2") - F.col("n") - 1) * (F.col("r2") - F.col("n") - 1))
+    rvn = num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))
+    var = (
+        4.0
+        * (nn - 2)
+        * (5.0 * nn * nn - 2 * nn - 9)
+        / (5.0 * nn * (nn + 1) * (nn - 1.0) * (nn - 1))
+    )
+    return seq.agg(
+        nn.cast("bigint").alias("n_days"),
+        F.round(rvn, 6).alias("rvn"),
+        F.round((rvn - 2) / F.nullif(F.sqrt(var), F.lit(0.0)), 6).alias(
+            "z_rvn"
+        ),
+    )

@@ -3006,3 +3006,168 @@ def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("partial_r_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley scale test (round-15)
+# ---------------------------------------------------------------------------
+
+ansari_oracle = f"""
+WITH ev AS (
+  SELECT value, CAST(event_type = '{MW_GROUP_A}' AS BIGINT) AS is_a
+  FROM events WHERE event_type IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+),
+vals AS (
+  SELECT value, count(*) AS cnt, sum(is_a) AS a_cnt FROM ev GROUP BY value
+),
+tot AS (SELECT sum(cnt) AS nn, (sum(cnt) + 1) // 2 AS h FROM vals),
+ranked AS (
+  SELECT cnt, a_cnt, nn, h,
+         coalesce(sum(cnt) OVER (ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM vals, tot
+),
+scored AS (
+  SELECT cnt, a_cnt, nn,
+         (CASE WHEN cb + cnt <= h THEN (cb + cnt) * (cb + cnt + 1) // 2
+               ELSE h * (h + 1) // 2
+                    + (2 * nn + 1 - h - (cb + cnt)) * (cb + cnt - h) // 2
+          END
+          - CASE WHEN cb <= h THEN cb * (cb + 1) // 2
+                 ELSE h * (h + 1) // 2 + (2 * nn + 1 - h - cb) * (cb - h) // 2
+            END) AS ss
+  FROM ranked
+),
+agg AS (
+  SELECT max(nn) AS nn,
+         sum(a_cnt) AS n_a,
+         sum(cnt - a_cnt) AS n_b,
+         sum(ss) AS sum_a,
+         sum((2 * CAST(a_cnt AS HUGEINT) * ss * 1000000 + cnt)
+             // (2 * cnt)) AS ab_micro,
+         sum((2 * CAST(ss AS HUGEINT) * ss * 1000000 + cnt)
+             // (2 * cnt)) AS a2_micro
+  FROM scored
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(ab_micro / 1000000.0, 6) AS ab_stat,
+       round((ab_micro / 1000000.0
+              - CAST(n_a AS DOUBLE) * sum_a / nn)
+             / nullif(sqrt(CAST(n_a AS DOUBLE) * n_b
+                           * (nn * (a2_micro / 1000000.0)
+                              - CAST(sum_a AS DOUBLE) * sum_a)
+                           / (CAST(nn AS DOUBLE) * nn * (nn - 1))), 0), 6)
+         AS z_ab
+FROM agg
+"""
+
+
+@register("ansari_bradley_scale", ansari_oracle)
+def ansari_bradley_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley test — do the purchase and click `value` samples
+    differ in SCALE (dispersion about a common center)? The two-sample
+    family tests location (MWU/Mood's) and whole-distribution shape
+    (KS/CvM/AD/Kuiper/energy); A-B is the missing rank test aimed
+    squarely at spread: scores a_i = min(i, N+1−i) peak at the center
+    and fall toward both extremes, so a sample concentrated in the
+    middle scores HIGH (smaller scale) — with midrank scores under ties
+    and the tie-exact normal approximation
+    z = (AB − n_a·ā) / sqrt(n_a·n_b·(N·ā² − Ā²)/(N²(N−1))).
+
+    Distributed ranking: the mann_whitney_u kernel verbatim — collapse
+    to per-distinct-value counts, range-partition, O(P) offsets — then
+    each tie group's score SUM comes from the closed form of
+    f(x) = Σ_{{i≤x}} min(i, N+1−i) (two triangle pieces split at
+    h = ⌈N/2⌉): f(hi) − f(lo−1), all exact integers. Midrank score
+    means are rationals with per-group denominators, so group terms are
+    quantized to exact round-half-up MICRO-units via integral division
+    ((2·a·s·10⁶ + c) DIV 2c — the anderson_darling quantize-before-sum
+    discipline) and summed as exact integers; the z formula then runs
+    on exact sums in identical IEEE doubles."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B))
+        .select(
+            "value",
+            (F.col("event_type") == MW_GROUP_A).cast("long").alias("is_a"),
+        )
+    )
+    vals = ev.groupBy("value").agg(
+        F.sum("is_a").alias("a_cnt"), F.count("*").alias("cnt")
+    )
+    n_parts = shuffle_partition_count(spark)
+    ranged, _, offsets_df, totals = range_partition_offsets(
+        vals, ["value"], [("tot", F.sum("cnt"))], n_parts
+    )
+    nn = int(totals["tot"])
+    h = (nn + 1) // 2
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        ranged.withColumn("cum_local", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .join(F.broadcast(offsets_df), "pid")
+        .select(
+            "a_cnt",
+            "cnt",
+            (F.col("off_tot") + F.col("cum_local")).alias("cb"),
+        )
+    )
+
+    # closed-form f(x) = sum_{i<=x} min(i, N+1-i), two triangle pieces
+    def tri(xcol):
+        lowpart = F.expr(f"CAST(({xcol}) * (({xcol}) + 1) DIV 2 AS BIGINT)")
+        highpart = F.expr(
+            f"CAST({h} * ({h} + 1) DIV 2 "
+            f"+ (2 * {nn} + 1 - {h} - ({xcol})) * (({xcol}) - {h}) DIV 2 "
+            "AS BIGINT)"
+        )
+        return F.when(F.expr(f"({xcol}) <= {h}"), lowpart).otherwise(highpart)
+
+    scored = ranked.select(
+        "a_cnt",
+        "cnt",
+        (tri("cb + cnt") - tri("cb")).alias("ss"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = scored.agg(
+        F.sum("a_cnt").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("a_cnt")).alias("n_b"),
+        F.sum("ss").alias("sum_a"),
+        F.sum(
+            F.expr(
+                "CAST((2 * CAST(a_cnt AS DECIMAL(38,0)) * ss * 1000000 + cnt)"
+                " DIV (2 * cnt) AS DECIMAL(38,0))"
+            )
+        ).alias("ab_micro"),
+        F.sum(
+            F.expr(
+                "CAST((2 * CAST(ss AS DECIMAL(38,0)) * ss * 1000000 + cnt)"
+                " DIV (2 * cnt) AS DECIMAL(38,0))"
+            )
+        ).alias("a2_micro"),
+    )
+    ab = F.col("ab_micro").cast("double") / 1000000.0
+    a2 = F.col("a2_micro").cast("double") / 1000000.0
+    n_a_d = F.col("n_a").cast("double")
+    n_b_d = F.col("n_b").cast("double")
+    e_ab = n_a_d * F.col("sum_a") / nn
+    var = (
+        n_a_d
+        * n_b_d
+        * (nn * a2 - F.col("sum_a").cast("double") * F.col("sum_a"))
+        / (float(nn) * nn * (nn - 1))
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(ab, 6).alias("ab_stat"),
+        F.round((ab - e_ab) / F.nullif(F.sqrt(var), F.lit(0.0)), 6).alias(
+            "z_ab"
+        ),
+    )

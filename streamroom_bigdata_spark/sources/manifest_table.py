@@ -330,6 +330,51 @@ def manifest_clone(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
         _commit(spark, dst_dir, gen, rec)
 
 
+def manifest_restore(
+    spark: SparkSession, table_dir: str, generation: int
+) -> int:
+    """Roll the table back to ``generation`` as a NEW commit (Delta's
+    ``RESTORE TABLE ... VERSION AS OF``): the target generation's
+    immutable data dirs are simply RE-REFERENCED — zero data bytes move,
+    exactly like :func:`manifest_clone` but within one table — and
+    history stays intact, so the undone commits remain time-travelable
+    until vacuum. The committed-ANN-index composition: restoring the
+    codes table to its pre-delete generation is takedown UNDO; restoring
+    past a bad compaction or a corrupt ingest batch is the operational
+    escape hatch every commit-log table owes its operators. Raises if
+    the generation was never committed or is already vacuumed. Returns
+    the new generation."""
+    commits = _list_commits(spark, table_dir)
+    if not commits:
+        raise FileNotFoundError(f"no committed generation in {table_dir}")
+    by_gen = dict(commits)
+    if generation not in by_gen:
+        raise FileNotFoundError(
+            f"generation {generation} not in manifest for {table_dir} "
+            f"(have {sorted(by_gen)})"
+        )
+    target = _read_manifest(spark, by_gen[generation])
+    dirs = _generation_dirs(target)
+    fs, jvm = _fs(spark, dirs[0])
+    for d in dirs:
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
+            raise FileNotFoundError(
+                f"generation {generation} data was vacuumed from {table_dir}"
+            )
+    gen = commits[-1][0] + 1
+    _commit(
+        spark, table_dir, gen,
+        {
+            "generation": gen,
+            "data_dir": dirs[-1],
+            "data_dirs": dirs,
+            "n_rows": target.get("n_rows", 0),
+            "restored_from": generation,
+        },
+    )
+    return gen
+
+
 def manifest_compact(
     spark: SparkSession, table_dir: str, n_files: int
 ) -> int:

