@@ -1921,16 +1921,14 @@ def retrieval_eval_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
     pfx = F.array(*[F.lit(d) for d in _NDCG_PFX])
+    # corpus-sized label relation STREAMS through a broadcast-hash join
+    # against the k·|Q|-bounded neighbor set (the knn_label_predict
+    # shape) — never broadcast a side that grows with the corpus
+    labels = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab")
+    )
     scored = (
-        topk.join(
-            F.broadcast(
-                corpus.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.col("label").alias("nlab"),
-                )
-            ),
-            "neighbor_id",
-        )
+        labels.join(F.broadcast(topk), "neighbor_id")
         .join(F.broadcast(qlab), "query_id")
         .select(
             "query_id",

@@ -336,6 +336,25 @@ _ALLOWED_FACT_BROADCASTS = {
     "mann_kendall_trend": 3,
     # runs test: 1-row median broadcast over the day-DOMAIN series
     "runs_test_daily": 1,
+    # round-15 wave — every hinted side a 1-row scalar or a bounded-by-
+    # design relation (measured counts, kept exact so a new bad hint
+    # can't hide behind slack):
+    # 1-row (n, mu) exact-center row broadcast onto the deviation pass
+    "jarque_bera_daily": 1,
+    # 1-row (n, k) tail-size scalar joined onto the ordered returns
+    "var_cvar_daily": 1,
+    # 1-row day count broadcast into the doubled-midrank projection
+    "bartels_rank_test": 1,
+    # day-DOMAIN pair side (the mann_kendall/theil_sen broadcast) +
+    # 1-row day count + 1-row per-season base + 1-row tie term
+    "seasonal_mann_kendall": 4,
+    # k·|Q| neighbor rows (corpus labels STREAM against it — the
+    # knn_label_predict shape) + |Q|-row query-label row + label-DOMAIN
+    # count relation
+    "retrieval_eval_at_k": 3,
+    # inherited from the composed ann_ivf_cosine subplan (its bounded
+    # query-list side; the brute side hints nothing)
+    "ann_recall_at_k": 1,
     # max drawdown: 1-row max-drawdown scalar joined back over the
     # day-DOMAIN table + 1-row day count
     "max_drawdown_revenue": 2,
