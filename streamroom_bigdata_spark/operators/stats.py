@@ -3119,13 +3119,21 @@ def ansari_bradley_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # closed-form f(x) = sum_{i<=x} min(i, N+1-i), two triangle pieces
+    # closed-form f(x) = sum_{i<=x} min(i, N+1-i), two triangle pieces.
+    # Literals spelled CAST(.. AS BIGINT) BEFORE the products: at sf≈1
+    # h ≈ 2·10⁵ and h·(h+1) overflows the INT32 the bare literal parses
+    # as (ANSI abort — caught by the close_round sf1 gate); DuckDB's h is
+    # already HUGEINT via sum(), so only the Spark spelling needed the
+    # promotion.
     def tri(xcol):
-        lowpart = F.expr(f"CAST(({xcol}) * (({xcol}) + 1) DIV 2 AS BIGINT)")
-        highpart = F.expr(
-            f"CAST({h} * ({h} + 1) DIV 2 "
-            f"+ (2 * {nn} + 1 - {h} - ({xcol})) * (({xcol}) - {h}) DIV 2 "
+        lowpart = F.expr(
+            f"CAST((CAST(({xcol}) AS BIGINT) * (({xcol}) + 1)) DIV 2 "
             "AS BIGINT)"
+        )
+        highpart = F.expr(
+            f"CAST(CAST({h} AS BIGINT) * ({h} + 1) DIV 2 "
+            f"+ (2 * CAST({nn} AS BIGINT) + 1 - {h} - ({xcol})) "
+            f"* (({xcol}) - {h}) DIV 2 AS BIGINT)"
         )
         return F.when(F.expr(f"({xcol}) <= {h}"), lowpart).otherwise(highpart)
 
