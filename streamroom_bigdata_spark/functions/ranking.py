@@ -21,6 +21,7 @@ in ONE place:
 
 from __future__ import annotations
 
+from .localdf import local_df
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -62,5 +63,8 @@ def range_partition_offsets(
         for n in names:
             acc[n] += r[n]
     schema = "pid int, " + ", ".join(f"off_{n} long" for n in names)
-    offsets_df = spark.createDataFrame(offsets, schema)
+    # local_df: the offsets frame is broadcast-joined by every consumer —
+    # the pickled-list path paid 32 Python-worker round trips per
+    # evaluation of this P-row relation (functions/localdf.py)
+    offsets_df = local_df(spark, offsets, schema)
     return ranged, rows, offsets_df, acc

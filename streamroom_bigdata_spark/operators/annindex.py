@@ -83,6 +83,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
 from ..functions.vector import as_double
 from ..registry import register
 from ..sources import load_table
@@ -192,7 +193,11 @@ def ann_index_build(
     probes. Returns the codes generation."""
     flat = emb.select("vec_id", "emb")
     C = _pq_train(flat, init_df=flat.orderBy("vec_id").limit(PQ_K))
-    cb = spark.createDataFrame(
+    # local_df (functions/localdf.py): the pickled-list path cost ~6 s of
+    # serialized per-slice Python-worker round trips under coalesce(1) —
+    # measured as HALF of the ann_index_probe_committed gate (guide §4)
+    cb = local_df(
+        spark,
         [
             (m, cid, pos + 1, int(C[m][cid][pos]))
             for m in range(PQ_M)
@@ -299,7 +304,7 @@ def ann_index_probe(
     qlists = [
         (int(q), int(l)) for q, ls in zip(qids, lids[order]) for l in ls
     ]
-    qlist_df = spark.createDataFrame(qlists, "query_id long, list_id int")
+    qlist_df = local_df(spark, qlists, "query_id long, list_id int")
 
     # integer ADC lookup relation: M×K×|Q| rows, the only broadcast
     Q = _pq_quant(Xq)
@@ -309,8 +314,8 @@ def ann_index_probe(
         for cid in range(C[m].shape[0]):
             for qi, qid in enumerate(qids):
                 lut_rows.append((m, cid, int(qid), int(L[cid, qi])))
-    lut_df = spark.createDataFrame(
-        lut_rows, "m int, cid int, query_id long, dot_i long"
+    lut_df = local_df(
+        spark, lut_rows, "m int, cid int, query_id long, dot_i long"
     )
 
     probed = sorted({lid for _, lid in qlists})
@@ -657,8 +662,8 @@ def ann_index_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
         added = int(rec["n_rows"]) - prev
         prev = int(rec["n_rows"])
         rows.append((int(rec["generation"]), added // PQ_M, added))
-    return spark.createDataFrame(
-        rows, "generation int, vectors_added long, code_rows_added long"
+    return local_df(
+        spark, rows, "generation int, vectors_added long, code_rows_added long"
     )
 
 

@@ -1445,7 +1445,13 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division on both engines; only the final averages are
     accumulation-ordered floats (round-6 convention)."""
     ex = exploded_shingle_df(spark, sf_dir).cache()
-    sigs = minhash_signatures_of(ex, with_size=True)
+    # materialize the signature table ONCE: three consumers (banding, the
+    # sa and sb signature joins) would otherwise each re-run the doc-keyed
+    # min-aggregate over the cached shingle table — round-15 profile
+    # showed three identical ~0.8 s aggregation jobs per run (guide §2.4).
+    # Flat doc-sized rows (8 ints + size), localCheckpoint truncates the
+    # lineage so the three consumers plan over a leaf.
+    sigs = minhash_signatures_of(ex, with_size=True).localCheckpoint()
     counted = counted_bands(signature_bands(sigs, keep=("n_sh",)))
     cand = lsh_candidate_pairs(counted, pre_counted=True, carry_sizes=True)
 

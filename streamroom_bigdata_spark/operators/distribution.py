@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.ranking import range_partition_offsets
 from ..functions.timeutil import epoch_ms
+from ..functions.localdf import local_df
 from ..registry import register
 from ..session import shuffle_partition_count
 from ..sources import load_table
@@ -1246,8 +1247,8 @@ def quantile_align_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
     )
     pooled = docs.agg(F.percentile("n_chars", grid_arr).alias("pqs"))
-    grid = spark.createDataFrame(
-        [(p, i + 1) for i, p in enumerate(QA_GRID)], "p double, i int"
+    grid = local_df(
+        spark, [(p, i + 1) for i, p in enumerate(QA_GRID)], "p double, i int"
     )
     return (
         per_src.crossJoin(F.broadcast(pooled))

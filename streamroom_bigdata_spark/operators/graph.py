@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.reliability import make_checkpointer
+from ..functions.localdf import local_df
 from ..registry import register
 from ..sources import load_table
 from .dedup import simhash_near_dup, simhash_near_dup_oracle
@@ -148,6 +149,7 @@ def _driver_pagerank(edges: DataFrame, iters: int, damping: float) -> DataFrame:
     accumulation-order float noise (~1e-15), far below the query's round-5
     output precision."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql import types as T
 
     # Arrow transfer, not collect(): py4j Row materialization runs ~100k
@@ -175,8 +177,11 @@ def _driver_pagerank(edges: DataFrame, iters: int, damping: float) -> DataFrame:
             T.StructField("rank", T.DoubleType(), False),
         ]
     )
+    # Arrow upload, not a Python row list (the personalized-pagerank
+    # spelling below): the pickled list paid one Python-worker round trip
+    # per slice on every evaluation of the result relation
     return spark.createDataFrame(
-        [(int(i), float(r)) for i, r in zip(ids, rank)], schema
+        pd.DataFrame({"id": ids, "rank": rank}), schema
     )
 
 
@@ -194,9 +199,18 @@ def _transaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # symmetrize by EXPLODING both orientations off the one distinct pair
+    # row instead of union-ing the subtree with its own mirror: the union
+    # spelling planned (and ran) the orders⋈lineitem join + distinct TWICE
+    # per consumer — Spark shares no common subexpressions (guide §2.4;
+    # round-15 profile: pagerank's edge materialization was 2× the work).
+    # Same multiset of rows: forward and mirrored edges cannot collide
+    # (even/odd endpoint encoding), exactly as the UNION of disjoint sets.
+    both = F.array(
+        F.struct(F.col("src"), F.col("dst")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
     )
+    return pairs.select(F.explode(both).alias("e")).select("e.src", "e.dst")
 
 
 @register("pagerank_transactions", _pagerank_oracle())
@@ -728,7 +742,7 @@ def _driver_k_core(edges: DataFrame, k: int) -> DataFrame:
             T.StructField("core_degree", T.LongType(), False),
         ]
     )
-    return spark.createDataFrame(survivors, schema)
+    return local_df(spark, survivors, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1326,6 +1340,46 @@ def scc_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: C(40,2) = 780 pairs — the winnow df-guard argument.
 AA_MAX_DEG = 40
 
+def _capped_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link-prediction quartet's shared candidate relation —
+    degree-capped DISTINCT (cust, part, dg) co-purchase rows —
+    materialized ONCE per query via localCheckpoint (guide §2.4/§5).
+
+    Round-15 measurement: the quartet's DataFrame DAGs consumed this
+    subtree 2-4× (self-join a/b sides + the part-degree aggregates), and
+    Spark shares no common subexpressions across consumers — the plan
+    re-ran the orders⋈lineitem join + distinct + degree join per consumer
+    (jaccard_links: 8 parquet scans, 139-node plan, ~20 Exchanges).
+    Materializing the bounded contrib relation (2 ints + a count per row,
+    strictly smaller than the distinct co-purchase list) replaces those
+    repeats with one computation; the checkpoint erases stats, so every
+    downstream join keeps its shuffle_hash pin (the sf≈10 audit rule —
+    nothing corpus-sized is ever left to AQE broadcast estimates)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # the orders projection is fact-sized too — without the pin AQE was
+    # broadcasting it into the lineitem join (9 MiB at sf0.1 -> ~1 GB at
+    # cluster scale)
+    items = (
+        orders.hint("shuffle_hash").join(
+            li, orders.o_orderkey == li.l_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    deg = items.groupBy("cust").agg(F.count("*").alias("dg"))
+    # shuffle_hash pins (round-14 audit catch): the customer-degree
+    # relation AND both self-join sides grow with the customer book —
+    # AQE was broadcasting 41 MiB of them at sf0.1 (≈4 GB at sf≈10, the
+    # bpe_encode class of executor-killer)
+    contrib = items.join(deg.hint("shuffle_hash"), "cust").filter(
+        (F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG)
+    )
+    return contrib.localCheckpoint()
+
+
 adamic_adar_oracle = f"""
 WITH items AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS cust, l_partkey AS part
@@ -1363,26 +1417,7 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     above; degree-1 customers produce no pairs and would divide ln(1)=0).
     The degree join is keyed on customer; the AA aggregate is combinable
     on the pair key. No stage is parts² at any scale."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    # the orders projection is fact-sized too — without the pin AQE was
-    # broadcasting it into the lineitem join (9 MiB at sf0.1 -> ~1 GB at
-    # cluster scale)
-    items = (
-        orders.hint("shuffle_hash").join(
-            li, orders.o_orderkey == li.l_orderkey
-        )
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-    )
-    deg = items.groupBy("cust").agg(F.count("*").alias("dg"))
-    # shuffle_hash pins (round-14 audit catch): the customer-degree
-    # relation AND both self-join sides grow with the customer book —
-    # AQE was broadcasting 41 MiB of them at sf0.1 (≈4 GB at sf≈10, the
-    # bpe_encode class of executor-killer)
-    contrib = items.join(deg.hint("shuffle_hash"), "cust").filter(
-        (F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG)
-    )
+    contrib = _capped_contrib(spark, sf_dir)
     a = contrib.select("cust", F.col("part").alias("part_a"), "dg")
     b = contrib.select("cust", F.col("part").alias("part_b"))
     return (
@@ -1618,7 +1653,7 @@ def _driver_hits(edges: DataFrame) -> DataFrame:
         ("supplier", int(k), _r5(float(v)), "authority")
         for k, v in zip(sids, a)
     ]
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1677,25 +1712,7 @@ def jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog GROWS with the corpus, exactly the side the sf≈10 audit rule
     forbids leaving to AQE broadcast estimates. Jaccard is one double
     division of exact ints."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    items = (
-        orders.hint("shuffle_hash").join(
-            li, orders.o_orderkey == li.l_orderkey
-        )
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
-        )
-        .distinct()
-    )
-    deg = items.groupBy("cust").agg(F.count("*").alias("dg"))
-    # same pins as adamic_adar_links: degree relation + self-join sides
-    # are customer-book-sized, never broadcastable
-    contrib = (
-        items.join(deg.hint("shuffle_hash"), "cust")
-        .filter((F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG))
-        .select("cust", "part")
-    )
+    contrib = _capped_contrib(spark, sf_dir).select("cust", "part")
     pdeg = contrib.groupBy("part").agg(F.count("*").alias("pd"))
     a = contrib.select("cust", F.col("part").alias("part_a"))
     b = contrib.select("cust", F.col("part").alias("part_b"))
@@ -1775,23 +1792,7 @@ def preferential_attachment_links(
     the pair stage. Score is an exact BIGINT product; same capped
     customer-keyed self-join and pinned part-degree joins as the
     siblings (the round-14 audit shape)."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    items = (
-        orders.hint("shuffle_hash").join(
-            li, orders.o_orderkey == li.l_orderkey
-        )
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
-        )
-        .distinct()
-    )
-    deg = items.groupBy("cust").agg(F.count("*").alias("dg"))
-    contrib = (
-        items.join(deg.hint("shuffle_hash"), "cust")
-        .filter((F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG))
-        .select("cust", "part")
-    )
+    contrib = _capped_contrib(spark, sf_dir).select("cust", "part")
     pdeg = contrib.groupBy("part").agg(F.count("*").alias("pd"))
     a = contrib.select("cust", F.col("part").alias("part_a"))
     b = contrib.select("cust", F.col("part").alias("part_b"))
@@ -1850,21 +1851,7 @@ def resource_allocation_links(
     per-row doubles from exact ints; the per-pair sum is ≤ 40 bounded
     terms whose grouped accumulation is engine-deterministic at the
     published 6dp (the adamic_adar rounding discipline)."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    items = (
-        orders.hint("shuffle_hash").join(
-            li, orders.o_orderkey == li.l_orderkey
-        )
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
-        )
-        .distinct()
-    )
-    deg = items.groupBy("cust").agg(F.count("*").alias("dg"))
-    contrib = items.join(deg.hint("shuffle_hash"), "cust").filter(
-        (F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG)
-    )
+    contrib = _capped_contrib(spark, sf_dir)
     a = contrib.select("cust", F.col("part").alias("part_a"), "dg")
     b = contrib.select("cust", F.col("part").alias("part_b"))
     ra = F.sum(1.0 / F.col("dg"))

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
 from ..registry import register
 from ..sources import load_table
 
@@ -407,4 +408,4 @@ def davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("r_max", T.DoubleType(), False),
         ]
     )
-    return emb.sparkSession.createDataFrame(rows, schema)
+    return local_df(emb.sparkSession, rows, schema)

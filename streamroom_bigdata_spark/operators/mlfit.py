@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash_mod, sql_hash_mod
 from ..functions.ranking import range_partition_offsets
+from ..functions.localdf import local_df
 from ..registry import register
 from ..session import shuffle_partition_count
 from ..sources import load_table
@@ -506,8 +507,8 @@ def logreg_gd_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    w = spark.createDataFrame(
-        [(0.0, 0.0, 0.0)], "b0 double, b1 double, b2 double"
+    w = local_df(
+        spark, [(0.0, 0.0, 0.0)], "b0 double, b1 double, b2 double"
     )
     for _ in range(LOGREG_STEPS):
         z = F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")

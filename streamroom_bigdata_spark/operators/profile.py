@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
 from ..registry import register
 from ..sources import load_table
 
@@ -195,9 +196,7 @@ def count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tok in CMS_QUERY_TOKENS
         for s in range(CMS_DEPTH)
     ]
-    queries = docs.sparkSession.createDataFrame(
-        q_rows, "tok string, seed int"
-    )
+    queries = local_df(docs.sparkSession, q_rows, "tok string, seed int")
     # per-seed bucket must use the row's own seed: branch via CASE
     bucket_expr = None
     for s in range(CMS_DEPTH):
@@ -397,7 +396,14 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 5.5 s warm → 1.3 s with the cache at sf0.1. Flat schema, so
     # the nested-columnar cache trap (round-1 gotcha) doesn't apply; the
     # cached relation is sketch-sized at ANY corpus scale.
-    sk = sk.cache()
+    # localCheckpoint, not cache (round 15): cache() keeps the corpus-sized
+    # explode+distinct+window lineage inside the LOGICAL plan, so each of
+    # the five consumers re-pays analysis/optimization over the full tree
+    # every run — measured ~5 s of driver planning per warm run at sf0.1.
+    # The checkpoint truncates the lineage to a K·|sources|-row leaf;
+    # downstream planning is then O(sketch), and the materialization job
+    # is the same work the first cache fill paid.
+    sk = sk.localCheckpoint()
     srcs = sk.select("source").distinct()
     pairs = (
         srcs.alias("a")

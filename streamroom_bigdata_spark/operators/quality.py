@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
 from ..registry import register
 from ..sources import load_table
 
@@ -230,9 +231,7 @@ def pr_curve_stopword_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         (F.col("lang") == "en").alias("is_pos"), score.alias("score")
     )
-    th = spark.createDataFrame(
-        [(t,) for t in PR_THRESHOLDS], "threshold double"
-    )
+    th = local_df(spark, [(t,) for t in PR_THRESHOLDS], "threshold double")
     agg = (
         scored.join(F.broadcast(th))
         .groupBy("threshold")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.timeutil import epoch_ms
+from ..functions.localdf import local_df
 from ..registry import register
 from ..session import shuffle_partition_count
 from ..sources import load_table
@@ -1079,8 +1080,10 @@ def hurst_exponent_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lat = idx.crossJoin(
         F.broadcast(
-            idx.sparkSession.createDataFrame(
-                [(e, 1 << e) for e in (3, 4, 5, 6)], "e int, bn long"
+            local_df(
+                idx.sparkSession,
+                [(e, 1 << e) for e in (3, 4, 5, 6)],
+                "e int, bn long",
             )
         )
     )

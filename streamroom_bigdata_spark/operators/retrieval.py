@@ -29,6 +29,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
 from ..registry import register
 from ..sources import load_table
 
@@ -454,5 +455,5 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("mmr_score", T.DoubleType(), False),
         ]
     )
-    return spark.createDataFrame(out, schema)
+    return local_df(spark, out, schema)
 

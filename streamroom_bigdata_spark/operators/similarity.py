@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine, dot, l2_norm
+from ..functions.localdf import local_df
 from ..registry import register
 from ..sources import load_table
 
@@ -951,8 +952,8 @@ def ann_ivfpq_cosine(
         for cid in range(PQ_K):
             for qi, r in enumerate(qrows):
                 lut_rows.append((m, cid, int(r.vec_id), int(L[cid, qi])))
-    lut_df = spark.createDataFrame(
-        lut_rows, "m int, cid int, query_id long, dot_i long"
+    lut_df = local_df(
+        spark, lut_rows, "m int, cid int, query_id long, dot_i long"
     )
 
     # shuffle_hash pin: BOTH sides grow with the corpus (codes = 8 rows
@@ -1638,7 +1639,7 @@ def k_center_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("vec_id", T.LongType(), False),
         T.StructField("radius_sq", T.DoubleType(), False),
     ])
-    return spark.createDataFrame(out_rows, schema)
+    return local_df(spark, out_rows, schema)
 
 
 # ---------------------------------------------------------------------------

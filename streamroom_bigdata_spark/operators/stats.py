@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import sql_hash_mod
 from ..functions.ranking import range_partition_offsets
 from ..functions.timeutil import epoch_ms
+from ..functions.localdf import local_df
 from ..registry import register
 from ..session import shuffle_partition_count
 from ..sources import load_table
@@ -974,7 +975,8 @@ def wasserstein_1d_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     next_min = {
         mins[i].pid: float(mins[i + 1]["vmin"]) for i in range(len(mins) - 1)
     }
-    nm_df = spark.createDataFrame(
+    nm_df = local_df(
+        spark,
         [(int(p), v) for p, v in next_min.items()] or [(int(-1), float(0.0))],
         "pid int, next_vmin double",
     )

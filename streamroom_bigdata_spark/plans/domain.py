@@ -14,6 +14,7 @@ an in-plan dimension, one window top-k — no driver round-trips.
 
 from __future__ import annotations
 
+from ..functions.localdf import local_df
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -53,8 +54,8 @@ def recommend_classrooms(
     max_usage = usage.agg(F.max("usage_count").alias("max_usage"))
     booked = bookings.select("classroom_id").distinct()
 
-    sizes = spark.createDataFrame(
-        [(s,) for s in request_sizes], "request_students int"
+    sizes = local_df(
+        spark, [(s,) for s in request_sizes], "request_students int"
     )
     scored = (
         classrooms.join(

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
 from ..registry import register
 
 REQUEST_SIZES = (10, 25, 40)
@@ -80,8 +81,8 @@ def recommend_rooms(
     mx = usage.agg(F.max("usage_count").alias("max_usage"))
     usage = usage.join(F.broadcast(mx))
 
-    requests = spark.createDataFrame(
-        [(s,) for s in request_sizes], "request_size int"
+    requests = local_df(
+        spark, [(s,) for s in request_sizes], "request_size int"
     )
 
     feasible = part.join(
