@@ -1490,15 +1490,26 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # to a shuffled hash join — the static planner's size estimate off
         # the cached explode under-guesses it and tries to BROADCAST it,
         # which is exactly the stage that must never happen at scale
+        # materialize the DIM-row matvec result each round: truncates the
+        # growing lineage (5 rounds would otherwise nest the whole history
+        # into one plan), replaces guessed statistics with exact 64-row
+        # ones — and, checkpointing W itself rather than the normalized
+        # state, runs the data-sized matvec ONCE per round. The previous
+        # spelling checkpointed w.join(nrm), whose nrm branch contains w
+        # again: Spark shares no common subexpressions, so every round
+        # executed the full expl⋈dots aggregation twice (round-15 profile:
+        # two identical ~0.3 s 3-stage jobs per round, jobs 92/93).
         w = (
             expl.join(dots.hint("shuffle_hash"), "vec_id")
             .groupBy("dim")
             .agg(F.sum(F.col("val") * F.col("dot")).alias("wv"))
+            .localCheckpoint()
         )
         nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
-        # materialize the DIM-row state each round: truncates the growing
-        # lineage (5 rounds would otherwise nest the whole history into
-        # one plan) and replaces guessed statistics with exact 64-row ones
+        # second checkpoint is a 64-row job over the w leaf — it keeps the
+        # per-round state a LEAF (a lazy join here nests the normalization
+        # subtree into every later round's plan and planning time grows
+        # round over round), without re-running anything data-sized
         last = (
             w.join(nrm)
             .select("dim", (F.col("wv") / F.col("nrm")).alias("vv"), "nrm")
