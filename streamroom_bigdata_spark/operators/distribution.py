@@ -294,7 +294,12 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-partition row_number; the mean of the two central elements for
     even counts matches `quantile_cont` interpolation at 0.5 exactly."""
     n_parts = shuffle_partition_count(spark)
-    daily = _daily_orders(spark, sf_dir).select("d", "rev")
+    # materialize the day-DOMAIN table once: three consumers (both pair
+    # sides + the n_days scalar) would otherwise each re-run the
+    # orders-scan + daily aggregate — the data-sized stage of this query
+    # at ANY scale (guide §2.4; the calendar-bounded result is ≤ span
+    # rows, so the checkpoint is trivially small)
+    daily = _daily_orders(spark, sf_dir).select("d", "rev").localCheckpoint()
     a = daily.repartition(n_parts).select(
         F.col("d").alias("d1"), F.col("rev").alias("r1")
     )

@@ -96,6 +96,7 @@ def pagerank(
     damping: float = PR_DAMPING,
     small_graph_threshold: int = _PR_DRIVER_MAX_EDGES,
     checkpoint_dir: str | None = None,
+    mirror: bool = False,
 ) -> DataFrame:
     """(id, rank) after ``iters`` power iterations over a SYMMETRIZED
     (src, dst) edge frame (no dangling-mass correction needed — every node
@@ -109,16 +110,30 @@ def pagerank(
 
     ``checkpoint_dir``: reliable per-round checkpoints instead of
     localCheckpoint — see :func:`_checkpointer`; identical ranks either
-    way (path-equivalence test in tests/test_graph.py)."""
+    way (path-equivalence test in tests/test_graph.py).
+
+    ``mirror=True``: ``edges_sym`` carries only ONE orientation of each
+    undirected edge and the graph is its symmetrization. Both engine paths
+    derive the mirrored half from the materialized forward half (a numpy
+    concat on the driver path; a union over the checkpointed leaf on the
+    distributed path) — half the checkpoint bytes and half the driver
+    transfer for the same edge multiset (round-15: the transaction graph
+    moved 1.17 M symmetrized edges through localCheckpoint + toPandas when
+    587 k forward pairs carry the same information)."""
     ckpt = _checkpointer(edges_sym.sparkSession, checkpoint_dir)
     edges = ckpt(edges_sym)  # materialize once
-    n_edges = edges.count()
+    n_edges = edges.count() * (2 if mirror else 1)
     if n_edges == 0:
         # empty graph → empty labeling (1.0/n would divide by zero)
         spark = edges.sparkSession
         return spark.createDataFrame([], "id long, rank double")
     if n_edges <= small_graph_threshold:
-        return _driver_pagerank(edges, iters, damping)
+        return _driver_pagerank(edges, iters, damping, mirror)
+    if mirror:
+        # both orientations off the checkpointed leaf — no recompute
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
 
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = edges.select(F.col("src").alias("id")).distinct()
@@ -143,7 +158,9 @@ def pagerank(
     return ranks
 
 
-def _driver_pagerank(edges: DataFrame, iters: int, damping: float) -> DataFrame:
+def _driver_pagerank(
+    edges: DataFrame, iters: int, damping: float, mirror: bool = False
+) -> DataFrame:
     """Small-graph fast path: numpy power iteration on the collected edge
     table (bounded by construction). Ranks match the distributed loop to
     accumulation-order float noise (~1e-15), far below the query's round-5
@@ -159,6 +176,8 @@ def _driver_pagerank(edges: DataFrame, iters: int, damping: float) -> DataFrame:
     pdf = edges.toPandas()
     src = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
     dst = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    if mirror:  # mirror locally: both orientations of the forward half
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
     ids = np.unique(np.concatenate([src, dst]))
     si = np.searchsorted(ids, src)
     di = np.searchsorted(ids, dst)
@@ -185,13 +204,14 @@ def _driver_pagerank(edges: DataFrame, iters: int, damping: float) -> DataFrame:
     )
 
 
-def _transaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized customer↔supplier edges (even/odd id encoding) — the
-    single definition behind pagerank_transactions and
-    degree_distribution (SQL twin: :func:`_edges_sql`)."""
+def _transaction_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE orientation of each customer↔supplier edge (even/odd id
+    encoding) — the distinct co-transaction pair list. PageRank/PPR take
+    this directly with ``mirror=True`` (half the materialized bytes and
+    half the driver transfer for the same symmetrized graph)."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
+    return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("src"),
@@ -199,6 +219,12 @@ def _transaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _transaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer↔supplier edges (even/odd id encoding) — the
+    single definition behind degree_distribution, assortativity, BFS and
+    the k-core family (SQL twin: :func:`_edges_sql`)."""
     # symmetrize by EXPLODING both orientations off the one distinct pair
     # row instead of union-ing the subtree with its own mirror: the union
     # spelling planned (and ran) the orders⋈lineitem join + distinct TWICE
@@ -210,7 +236,11 @@ def _transaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("src"), F.col("dst")),
         F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
     )
-    return pairs.select(F.explode(both).alias("e")).select("e.src", "e.dst")
+    return (
+        _transaction_pairs(spark, sf_dir)
+        .select(F.explode(both).alias("e"))
+        .select("e.src", "e.dst")
+    )
 
 
 @register("pagerank_transactions", _pagerank_oracle())
@@ -220,7 +250,7 @@ def pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the iteration plan and the bounded-graph driver fast path. The
     oracle unrolls the same K rounds as chained SQL aggregates — exact
     value check, not rows-only."""
-    return pagerank(_transaction_edges(spark, sf_dir)).select(
+    return pagerank(_transaction_pairs(spark, sf_dir), mirror=True).select(
         F.when(F.col("id") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
         .alias("node_type"),
@@ -292,6 +322,7 @@ def personalized_pagerank(
     damping: float = PR_DAMPING,
     small_graph_threshold: int = _PR_DRIVER_MAX_EDGES,
     checkpoint_dir: str | None = None,
+    mirror: bool = False,
 ) -> DataFrame:
     """(id, rank) after ``iters`` rounds of PERSONALIZED power iteration:
     teleport mass lands only on the seed set (``seed_sql`` over the node
@@ -308,12 +339,17 @@ def personalized_pagerank(
     float noise far below the round-7 output)."""
     ckpt = _checkpointer(edges_sym.sparkSession, checkpoint_dir)
     edges = ckpt(edges_sym)
-    n_edges = edges.count()
+    n_edges = edges.count() * (2 if mirror else 1)
     if n_edges == 0:
         spark = edges.sparkSession
         return spark.createDataFrame([], "id long, rank double")
     if n_edges <= small_graph_threshold:
-        return _driver_ppr(edges, seed_sql, iters, damping)
+        return _driver_ppr(edges, seed_sql, iters, damping, mirror)
+    if mirror:
+        # both orientations off the checkpointed leaf — no recompute
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
 
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = edges.select(F.col("src").alias("id")).distinct()
@@ -354,7 +390,11 @@ def personalized_pagerank(
 
 
 def _driver_ppr(
-    edges: DataFrame, seed_sql: str, iters: int, damping: float
+    edges: DataFrame,
+    seed_sql: str,
+    iters: int,
+    damping: float,
+    mirror: bool = False,
 ) -> DataFrame:
     """Small-graph fast path: numpy personalized power iteration on the
     Arrow-collected edge table (the `_driver_pagerank` pattern).
@@ -371,6 +411,8 @@ def _driver_ppr(
     pdf = edges.toPandas()
     src = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
     dst = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    if mirror:  # mirror locally: both orientations of the forward half
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
     ids = np.unique(np.concatenate([src, dst]))
     si = np.searchsorted(ids, src)
     di = np.searchsorted(ids, dst)
@@ -418,7 +460,9 @@ def personalized_pagerank_transactions(
     {PR_ITERS} seeded rounds — exact value check at round-7 (PPR
     concentrates near the seeds; noise between engines and between the
     driver/distributed paths sits orders below)."""
-    return personalized_pagerank(_transaction_edges(spark, sf_dir)).select(
+    return personalized_pagerank(
+        _transaction_pairs(spark, sf_dir), mirror=True
+    ).select(
         F.when(F.col("id") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
         .alias("node_type"),
