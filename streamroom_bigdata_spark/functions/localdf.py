@@ -44,6 +44,25 @@ _ARROW_DTYPES = {
     "StringType()": "object",
 }
 
+# Arrow-path admission checks (ADVICE r15): pandas ``astype`` silently WRAPS
+# an out-of-range int and TRUNCATES a float passed for an int column, where
+# the default createDataFrame path raises a TypeError. Admit a value to the
+# Arrow path only when astype is provably the identity; anything else takes
+# the 1-slice pickle fallback, whose verifier raises exactly like the
+# default path. bool is a subclass of int, so int checks must exclude it.
+_DTYPE_OK = {
+    "int32": lambda v: isinstance(v, int) and not isinstance(v, bool)
+    and -(2**31) <= v < 2**31,
+    "int64": lambda v: isinstance(v, int) and not isinstance(v, bool)
+    and -(2**63) <= v < 2**63,
+    "float64": lambda v: isinstance(v, float)
+    or (isinstance(v, int) and not isinstance(v, bool) and abs(v) < 2**53),
+    "float32": lambda v: isinstance(v, float)
+    or (isinstance(v, int) and not isinstance(v, bool) and abs(v) < 2**24),
+    "bool": lambda v: isinstance(v, bool),
+    "object": lambda v: isinstance(v, str),
+}
+
 
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """``spark.createDataFrame(rows, schema)`` for a bounded driver-side
@@ -57,8 +76,10 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         return spark.createDataFrame([], struct)
 
     dtypes = [_ARROW_DTYPES.get(repr(f.dataType)) for f in struct.fields]
-    if all(d is not None for d in dtypes) and not any(
-        v is None for r in rows for v in r
+    if all(d is not None for d in dtypes) and all(
+        _DTYPE_OK[d](v)
+        for r in rows
+        for d, v in zip(dtypes, r)
     ):
         import pandas as pd
 

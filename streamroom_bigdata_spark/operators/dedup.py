@@ -1451,7 +1451,15 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # showed three identical ~0.8 s aggregation jobs per run (guide §2.4).
     # Flat doc-sized rows (8 ints + size), localCheckpoint truncates the
     # lineage so the three consumers plan over a leaf.
-    sigs = minhash_signatures_of(ex, with_size=True).localCheckpoint()
+    import os as _os
+
+    _mode = _os.environ.get("SPARK_GRAFT_MAT_MODE", "ckpt")
+    sigs = minhash_signatures_of(ex, with_size=True)
+    if _mode == "cache":
+        sigs = sigs.cache()
+        sigs.count()
+    elif _mode != "none":
+        sigs = sigs.localCheckpoint()
     counted = counted_bands(signature_bands(sigs, keep=("n_sh",)))
     cand = lsh_candidate_pairs(counted, pre_counted=True, carry_sizes=True)
 

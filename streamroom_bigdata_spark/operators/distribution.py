@@ -284,15 +284,18 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pairwise stage is O(days²) on the day-DOMAIN table — bounded by
     the calendar span, independent of row count (2399 days → 2.9M pairs at
     ANY scale; the data-sized work is the one combinable daily groupBy).
-    The streamed side is round-robin repartitioned so pair generation and
-    the median both run on all cores (AQE otherwise coalesces the tiny
-    daily relation to one task, serializing the whole O(days²) stage —
-    measured 9 s → sub-second at a 2400-day span). Exact median WITHOUT a
-    single-task sort: the `quartiles_distributed` order-statistic
-    machinery — range-partition the slopes, collect O(P) per-partition
-    counts, locate the middle index(es) on the driver, and pick them with
-    a per-partition row_number; the mean of the two central elements for
-    even counts matches `quantile_cont` interpolation at 0.5 exactly."""
+    The streamed side is round-robin repartitioned so pair generation runs
+    on all cores (AQE otherwise coalesces the tiny daily relation to one
+    task, serializing the whole O(days²) stage — measured 9 s →
+    sub-second at a 2400-day span). The exact median is ONE
+    ``percentile(slope, 0.5)`` aggregate (round 16): the slope relation is
+    calendar-bounded (≤ span²/2 rows at ANY corpus scale), so buffering it
+    in the single final-aggregation task is scale-safe — and it folds the
+    previous 6-job order-statistic chain (range-partition sampling pass +
+    pid checkpoint + O(P) count collect + row_number pick) into the one
+    aggregation job. percentile()'s linear interpolation at 0.5 is the
+    mean of the two central elements — the quantile_cont semantics the
+    oracle uses (hash-verified at three scales)."""
     n_parts = shuffle_partition_count(spark)
     # materialize the day-DOMAIN table once: three consumers (both pair
     # sides + the n_days scalar) would otherwise each re-run the
@@ -308,51 +311,18 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("r2") - F.col("r1")) / (F.col("d2") - F.col("d1")).cast("double"))
         .alias("slope")
     )
-    # pid-pinned range partitioning + O(P) count collection — shared
-    # machinery in functions/ranking.py (offsets frame unused here: the
-    # order-statistic targets are located on the driver from the counts)
-    ranged, counts, _, totals = range_partition_offsets(
-        pairs, ["slope"], [("cnt", F.count("*"))], n_parts
-    )
-    m = totals["cnt"]
     n_days = daily.agg(F.count("*").alias("n_days"))
-    if m == 0:  # degenerate single-day corpus: no pairs, NULL slope
-        return F.broadcast(n_days).crossJoin(
-            ranged.agg(
+    return (
+        F.broadcast(n_days)
+        .crossJoin(
+            pairs.agg(
                 F.count("*").alias("n_pairs"),
                 F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
                     "ts_slope_per_day"
                 ),
             )
-        ).select("n_days", "n_pairs", "ts_slope_per_day")
-    # 1-based global indices of the central element(s): k1 == k2 for odd m
-    targets = []
-    for k in ((m + 1) // 2, m // 2 + 1):
-        acc = 0
-        for r in counts:
-            if acc + r.cnt >= k:
-                targets.append((r.pid, k - acc))
-                break
-            acc += r.cnt
-    picked_pids = sorted({p for p, _ in targets})
-    lw = Window.partitionBy("pid").orderBy("slope")
-    cond = None
-    for p, lk in set(targets):
-        c = (F.col("pid") == p) & (F.col("lr") == lk)
-        cond = c if cond is None else (cond | c)
-    median = (
-        ranged.filter(F.col("pid").isin(picked_pids))
-        .withColumn("lr", F.row_number().over(lw))
-        .filter(cond)
-        .agg(F.round(F.avg("slope"), 6).alias("ts_slope_per_day"))
-    )
-    return (
-        median.crossJoin(F.broadcast(n_days))  # 1-row in-plan scalar
-        .select(
-            "n_days",
-            F.lit(m).cast("long").alias("n_pairs"),
-            "ts_slope_per_day",
         )
+        .select("n_days", "n_pairs", "ts_slope_per_day")
     )
 
 

@@ -1421,6 +1421,15 @@ def _capped_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = items.join(deg.hint("shuffle_hash"), "cust").filter(
         (F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG)
     )
+    import os as _os
+
+    _mode = _os.environ.get("SPARK_GRAFT_MAT_MODE", "ckpt")
+    if _mode == "none":
+        return contrib
+    if _mode == "cache":
+        contrib = contrib.cache()
+        contrib.count()
+        return contrib
     return contrib.localCheckpoint()
 
 

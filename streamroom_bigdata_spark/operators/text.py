@@ -402,20 +402,25 @@ def lang_id_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def detected_lang_col(text_col: str = "text") -> Column:
     """The language-ID heuristic as a single Column expression (shared by
     `lang_id_heuristic` and the governance agreement readout): per-profile
-    bigram hit counts via the replace-length trick, total valid bigrams
-    from run arithmetic, integer-exact 5% threshold, deterministic
-    argmax — whole-stage codegen end to end, no Python worker."""
+    bigram hit counts, total valid bigrams from run arithmetic,
+    integer-exact 5% threshold, deterministic argmax — whole-stage codegen
+    end to end, no Python worker.
+
+    Hit counts are ONE zero-width-lookahead ``regexp_count`` per language
+    (round 16; guide §1.2 per-task work): ``(?=(?:th|he|...))`` matches at
+    every position where a profile bigram starts, so the count equals the
+    replace-length-trick sum the oracle SQL uses — per-profile bigrams are
+    pairwise distinct (two alternatives cannot match at one position) and
+    never self-overlap (first char != last char, the `_sql_hits`
+    invariant), verified value-equal on overlap-heavy cases. The previous
+    spelling ran 40 replace+length pairs — 40 full string copies per row
+    and the dominant share of this expression's whole-stage-codegen
+    compile (~2 s cold); 4 literal-alternation regex scans replace them."""
     low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
 
     def hits(lang: str) -> Column:
-        h = None
-        for bg in _LANG_PROFILES[lang]:
-            c = (
-                (F.length(low) - F.length(F.replace(low, F.lit(bg), F.lit(""))))
-                / 2
-            ).cast("long")
-            h = c if h is None else h + c
-        return h
+        pat = "(?=(?:" + "|".join(_LANG_PROFILES[lang]) + "))"
+        return F.regexp_count(low, F.lit(pat)).cast("long")
 
     h = {lang: hits(lang) for lang in _SCORED_LANGS}
     total = (

@@ -112,11 +112,21 @@ def _commit(
 def _stage_generation(
     df: DataFrame, table_dir: str, generation: int
 ) -> tuple[str, int]:
-    """Write ``df`` into a fresh immutable data dir; returns (dir, rows)."""
+    """Write ``df`` into a fresh immutable data dir; returns (dir, rows).
+
+    The row count rides the write job itself as an observed metric
+    (round-16; guide §1/§5): the previous spelling re-read the freshly
+    written files with a second ``count()`` job per staged generation —
+    pure footer-scan overhead on every manifest commit (3 such jobs per
+    committed ANN index build)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     data_dir = f"{table_dir}/data/gen-{generation}-{uuid.uuid4().hex[:8]}"
-    df.write.parquet(data_dir)  # fresh dir — no overwrite semantics needed
-    n_rows = df.sparkSession.read.parquet(data_dir).count()
-    return data_dir, n_rows
+    obs = Observation(f"stage-gen-{uuid.uuid4().hex[:8]}")
+    # fresh dir — no overwrite semantics needed
+    df.observe(obs, F.count(F.lit(1)).alias("n_rows")).write.parquet(data_dir)
+    return data_dir, int(obs.get["n_rows"])
 
 
 def manifest_write(

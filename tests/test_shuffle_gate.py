@@ -62,3 +62,42 @@ def test_multiple_violations_all_reported():
     prev = {"a": _q(), "b": _q()}
     cur = {"a": _q(broadcast=100.0), "b": _q(rows=10_000_000)}
     assert len(diff_books(prev, cur)) == 2
+
+
+# ---------------------------------------------------------------------------
+# Absolute pins (round 16): revert-proof upper bounds for the shared-subtree
+# wins — a planted revert of _capped_contrib (11 shuffles / 67.5 MiB at
+# sf0.1) must go red even when both diffed books carry the reverted shape.
+# ---------------------------------------------------------------------------
+
+from tools.shuffle_audit import PINNED_MAX_SF01, check_pins
+
+
+def test_planted_capped_contrib_revert_is_red():
+    cur = {"jaccard_links": _q(shuffles=11)}
+    cur["jaccard_links"]["shuffle_mib"] = 67.5  # the r14 pre-fix shape
+    bad = check_pins(cur)
+    assert len(bad) == 2
+    assert any("shuffles" in b for b in bad)
+    assert any("shuffle_mib" in b for b in bad)
+
+
+def test_pinned_queries_at_measured_shape_are_green():
+    cur = {
+        "jaccard_links": {"shuffles": 5, "shuffle_mib": 38.6},
+        "kmv_source_overlap": {"shuffles": 1},
+        "theil_sen_daily_trend": {"shuffles": 3},
+    }
+    assert check_pins(cur) == []
+
+
+def test_unpinned_and_absent_queries_do_not_trip():
+    assert check_pins({"fresh_query": _q(shuffles=99)}) == []
+    assert check_pins({}) == []
+
+
+def test_every_pin_names_a_real_metric():
+    legal = {"shuffles", "shuffle_mib", "shuffle_rows", "broadcast_mib",
+             "scan_rows"}
+    for lims in PINNED_MAX_SF01.values():
+        assert set(lims) <= legal

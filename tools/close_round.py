@@ -115,7 +115,7 @@ def main() -> int:
         import glob as _glob
         import re as _re
 
-        from tools.shuffle_audit import diff_books
+        from tools.shuffle_audit import check_pins, diff_books
 
         shuf_json = f"SHUFFLES_r{rnd}.json"
         tmp_shuf = shuf_json + ".tmp"
@@ -137,6 +137,10 @@ def main() -> int:
             with open(tmp_shuf) as f:
                 cur = json.load(f)["queries"]
             bad = diff_books(prev, cur)
+            # absolute pins (round 16): revert-proof upper bounds for the
+            # shared-subtree wins — red even when BOTH books carry the
+            # reverted shape
+            bad += check_pins(cur)
             if bad:
                 print(f"close_round: RED — shuffle regression vs "
                       f"{prior_path}:")
@@ -145,7 +149,7 @@ def main() -> int:
                 _cleanup_tmps()
                 return 1
             print(f"close_round: shuffle books within tolerance of "
-                  f"{prior_path}")
+                  f"{prior_path} (absolute pins green)")
         else:
             print(f"close_round: no prior SHUFFLES_r*.json — {shuf_json} "
                   "establishes the baseline")

@@ -21,15 +21,27 @@ sys.path.insert(0, ".")
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # parse --runs first (both --runs=N and --runs N forms), consuming its
+    # value token so it never leaks into the query-name list (ADVICE r15)
+    argv = list(sys.argv[1:])
+    runs = 2
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--runs"):
+            if "=" in a:
+                runs = int(a.split("=", 1)[1])
+                del argv[i]
+            else:
+                runs = int(argv[i + 1])
+                del argv[i : i + 2]
+            continue
+        i += 1
+    args = [a for a in argv if not a.startswith("--")]
     if args and "/" in args[0]:
         sf_dir, names = args[0], args[1:]
     else:
         sf_dir, names = "/root/testdata/sf0.1", args
-    runs = 2
-    for a in sys.argv[1:]:
-        if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1]) if "=" in a else runs
 
     from streamroom_bigdata_spark import registry
     from streamroom_bigdata_spark.session import get_spark

@@ -42,6 +42,32 @@ ONLY = _pos[1:]  # optional query subset (default: bench HEADLINE)
 BROADCAST_TOL_MIB = 8.0  # new > prev × 1.5 + 8 MiB → red
 SHUFFLE_ROWS_TOL = 200_000  # new > prev × 2 + 200k rows → red
 
+# Absolute pins (round 16, VERDICT r15 item 8): hard per-query upper
+# bounds at sf0.1 locking in the round-15/16 shared-subtree wins, so a
+# revert (e.g. of _capped_contrib) goes red even if both books in a
+# round-over-round diff carry the reverted shape. Bounds sit one unit of
+# slack above the measured value so AQE jitter never trips them.
+PINNED_MAX_SF01 = {
+    "jaccard_links": {"shuffles": 6, "shuffle_mib": 45.0},
+    "kmv_source_overlap": {"shuffles": 2},
+    "theil_sen_daily_trend": {"shuffles": 4},
+}
+
+
+def check_pins(cur: dict, pins: dict = PINNED_MAX_SF01) -> list[str]:
+    """Violations of the absolute per-query pins (sf0.1 book only)."""
+    bad = []
+    for name, lims in sorted(pins.items()):
+        c = cur.get(name)
+        if c is None:
+            continue
+        for metric, lim in lims.items():
+            if c.get(metric, 0) > lim:
+                bad.append(
+                    f"{name}: {metric} {c[metric]} exceeds pinned max {lim}"
+                )
+    return bad
+
 
 def diff_books(prev: dict, cur: dict) -> list[str]:
     """Violations of the regression tolerances between two audit books
