@@ -240,13 +240,22 @@ def ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day order revenue + count: day index = floor(epoch days) of
     o_orderdate. One combinable groupBy on the day domain — the relation
-    is bounded by the corpus calendar span at ANY data scale."""
+    is bounded by the corpus calendar span at ANY data scale.
+
+    Materialized ONCE via localCheckpoint (round 16; guide §2.4): every
+    consumer (theil_sen, acf, spearman, ljung_box, dow bands) reads the
+    day table 2-5 times, and without the barrier each read re-ran the
+    data-sized orders scan + day aggregate. ≤ span rows of flat numerics
+    — the barrier is trivially small next to the scans it removes."""
     od = load_table(spark, sf_dir, "orders")
     d = F.floor(epoch_ms(F.col("o_orderdate").cast("timestamp")) / 86400000).alias(
         "d"
     )
-    return od.select(d, "o_totalprice").groupBy("d").agg(
-        F.sum("o_totalprice").alias("rev"), F.count("*").alias("n_orders")
+    return (
+        od.select(d, "o_totalprice")
+        .groupBy("d")
+        .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n_orders"))
+        .localCheckpoint()
     )
 
 
@@ -297,12 +306,9 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean of the two central elements — the quantile_cont semantics the
     oracle uses (hash-verified at three scales)."""
     n_parts = shuffle_partition_count(spark)
-    # materialize the day-DOMAIN table once: three consumers (both pair
-    # sides + the n_days scalar) would otherwise each re-run the
-    # orders-scan + daily aggregate — the data-sized stage of this query
-    # at ANY scale (guide §2.4; the calendar-bounded result is ≤ span
-    # rows, so the checkpoint is trivially small)
-    daily = _daily_orders(spark, sf_dir).select("d", "rev").localCheckpoint()
+    # the day-DOMAIN table is materialized once inside _daily_orders
+    # (three consumers here: both pair sides + the n_days scalar)
+    daily = _daily_orders(spark, sf_dir).select("d", "rev")
     a = daily.repartition(n_parts).select(
         F.col("d").alias("d1"), F.col("rev").alias("r1")
     )

@@ -52,6 +52,15 @@ _DAILY_CENTS_SQL = """
 
 
 def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day exact-cents revenue + order count, materialized ONCE via
+    localCheckpoint (round 16; guide §2.4): every consumer query in this
+    module reads the day table 2-5 times (pair sides, scalar aggs, tie
+    groupBys), and Spark shares no common subexpressions — each consumer
+    was re-running the data-sized orders scan + day aggregate. The
+    materialized relation is calendar-bounded (≤ span rows, 3 ints/row) at
+    ANY corpus scale, so the barrier is trivially small next to the scans
+    it removes. Small sides stay explicitly F.broadcast at the call sites,
+    so the erased statistics never gate a needed broadcast."""
     od = load_table(spark, sf_dir, "orders")
     return (
         od.select(
@@ -62,6 +71,7 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d")
         .agg(F.sum("c").alias("rev_c"), F.count("*").alias("n_orders"))
+        .localCheckpoint()
     )
 
 

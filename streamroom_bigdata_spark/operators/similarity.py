@@ -1468,12 +1468,17 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     order differs cross-engine, ~1e-13 relative), but normalization keeps
     the state O(1) each round, so noise cannot compound — loadings round
     at 6, the eigenvalue (extensive, grows with N) at 3."""
+    import math
+
+    from ..functions.localdf import local_df
+
     emb = load_table(spark, sf_dir, "embeddings")
     expl = emb.select(
         "vec_id", F.posexplode(as_double("embedding")).alias("dim", "val")
     ).cache()
     spark_v = None  # (dim, vv) DataFrame; None = uniform start round
-    last = None  # (dim, vv, nrm) of the final round
+    state: list = []  # driver-held [(dim, vv)] of the last round
+    nrm = 0.0
     for _ in range(PCA_POWER_ITERS):
         if spark_v is None:
             dots = expl.groupBy("vec_id").agg(
@@ -1489,34 +1494,33 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dots is DATA-sized (one row per vector): pin the vec-keyed matvec
         # to a shuffled hash join — the static planner's size estimate off
         # the cached explode under-guesses it and tries to BROADCAST it,
-        # which is exactly the stage that must never happen at scale
-        # materialize the DIM-row matvec result each round: truncates the
-        # growing lineage (5 rounds would otherwise nest the whole history
-        # into one plan), replaces guessed statistics with exact 64-row
-        # ones — and, checkpointing W itself rather than the normalized
-        # state, runs the data-sized matvec ONCE per round. The previous
-        # spelling checkpointed w.join(nrm), whose nrm branch contains w
-        # again: Spark shares no common subexpressions, so every round
-        # executed the full expl⋈dots aggregation twice (round-15 profile:
-        # two identical ~0.3 s 3-stage jobs per round, jobs 92/93).
+        # which is exactly the stage that must never happen at scale.
+        # The DIM-row matvec result W is the round's WHOLE state: collect
+        # it (64 flat rows) and normalize on the driver, then rebuild v as
+        # a local_df leaf (round 16; guide §5 — the kmeans/pagerank
+        # driver-result discipline). One data-sized job per round; the
+        # round-15 spelling ran three (w localCheckpoint + 64-row norm
+        # aggregate + 64-row state checkpoint), all pure scheduling
+        # overhead once W fits in a driver list. local_df leaves also
+        # truncate lineage, so no checkpoint is needed anywhere.
         w = (
             expl.join(dots.hint("shuffle_hash"), "vec_id")
             .groupBy("dim")
             .agg(F.sum(F.col("val") * F.col("dot")).alias("wv"))
-            .localCheckpoint()
         )
-        nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
-        # second checkpoint is a 64-row job over the w leaf — it keeps the
-        # per-round state a LEAF (a lazy join here nests the normalization
-        # subtree into every later round's plan and planning time grows
-        # round over round), without re-running anything data-sized
-        last = (
-            w.join(nrm)
-            .select("dim", (F.col("wv") / F.col("nrm")).alias("vv"), "nrm")
-            .localCheckpoint()
+        rows = sorted(
+            (int(r[0]), float(r[1])) for r in w.toPandas().itertuples(False)
         )
-        spark_v = last.select("dim", "vv")
-    return last.select(
+        # sequential sum in dim order — the same 64 doubles Spark's
+        # single-stage aggregate reduced; drift is ≤1e-15 relative, far
+        # below the round-6/round-3 output precision (docstring above)
+        nrm = math.sqrt(sum(wv * wv for _, wv in rows))
+        state = [(d, wv / nrm) for d, wv in rows] if nrm > 0.0 else []
+        spark_v = local_df(spark, state, "dim int, vv double")
+    final = local_df(
+        spark, [(d, vv, nrm) for d, vv in state], "dim int, vv double, nrm double"
+    )
+    return final.select(
         "dim",
         F.round("vv", 6).alias("loading"),
         F.round("nrm", 3).alias("eigenvalue"),

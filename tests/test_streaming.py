@@ -1203,6 +1203,15 @@ def test_router_crash_recovery_restart_from_checkpoint(spark, tmp_path):
             break
         time.sleep(0.5)
     assert seen >= {"B1", "B2"}, f"first batch never committed: {seen}"
+    # stop ONLY inside a trigger-idle window: under external load the
+    # bronze rows of a LATER batch can appear while its checkpoint commit
+    # is still in flight — stopping then replays that batch on restart
+    # and the append sink duplicates it (observed once under a steal
+    # storm: B3/B4 doubled). isTriggerActive=False means the engine is
+    # parked between triggers, where stop is replay-safe.
+    idle_deadline = time.time() + 60
+    while q1.status.get("isTriggerActive") and time.time() < idle_deadline:
+        time.sleep(0.2)
     q1.stop()
     q1.awaitTermination(60)
 

@@ -109,7 +109,10 @@ def main() -> int:
         [sys.executable, "tools/plan_audit.py", "--write"])
     run("plan-guard pytest modules",
         [sys.executable, "-m", "pytest", "tests/test_plans.py",
-         "tests/test_registry_contract.py", "-x", "-q"])
+         "tests/test_registry_contract.py", "-x", "-q",
+         # override pytest.ini's fast-tier default: the 378-query plan
+         # guards are marked slow, and close_round must run them
+         "-m", "slow or not slow"])
 
     if "--skip-shuffles" not in sys.argv:
         import glob as _glob
